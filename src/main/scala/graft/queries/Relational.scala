@@ -1,0 +1,352 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+/** Core relational operator coverage (SURVEY.md §2.3–2.5): projection,
+  * filter pushdown, joins (broadcast + shuffle), aggregation, windows,
+  * versioned-dedup ranking, set ops, rollup/grouping sets, distinct,
+  * CTE/subquery, JSON extraction, top-k.
+  *
+  * Oracle-parity rules used throughout:
+  *  - double aggregates go through DECIMAL(38,s) (exact, order-independent)
+  *    and are cast back to double at the end → identical bits in Spark and
+  *    DuckDB regardless of partial-aggregation order;
+  *  - every query ends with a deterministic total ORDER BY;
+  *  - null ordering is made explicit wherever nulls can appear (Spark
+  *    defaults NULLS FIRST on ASC, DuckDB defaults NULLS LAST).
+  */
+object Relational {
+
+  private def dec(c: Column, s: Int = 4): Column = c.cast(DecimalType(38, s))
+
+  import Tables.t
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ----------------------------------------------------------------- q01
+    // TPC-H Q1-style pricing summary: wide aggregation, map-side combine.
+    "q01_agg_pricing" -> QueryDef(
+      (spark, dir) =>
+        t(spark, dir, "lineitem")
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+            sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+            sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")), 6))
+              .cast("double").as("sum_disc_price"),
+            sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+              (lit(1) + col("l_tax")), 6)).cast("double").as("sum_charge"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_base_price,
+             |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+             |  CAST(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
+             |  COUNT(*) AS count_order
+             |FROM lineitem
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // ----------------------------------------------------------------- q02
+    // Selective filter + narrow projection — exercises parquet predicate
+    // pushdown and column pruning (ReadSchema should be 4 columns).
+    "q02_filter_project" -> QueryDef(
+      (spark, dir) =>
+        t(spark, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+            col("l_discount") >= 0.05 && col("l_quantity") < 25)
+          .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+             |  AND l_discount >= 0.05 AND l_quantity < 25
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // ----------------------------------------------------------------- q03
+    // Aggregate-then-join + broadcast dimension + top-k.
+    "q03_join_topk" -> QueryDef(
+      (spark, dir) => {
+        val rev = t(spark, dir, "lineitem")
+          .groupBy("l_orderkey")
+          .agg(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")), 6))
+            .cast("double").as("revenue"))
+        rev.join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t(spark, dir, "customer")),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("c_name"), col("revenue"), col("o_orderdate"))
+          .orderBy(col("revenue").desc, col("o_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT o_orderkey, c_name, revenue, o_orderdate
+             |FROM (SELECT l_orderkey,
+             |        CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+             |      FROM lineitem GROUP BY l_orderkey) r
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |ORDER BY revenue DESC, o_orderkey
+             |LIMIT 10""".stripMargin)),
+
+    // ----------------------------------------------------------------- q04
+    // Versioned dedup ranking — the engine's own operator (SURVEY §2.5):
+    // ROW_NUMBER over (key) ORDER BY version DESC, keep rank 1.
+    "q04_dedup_rank" -> QueryDef(
+      (spark, dir) => {
+        val w = Window.partitionBy("user_id", "event_type")
+          .orderBy(col("event_id").desc)
+        t(spark, dir, "events")
+          .withColumn("__rank__", row_number().over(w))
+          .filter(col("__rank__") === 1)
+          .select(col("user_id"), col("event_type"),
+            col("event_id").as("latest_event_id"), col("value").as("latest_value"))
+          .orderBy("user_id", "event_type")
+      },
+      Some("""SELECT user_id, event_type, event_id AS latest_event_id, value AS latest_value
+             |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) AS __rank__
+             |      FROM events) ranked
+             |WHERE __rank__ = 1
+             |ORDER BY user_id, event_type""".stripMargin)),
+
+    // ----------------------------------------------------------------- q05
+    // Set operations: INTERSECT / EXCEPT / UNION ALL.
+    "q05_setops" -> QueryDef(
+      (spark, dir) => {
+        val c = t(spark, dir, "customer")
+          .select(col("c_nationkey").as("nationkey"))
+        val s = t(spark, dir, "supplier")
+          .select(col("s_nationkey").as("nationkey"))
+        val both = c.intersect(s).withColumn("tag", lit("both"))
+        val custOnly = c.except(s).withColumn("tag", lit("cust_only"))
+        both.unionByName(custOnly)
+          .select("tag", "nationkey")
+          .orderBy("tag", "nationkey")
+      },
+      Some("""SELECT 'both' AS tag, nationkey FROM
+             |  (SELECT c_nationkey AS nationkey FROM customer
+             |   INTERSECT SELECT s_nationkey AS nationkey FROM supplier)
+             |UNION ALL
+             |SELECT 'cust_only' AS tag, nationkey FROM
+             |  (SELECT c_nationkey AS nationkey FROM customer
+             |   EXCEPT SELECT s_nationkey AS nationkey FROM supplier)
+             |ORDER BY tag, nationkey""".stripMargin)),
+
+    // ----------------------------------------------------------------- q06
+    // ROLLUP with explicit null ordering.
+    "q06_rollup" -> QueryDef(
+      (spark, dir) =>
+        t(spark, dir, "lineitem")
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(dec(col("l_quantity"))).cast("double").as("qty"))
+          .orderBy(col("l_returnflag").asc_nulls_first,
+            col("l_linestatus").asc_nulls_first),
+      Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS qty
+             |FROM lineitem
+             |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)),
+
+    // ----------------------------------------------------------------- q07
+    // Semi + anti join (EXISTS / NOT EXISTS) combined per segment.
+    "q07_semi_anti" -> QueryDef(
+      (spark, dir) => {
+        val cust = t(spark, dir, "customer")
+        val ord = t(spark, dir, "orders")
+        val withO = cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_semi")
+          .groupBy("c_mktsegment").agg(count(lit(1)).as("n_with_orders"))
+        val withoutO = cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
+          .groupBy("c_mktsegment").agg(count(lit(1)).as("n_without_orders"))
+        withO.join(withoutO, Seq("c_mktsegment"), "full_outer")
+          .select(col("c_mktsegment"),
+            coalesce(col("n_with_orders"), lit(0L)).as("n_with_orders"),
+            coalesce(col("n_without_orders"), lit(0L)).as("n_without_orders"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment,
+             |  COALESCE(SUM(CASE WHEN has_o THEN 1 ELSE 0 END), 0) AS n_with_orders,
+             |  COALESCE(SUM(CASE WHEN has_o THEN 0 ELSE 1 END), 0) AS n_without_orders
+             |FROM (SELECT c_mktsegment,
+             |        EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) AS has_o
+             |      FROM customer) t
+             |GROUP BY c_mktsegment
+             |ORDER BY c_mktsegment""".stripMargin)),
+
+    // ----------------------------------------------------------------- q08
+    // JSON string extraction (events.props) + aggregation.
+    "q08_json_extract" -> QueryDef(
+      (spark, dir) =>
+        t(spark, dir, "events")
+          .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+          .filter(col("k") > 50)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(dec(col("value"))).cast("double").as("sum_value"))
+          .orderBy("event_type"),
+      Some("""SELECT event_type, COUNT(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
+             |FROM events
+             |WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+             |GROUP BY event_type
+             |ORDER BY event_type""".stripMargin)),
+
+    // ----------------------------------------------------------------- q09
+    // Window analytics: row_number, lag, running sum with explicit frame.
+    "q09_window_running" -> QueryDef(
+      (spark, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        t(spark, dir, "orders")
+          .filter(col("o_custkey") < 100)
+          .withColumn("rn", row_number().over(w))
+          .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+          .withColumn("running_spend",
+            sum(dec(col("o_totalprice")))
+              .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+              .cast("double"))
+          .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
+            "rn", "prev_price", "running_spend")
+          .orderBy("o_custkey", "rn")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+             |  ROW_NUMBER() OVER w AS rn,
+             |  LAG(o_totalprice, 1) OVER w AS prev_price,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) OVER
+             |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+             |FROM orders
+             |WHERE o_custkey < 100
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             |ORDER BY o_custkey, rn""".stripMargin)),
+
+    // ----------------------------------------------------------------- q10
+    // DISTINCT projection.
+    "q10_distinct" -> QueryDef(
+      (spark, dir) =>
+        t(spark, dir, "orders")
+          .select("o_orderstatus", "o_orderpriority")
+          .distinct()
+          .orderBy("o_orderstatus", "o_orderpriority"),
+      Some("""SELECT DISTINCT o_orderstatus, o_orderpriority
+             |FROM orders
+             |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)),
+
+    // ----------------------------------------------------------------- q11
+    // CTE + correlated comparison against a per-group aggregate.
+    // Same SQL text runs on Spark and DuckDB (shared-dialect subset);
+    // avg computed as exact decimal sum / count for bit-identical doubles.
+    "q11_cte_above_avg" -> QueryDef(
+      (spark, dir) => {
+        Tables.registerAll(spark, dir)
+        spark.sql(
+          """WITH nat_avg AS (
+            |  SELECT c_nationkey,
+            |    CAST(SUM(CAST(c_acctbal AS DECIMAL(38,4))) AS DOUBLE) / COUNT(*) AS avg_bal
+            |  FROM customer GROUP BY c_nationkey)
+            |SELECT c.c_nationkey, COUNT(*) AS n_above
+            |FROM customer c JOIN nat_avg a ON c.c_nationkey = a.c_nationkey
+            |WHERE c.c_acctbal > a.avg_bal
+            |GROUP BY c.c_nationkey
+            |ORDER BY c.c_nationkey""".stripMargin)
+      },
+      Some("""WITH nat_avg AS (
+             |  SELECT c_nationkey,
+             |    CAST(SUM(CAST(c_acctbal AS DECIMAL(38,4))) AS DOUBLE) / COUNT(*) AS avg_bal
+             |  FROM customer GROUP BY c_nationkey)
+             |SELECT c.c_nationkey, COUNT(*) AS n_above
+             |FROM customer c JOIN nat_avg a ON c.c_nationkey = a.c_nationkey
+             |WHERE c.c_acctbal > a.avg_bal
+             |GROUP BY c.c_nationkey
+             |ORDER BY c.c_nationkey""".stripMargin)),
+
+    // ----------------------------------------------------------------- q12
+    // GROUPING SETS with grouping() disambiguation.
+    "q12_grouping_sets" -> QueryDef(
+      (spark, dir) => {
+        Tables.registerAll(spark, dir)
+        spark.sql(
+          """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+            |FROM orders
+            |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+            |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+             |FROM orders
+             |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+             |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)),
+
+    // ----------------------------------------------------------------- q13
+    // Multi-way star join with two broadcast dims + selective agg
+    // (TPC-H Q5 flavored, minus region filter narrowing).
+    "q13_star_join" -> QueryDef(
+      (spark, dir) => {
+        val l = t(spark, dir, "lineitem")
+        val o = t(spark, dir, "orders")
+        val c = t(spark, dir, "customer")
+        val n = t(spark, dir, "nation")
+        val r = t(spark, dir, "region")
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name", "n_name")
+          .agg(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")), 6))
+            .cast("double").as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy("r_name", "n_name")
+      },
+      Some("""SELECT r_name, n_name,
+             |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+             |  COUNT(*) AS n_items
+             |FROM lineitem
+             |JOIN orders   ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation   ON c_nationkey = n_nationkey
+             |JOIN region   ON n_regionkey = r_regionkey
+             |GROUP BY r_name, n_name
+             |ORDER BY r_name, n_name""".stripMargin)),
+
+    // ----------------------------------------------------------------- q14
+    // Conditional aggregation (CASE inside agg) — TPC-H Q14 flavor.
+    "q14_case_agg" -> QueryDef(
+      (spark, dir) =>
+        t(spark, dir, "part")
+          .join(t(spark, dir, "lineitem"), col("p_partkey") === col("l_partkey"))
+          .groupBy("p_brand")
+          .agg(
+            sum(when(col("p_type").startsWith("PROMO"),
+              dec(col("l_extendedprice") * (lit(1) - col("l_discount")), 6))
+              .otherwise(dec(lit(0), 6))).cast("double").as("promo_revenue"),
+            sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")), 6))
+              .cast("double").as("total_revenue"))
+          .orderBy("p_brand"),
+      Some("""SELECT p_brand,
+             |  CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+             |        THEN CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))
+             |        ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE) AS promo_revenue,
+             |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS total_revenue
+             |FROM part JOIN lineitem ON p_partkey = l_partkey
+             |GROUP BY p_brand
+             |ORDER BY p_brand""".stripMargin)),
+
+    // ----------------------------------------------------------------- q15
+    // Time bucketing on event time (batch window()) — per-day counts.
+    "q15_time_bucket" -> QueryDef(
+      (spark, dir) =>
+        t(spark, dir, "events")
+          .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(dec(col("value"))).cast("double").as("sum_value"))
+          .orderBy("day", "event_type"),
+      Some("""SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
+             |FROM events
+             |GROUP BY CAST(ts AS DATE), event_type
+             |ORDER BY day, event_type""".stripMargin))
+  )
+}
