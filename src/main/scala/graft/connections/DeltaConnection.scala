@@ -1,0 +1,110 @@
+package graft.connections
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Deltatable semantics emulated over a parquet directory table.
+  *
+  * No delta-spark jar ships in /opt/spark/jars (offline build), so this
+  * implements the reference's *behavioral contract*
+  * (ankaflow/connections/delta.py) on plain parquet:
+  *  - tap: mandatory query with `FROM Deltatable` placeholder
+  *    (delta.py:138-182), dedup ranking + limit supported; reading a
+  *    missing/empty table yields an empty DataFrame with the declared
+  *    `fields` schema when present;
+  *  - sink: strategy matrix (delta.py:368-382) —
+  *      rows>0             → WRITE (append/overwrite per data_mode)
+  *      rows=0 + schema    → CREATE (materialize empty table with schema)
+  *      rows=0 + no schema → SKIP
+  *  - sql: pseudo-statements DROP / TRUNCATE / OPTIMIZE DELTATABLE
+  *    (delta.py:552-659); OPTIMIZE maps to a compaction rewrite.
+  *
+  * The interface matches the Connection trait, so a real delta-spark
+  * implementation can drop in when the jar is available.
+  */
+final class DeltaConnection(ctx: ConnContext) extends Connection(ctx) {
+
+  private def exists: Boolean = {
+    val p = Paths.get(path)
+    Files.exists(p) && Files.isDirectory(p) &&
+      Files.list(p).anyMatch(f => f.toString.endsWith(".parquet"))
+  }
+
+  private def emptyWithSchema: DataFrame = {
+    val fields = conn.fields
+    if (fields.nonEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        SchemaUtil.toStruct(fields))
+    else sys.error(s"Deltatable at $path does not exist and no fields declared")
+  }
+
+  override def tap(query: Option[String], limit: Option[Int]): DataFrame = {
+    val raw =
+      if (exists) spark.read.option("mergeSchema", "true").parquet(path)
+      else emptyWithSchema
+    finishTap(raw, query, limit)
+  }
+
+  override def sink(from: DataFrame): Unit = {
+    val hasRows = !from.isEmpty
+    val declared = conn.fields
+    val dataMode = conn.str("data_mode").getOrElse("append")
+    val mode = dataMode match {
+      case "append" => SaveMode.Append
+      case "overwrite" => SaveMode.Overwrite
+      case "error" => SaveMode.ErrorIfExists
+      case other => sys.error(s"unknown data_mode: $other")
+    }
+    if (hasRows) {
+      val writer = from.write.mode(mode)
+      val partitions = conn.strList("partition")
+      val w2 = if (partitions.nonEmpty) writer.partitionBy(partitions: _*) else writer
+      w2.parquet(path)
+    } else if (declared.nonEmpty && !exists) {
+      // CREATE: empty table materialized from the declared schema
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        SchemaUtil.toStruct(declared)).write.mode(SaveMode.Overwrite).parquet(path)
+    } // else SKIP (delta.py:368-382)
+  }
+
+  override def showSchema(): org.apache.spark.sql.types.StructType =
+    if (exists) spark.read.parquet(path).schema
+    else SchemaUtil.toStruct(conn.fields)
+
+  override def sqlStmt(stmt: String): Option[DataFrame] = {
+    val s = stmt.trim.toUpperCase.replaceAll("\\s+", " ")
+    if (s.startsWith("DROP DELTATABLE")) {
+      deleteRecursively(path)
+      None
+    } else if (s.startsWith("TRUNCATE DELTATABLE")) {
+      // keep schema: re-create the empty table from current schema
+      val schema = if (exists) Some(spark.read.parquet(path).schema) else None
+      deleteRecursively(path)
+      schema.foreach { sch =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
+          .write.mode(SaveMode.Overwrite).parquet(path)
+      }
+      None
+    } else if (s.startsWith("OPTIMIZE DELTATABLE")) {
+      // COMPACT / VACUUM → single compaction rewrite (delta.py:604-659);
+      // retention bookkeeping is a no-op without a transaction log.
+      if (exists && !s.contains("DRY_RUN")) {
+        val df = spark.read.option("mergeSchema", "true").parquet(path)
+        val tmp = path.stripSuffix("/") + "__compact_tmp"
+        df.repartition(math.max(1, (df.count() / 5000000L).toInt))
+          .write.mode(SaveMode.Overwrite).parquet(tmp)
+        deleteRecursively(path)
+        Files.move(Paths.get(tmp), Paths.get(path))
+      }
+      None
+    } else sys.error(s"unsupported Deltatable statement: $stmt")
+  }
+
+  private def deleteRecursively(p: String): Unit = {
+    val root = Paths.get(p)
+    if (Files.exists(root)) {
+      Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+    }
+  }
+}

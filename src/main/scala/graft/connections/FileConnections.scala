@@ -1,0 +1,108 @@
+package graft.connections
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import graft.template.Json
+
+/** Parquet source/sink (reference: ankaflow/connections/file.py:39-68).
+  * `union_by_name=true` default ≈ Spark `mergeSchema`. The reference
+  * writes a single file; Spark writes a directory — kept (scale-correct),
+  * documented in SURVEY §2.2. */
+final class ParquetConnection(ctx: ConnContext) extends Connection(ctx) {
+  override def tap(query: Option[String], limit: Option[Int]): DataFrame = {
+    val raw = spark.read
+      .option("mergeSchema", "true")
+      .options(passthroughOptions)
+      .parquet(path)
+    finishTap(raw, query, limit)
+  }
+
+  override def sink(from: DataFrame): Unit =
+    from.write.mode(SaveMode.Overwrite).options(passthroughOptions).parquet(path)
+}
+
+/** CSV source/sink (file.py:96-118). `ignore_errors=true` default ≈
+  * PERMISSIVE mode; header on both directions like DuckDB COPY. */
+final class CsvConnection(ctx: ConnContext) extends Connection(ctx) {
+  override def tap(query: Option[String], limit: Option[Int]): DataFrame = {
+    val raw = spark.read
+      .option("header", "true")
+      .option("inferSchema", "true")
+      .option("mode", "PERMISSIVE")
+      .options(passthroughOptions)
+      .csv(path)
+    finishTap(raw, query, limit)
+  }
+
+  override def sink(from: DataFrame): Unit =
+    from.write.mode(SaveMode.Overwrite).option("header", "true")
+      .options(passthroughOptions).csv(path)
+}
+
+/** JSON source/sink (file.py:71-93). Default is a JSON array document
+  * (DuckDB read_json_auto); `format: lines` switches to JSONL. Sinks are
+  * newline-delimited like the reference (models/core.py:215). */
+final class JsonConnection(ctx: ConnContext) extends Connection(ctx) {
+  override def tap(query: Option[String], limit: Option[Int]): DataFrame = {
+    val lines = conn.str("format").contains("lines")
+    val raw = spark.read
+      .option("multiLine", (!lines).toString)
+      .options(passthroughOptions)
+      .json(path)
+    finishTap(raw, query, limit)
+  }
+
+  override def sink(from: DataFrame): Unit =
+    from.write.mode(SaveMode.Overwrite).options(passthroughOptions).json(path)
+}
+
+/** Generic file reader (file.py:121-180): dispatch by `filetype` param or
+  * path suffix. parquet/csv/json/txt supported; xlsx/xml/html raise like
+  * the reference does for unknown kinds (file.py:149) — no such jars in
+  * the offline environment. Read-only. */
+final class FileConnection(ctx: ConnContext) extends Connection(ctx) {
+  override def tap(query: Option[String], limit: Option[Int]): DataFrame = {
+    val ftype = conn.str("filetype").getOrElse(
+      path.reverse.takeWhile(_ != '.').reverse.toLowerCase)
+    val raw = ftype match {
+      case "parquet" => spark.read.option("mergeSchema", "true").parquet(path)
+      case "csv" => spark.read.option("header", "true")
+        .option("inferSchema", "true").csv(path)
+      case "json" | "jsonl" => spark.read
+        .option("multiLine", (ftype == "json").toString).json(path)
+      case "txt" | "text" => spark.read.text(path)
+      case other => throw new UnsupportedOperationException(
+        s"File connection: unsupported filetype '$other'")
+    }
+    finishTap(raw, query, limit)
+  }
+
+  override def sink(from: DataFrame): Unit =
+    throw new UnsupportedOperationException("File connection is read-only")
+}
+
+/** Variable tap/sink (file.py:17-36): sink stores the previous stage's
+  * rows into the shared variables map; tap materializes a stored value
+  * back into a DataFrame. JSON is the interchange (like the reference's
+  * json.dumps → read_json round trip). */
+final class VariableConnection(ctx: ConnContext) extends Connection(ctx) {
+  private def varName: String = locator
+
+  override def tap(query: Option[String], limit: Option[Int]): DataFrame = {
+    val value = ctx.variables.getOrElse(varName,
+      sys.error(s"Variable '$varName' is not set"))
+    val jsonRows: Seq[String] = value match {
+      case l: Seq[_] => l.map(Json.write)
+      case m: Map[_, _] => Seq(Json.write(m))
+      case s: String => Seq(s)
+      case other => Seq(Json.write(other))
+    }
+    val raw = spark.read.json(
+      spark.createDataset(jsonRows)(org.apache.spark.sql.Encoders.STRING))
+    finishTap(raw, query, limit)
+  }
+
+  override def sink(from: DataFrame): Unit = {
+    val rows = from.toJSON.collect().toList.map(Json.parse)
+    ctx.variables.put(varName, rows)
+  }
+}

@@ -1,0 +1,257 @@
+package graft.connections
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.time.Duration
+import scala.collection.mutable
+import org.apache.spark.sql.DataFrame
+import graft.template.{Api, Json}
+
+/** REST ingestion framework (reference: the ankaflow/connections/rest
+  * package; SURVEY.md §2.8).
+  *
+  * Driver-side HTTP (like the reference — ingestion is inherently a
+  * driver/edge concern), then pages of JSON are materialized into a
+  * DataFrame in one `spark.read.json` pass (scale note: pages are
+  * buffered as strings and parallelized; a 100 TB pipeline would ingest
+  * via object storage, not HTTP — this mirrors the reference's scope).
+  *
+  * Supported: auth basic/bearer/header; Pagination / StatePolling /
+  * URLPolling handlers; JMESPath-subset `locator` record extraction;
+  * 429 wait-and-retry with doubling, ≥500 retries, ≥400 raise
+  * (rest/server.py:343-467); transport retries with exponential backoff.
+  */
+final class RestConnection(ctx: ConnContext) extends Connection(ctx) {
+
+  private val client = conn.map("client")
+  private val request = conn.map("request")
+
+  private def str(m: Map[String, Any], k: String): Option[String] =
+    m.get(k).collect { case v if v != null => v.toString }
+
+  private def submap(m: Map[String, Any], k: String): Map[String, Any] =
+    m.get(k) match {
+      case Some(mm: Map[_, _]) => mm.map { case (a, b) => a.toString -> b }
+      case _ => Map.empty
+    }
+
+  private lazy val http: HttpClient = {
+    val timeout = str(client, "timeout").map(_.toDouble).getOrElse(5.0)
+    HttpClient.newBuilder()
+      .connectTimeout(Duration.ofMillis((timeout * 1000).toLong))
+      .build()
+  }
+
+  /** One HTTP round with the reference's error policy. Returns body. */
+  private def doRequest(method: String, url: String, headers: Map[String, String],
+      body: Option[String], maxRetries: Int, initialBackoff: Double): String = {
+    var rateWait = 1.0
+    var attempt = 0
+    while (true) {
+      val builder = HttpRequest.newBuilder().uri(URI.create(url))
+      headers.foreach { case (k, v) => builder.header(k, v) }
+      val req = method.toUpperCase match {
+        case "GET" => builder.GET().build()
+        case "POST" => builder
+          .POST(HttpRequest.BodyPublishers.ofString(body.getOrElse("")))
+          .build()
+        case "PUT" => builder
+          .PUT(HttpRequest.BodyPublishers.ofString(body.getOrElse("")))
+          .build()
+        case "DELETE" => builder.DELETE().build()
+        case other => sys.error(s"unsupported HTTP method: $other")
+      }
+      val resp: HttpResponse[String] =
+        try http.send(req, HttpResponse.BodyHandlers.ofString())
+        catch {
+          case e: java.io.IOException if attempt < maxRetries =>
+            Thread.sleep((initialBackoff * math.pow(2, attempt) * 1000).toLong)
+            attempt += 1
+            null
+        }
+      if (resp != null) {
+        val code = resp.statusCode()
+        if (code == 429) {
+          Thread.sleep((rateWait * 1000).toLong)
+          rateWait *= 2 // doubles per retry (rest/server.py:369-374)
+        } else if (code >= 500) {
+          if (attempt >= maxRetries)
+            sys.error(s"HTTP $code from $url after $attempt retries")
+          Thread.sleep(((attempt + 1) * 1000).toLong)
+          attempt += 1
+        } else if (code >= 400) {
+          sys.error(s"HTTP $code from $url: ${resp.body().take(500)}")
+        } else {
+          return resp.body()
+        }
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  private def authHeaders: Map[String, String] = submap(client, "auth") match {
+    case a if a.isEmpty => Map.empty
+    case a => str(a, "kind").getOrElse("").toLowerCase match {
+      case "basic" =>
+        val cred = java.util.Base64.getEncoder.encodeToString(
+          s"${str(a, "username").getOrElse("")}:${str(a, "password").getOrElse("")}"
+            .getBytes("UTF-8"))
+        Map("Authorization" -> s"Basic $cred")
+      case "bearer" =>
+        Map("Authorization" -> s"Bearer ${str(a, "token").getOrElse("")}")
+      case "header" =>
+        submap(a, "values").map { case (k, v) => k -> String.valueOf(v) }
+      case other => sys.error(s"unsupported auth kind: $other")
+    }
+  }
+
+  private def buildUrl(endpoint: String, query: Map[String, Any]): String = {
+    val base = str(client, "base_url").getOrElse("").stripSuffix("/")
+    val qs =
+      if (query.isEmpty) ""
+      else "?" + query.map { case (k, v) =>
+        java.net.URLEncoder.encode(k, "UTF-8") + "=" +
+          java.net.URLEncoder.encode(String.valueOf(v), "UTF-8")
+      }.mkString("&")
+    s"$base/${endpoint.stripPrefix("/")}$qs"
+  }
+
+  /** Extract the record list at `locator` (JMESPath subset) from a page. */
+  private def extractRecords(body: String, locator: String): List[Any] = {
+    val parsed = Json.parse(body)
+    val at = if (locator == null || locator.isEmpty) parsed
+      else Api.look(List(locator, parsed, null))
+    at match {
+      case l: List[_] => l
+      case null => Nil
+      case m => List(m)
+    }
+  }
+
+  /** Run the request + handler state machine; returns all record pages. */
+  private def fetchAll(): List[Any] = {
+    val endpoint = str(request, "endpoint").getOrElse(sys.error("Rest: no endpoint"))
+    val method = str(request, "method").getOrElse("get")
+    val headers = authHeaders ++
+      str(request, "content_type").map("Content-Type" -> _).toMap
+    val response = submap(request, "response")
+    val recLocator = str(response, "locator").getOrElse("")
+    val handler = submap(response, "handler")
+    val maxRetries = str(request, "max_retries").map(_.toInt).getOrElse(0)
+    val backoff = str(request, "initial_backoff").map(_.toDouble).getOrElse(0.5)
+    val bodyTpl = request.get("body").map(Json.write)
+    val baseQuery = submap(request, "query")
+
+    str(handler, "kind").getOrElse("") match {
+      case "" =>
+        extractRecords(doRequest(method, buildUrl(endpoint, baseQuery),
+          headers, bodyTpl, maxRetries, backoff), recLocator)
+
+      case "Pagination" =>
+        // increment page_param per page; stop when page < page_size or
+        // total_records reached (rest/rest.py:54-121)
+        val pageParam = str(handler, "page_param").getOrElse("page")
+        val pageSize = str(handler, "page_size").map(_.toInt).getOrElse(100)
+        val increment = str(handler, "increment").map(_.toInt).getOrElse(1)
+        val throttle = str(handler, "throttle").map(_.toDouble)
+        val totalLocator = str(handler, "total_records").getOrElse("")
+        val inBody = str(handler, "param_locator").contains("body")
+        val all = mutable.ListBuffer[Any]()
+        var page = baseQuery.get(pageParam).map(String.valueOf(_).toInt).getOrElse(0)
+        var continue = true
+        while (continue) {
+          val q = if (inBody) baseQuery else baseQuery + (pageParam -> page)
+          val b = if (inBody)
+            bodyTpl.map(t => Json.write(Json.parse(t).asInstanceOf[Map[String, Any]] +
+              (pageParam -> page)))
+          else bodyTpl
+          val body = doRequest(method, buildUrl(endpoint, q), headers, b,
+            maxRetries, backoff)
+          val recs = extractRecords(body, recLocator)
+          all ++= recs
+          val total = if (totalLocator.nonEmpty)
+            Option(Api.look(List(totalLocator, Json.parse(body), null)))
+              .collect { case n: Number => n.longValue }
+          else None
+          continue = recs.size >= pageSize &&
+            total.forall(t => all.size < t)
+          page += increment
+          if (continue) throttle.foreach(t => Thread.sleep((t * 1000).toLong))
+        }
+        all.toList
+
+      case "StatePolling" =>
+        // poll same endpoint until ready_status truthy (rest/rest.py:150-175)
+        val readyLocator = str(handler, "ready_status").getOrElse("status")
+        var wait = 1.0
+        var result: List[Any] = null
+        while (result == null) {
+          val body = doRequest(method, buildUrl(endpoint, baseQuery), headers,
+            bodyTpl, maxRetries, backoff)
+          val parsed = Json.parse(body)
+          val ready = Api.look(List(readyLocator, parsed, null))
+          if (graft.template.Renderer.stringToBool(ready))
+            result = extractRecords(body, recLocator)
+          else { Thread.sleep((wait * 1000).toLong); wait *= 1.5 }
+        }
+        result
+
+      case "URLPolling" =>
+        // poll until ready, then fetch the file at the locator URL
+        val readyLocator = str(handler, "ready_status").getOrElse("status")
+        val urlLocator = str(handler, "locator")
+          .orElse(Some(recLocator)).getOrElse("url")
+        var wait = 1.0
+        var fileUrl: String = null
+        while (fileUrl == null) {
+          val body = doRequest(method, buildUrl(endpoint, baseQuery), headers,
+            bodyTpl, maxRetries, backoff)
+          val parsed = Json.parse(body)
+          val ready = Api.look(List(readyLocator, parsed, null))
+          if (graft.template.Renderer.stringToBool(ready))
+            fileUrl = String.valueOf(Api.look(List(urlLocator, parsed, null)))
+          else { Thread.sleep((wait * 1000).toLong); wait *= 1.5 }
+        }
+        extractRecords(doRequest("GET", fileUrl, headers, None, maxRetries,
+          backoff), "")
+
+      case other => sys.error(s"unknown REST handler kind: $other")
+    }
+  }
+
+  /** Materializer (rest/common.py:38-156): records → DataFrame; declared
+    * `fields` stabilize empty/ragged responses. */
+  override def tap(query: Option[String], limit: Option[Int]): DataFrame = {
+    val records = fetchAll()
+    val jsonRows = records.map(Json.write)
+    val reader = spark.read
+    val declared = conn.fields
+    val withSchema =
+      if (declared.nonEmpty) reader.schema(SchemaUtil.toStruct(declared))
+      else reader
+    val raw =
+      if (jsonRows.isEmpty && declared.nonEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          SchemaUtil.toStruct(declared))
+      else withSchema.json(
+        spark.createDataset(jsonRows)(org.apache.spark.sql.Encoders.STRING))
+    finishTap(raw, query, limit)
+  }
+
+  /** Sink = fire the request; body may carry the previous stage's data
+    * (rest/rest.py:329-330). */
+  override def sink(from: DataFrame): Unit = {
+    val endpoint = str(request, "endpoint").getOrElse(sys.error("Rest: no endpoint"))
+    val method = str(request, "method").getOrElse("post")
+    val headers = authHeaders ++
+      str(request, "content_type").map("Content-Type" -> _).toMap
+    val body = request.get("body") match {
+      case Some(b) => Json.write(b)
+      case None => "[" + from.toJSON.collect().mkString(",") + "]"
+    }
+    doRequest(method, buildUrl(endpoint, submap(request, "query")), headers,
+      Some(body),
+      str(request, "max_retries").map(_.toInt).getOrElse(0),
+      str(request, "initial_backoff").map(_.toDouble).getOrElse(0.5))
+  }
+}

@@ -1,0 +1,229 @@
+package graft.core
+
+import scala.collection.mutable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.connections.{ConnContext, Connection, FlowConfig}
+import graft.model.{ConnectionDef, Stage, Stages}
+import graft.sqlbridge.SqlBridge
+import graft.sqlbridge.SqlBridge.NameRegistry
+import graft.template.{Api, Json, Renderer}
+
+class FlowRunError(msg: String, cause: Throwable = null)
+  extends RuntimeException(msg, cause)
+
+/** The pipeline engine (reference: ankaflow/core/flow.py).
+  *
+  * SparkSession plays the role of the embedded database: every stage
+  * materializes a named relation as a temp view, later stages reference
+  * prior stages by name in SQL, taps are eagerly cached (CREATE TABLE AS
+  * semantics, flow.py:217-221), transforms stay lazy views (flow.py:267).
+  *
+  * Stage kinds: tap/source, transform, sink, sql, internal/self, pipeline
+  * (nested; row-driven loop when preceded by a producing stage,
+  * flow.py:126-173). Per-stage controls: skip_if, on_error, throttle,
+  * show, show_schema, explain, log_level.
+  */
+final class Flow(
+    val spark: SparkSession,
+    stagesDef: Stages,
+    val context: Map[String, Any] = Map.empty,
+    val config: FlowConfig = FlowConfig(),
+    val variables: mutable.Map[String, Any] = mutable.Map.empty,
+    val names: NameRegistry = new NameRegistry,
+    flowOnError: String = "fail") {
+
+  private var lastNameVar: Option[String] = None
+  private val log = org.slf4j.LoggerFactory.getLogger(classOf[Flow])
+
+  def lastName: Option[String] = lastNameVar
+
+  /** Final relation of the flow as a DataFrame (reference Flow.df()). */
+  def df(): DataFrame = lastNameVar match {
+    case Some(n) => spark.table(names.get(n).getOrElse(n))
+    case None => sys.error("flow has not produced a relation")
+  }
+
+  def run(): Flow = {
+    config.hadoopConf.foreach { case (k, v) =>
+      spark.sparkContext.hadoopConfiguration.set(k, v)
+    }
+    stagesDef.stages.foreach(runStage)
+    this
+  }
+
+  private def renderCtx: Map[String, Any] =
+    Map("context" -> context, "variables" -> variables, "API" -> Api)
+
+  private def renderStr(s: String): String = Renderer.render(s, renderCtx)
+
+  /** Render every templated string in a connection def (reference renders
+    * the connection model recursively, flow.py:429-475). */
+  private def renderConn(c: ConnectionDef): ConnectionDef = {
+    def renderAny(v: Any): Any = v match {
+      case s: String if s.contains("<<") || s.contains("<%") =>
+        Renderer.renderTyped(s, renderCtx)
+      case s: String => s
+      case m: Map[_, _] => m.map { case (k, vv) => k.toString -> renderAny(vv) }
+      case l: List[_] => l.map(renderAny)
+      case other => other
+    }
+    ConnectionDef(
+      kind = c.kind,
+      locator = c.locator.map(s => String.valueOf(renderAny(s))),
+      params = c.params.map { case (k, v) => k -> renderAny(v) })
+  }
+
+  private def runStage(stage: Stage): Unit = {
+    val t0 = System.nanoTime()
+    // skip_if gate (flow.py:440-441, 484-487)
+    val skipped = stage.skipIf.exists { expr =>
+      Renderer.stringToBool(Renderer.renderTyped(expr, renderCtx))
+    }
+    if (skipped) {
+      log.info(s"stage '${stage.name}' skipped (skip_if)")
+      return
+    }
+    try {
+      execute(stage)
+      log.info(f"stage '${stage.name}' done in ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    } catch {
+      case e: Exception =>
+        if (stage.onError == "continue" || flowOnError == "continue") {
+          log.warn(s"stage '${stage.name}' failed (continuing): ${e.getMessage}")
+        } else {
+          throw new FlowRunError(s"stage '${stage.name}' failed: ${e.getMessage}", e)
+        }
+    } finally {
+      stage.throttle.foreach(s => Thread.sleep((s * 1000).toLong))
+    }
+  }
+
+  private def connCtx(stage: Stage): ConnContext = {
+    val rendered = renderConn(stage.connection.getOrElse(
+      sys.error(s"stage '${stage.name}' (${stage.kind}) requires a connection")))
+    ConnContext(spark, rendered, config, variables, names)
+  }
+
+  private def execute(stage: Stage): Unit = stage.kind.toLowerCase match {
+    case "tap" | "source" =>
+      val view = names.register(stage.name)
+      val conn = Connection.resolve(connCtx(stage))
+      val limit = stage.connection.flatMap(_.int("limit"))
+      val query = stage.query.map(renderStr)
+      val df =
+        try conn.tap(query, limit)
+        catch {
+          case e: Exception =>
+            spark.catalog.dropTempView(view) // drop on failure (flow.py:228)
+            throw e
+        }
+      // localCheckpoint (not cache) = true point-in-time materialization:
+      // the reference's taps are CREATE TABLE AS snapshots (flow.py:217-221),
+      // and a cache would be invalidated/recomputed when the source path is
+      // rewritten later in the pipeline (e.g. Deltatable truncate).
+      val materialized =
+        if (config.materializeTaps) df.localCheckpoint()
+        else df
+      materialized.createOrReplaceTempView(view)
+      lastNameVar = Some(stage.name)
+      postActions(stage, Some(materialized))
+
+    case "transform" =>
+      val q = renderStr(stage.query.getOrElse(
+        sys.error(s"transform '${stage.name}' requires a query")))
+      val view = names.register(stage.name)
+      val df = spark.sql(SqlBridge.translate(q, names, Some(spark)))
+      df.createOrReplaceTempView(view)
+      lastNameVar = Some(stage.name)
+      postActions(stage, Some(df))
+
+    case "sink" =>
+      val conn = Connection.resolve(connCtx(stage))
+      val df = stage.query match {
+        case Some(q) =>
+          val view = names.register(stage.name)
+          val d = spark.sql(SqlBridge.translate(renderStr(q), names, Some(spark)))
+          d.createOrReplaceTempView(view)
+          d
+        case None =>
+          val prev = lastNameVar.getOrElse(
+            sys.error(s"sink '${stage.name}' has no preceding stage"))
+          spark.table(names.get(prev).getOrElse(prev))
+      }
+      conn.sink(df)
+      // keep lastname pointing at data: register sink name as alias view
+      val alias = names.register(stage.name)
+      df.createOrReplaceTempView(alias)
+      lastNameVar = Some(stage.name)
+      postActions(stage, Some(df))
+
+    case "sql" =>
+      val conn = Connection.resolve(connCtx(stage))
+      val q = renderStr(stage.query.getOrElse(
+        sys.error(s"sql '${stage.name}' requires a query")))
+      val res = conn.sqlStmt(q)
+      postActions(stage, res)
+
+    case "internal" | "self" =>
+      val q = renderStr(stage.query.getOrElse(
+        sys.error(s"internal '${stage.name}' requires a query")))
+      val df = spark.sql(SqlBridge.translate(q, names, Some(spark)))
+      val view = names.register(stage.name)
+      df.createOrReplaceTempView(view)
+      lastNameVar = Some(stage.name)
+      postActions(stage, Some(df))
+
+    case "pipeline" =>
+      lastNameVar match {
+        case Some(prev) if stagesBefore(stage) =>
+          // row-driven loop (flow.py:126-173): one sub-flow per row of the
+          // previous stage; loop_control carries the row.
+          val prevView = names.get(prev).getOrElse(prev)
+          val rows = spark.table(prevView).toJSON.collect()
+          try {
+            rows.foreach { rowJson =>
+              val record = Json.parse(rowJson)
+              variables.put("loop_control", record)
+              val sub = new Flow(spark, Stages(stage.stages), context, config,
+                variables, names, flowOnError)
+              try sub.run()
+              catch {
+                case e: Exception =>
+                  throw new FlowRunError(
+                    s"loop iteration failed for loop_control=$rowJson", e)
+              }
+            }
+          } finally variables.remove("loop_control")
+        case _ =>
+          new Flow(spark, Stages(stage.stages), context, config, variables,
+            names, flowOnError).run()
+      }
+      // lastname propagates to the final stage of the sub-pipeline
+      stage.stages.lastOption.foreach(s => lastNameVar = Some(s.name))
+
+    case other => sys.error(s"unknown stage kind: $other")
+  }
+
+  private def stagesBefore(stage: Stage): Boolean = lastNameVar.isDefined
+
+  /** show / show_schema / explain (flow.py:61-80,119-120; §4 explain). */
+  private def postActions(stage: Stage, df: Option[DataFrame]): Unit = df.foreach { d =>
+    stage.show.foreach {
+      case -1 => d.show(Int.MaxValue, truncate = false)
+      case n if n > 0 => d.show(n, truncate = false)
+      case _ =>
+    }
+    if (stage.showSchema) log.info(s"schema of '${stage.name}':\n" + d.schema.treeString)
+    if (stage.explain) d.explain("formatted")
+    stage.logLevel.foreach(_ => ()) // per-stage log level: spark log4j is global
+  }
+}
+
+object Flow {
+  /** Convenience: run a YAML pipeline end-to-end and return the flow. */
+  def runYaml(spark: SparkSession, yaml: String,
+      context: Map[String, Any] = Map.empty,
+      config: FlowConfig = FlowConfig(),
+      variables: mutable.Map[String, Any] = mutable.Map.empty): Flow =
+    new Flow(spark, Stages.load(yaml), context, config, variables).run()
+}

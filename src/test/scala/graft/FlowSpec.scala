@@ -1,0 +1,264 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.{Flow, FlowRunError}
+import graft.connections.FlowConfig
+import scala.collection.mutable
+
+/** End-to-end pipeline tests shaped like the reference's
+  * support/integration.yaml (tap → transform → union → delta round-trip →
+  * variable round-trip → looped sub-pipeline). */
+class FlowSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.spark
+  private val sf = "/root/testdata/sf0.001"
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft_flow").toString
+
+  test("minimum slice: parquet tap → transform → parquet sink → df()") {
+    val out = tmpDir() + "/out"
+    val yaml =
+      s"""
+         |- name: Lineitem
+         |  kind: tap
+         |  connection:
+         |    kind: Parquet
+         |    locator: $sf/lineitem.parquet
+         |- name: Totals
+         |  kind: transform
+         |  query: select l_returnflag, count(*) as totals from Lineitem group by 1 order by 1
+         |- name: WriteOut
+         |  kind: sink
+         |  connection:
+         |    kind: Parquet
+         |    locator: $out
+         |""".stripMargin
+    val flow = Flow.runYaml(spark, yaml)
+    val df = flow.df()
+    assert(df.count() == 3)
+    assert(spark.read.parquet(out).count() == 3)
+    assert(df.columns.toList == List("l_returnflag", "totals"))
+  }
+
+  test("tap with query and placeholder table") {
+    val yaml =
+      s"""
+         |- name: BigOrders
+         |  kind: tap
+         |  connection:
+         |    kind: Parquet
+         |    locator: $sf/orders.parquet
+         |  query: SELECT o_orderkey, o_totalprice FROM Parquet WHERE o_totalprice > 300000
+         |""".stripMargin
+    val flow = Flow.runYaml(spark, yaml)
+    assert(flow.df().columns.toList == List("o_orderkey", "o_totalprice"))
+    assert(flow.df().count() > 0)
+  }
+
+  test("versioned dedup ranking on tap (version + key)") {
+    val yaml =
+      s"""
+         |- name: LatestEvents
+         |  kind: tap
+         |  connection:
+         |    kind: Parquet
+         |    locator: $sf/events.parquet
+         |    version: event_id
+         |    key: [user_id, event_type]
+         |""".stripMargin
+    // events.parquet has ns timestamps — Spark cannot read them without the
+    // legacy conf; set it like graft.queries.Tables.events does.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val flow = Flow.runYaml(spark, yaml)
+    val df = flow.df()
+    assert(df.groupBy("user_id", "event_type").count()
+      .filter("count > 1").count() == 0)
+  }
+
+  test("csv + json round trip via sinks and taps") {
+    val dir = tmpDir()
+    val yaml =
+      s"""
+         |- name: Nations
+         |  kind: tap
+         |  connection: {kind: Parquet, locator: $sf/nation.parquet}
+         |- name: WriteCsv
+         |  kind: sink
+         |  connection: {kind: CSV, locator: $dir/nation_csv}
+         |- name: WriteJson
+         |  kind: sink
+         |  connection: {kind: JSON, locator: $dir/nation_json, format: lines}
+         |- name: ReadCsv
+         |  kind: tap
+         |  connection: {kind: CSV, locator: $dir/nation_csv}
+         |- name: ReadJson
+         |  kind: tap
+         |  connection: {kind: JSON, locator: $dir/nation_json, format: lines}
+         |- name: Unioned
+         |  kind: transform
+         |  query: select * from ReadCsv union all select * from ReadJson
+         |""".stripMargin
+    val flow = Flow.runYaml(spark, yaml)
+    assert(flow.df().count() == 50) // 25 nations × 2
+  }
+
+  test("delta emulation: write, read, truncate, read empty (integration.yaml:107-135)") {
+    val delta = tmpDir() + "/delta_t"
+    val write =
+      s"""
+         |- name: Nations
+         |  kind: tap
+         |  connection: {kind: Parquet, locator: $sf/nation.parquet}
+         |- name: WriteDelta
+         |  kind: sink
+         |  connection:
+         |    kind: Deltatable
+         |    locator: $delta
+         |    data_mode: append
+         |- name: Read Delta
+         |  kind: tap
+         |  connection: {kind: Deltatable, locator: $delta}
+         |  query: select * from Deltatable
+         |- name: Truncate Delta
+         |  kind: sql
+         |  connection: {kind: Deltatable, locator: $delta}
+         |  query: truncate Deltatable
+         |- name: Read Empty Delta
+         |  kind: tap
+         |  connection: {kind: Deltatable, locator: $delta}
+         |  query: select * from Deltatable
+         |""".stripMargin
+    val flow = Flow.runYaml(spark, write)
+    assert(flow.df().count() == 0) // after truncate
+    // the pre-truncate read captured 25 rows under the mangled view name
+    assert(spark.table("Read_Delta").count() == 25)
+  }
+
+  test("variable sink and tap round trip") {
+    val yaml =
+      s"""
+         |- name: Regions
+         |  kind: tap
+         |  connection: {kind: Parquet, locator: $sf/region.parquet}
+         |- name: StoreVar
+         |  kind: sink
+         |  connection: {kind: Variable, locator: region_rows}
+         |- name: ReloadVar
+         |  kind: tap
+         |  connection: {kind: Variable, locator: region_rows}
+         |""".stripMargin
+    val vars = mutable.Map[String, Any]()
+    val flow = new Flow(spark, graft.model.Stages.load(yaml), variables = vars).run()
+    assert(vars.contains("region_rows"))
+    assert(flow.df().count() == 5)
+  }
+
+  test("skip_if gates execution; on_error continue proceeds") {
+    val yaml =
+      s"""
+         |- name: Skipped
+         |  kind: tap
+         |  skip_if: "true"
+         |  connection: {kind: Parquet, locator: /nonexistent}
+         |- name: Fails
+         |  kind: tap
+         |  on_error: continue
+         |  connection: {kind: Parquet, locator: /nonexistent}
+         |- name: Works
+         |  kind: tap
+         |  connection: {kind: Parquet, locator: $sf/region.parquet}
+         |""".stripMargin
+    val flow = Flow.runYaml(spark, yaml)
+    assert(flow.df().count() == 5)
+  }
+
+  test("on_error fail raises FlowRunError") {
+    val yaml =
+      """
+        |- name: Boom
+        |  kind: tap
+        |  connection: {kind: Parquet, locator: /nonexistent_graft}
+        |""".stripMargin
+    intercept[FlowRunError] { Flow.runYaml(spark, yaml) }
+  }
+
+  test("looped sub-pipeline: one iteration per row with loop_control") {
+    val vars = mutable.Map[String, Any]()
+    val yaml =
+      s"""
+         |- name: Regions
+         |  kind: tap
+         |  connection: {kind: Parquet, locator: $sf/region.parquet}
+         |  query: SELECT r_regionkey, r_name FROM Parquet WHERE r_regionkey < 2
+         |- name: PerRegion
+         |  kind: pipeline
+         |  stages:
+         |    - name: RegionNations
+         |      kind: transform
+         |      query: >
+         |        SELECT n_name FROM NationsAll
+         |        WHERE n_regionkey = << API.look('loop_control.r_regionkey', variables) >>
+         |""".stripMargin
+    // pre-register a nations view for the inner query
+    spark.read.parquet(s"$sf/nation.parquet").createOrReplaceTempView("NationsAll")
+    val flow = new Flow(spark, graft.model.Stages.load(yaml), variables = vars).run()
+    // loop ran: last iteration (r_regionkey=1) wins
+    val names = flow.df().collect().map(_.getString(0)).toSet
+    val expect = spark.sql("SELECT n_name FROM NationsAll WHERE n_regionkey = 1")
+      .collect().map(_.getString(0)).toSet
+    assert(names == expect)
+    assert(!vars.contains("loop_control"))
+  }
+
+  test("internal stage and templated query with variables") {
+    val vars = mutable.Map[String, Any]("min_bal" -> 9000L)
+    val yaml =
+      s"""
+         |- name: Customers
+         |  kind: tap
+         |  connection: {kind: Parquet, locator: $sf/customer.parquet}
+         |- name: Rich
+         |  kind: internal
+         |  query: SELECT count(*) AS n FROM Customers WHERE c_acctbal > << variables.min_bal >>
+         |""".stripMargin
+    val flow = new Flow(spark, graft.model.Stages.load(yaml), variables = vars).run()
+    val n = flow.df().collect()(0).getLong(0)
+    val expect = spark.read.parquet(s"$sf/customer.parquet")
+      .filter("c_acctbal > 9000").count()
+    assert(n == expect)
+  }
+
+  test("sqlgen mock generates and registers a view with retry") {
+    val yaml =
+      s"""
+         |- name: Customers
+         |  kind: tap
+         |  connection: {kind: Parquet, locator: $sf/customer.parquet}
+         |- name: GenQuery
+         |  kind: tap
+         |  connection:
+         |    kind: SQLGen
+         |    locator: genq
+         |    mock_sql:
+         |      - "SELECT bogus_column FROM Customers"
+         |      - "SELECT c_mktsegment, count(*) AS n FROM Customers GROUP BY 1"
+         |  query: "count customers by segment"
+         |""".stripMargin
+    val vars = mutable.Map[String, Any]()
+    val flow = new Flow(spark, graft.model.Stages.load(yaml), variables = vars).run()
+    assert(flow.df().count() == 5)
+    assert(vars.contains("genq_success"))
+  }
+
+  test("Fn.calendar works inside a transform") {
+    val yaml =
+      """
+        |- name: Cal
+        |  kind: internal
+        |  query: SELECT count(*) AS n FROM Fn.calendar()
+        |""".stripMargin
+    val flow = Flow.runYaml(spark, yaml)
+    val n = flow.df().collect()(0).getLong(0)
+    assert(n > 1800 && n < 1830) // ~5 years of days
+  }
+}

@@ -1,0 +1,105 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sqlbridge.SqlBridge
+import graft.sqlbridge.SqlBridge.NameRegistry
+
+/** Mirrors ankaflow/tests/test_sql_helpers.py — validation matrix, ranked
+  * query shape, placeholder swap — plus the dialect translation layer. */
+class SqlBridgeSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.spark
+
+  test("validateSimpleQuery accepts single-table SELECT") {
+    assert(SqlBridge.validateSimpleQuery("SELECT * FROM tbl WHERE x > 1") == "tbl")
+    assert(SqlBridge.validateSimpleQuery("""SELECT a FROM "My Table"""") == "My Table")
+  }
+
+  test("validateSimpleQuery rejection matrix (util.py:386-425)") {
+    intercept[Exception] {
+      SqlBridge.validateSimpleQuery("WITH c AS (SELECT 1) SELECT * FROM c")
+    }
+    intercept[Exception] {
+      SqlBridge.validateSimpleQuery("SELECT * FROM a JOIN b ON a.x = b.x")
+    }
+    intercept[Exception] {
+      SqlBridge.validateSimpleQuery("SELECT * FROM (SELECT 1)")
+    }
+    intercept[Exception] { SqlBridge.validateSimpleQuery("SELECT 1") }
+    intercept[Exception] { SqlBridge.validateSimpleQuery("SELECT * FROM a, b") }
+  }
+
+  test("rankedQuery wraps with ROW_NUMBER dedup") {
+    val q = SqlBridge.rankedQuery("SELECT * FROM t", "updated_at", List("id", "region"))
+    assert(q.contains("ROW_NUMBER() OVER (PARTITION BY `id`, `region` ORDER BY `updated_at` DESC)"))
+    assert(q.contains("__rank__ = 1"))
+  }
+
+  test("ranking + aggregation rejected (util.py:419-424)") {
+    intercept[Exception] {
+      SqlBridge.rankedQuery("SELECT id, count(*) FROM t GROUP BY id", "v", List("id"))
+    }
+  }
+
+  test("swapFromTable replaces only the single FROM table") {
+    val out = SqlBridge.swapFromTable(
+      "SELECT a, b FROM Deltatable WHERE a > 1", "`__src`")
+    assert(out == "SELECT a, b FROM `__src` WHERE a > 1")
+    val quoted = SqlBridge.swapFromTable(
+      """SELECT * FROM "My Source" WHERE x = 'FROM My Source'""", "`v`")
+    assert(quoted.contains("FROM `v`"))
+    assert(quoted.contains("'FROM My Source'")) // string literal untouched
+  }
+
+  test("stage names with spaces are mangled via registry") {
+    val names = new NameRegistry
+    val v = names.register("Read Delta")
+    assert(v == "Read_Delta")
+    val sql = SqlBridge.translate("""SELECT * FROM "Read Delta"""", names)
+    assert(sql.contains("`Read_Delta`"))
+  }
+
+  test("duckdb function spellings are swapped") {
+    val names = new NameRegistry
+    val sql = SqlBridge.translate(
+      "SELECT list_contains(xs, 1), regexp_matches(s, 'p'), " +
+        "json_extract_string(j, '$.k') FROM t", names)
+    assert(sql.contains("array_contains"))
+    assert(sql.contains("regexp_like"))
+    assert(sql.contains("get_json_object"))
+  }
+
+  test("unnest(generate_series(...)) → explode(sequence(...)) runs on Spark") {
+    val names = new NameRegistry
+    val sql = SqlBridge.translate("SELECT unnest(generate_series(1, 5)) AS n", names)
+    val got = spark.sql(sql).collect().map(_.getInt(0)).toList
+    assert(got == List(1, 2, 3, 4, 5))
+  }
+
+  test("QUALIFY rewrite executes on Spark") {
+    val names = new NameRegistry
+    spark.sql("SELECT * FROM VALUES (1, 'a', 10), (1, 'b', 20), (2, 'c', 5) AS t(k, v, n)")
+      .createOrReplaceTempView("qualify_src")
+    val sql = SqlBridge.translate(
+      """SELECT k, v, n FROM qualify_src
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY k ORDER BY n DESC) = 1
+        |ORDER BY k""".stripMargin, names)
+    val rows = spark.sql(sql).collect()
+    assert(rows.map(_.getString(1)).toList == List("b", "c"))
+    assert(rows.head.schema.fieldNames.toList == List("k", "v", "n"))
+  }
+
+  test("Fn macros inside a full query expand and run") {
+    val names = new NameRegistry
+    val sql = SqlBridge.translate(
+      "SELECT Fn.div(10, 0) AS z, Fn.str(NULL) AS s", names)
+    val r = spark.sql(sql).collect()(0)
+    assert(r.get(0) == 0.0)
+    assert(r.get(1) == "")
+  }
+
+  test("limitWrap") {
+    assert(SqlBridge.limitWrap("SELECT * FROM t", Some(5))
+      == "SELECT * FROM (SELECT * FROM t) __limited LIMIT 5")
+    assert(SqlBridge.limitWrap("q", None) == "q")
+  }
+}
