@@ -1,0 +1,73 @@
+package graft.queries
+
+import java.security.MessageDigest
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media payloads ride as opaque binary
+  * columns with typed metadata, and decode / feature-extract runs as a
+  * batched per-partition operation (the Scala analogue of arrow-batched
+  * decode UDFs: one iterator per partition, decoder state amortized
+  * across the batch).
+  *
+  * The actual image/audio decode is STUBBED (no media libraries in this
+  * container) with a deterministic fake — but everything Spark-side is
+  * real and tested: binary column handling, typed Encoders, partition
+  * iterators, schema of the decoded output, and oracle comparison.
+  */
+object Multimodal {
+
+  /** Input row: media payload as opaque bytes. */
+  final case class MediaRow(doc_id: Long, content: Array[Byte])
+
+  /** Decoded metadata row. */
+  final case class MediaMeta(doc_id: Long, n_bytes: Long, width: Int,
+      height: Int, fmt: String, frame_hash: String)
+
+  /** STUB decoder — stands in for an image/audio decode library call.
+    * Deterministic arithmetic over the payload so the DuckDB oracle can
+    * reproduce it; a real build would decode width/height/format from the
+    * codec and hash a sampled frame. */
+  def decodeStub(r: MediaRow): MediaMeta = {
+    val n = r.content.length.toLong
+    val digest = MessageDigest.getInstance("MD5")
+      .digest(r.content.take(32))
+      .map("%02x".format(_)).mkString
+    MediaMeta(
+      doc_id = r.doc_id,
+      n_bytes = n,
+      width = (n % 640).toInt,
+      height = ((n * 7) % 480).toInt,
+      fmt = (n % 3) match {
+        case 0 => "jpeg"
+        case 1 => "png"
+        case _ => "webp"
+      },
+      frame_hash = digest)
+  }
+
+  val defs: Map[String, QueryDef] = Map(
+    // documents.text stands in for a media payload (cast to binary); the
+    // decode runs once per partition batch via mapPartitions.
+    "t11_multimodal_decode" -> QueryDef(
+      (spark, dir) => {
+        import spark.implicits._
+        val media = Tables.t(spark, dir, "documents")
+          .select(col("doc_id"), col("text").cast("binary").as("content"))
+          .as[MediaRow]
+        media.mapPartitions { batch =>
+          // per-partition setup would initialize the decoder once here
+          batch.map(decodeStub)
+        }.toDF()
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CAST(length(text) AS BIGINT) AS n_bytes,
+             |  CAST(length(text) % 640 AS INTEGER) AS width,
+             |  CAST((length(text) * 7) % 480 AS INTEGER) AS height,
+             |  CASE length(text) % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+             |       ELSE 'webp' END AS fmt,
+             |  md5(substr(text, 1, 32)) AS frame_hash
+             |FROM documents ORDER BY doc_id""".stripMargin))
+  )
+}

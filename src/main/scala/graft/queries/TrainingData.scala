@@ -1,0 +1,442 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators over `documents` / `embeddings`
+  * (north-star extensions; graded alongside SURVEY.md §2).
+  *
+  * Oracle-portability techniques:
+  *  - md5 is bit-identical across engines → portable content hashes,
+  *    MinHash (min over salted-md5 hex strings ≡ min under a random
+  *    permutation), LSH band buckets, SimHash bit sources;
+  *  - array dot products fold sequentially in array order (Spark
+  *    aggregate() ≡ DuckDB list_reduce()) → bit-identical doubles;
+  *  - deterministic pseudo-random hyperplanes from integer arithmetic
+  *    (LCG) rather than engine RNG.
+  *
+  * Scale notes (100 TB story): every operator here is a pure
+  * shuffle-on-key dataflow — shingle explode → per-doc agg (map-side
+  * combinable), LSH bucket join (pairs only form inside buckets, never a
+  * global cross join), block-local jaccard. The only broadcast is the
+  * single query vector / tiny band signature of t05/t06.
+  */
+object TrainingData {
+
+  import Tables.t
+
+  /** 3-word shingles of `text`, distinct per doc. */
+  private val shingleExpr =
+    "array_distinct(transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)), i -> concat_ws(' ', slice(split(text, ' '), i, 3))))"
+
+  /** DuckDB equivalent of [[shingleExpr]]. */
+  private val shingleSqlDuck =
+    "list_distinct(list_transform(range(1, greatest(len(string_split(text,' '))-2,1)+1), i -> array_to_string((string_split(text,' '))[i:i+2], ' ')))"
+
+  /** MinHash signature component k: min over shingles of md5(k|shingle).
+    * Hex-string ordering == numeric ordering of the 128-bit hash, and md5
+    * is identical in Spark and DuckDB → portable MinHash. */
+  private def sigCols(k: Int): Seq[Column] =
+    (1 to k).map(i => min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"sig$i"))
+
+  private def sigSqlDuck(k: Int): String =
+    (1 to k).map(i => s"MIN(md5(concat('$i|', shingle))) AS sig$i").mkString(", ")
+
+  /** Deterministic LCG hyperplane component for LSH over embeddings:
+    * h(j,d) ∈ (−0.5, 0.5), identical arithmetic in both engines. */
+  private def planeSql(j: Int, d: String): String =
+    s"(((CAST($j AS BIGINT) * 1103515245 + CAST($d AS BIGINT) * 12345) % 32768) / 32768.0 - 0.5)"
+
+  /** Dot product of two float arrays as a sequential left fold over the
+    * array order — Spark's aggregate() and DuckDB's list_reduce() fold in
+    * the same order, so the double result is bit-identical across engines
+    * (unordered SUM would not be). */
+  private def dotSql(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), " +
+      s"cast(0.0 as double), (acc, v) -> acc + v)"
+
+  /** DuckDB twin of [[dotSql]] (64 dims). */
+  private def dotDuck(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE)*CAST($b[i] AS DOUBLE)), (acc, x) -> acc + x)"
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ----------------------------------------------------------------- t01
+    // Exact dedup by content hash (hash-groupBy; the at-scale pattern —
+    // shuffling a 16-byte digest, never the document body).
+    "t01_dedup_exact" -> QueryDef(
+      (spark, dir) =>
+        t(spark, dir, "documents")
+          .groupBy(md5(col("text").cast("binary")).as("content_hash"))
+          .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("dup_count"))
+          .select("content_hash", "keep_doc_id", "dup_count")
+          .orderBy("keep_doc_id"),
+      Some("""SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_doc_id,
+             |  COUNT(*) AS dup_count
+             |FROM documents GROUP BY md5(text) ORDER BY keep_doc_id""".stripMargin)),
+
+    // ----------------------------------------------------------------- t02
+    // MinHash + LSH near-dup candidates: shingle → 8 minhash sigs →
+    // 4 bands (r=2) → bucket join. Pairs only form within buckets.
+    "t02_minhash_lsh" -> QueryDef(
+      (spark, dir) => {
+        val docs = t(spark, dir, "documents")
+        val shingled = docs
+          .select(col("doc_id"), explode(expr(shingleExpr)).as("shingle"))
+        val sigs = shingled.groupBy("doc_id").agg(sigCols(8).head, sigCols(8).tail: _*)
+        val bands = sigs.select(col("doc_id"), explode(array(
+          (0 until 4).map(b => struct(lit(b + 1).as("band"),
+            md5(concat(col(s"sig${2 * b + 1}"), col(s"sig${2 * b + 2}"))).as("bucket"))): _*
+        )).as("bb")).select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+        val a = bands.as("a")
+        val b = bands.as("b")
+        a.join(b, col("a.band") === col("b.band") &&
+            col("a.bucket") === col("b.bucket") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH shingled AS (
+              |  SELECT doc_id, unnest($shingleSqlDuck) AS shingle FROM documents),
+              |sigs AS (
+              |  SELECT doc_id, ${sigSqlDuck(8)} FROM shingled GROUP BY doc_id),
+              |bands AS (
+              |  SELECT doc_id, 1 AS band, md5(concat(sig1, sig2)) AS bucket FROM sigs
+              |  UNION ALL SELECT doc_id, 2, md5(concat(sig3, sig4)) FROM sigs
+              |  UNION ALL SELECT doc_id, 3, md5(concat(sig5, sig6)) FROM sigs
+              |  UNION ALL SELECT doc_id, 4, md5(concat(sig7, sig8)) FROM sigs)
+              |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              |FROM bands a JOIN bands b
+              |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+              |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // ----------------------------------------------------------------- t03
+    // Exact n-gram Jaccard within (lang, length-bucket) blocks.
+    "t03_ngram_jaccard" -> QueryDef(
+      (spark, dir) => {
+        val docs = t(spark, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            (col("n_chars") / 100).cast("int").as("bucket"),
+            expr(shingleExpr).as("sh"))
+        val sizes = docs.select(col("doc_id"), col("lang"), col("bucket"),
+          size(col("sh")).as("n_sh"))
+        val exploded = docs.select(col("doc_id"), col("lang"), col("bucket"),
+          explode(col("sh")).as("shingle"))
+        val inter = exploded.as("a")
+          .join(exploded.as("b"),
+            col("a.lang") === col("b.lang") && col("a.bucket") === col("b.bucket") &&
+              col("a.shingle") === col("b.shingle") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("n_inter"))
+        inter
+          .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
+          .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+          .withColumn("jaccard",
+            col("n_inter").cast("double") /
+              (col("na") + col("nb") - col("n_inter")).cast("double"))
+          .filter(col("jaccard") >= 0.2)
+          .select("doc_a", "doc_b", "n_inter", "jaccard")
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH ds AS (
+              |  SELECT doc_id, lang, CAST(n_chars//100 AS INTEGER) AS bucket,
+              |         $shingleSqlDuck AS sh
+              |  FROM documents),
+              |sizes AS (SELECT doc_id, len(sh) AS n_sh FROM ds),
+              |ex AS (SELECT doc_id, lang, bucket, unnest(sh) AS shingle FROM ds),
+              |inter AS (
+              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+              |  FROM ex a JOIN ex b
+              |    ON a.lang = b.lang AND a.bucket = b.bucket
+              |   AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+              |  GROUP BY a.doc_id, b.doc_id)
+              |SELECT doc_a, doc_b, n_inter,
+              |  CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) AS jaccard
+              |FROM inter
+              |JOIN sizes sa ON sa.doc_id = doc_a
+              |JOIN sizes sb ON sb.doc_id = doc_b
+              |WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.2
+              |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // ----------------------------------------------------------------- t04
+    // SimHash (16-bit) document fingerprints from token md5 bits.
+    "t04_simhash" -> QueryDef(
+      (spark, dir) => {
+        val toks = t(spark, dir, "documents")
+          .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+          .withColumn("h", md5(col("tok").cast("binary")))
+        // bit i lives in hex digit i/4, position (i%4): digit value d →
+        // bit = (d div 2^(i%4)) % 2; weight +1/-1 summed over tokens.
+        val bitSums = (0 until 16).map { i =>
+          val digit = s"(instr('0123456789abcdef', substr(h, ${i / 4 + 1}, 1)) - 1)"
+          val bit = s"(($digit div ${1 << (i % 4)}) % 2)"
+          sum(expr(s"CASE WHEN $bit = 1 THEN 1 ELSE -1 END")).as(s"s$i")
+        }
+        val sums = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+        val value = (0 until 16).map(i =>
+          expr(s"CASE WHEN s$i > 0 THEN ${1 << i} ELSE 0 END")).reduce(_ + _)
+        sums.select(col("doc_id"), value.cast("int").as("simhash16"))
+          .orderBy("doc_id")
+      },
+      Some({
+        val bitSums = (0 until 16).map { i =>
+          val digit = s"(instr('0123456789abcdef', substr(h, ${i / 4 + 1}, 1)) - 1)"
+          val bit = s"(($digit // ${1 << (i % 4)}) % 2)"
+          s"SUM(CASE WHEN $bit = 1 THEN 1 ELSE -1 END) AS s$i"
+        }.mkString(", ")
+        val value = (0 until 16).map(i =>
+          s"CASE WHEN s$i > 0 THEN ${1 << i} ELSE 0 END").mkString(" + ")
+        s"""WITH toks AS (
+           |  SELECT doc_id, md5(unnest(string_split(lower(text), ' '))) AS h
+           |  FROM documents),
+           |sums AS (SELECT doc_id, $bitSums FROM toks GROUP BY doc_id)
+           |SELECT doc_id, CAST($value AS INTEGER) AS simhash16
+           |FROM sums ORDER BY doc_id""".stripMargin
+      })),
+
+    // ----------------------------------------------------------------- t05
+    // Brute-force cosine top-k ANN baseline (query = vec_id 0, broadcast).
+    "t05_cosine_topk" -> QueryDef(
+      (spark, dir) => {
+        val emb = t(spark, dir, "embeddings")
+        val q = emb.filter(col("vec_id") === 0)
+          .select(col("embedding").as("q_emb"))
+        emb.crossJoin(broadcast(q))
+          .withColumn("dot", expr(dotSql("embedding", "q_emb")))
+          .withColumn("na", expr(dotSql("embedding", "embedding")))
+          .withColumn("nq", expr(dotSql("q_emb", "q_emb")))
+          .filter(col("vec_id") =!= 0)
+          .select(col("vec_id"), col("label"),
+            (col("dot").cast("double") /
+              (sqrt(col("na").cast("double")) * sqrt(col("nq").cast("double"))))
+              .as("cosine"))
+          .orderBy(col("cosine").desc, col("vec_id"))
+          .limit(10)
+      },
+      Some("""WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+             |SELECT e.vec_id, e.label,
+             |  list_reduce(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE)*CAST(q.q_emb[i] AS DOUBLE)), (acc, x) -> acc + x)
+             |  / (sqrt(list_reduce(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE)*CAST(e.embedding[i] AS DOUBLE)), (acc, x) -> acc + x))
+             |     * sqrt(list_reduce(list_transform(range(1, 65), i -> CAST(q.q_emb[i] AS DOUBLE)*CAST(q.q_emb[i] AS DOUBLE)), (acc, x) -> acc + x))) AS cosine
+             |FROM embeddings e, q
+             |WHERE e.vec_id <> 0
+             |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin)),
+
+    // ----------------------------------------------------------------- t06
+    // LSH-bucketed ANN (the scale path): 8 deterministic hyperplanes →
+    // 8-bit signature; candidates share the query's bucket; exact cosine
+    // re-ranking only inside the bucket.
+    "t06_ann_lsh" -> QueryDef(
+      (spark, dir) => {
+        val emb = t(spark, dir, "embeddings")
+        val planeDots = (1 to 8).map { j =>
+          val plane = s"transform(sequence(1, 64), d -> ${planeSql(j, "d")})"
+          expr(s"CASE WHEN ${dotSql("embedding", plane)} > 0 THEN ${1 << (j - 1)} ELSE 0 END")
+        }
+        val bucketed = emb.withColumn("bucket",
+          planeDots.reduce(_ + _).cast("int"))
+        val q = bucketed.filter(col("vec_id") === 0)
+          .select(col("embedding").as("q_emb"), col("bucket").as("q_bucket"))
+        bucketed.join(broadcast(q), col("bucket") === col("q_bucket"))
+          .filter(col("vec_id") =!= 0)
+          .withColumn("dot", expr(dotSql("embedding", "q_emb")))
+          .withColumn("na", expr(dotSql("embedding", "embedding")))
+          .withColumn("nq", expr(dotSql("q_emb", "q_emb")))
+          .select(col("vec_id"), col("label"), col("bucket"),
+            (col("dot").cast("double") /
+              (sqrt(col("na").cast("double")) * sqrt(col("nq").cast("double"))))
+              .as("cosine"))
+          .orderBy(col("cosine").desc, col("vec_id"))
+          .limit(10)
+      },
+      Some({
+        val planeList = (j: Int) =>
+          s"list_transform(range(1, 65), d -> ${planeSql(j, "d")})"
+        val planeDot = (j: Int) => dotDuck("embedding", s"(${planeList(j)})")
+        val bucketExpr = (1 to 8).map(j =>
+          s"CASE WHEN ${planeDot(j)} > 0 THEN ${1 << (j - 1)} ELSE 0 END").mkString(" + ")
+        s"""WITH bucketed AS (
+           |  SELECT vec_id, label, embedding, CAST($bucketExpr AS INTEGER) AS bucket
+           |  FROM embeddings),
+           |q AS (SELECT embedding AS q_emb, bucket AS q_bucket FROM bucketed WHERE vec_id = 0)
+           |SELECT b.vec_id, b.label, b.bucket,
+           |  ${dotDuck("b.embedding", "q.q_emb")}
+           |  / (sqrt(${dotDuck("b.embedding", "b.embedding")})
+           |     * sqrt(${dotDuck("q.q_emb", "q.q_emb")})) AS cosine
+           |FROM bucketed b JOIN q ON b.bucket = q.q_bucket
+           |WHERE b.vec_id <> 0
+           |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
+      })),
+
+    // ----------------------------------------------------------------- t07
+    // Language ID by stopword-hit heuristic with deterministic tie-break.
+    "t07_langid" -> QueryDef(
+      (spark, dir) => {
+        val langs = List(
+          "en" -> List("the", "and", "of", "to", "a", "in", "is"),
+          "de" -> List("der", "die", "das", "und", "ist", "ein"),
+          "fr" -> List("le", "la", "les", "et", "est", "un"),
+          "es" -> List("el", "los", "las", "y", "es", "una"))
+        val toks = "split(lower(text), ' ')"
+        val scores = langs.map { case (l, words) =>
+          val lst = words.map(w => s"'$w'").mkString(", ")
+          expr(s"size(filter($toks, x -> x IN ($lst)))").as(s"score_$l")
+        }
+        val pred =
+          expr("""CASE
+                 |  WHEN score_en >= score_de AND score_en >= score_fr AND score_en >= score_es THEN 'en'
+                 |  WHEN score_de >= score_fr AND score_de >= score_es THEN 'de'
+                 |  WHEN score_fr >= score_es THEN 'fr'
+                 |  ELSE 'es'
+                 |END""".stripMargin)
+        t(spark, dir, "documents")
+          .select(col("doc_id") +: col("lang") +: scores: _*)
+          .withColumn("pred_lang", pred)
+          .select("doc_id", "lang", "pred_lang", "score_en", "score_de",
+            "score_fr", "score_es")
+          .orderBy("doc_id")
+      },
+      Some {
+        val langs = List(
+          "en" -> List("the", "and", "of", "to", "a", "in", "is"),
+          "de" -> List("der", "die", "das", "und", "ist", "ein"),
+          "fr" -> List("le", "la", "les", "et", "est", "un"),
+          "es" -> List("el", "los", "las", "y", "es", "una"))
+        val scores = langs.map { case (l, words) =>
+          val lst = words.map(w => s"'$w'").mkString(", ")
+          s"len(list_filter(string_split(lower(text), ' '), x -> x IN ($lst))) AS score_$l"
+        }.mkString(", ")
+        s"""WITH scored AS (SELECT doc_id, lang, $scores FROM documents)
+           |SELECT doc_id, lang,
+           |  CASE
+           |    WHEN score_en >= score_de AND score_en >= score_fr AND score_en >= score_es THEN 'en'
+           |    WHEN score_de >= score_fr AND score_de >= score_es THEN 'de'
+           |    WHEN score_fr >= score_es THEN 'fr'
+           |    ELSE 'es'
+           |  END AS pred_lang,
+           |  score_en, score_de, score_fr, score_es
+           |FROM scored ORDER BY doc_id""".stripMargin
+      }),
+
+    // ----------------------------------------------------------------- t08
+    // Quality scoring: token count, stopword ratio, punctuation ratio,
+    // composite score (pure +,*,/ → bit-deterministic doubles).
+    "t08_quality_score" -> QueryDef(
+      (spark, dir) =>
+        t(spark, dir, "documents")
+          .withColumn("n_tokens", size(split(col("text"), " ")))
+          .withColumn("stop_hits", expr(
+            "size(filter(split(lower(text), ' '), x -> x IN ('the','a','and','of','to','in','is')))"))
+          .withColumn("punct_chars",
+            length(col("text")) - length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", "")))
+          .withColumn("stop_ratio",
+            col("stop_hits").cast("double") / col("n_tokens").cast("double"))
+          .withColumn("punct_ratio",
+            col("punct_chars").cast("double") / col("n_chars").cast("double"))
+          .withColumn("quality",
+            col("stop_ratio") * 0.5 +
+              least(col("n_tokens"), lit(100)).cast("double") / 100.0 * 0.3 +
+              (lit(1.0) - col("punct_ratio")) * 0.2)
+          .select("doc_id", "n_tokens", "stop_hits", "stop_ratio",
+            "punct_ratio", "quality")
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  len(string_split(text, ' ')) AS n_tokens,
+             |  len(list_filter(string_split(lower(text), ' '),
+             |      x -> x IN ('the','a','and','of','to','in','is'))) AS stop_hits,
+             |  CAST(len(list_filter(string_split(lower(text), ' '),
+             |      x -> x IN ('the','a','and','of','to','in','is'))) AS DOUBLE)
+             |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio,
+             |  CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+             |    / CAST(n_chars AS DOUBLE) AS punct_ratio,
+             |  CAST(len(list_filter(string_split(lower(text), ' '),
+             |      x -> x IN ('the','a','and','of','to','in','is'))) AS DOUBLE)
+             |    / CAST(len(string_split(text, ' ')) AS DOUBLE) * 0.5
+             |  + CAST(least(len(string_split(text, ' ')), 100) AS DOUBLE) / 100.0 * 0.3
+             |  + (1.0 - CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+             |      / CAST(n_chars AS DOUBLE)) * 0.2 AS quality
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ----------------------------------------------------------------- t09
+    // Token counting: whitespace tokens, regex word tokens, BPE-ish
+    // estimate (chars/4, the common ~4-chars-per-token heuristic).
+    "t09_token_count" -> QueryDef(
+      (spark, dir) =>
+        t(spark, dir, "documents")
+          .withColumn("ws_tokens", size(split(col("text"), " ")))
+          .withColumn("word_tokens",
+            size(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")))
+          .withColumn("bpe_estimate",
+            ceil(col("n_chars").cast("double") / 4.0).cast("long"))
+          .select("doc_id", "ws_tokens", "word_tokens", "bpe_estimate")
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  len(string_split(text, ' ')) AS ws_tokens,
+             |  len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word_tokens,
+             |  CAST(ceil(CAST(n_chars AS DOUBLE) / 4.0) AS BIGINT) AS bpe_estimate
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ----------------------------------------------------------------- t10
+    // Document fingerprinting: normalized content hash (lower, collapsed
+    // whitespace) with a 64-bit prefix, plus fingerprint dup-groups.
+    "t10_fingerprint" -> QueryDef(
+      (spark, dir) => {
+        val norm = regexp_replace(lower(col("text")), "\\s+", " ")
+        t(spark, dir, "documents")
+          .withColumn("fingerprint", substring(md5(trim(norm).cast("binary")), 1, 16))
+          .select("doc_id", "fingerprint")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 16) AS fingerprint
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ----------------------------------------------------------------- t12
+    // Embedding-cosine near-dup pairs, LSH-bucket-restricted (no global
+    // cross join — pairs only inside hyperplane buckets).
+    "t12_cosine_neardup" -> QueryDef(
+      (spark, dir) => {
+        val emb = t(spark, dir, "embeddings")
+        val planeDots = (1 to 8).map { j =>
+          val plane = s"transform(sequence(1, 64), d -> ${planeSql(j, "d")})"
+          expr(s"CASE WHEN ${dotSql("embedding", plane)} > 0 THEN ${1 << (j - 1)} ELSE 0 END")
+        }
+        val bucketed = emb
+          .withColumn("bucket", planeDots.reduce(_ + _).cast("int"))
+          .withColumn("norm2", expr(dotSql("embedding", "embedding")))
+        val a = bucketed.as("a")
+        val b = bucketed.as("b")
+        a.join(b, col("a.bucket") === col("b.bucket") &&
+            col("a.vec_id") < col("b.vec_id"))
+          .withColumn("dot", expr(dotSql("a.embedding", "b.embedding")))
+          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+            (col("dot").cast("double") /
+              (sqrt(col("a.norm2").cast("double")) * sqrt(col("b.norm2").cast("double"))))
+              .as("cosine"))
+          .filter(col("cosine") >= 0.2)
+          .orderBy("vec_a", "vec_b")
+      },
+      Some({
+        val planeList = (j: Int) =>
+          s"list_transform(range(1, 65), d -> ${planeSql(j, "d")})"
+        val planeDot = (j: Int) => dotDuck("embedding", s"(${planeList(j)})")
+        val bucketExpr = (1 to 8).map(j =>
+          s"CASE WHEN ${planeDot(j)} > 0 THEN ${1 << (j - 1)} ELSE 0 END").mkString(" + ")
+        s"""WITH bucketed AS (
+           |  SELECT vec_id, embedding, CAST($bucketExpr AS INTEGER) AS bucket
+           |  FROM embeddings)
+           |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           |  ${dotDuck("a.embedding", "b.embedding")}
+           |  / (sqrt(${dotDuck("a.embedding", "a.embedding")})
+           |     * sqrt(${dotDuck("b.embedding", "b.embedding")})) AS cosine
+           |FROM bucketed a JOIN bucketed b
+           |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+           |WHERE ${dotDuck("a.embedding", "b.embedding")}
+           |  / (sqrt(${dotDuck("a.embedding", "a.embedding")})
+           |     * sqrt(${dotDuck("b.embedding", "b.embedding")})) >= 0.2
+           |ORDER BY vec_a, vec_b""".stripMargin
+      }))
+  )
+}
