@@ -1,0 +1,300 @@
+package graft.queries
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.core.Flow
+
+/** Engine-level coverage: each query runs a full YAML pipeline through
+  * [[graft.core.Flow]] (render → tap → transform → sink → loop …) and
+  * returns the flow's final relation, so the driver's DuckDB gate verifies
+  * the *engine*, not just the DataFrame layer.
+  *
+  * Double aggregates inside pipeline SQL use the same DECIMAL
+  * accumulate-then-cast pattern as Relational (see its scaladoc).
+  */
+object Pipelines {
+
+  private def run(spark: SparkSession, yaml: String): DataFrame =
+    Flow.runYaml(spark, yaml).df()
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ----------------------------------------------------------------- p01
+    // Minimum slice through the engine: tap → transform (agg) with a
+    // Fn macro in the select list.
+    "p01_pipeline_agg" -> QueryDef(
+      (spark, dir) => run(spark,
+        s"""
+           |- name: Lineitem
+           |  kind: tap
+           |  connection: {kind: Parquet, locator: $dir/lineitem.parquet}
+           |- name: Summary
+           |  kind: transform
+           |  query: >
+           |    SELECT l_returnflag, l_linestatus,
+           |      CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty,
+           |      Fn.div(COUNT(*), 100) AS hundredths,
+           |      COUNT(*) AS n
+           |    FROM Lineitem
+           |    GROUP BY l_returnflag, l_linestatus
+           |    ORDER BY l_returnflag, l_linestatus
+           |""".stripMargin),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty,
+             |  IFNULL(COUNT(*) / NULLIF(100, 0), 0) AS hundredths,
+             |  COUNT(*) AS n
+             |FROM lineitem
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // ----------------------------------------------------------------- p02
+    // Row-driven looped sub-pipeline: iterate regions, append each
+    // region's nations to a Deltatable, read it back grouped.
+    "p02_pipeline_loop" -> QueryDef(
+      (spark, dir) => {
+        val delta = Files.createTempDirectory("graft_p02").toString + "/t"
+        run(spark,
+          s"""
+             |- name: RegionsLoop
+             |  kind: tap
+             |  connection: {kind: Parquet, locator: $dir/region.parquet}
+             |- name: PerRegion
+             |  kind: pipeline
+             |  stages:
+             |    - name: NationsOfRegion
+             |      kind: tap
+             |      connection: {kind: Parquet, locator: $dir/nation.parquet}
+             |      query: >
+             |        SELECT n_nationkey, n_name, n_regionkey FROM Parquet
+             |        WHERE n_regionkey = << API.look('loop_control.r_regionkey', variables) >>
+             |    - name: AppendDelta
+             |      kind: sink
+             |      connection:
+             |        kind: Deltatable
+             |        locator: $delta
+             |        data_mode: append
+             |- name: ReadBack
+             |  kind: tap
+             |  connection: {kind: Deltatable, locator: $delta}
+             |  query: select * from Deltatable
+             |- name: Grouped
+             |  kind: transform
+             |  query: >
+             |    SELECT n_regionkey, COUNT(*) AS n_nations, MIN(n_name) AS first_nation
+             |    FROM ReadBack GROUP BY n_regionkey ORDER BY n_regionkey
+             |""".stripMargin)
+      },
+      Some("""SELECT n_regionkey, COUNT(*) AS n_nations, MIN(n_name) AS first_nation
+             |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)),
+
+    // ----------------------------------------------------------------- p03
+    // Fn date macros through the engine (dt_YYYY / month445 / dt_quarter).
+    "p03_pipeline_fn_dates" -> QueryDef(
+      (spark, dir) => run(spark,
+        s"""
+           |- name: Orders
+           |  kind: tap
+           |  connection: {kind: Parquet, locator: $dir/orders.parquet}
+           |- name: ByYear
+           |  kind: transform
+           |  query: >
+           |    SELECT Fn.dt_YYYY(o_orderdate) AS yr,
+           |           Fn.dt_quarter(o_orderdate) AS qtr,
+           |           Fn.month445(o_orderdate) AS m445,
+           |           COUNT(*) AS n
+           |    FROM Orders GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+           |""".stripMargin),
+      Some("""SELECT strftime(o_orderdate, '%Y') AS yr,
+             |  QUARTER(o_orderdate) AS qtr,
+             |  CASE
+             |    WHEN CAST(strftime('%V', o_orderdate) AS INTEGER) BETWEEN 1 AND 4 THEN strftime('%G-01', o_orderdate)
+             |    WHEN CAST(strftime('%V', o_orderdate) AS INTEGER) BETWEEN 5 AND 8 THEN strftime('%G-02', o_orderdate)
+             |    WHEN CAST(strftime('%V', o_orderdate) AS INTEGER) BETWEEN 9 AND 13 THEN strftime('%G-03', o_orderdate)
+             |    WHEN CAST(strftime('%V', o_orderdate) AS INTEGER) BETWEEN 14 AND 17 THEN strftime('%G-04', o_orderdate)
+             |    WHEN CAST(strftime('%V', o_orderdate) AS INTEGER) BETWEEN 18 AND 21 THEN strftime('%G-05', o_orderdate)
+             |    WHEN CAST(strftime('%V', o_orderdate) AS INTEGER) BETWEEN 22 AND 26 THEN strftime('%G-06', o_orderdate)
+             |    WHEN CAST(strftime('%V', o_orderdate) AS INTEGER) BETWEEN 27 AND 30 THEN strftime('%G-07', o_orderdate)
+             |    WHEN CAST(strftime('%V', o_orderdate) AS INTEGER) BETWEEN 31 AND 34 THEN strftime('%G-08', o_orderdate)
+             |    WHEN CAST(strftime('%V', o_orderdate) AS INTEGER) BETWEEN 35 AND 39 THEN strftime('%G-09', o_orderdate)
+             |    WHEN CAST(strftime('%V', o_orderdate) AS INTEGER) BETWEEN 40 AND 43 THEN strftime('%G-10', o_orderdate)
+             |    WHEN CAST(strftime('%V', o_orderdate) AS INTEGER) BETWEEN 44 AND 47 THEN strftime('%G-11', o_orderdate)
+             |    ELSE strftime('%G-12', o_orderdate)
+             |  END AS m445,
+             |  COUNT(*) AS n
+             |FROM orders GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
+    // ----------------------------------------------------------------- p04
+    // QUALIFY through the engine (translated; DuckDB runs it natively).
+    "p04_pipeline_qualify" -> QueryDef(
+      (spark, dir) => run(spark,
+        s"""
+           |- name: Orders
+           |  kind: tap
+           |  connection: {kind: Parquet, locator: $dir/orders.parquet}
+           |- name: TopOrderPerCustomer
+           |  kind: transform
+           |  query: >
+           |    SELECT o_custkey, o_orderkey, o_totalprice FROM Orders
+           |    QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
+           |      ORDER BY o_totalprice DESC, o_orderkey) = 1
+           |    ORDER BY o_custkey
+           |""".stripMargin),
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+             |QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
+             |  ORDER BY o_totalprice DESC, o_orderkey) = 1
+             |ORDER BY o_custkey""".stripMargin)),
+
+    // ----------------------------------------------------------------- p05
+    // Variable sink → tap round trip (JSON interchange).
+    "p05_pipeline_variable" -> QueryDef(
+      (spark, dir) => run(spark,
+        s"""
+           |- name: Regions
+           |  kind: tap
+           |  connection: {kind: Parquet, locator: $dir/region.parquet}
+           |- name: Store
+           |  kind: sink
+           |  connection: {kind: Variable, locator: region_rows}
+           |- name: Reload
+           |  kind: tap
+           |  connection: {kind: Variable, locator: region_rows}
+           |- name: Final
+           |  kind: transform
+           |  query: >
+           |    SELECT CAST(r_regionkey AS INTEGER) AS r_regionkey, r_name
+           |    FROM Reload ORDER BY r_regionkey
+           |""".stripMargin),
+      Some("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")),
+
+    // ----------------------------------------------------------------- p06
+    // Versioned-dedup tap (version/key) through the engine.
+    "p06_pipeline_dedup" -> QueryDef(
+      (spark, dir) => {
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        run(spark,
+          s"""
+             |- name: LatestEvents
+             |  kind: tap
+             |  connection:
+             |    kind: Parquet
+             |    locator: $dir/events.parquet
+             |    version: event_id
+             |    key: [user_id, event_type]
+             |- name: Final
+             |  kind: transform
+             |  query: >
+             |    SELECT user_id, event_type, event_id AS latest_event_id
+             |    FROM LatestEvents ORDER BY user_id, event_type
+             |""".stripMargin)
+      },
+      Some("""SELECT user_id, event_type, event_id AS latest_event_id
+             |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+             |        ORDER BY event_id DESC) AS rnk FROM events) t
+             |WHERE rnk = 1 ORDER BY user_id, event_type""".stripMargin)),
+
+    // ----------------------------------------------------------------- p07
+    // Control flow: skip_if + on_error continue + throttle, then a count.
+    "p07_pipeline_control" -> QueryDef(
+      (spark, dir) => run(spark,
+        s"""
+           |- name: Skipped
+           |  kind: tap
+           |  skip_if: "<< 1 == 1 >>"
+           |  connection: {kind: Parquet, locator: /nonexistent_graft_p07}
+           |- name: FailsButContinues
+           |  kind: tap
+           |  on_error: continue
+           |  connection: {kind: Parquet, locator: /nonexistent_graft_p07}
+           |- name: Lineitem
+           |  kind: tap
+           |  throttle: 0.01
+           |  connection: {kind: Parquet, locator: $dir/lineitem.parquet}
+           |- name: Count
+           |  kind: transform
+           |  query: SELECT COUNT(*) AS n FROM Lineitem
+           |""".stripMargin),
+      Some("SELECT COUNT(*) AS n FROM lineitem")),
+
+    // ----------------------------------------------------------------- p08
+    // CSV round trip through sinks/taps with re-cast to stable types.
+    "p08_pipeline_csv" -> QueryDef(
+      (spark, dir) => {
+        val tmp = Files.createTempDirectory("graft_p08").toString + "/csv"
+        run(spark,
+          s"""
+             |- name: Items
+             |  kind: tap
+             |  connection: {kind: Parquet, locator: $dir/lineitem.parquet}
+             |  query: SELECT l_orderkey, l_returnflag, l_quantity FROM Parquet
+             |- name: WriteCsv
+             |  kind: sink
+             |  connection: {kind: CSV, locator: $tmp}
+             |- name: ReadCsv
+             |  kind: tap
+             |  connection: {kind: CSV, locator: $tmp}
+             |- name: Final
+             |  kind: transform
+             |  query: >
+             |    SELECT l_returnflag,
+             |      CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS qty,
+             |      COUNT(*) AS n
+             |    FROM ReadCsv GROUP BY l_returnflag ORDER BY l_returnflag
+             |""".stripMargin)
+      },
+      Some("""SELECT l_returnflag,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS qty,
+             |  COUNT(*) AS n
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // ----------------------------------------------------------------- p09
+    // JSONL round trip.
+    "p09_pipeline_json" -> QueryDef(
+      (spark, dir) => {
+        val tmp = Files.createTempDirectory("graft_p09").toString + "/json"
+        run(spark,
+          s"""
+             |- name: Custs
+             |  kind: tap
+             |  connection: {kind: Parquet, locator: $dir/customer.parquet}
+             |  query: SELECT c_custkey, c_mktsegment, c_acctbal FROM Parquet
+             |- name: WriteJson
+             |  kind: sink
+             |  connection: {kind: JSON, locator: $tmp, format: lines}
+             |- name: ReadJson
+             |  kind: tap
+             |  connection: {kind: JSON, locator: $tmp, format: lines}
+             |- name: Final
+             |  kind: transform
+             |  query: >
+             |    SELECT c_mktsegment,
+             |      CAST(SUM(CAST(c_acctbal AS DECIMAL(38,4))) AS DOUBLE) AS bal,
+             |      COUNT(*) AS n
+             |    FROM ReadJson GROUP BY c_mktsegment ORDER BY c_mktsegment
+             |""".stripMargin)
+      },
+      Some("""SELECT c_mktsegment,
+             |  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,4))) AS DOUBLE) AS bal,
+             |  COUNT(*) AS n
+             |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // ----------------------------------------------------------------- p10
+    // SQLGen (mock LLM) with retry-on-error through the engine.
+    "p10_pipeline_sqlgen" -> QueryDef(
+      (spark, dir) => run(spark,
+        s"""
+           |- name: Parts
+           |  kind: tap
+           |  connection: {kind: Parquet, locator: $dir/part.parquet}
+           |- name: Gen
+           |  kind: tap
+           |  connection:
+           |    kind: SQLGen
+           |    locator: p10gen
+           |    mock_sql:
+           |      - "SELECT no_such_col FROM Parts"
+           |      - "SELECT p_brand, COUNT(*) AS n FROM Parts GROUP BY p_brand ORDER BY p_brand"
+           |  query: "count parts by brand"
+           |""".stripMargin),
+      Some("SELECT p_brand, COUNT(*) AS n FROM part GROUP BY p_brand ORDER BY p_brand"))
+  )
+}
