@@ -33,14 +33,20 @@ object TrainingData {
   private val shingleSqlDuck =
     "list_distinct(list_transform(range(1, greatest(len(string_split(text,' '))-2,1)+1), i -> array_to_string((string_split(text,' '))[i:i+2], ' ')))"
 
-  /** MinHash signature component k: min over shingles of md5(k|shingle).
-    * Hex-string ordering == numeric ordering of the 128-bit hash, and md5
-    * is identical in Spark and DuckDB → portable MinHash. */
-  private def sigCols(k: Int): Seq[Column] =
-    (1 to k).map(i => min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"sig$i"))
+  /** MinHash signatures: 8 components from 2 salted md5s, sliced into
+    * 8-hex (32-bit) windows — one hash yields 4 independent-enough minhash
+    * components (the classic slice-one-hash trick; 4× less hashing than
+    * one md5 per permutation). Hex-string ordering == numeric ordering,
+    * and md5 is identical in Spark and DuckDB → portable MinHash. */
+  private def sigCols: Seq[Column] =
+    for (m <- Seq(1, 2); w <- 0 until 4) yield
+      min(substring(md5(concat(lit(s"$m|"), col("shingle"))),
+        w * 8 + 1, 8)).as(s"sig${(m - 1) * 4 + w + 1}")
 
-  private def sigSqlDuck(k: Int): String =
-    (1 to k).map(i => s"MIN(md5(concat('$i|', shingle))) AS sig$i").mkString(", ")
+  private def sigSqlDuck: String =
+    (for (m <- Seq(1, 2); w <- 0 until 4) yield
+      s"MIN(substr(md5(concat('$m|', shingle)), ${w * 8 + 1}, 8)) AS sig${(m - 1) * 4 + w + 1}")
+      .mkString(", ")
 
   /** Deterministic LCG hyperplane component for LSH over embeddings:
     * h(j,d) ∈ (−0.5, 0.5), identical arithmetic in both engines. */
@@ -83,11 +89,12 @@ object TrainingData {
         val docs = t(spark, dir, "documents")
         val shingled = docs
           .select(col("doc_id"), explode(expr(shingleExpr)).as("shingle"))
-        val sigs = shingled.groupBy("doc_id").agg(sigCols(8).head, sigCols(8).tail: _*)
+        val sigs = shingled.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
         val bands = sigs.select(col("doc_id"), explode(array(
           (0 until 4).map(b => struct(lit(b + 1).as("band"),
             md5(concat(col(s"sig${2 * b + 1}"), col(s"sig${2 * b + 2}"))).as("bucket"))): _*
         )).as("bb")).select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+          .localCheckpoint() // tiny (4 rows/doc); both join sides reuse it
         val a = bands.as("a")
         val b = bands.as("b")
         a.join(b, col("a.band") === col("b.band") &&
@@ -100,7 +107,7 @@ object TrainingData {
       Some(s"""WITH shingled AS (
               |  SELECT doc_id, unnest($shingleSqlDuck) AS shingle FROM documents),
               |sigs AS (
-              |  SELECT doc_id, ${sigSqlDuck(8)} FROM shingled GROUP BY doc_id),
+              |  SELECT doc_id, $sigSqlDuck FROM shingled GROUP BY doc_id),
               |bands AS (
               |  SELECT doc_id, 1 AS band, md5(concat(sig1, sig2)) AS bucket FROM sigs
               |  UNION ALL SELECT doc_id, 2, md5(concat(sig3, sig4)) FROM sigs
@@ -115,10 +122,13 @@ object TrainingData {
     // Exact n-gram Jaccard within (lang, length-bucket) blocks.
     "t03_ngram_jaccard" -> QueryDef(
       (spark, dir) => {
+        // localCheckpoint: the shingle array is consumed twice (sizes +
+        // explode); without it the split/transform recomputes per branch.
         val docs = t(spark, dir, "documents")
           .select(col("doc_id"), col("lang"),
             (col("n_chars") / 100).cast("int").as("bucket"),
             expr(shingleExpr).as("sh"))
+          .localCheckpoint()
         val sizes = docs.select(col("doc_id"), col("lang"), col("bucket"),
           size(col("sh")).as("n_sh"))
         val exploded = docs.select(col("doc_id"), col("lang"), col("bucket"),
@@ -237,6 +247,7 @@ object TrainingData {
         }
         val bucketed = emb.withColumn("bucket",
           planeDots.reduce(_ + _).cast("int"))
+          .localCheckpoint() // 8 plane dots computed once, reused by q + join
         val q = bucketed.filter(col("vec_id") === 0)
           .select(col("embedding").as("q_emb"), col("bucket").as("q_bucket"))
         bucketed.join(broadcast(q), col("bucket") === col("q_bucket"))
@@ -406,6 +417,7 @@ object TrainingData {
         val bucketed = emb
           .withColumn("bucket", planeDots.reduce(_ + _).cast("int"))
           .withColumn("norm2", expr(dotSql("embedding", "embedding")))
+          .localCheckpoint() // both self-join sides reuse the bucket dots
         val a = bucketed.as("a")
         val b = bucketed.as("b")
         a.join(b, col("a.bucket") === col("b.bucket") &&
