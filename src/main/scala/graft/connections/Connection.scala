@@ -119,6 +119,10 @@ abstract class Connection(protected val ctx: ConnContext) {
   protected def finishTap(raw: DataFrame, query: Option[String],
       limit: Option[Int]): DataFrame = {
     val base = query match {
+      case Some(q) if conn.bool("raw_dispatch") =>
+        // SQL sent as-is with short locators resolved (SURVEY §2.3)
+        val rewritten = graft.sqlbridge.RawDispatch.rewrite(q, locator, path)
+        graft.sqlbridge.RawDispatch.execute(spark, rewritten, ctx.names)
       case Some(q) =>
         val scratch = s"__tap_src_${System.nanoTime()}"
         raw.createOrReplaceTempView(scratch)
@@ -165,6 +169,8 @@ object Connection {
     case "deltatable" => new DeltaConnection(ctx)
     case "rest" => new RestConnection(ctx)
     case "sqlgen" => new SqlGenConnection(ctx)
+    case "clickhouse" => new ClickhouseConnection(ctx)
+    case "bigquery" => new BigQueryConnection(ctx)
     case "customconnection" | "custom" =>
       val cls = ctx.conn.str("module").getOrElse(
         sys.error("CustomConnection requires 'module' (class name)"))

@@ -47,9 +47,11 @@ final class RestConnection(ctx: ConnContext) extends Connection(ctx) {
       body: Option[String], maxRetries: Int, initialBackoff: Double): String = {
     var rateWait = 1.0
     var attempt = 0
+    var authRetried = false
     while (true) {
       val builder = HttpRequest.newBuilder().uri(URI.create(url))
-      headers.foreach { case (k, v) => builder.header(k, v) }
+      // oauth2 headers are re-resolved per attempt (token may refresh)
+      (headers ++ oauthHeaders).foreach { case (k, v) => builder.header(k, v) }
       val req = method.toUpperCase match {
         case "GET" => builder.GET().build()
         case "POST" => builder
@@ -79,6 +81,11 @@ final class RestConnection(ctx: ConnContext) extends Connection(ctx) {
             sys.error(s"HTTP $code from $url after $attempt retries")
           Thread.sleep(((attempt + 1) * 1000).toLong)
           attempt += 1
+        } else if (code == 401 && isOAuth && !authRetried) {
+          // token expired mid-flow: refresh once and retry
+          // (reference OAuth2Auth.auth_flow, rest/server.py:100-117)
+          refreshTokens()
+          authRetried = true
         } else if (code >= 400) {
           sys.error(s"HTTP $code from $url: ${resp.body().take(500)}")
         } else {
@@ -89,7 +96,11 @@ final class RestConnection(ctx: ConnContext) extends Connection(ctx) {
     sys.error("unreachable")
   }
 
-  private def authHeaders: Map[String, String] = submap(client, "auth") match {
+  private def auth: Map[String, Any] = submap(client, "auth")
+  private def isOAuth: Boolean =
+    str(auth, "kind").exists(_.equalsIgnoreCase("oauth2"))
+
+  private def authHeaders: Map[String, String] = auth match {
     case a if a.isEmpty => Map.empty
     case a => str(a, "kind").getOrElse("").toLowerCase match {
       case "basic" =>
@@ -101,7 +112,104 @@ final class RestConnection(ctx: ConnContext) extends Connection(ctx) {
         Map("Authorization" -> s"Bearer ${str(a, "token").getOrElse("")}")
       case "header" =>
         submap(a, "values").map { case (k, v) => k -> String.valueOf(v) }
+      case "oauth2" => Map.empty // resolved per-attempt via oauthHeaders
       case other => sys.error(s"unsupported auth kind: $other")
+    }
+  }
+
+  // ------------------------------------------------------------ OAuth2
+  // Reference: OAuth2Auth + token exchange (RFC 8693) / refresh flows,
+  // ankaflow/connections/rest/server.py:58-211. Transient statuses on the
+  // token endpoint retry ≤3 with 2^(n+1) backoff; a 401 on the data call
+  // triggers one refresh+retry (wired in doRequest).
+  private var accessToken: Option[String] = None
+  private var refreshToken: Option[String] = None
+
+  private def oauthConfig: Map[String, Any] = submap(auth, "config")
+
+  private def oauthHeaders: Map[String, String] =
+    if (!isOAuth) Map.empty
+    else {
+      if (accessToken.isEmpty) refreshTokens()
+      val headerName = str(auth, "oauth_header").getOrElse("Authorization")
+      accessToken.map { t =>
+        val v = if (headerName == "Authorization") s"Bearer $t" else t
+        Map(headerName -> v)
+      }.getOrElse(Map.empty)
+    }
+
+  private val transientStatuses = Set(429, 500, 502, 503, 504)
+
+  /** Fetch new tokens: refresh flow when a refresh_token is held, else
+    * RFC 8693 token exchange (rest/server.py:152-189). */
+  private def refreshTokens(): Unit = {
+    val conf = oauthConfig
+    val tokenUrl = str(conf, "access_token_url").getOrElse(
+      sys.error("oauth2 requires config.access_token_url"))
+    val base = refreshToken.orElse(str(auth, "refresh_token")) match {
+      case Some(rt) => Map(
+        "grant_type" -> "refresh_token",
+        "refresh_token" -> rt)
+      case None => Map(
+        "grant_type" -> str(conf, "grant_type")
+          .getOrElse("urn:ietf:params:oauth:grant-type:token-exchange"),
+        "subject_token" -> str(auth, "subject_token")
+          .orElse(str(conf, "subject_token")).getOrElse(""),
+        "subject_token_type" -> str(conf, "subject_token_type")
+          .getOrElse("urn:ietf:params:oauth:token-type:refresh_token"),
+        "requested_token_type" -> str(conf, "requested_token_type")
+          .getOrElse("urn:ietf:params:oauth:token-type:access_token"))
+    }
+    val payload = base ++ Map(
+      "client_id" -> str(conf, "client_id").getOrElse(""),
+      "client_secret" -> str(conf, "client_secret").getOrElse("")) ++
+      submap(conf, "extra_params").map { case (k, v) => k -> String.valueOf(v) }
+    val form = payload.filter(_._2.nonEmpty).map { case (k, v) =>
+      java.net.URLEncoder.encode(k, "UTF-8") + "=" +
+        java.net.URLEncoder.encode(v, "UTF-8")
+    }.mkString("&")
+
+    var attempt = 0
+    val maxRetries = 3
+    var done = false
+    while (!done) {
+      val req = HttpRequest.newBuilder().uri(URI.create(tokenUrl))
+        .header("Accept", "application/json")
+        .header("Content-Type", "application/x-www-form-urlencoded")
+        .timeout(Duration.ofSeconds(10))
+        .POST(HttpRequest.BodyPublishers.ofString(form))
+        .build()
+      val resp: HttpResponse[String] =
+        try http.send(req, HttpResponse.BodyHandlers.ofString())
+        catch {
+          case e: java.io.IOException =>
+            if (attempt < maxRetries - 1) {
+              Thread.sleep((math.pow(2, attempt + 1) * 1000).toLong)
+              attempt += 1; null
+            } else throw e
+        }
+      if (resp != null) {
+        val code = resp.statusCode()
+        if (transientStatuses.contains(code) && attempt < maxRetries - 1) {
+          Thread.sleep((math.pow(2, attempt + 1) * 1000).toLong)
+          attempt += 1
+        } else if (code >= 400) {
+          accessToken = None // kill switch (rest/server.py:126)
+          sys.error(s"OAuth2 token refresh failed: HTTP $code " +
+            resp.body().take(200))
+        } else {
+          val data = Json.parse(resp.body()) match {
+            case m: Map[_, _] => m.map { case (k, v) => k.toString -> v }
+            case other => sys.error(s"token endpoint returned non-object: $other")
+          }
+          accessToken = data.get("access_token").map(String.valueOf(_))
+          data.get("refresh_token").foreach(rt =>
+            refreshToken = Some(String.valueOf(rt)))
+          if (accessToken.isEmpty)
+            sys.error("token endpoint response has no access_token")
+          done = true
+        }
+      }
     }
   }
 

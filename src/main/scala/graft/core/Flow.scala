@@ -11,6 +11,14 @@ import graft.template.{Api, Json, Renderer}
 class FlowRunError(msg: String, cause: Throwable = null)
   extends RuntimeException(msg, cause)
 
+/** Per-stage schema descriptor (reference: SchemaItem,
+  * ankaflow/models/core.py:37-41). */
+final case class SchemaItem(
+    table: String,
+    locator: Option[String],
+    kind: String,
+    fields: org.apache.spark.sql.types.StructType)
+
 /** The pipeline engine (reference: ankaflow/core/flow.py).
   *
   * SparkSession plays the role of the embedded database: every stage
@@ -42,6 +50,25 @@ final class Flow(
     case Some(n) => spark.table(names.get(n).getOrElse(n))
     case None => sys.error("flow has not produced a relation")
   }
+
+  /** Schemas for all introspectable stages WITHOUT executing the pipeline
+    * (reference: AsyncFlow.show_schema, flow.py:643-675): taps ask their
+    * source; transforms are skipped (they'd need prior stages to exist). */
+  def showSchema(): List[SchemaItem] =
+    stagesDef.stages.flatMap { stage =>
+      stage.kind.toLowerCase match {
+        case "tap" | "source" =>
+          try {
+            val conn = Connection.resolve(connCtx(stage))
+            Some(SchemaItem(stage.name, stage.connection.flatMap(_.locator),
+              stage.connection.map(_.kind).getOrElse(""), conn.showSchema()))
+          } catch { case _: UnsupportedOperationException => None }
+        case "pipeline" =>
+          new Flow(spark, graft.model.Stages(stage.stages), context, config,
+            variables, names, flowOnError).showSchema()
+        case _ => None
+      }
+    }
 
   def run(): Flow = {
     config.hadoopConf.foreach { case (k, v) =>

@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.connections.{BigQueryDispositions, ClickhouseLocate, RemoteRank}
+
+/** Pure-logic tests for the external SQL connections, mirroring the
+  * reference's mocked-client unit tests (test_clickhouse.py locate rules,
+  * test_bigquery.py disposition mapping). */
+class ExternalSqlSpec extends AnyFunSuite {
+
+  // --- ClickHouse locate (clickhouse.py:114-143) ---
+
+  test("bare locator + config database → qualified") {
+    assert(ClickhouseLocate.locate("events", Some("analytics")) ==
+      "\"analytics\".\"events\"")
+  }
+
+  test("dotted locator without config database → as given") {
+    assert(ClickhouseLocate.locate("analytics.events", None) ==
+      "\"analytics\".\"events\"")
+  }
+
+  test("dotted locator WITH config database → error") {
+    assertThrows[IllegalArgumentException] {
+      ClickhouseLocate.locate("analytics.events", Some("other"))
+    }
+  }
+
+  test("bare locator without config database → error") {
+    assertThrows[IllegalArgumentException] {
+      ClickhouseLocate.locate("events", None)
+    }
+  }
+
+  test("three-part locator → error") {
+    assertThrows[IllegalArgumentException] {
+      ClickhouseLocate.locate("a.b.c", None)
+    }
+  }
+
+  // --- BigQuery load dispositions (bigquery.py:285-320) ---
+
+  test("data_mode → WriteDisposition") {
+    assert(BigQueryDispositions.writeDisposition("append") == "WRITE_APPEND")
+    assert(BigQueryDispositions.writeDisposition("overwrite") == "WRITE_TRUNCATE")
+    assert(BigQueryDispositions.writeDisposition("error") == "WRITE_EMPTY")
+    assert(BigQueryDispositions.writeDisposition("anything") == "WRITE_EMPTY")
+  }
+
+  test("schema_mode merge → ALLOW_FIELD_ADDITION; else none") {
+    assert(BigQueryDispositions.schemaUpdateOptions("merge") ==
+      List("ALLOW_FIELD_ADDITION"))
+    assert(BigQueryDispositions.schemaUpdateOptions("overwrite").isEmpty)
+  }
+
+  // --- Remote ranked query (util.py:336-383 shape) ---
+
+  test("ranking pushed into the remote query") {
+    val q = RemoteRank("SELECT id, v, ts FROM Clickhouse",
+      "\"db\".\"t\"", Some("ts"), Seq("id"))
+    assert(q.contains("ROW_NUMBER() OVER (PARTITION BY \"id\" ORDER BY \"ts\" DESC) AS __rank__"))
+    assert(q.contains("FROM \"db\".\"t\""))
+    assert(q.contains("AS ranked WHERE \"__rank__\" = 1"))
+  }
+
+  test("no version/keys → plain placeholder swap") {
+    val q = RemoteRank("SELECT id FROM Clickhouse WHERE id > 3",
+      "\"db\".\"t\"", None, Nil)
+    assert(q == "SELECT id FROM \"db\".\"t\" WHERE id > 3")
+  }
+}

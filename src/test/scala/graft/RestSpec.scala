@@ -1,0 +1,211 @@
+package graft
+
+import java.net.InetSocketAddress
+import java.util.concurrent.atomic.AtomicInteger
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.connections.{ConnContext, FlowConfig, RestConnection}
+import graft.model.ConnectionDef
+import graft.sqlbridge.SqlBridge
+
+/** REST framework semantics against a local HTTP server, shaped like the
+  * reference's integration fixture (ankaflow/tests/support/rest_server.py):
+  * pagination, 429 throttling, OAuth2 token exchange + 401 refresh. */
+class RestSpec extends AnyFunSuite {
+
+  private def withServer(routes: Map[String, HttpExchange => (Int, String)])(
+      body: Int => Unit): Unit = {
+    val server = HttpServer.create(new InetSocketAddress(0), 0)
+    routes.foreach { case (path, handler) =>
+      server.createContext(path, (ex: HttpExchange) => {
+        val (code, resp) = handler(ex)
+        val bytes = resp.getBytes("UTF-8")
+        ex.getResponseHeaders.set("Content-Type", "application/json")
+        ex.sendResponseHeaders(code, bytes.length)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      })
+    }
+    server.start()
+    try body(server.getAddress.getPort)
+    finally server.stop(0)
+  }
+
+  private def restConn(port: Int, client: Map[String, Any],
+      request: Map[String, Any]): RestConnection = {
+    val base = Map("base_url" -> s"http://localhost:$port") ++ client
+    new RestConnection(ConnContext(SparkSuite.spark,
+      ConnectionDef("rest", None,
+        Map("client" -> base, "request" -> request)),
+      FlowConfig(), scala.collection.mutable.Map.empty,
+      new SqlBridge.NameRegistry))
+  }
+
+  test("plain GET with JMESPath locator extracts the record list") {
+    withServer(Map("/items" -> (_ =>
+      (200, """{"data":{"rows":[{"id":1,"v":"a"},{"id":2,"v":"b"}]}}""")))) { port =>
+      val df = restConn(port, Map.empty, Map(
+        "endpoint" -> "/items", "method" -> "get",
+        "response" -> Map("locator" -> "data.rows"))).tap(None, None)
+      assert(df.count() == 2)
+      assert(df.columns.sorted.toSeq == Seq("id", "v"))
+    }
+  }
+
+  test("pagination: increments page_param until a short page") {
+    val calls = new AtomicInteger(0)
+    withServer(Map("/paged" -> (ex => {
+      val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+      val page = "page=(\\d+)".r.findFirstMatchIn(q).map(_.group(1).toInt).getOrElse(0)
+      calls.incrementAndGet()
+      val rows =
+        if (page < 2) """[{"id":1},{"id":2}]"""
+        else """[{"id":9}]""" // short page → stop
+      (200, s"""{"items":$rows}""")
+    }))) { port =>
+      val df = restConn(port, Map.empty, Map(
+        "endpoint" -> "/paged", "method" -> "get",
+        "query" -> Map("page" -> 0),
+        "response" -> Map("locator" -> "items",
+          "handler" -> Map("kind" -> "Pagination", "page_param" -> "page",
+            "page_size" -> 2, "increment" -> 1)))).tap(None, None)
+      assert(df.count() == 5) // 2 + 2 + 1
+      assert(calls.get() == 3)
+    }
+  }
+
+  test("429 → wait and retry until success") {
+    val calls = new AtomicInteger(0)
+    withServer(Map("/flaky" -> (_ =>
+      if (calls.incrementAndGet() < 3) (429, """{"err":"slow down"}""")
+      else (200, """[{"ok":1}]""")))) { port =>
+      val df = restConn(port, Map.empty, Map(
+        "endpoint" -> "/flaky", "method" -> "get",
+        "response" -> Map.empty[String, Any])).tap(None, None)
+      assert(df.count() == 1)
+      assert(calls.get() == 3)
+    }
+  }
+
+  test("500 retries up to max_retries then fails") {
+    val calls = new AtomicInteger(0)
+    withServer(Map("/down" -> (_ => { calls.incrementAndGet(); (500, "{}") }))) {
+      port =>
+        val e = intercept[RuntimeException] {
+          restConn(port, Map.empty, Map(
+            "endpoint" -> "/down", "method" -> "get",
+            "max_retries" -> 2,
+            "response" -> Map.empty[String, Any])).tap(None, None)
+        }
+        assert(e.getMessage.contains("500"))
+        assert(calls.get() == 3) // initial + 2 retries
+    }
+  }
+
+  test("oauth2: token exchange then bearer on the data call") {
+    val tokenCalls = new AtomicInteger(0)
+    withServer(Map(
+      "/token" -> (ex => {
+        tokenCalls.incrementAndGet()
+        val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+        assert(body.contains("grant_type="))
+        assert(body.contains("client_id=cid"))
+        (200, """{"access_token":"AT1","refresh_token":"RT1"}""")
+      }),
+      "/data" -> (ex => {
+        val authz = Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("")
+        if (authz == "Bearer AT1") (200, """[{"id":7}]""")
+        else (401, "{}")
+      }))) { port =>
+      val df = restConn(port,
+        Map("auth" -> Map("kind" -> "oauth2",
+          "config" -> Map(
+            "access_token_url" -> s"http://localhost:$port/token",
+            "client_id" -> "cid", "client_secret" -> "sec",
+            "subject_token" -> "subj"))),
+        Map("endpoint" -> "/data", "method" -> "get",
+          "response" -> Map.empty[String, Any])).tap(None, None)
+      assert(df.count() == 1)
+      assert(tokenCalls.get() == 1)
+    }
+  }
+
+  test("oauth2: 401 on data call → one refresh → retry succeeds") {
+    val tokenCalls = new AtomicInteger(0)
+    withServer(Map(
+      "/token" -> (_ => {
+        val n = tokenCalls.incrementAndGet()
+        (200, s"""{"access_token":"AT$n"}""")
+      }),
+      "/data" -> (ex => {
+        val authz = Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("")
+        // AT1 is "expired": only the refreshed AT2 is accepted
+        if (authz == "Bearer AT2") (200, """[{"id":1},{"id":2}]""")
+        else (401, "{}")
+      }))) { port =>
+      val df = restConn(port,
+        Map("auth" -> Map("kind" -> "oauth2",
+          "config" -> Map(
+            "access_token_url" -> s"http://localhost:$port/token",
+            "client_id" -> "cid", "client_secret" -> "sec",
+            "subject_token" -> "subj"))),
+        Map("endpoint" -> "/data", "method" -> "get",
+          "response" -> Map.empty[String, Any])).tap(None, None)
+      assert(df.count() == 2)
+      assert(tokenCalls.get() == 2) // initial exchange + 401-triggered refresh
+    }
+  }
+
+  test("oauth2: custom header name carries the raw token") {
+    withServer(Map(
+      "/token" -> (_ => (200, """{"access_token":"XYZ"}""")),
+      "/data" -> (ex => {
+        val h = Option(ex.getRequestHeaders.getFirst("X-Auth")).getOrElse("")
+        if (h == "XYZ") (200, """[{"ok":1}]""") else (403, "{}")
+      }))) { port =>
+      val df = restConn(port,
+        Map("auth" -> Map("kind" -> "oauth2", "oauth_header" -> "X-Auth",
+          "config" -> Map(
+            "access_token_url" -> s"http://localhost:$port/token",
+            "client_id" -> "c", "client_secret" -> "s",
+            "subject_token" -> "t"))),
+        Map("endpoint" -> "/data", "method" -> "get",
+          "response" -> Map.empty[String, Any])).tap(None, None)
+      assert(df.count() == 1)
+    }
+  }
+
+  test("StatePolling waits for ready_status then extracts records") {
+    val calls = new AtomicInteger(0)
+    withServer(Map("/job" -> (_ =>
+      if (calls.incrementAndGet() < 3)
+        (200, """{"status":false,"out":[]}""")
+      else (200, """{"status":true,"out":[{"r":1},{"r":2}]}""")))) { port =>
+      val df = restConn(port, Map.empty, Map(
+        "endpoint" -> "/job", "method" -> "get",
+        "response" -> Map("locator" -> "out",
+          "handler" -> Map("kind" -> "StatePolling",
+            "ready_status" -> "status")))).tap(None, None)
+      assert(df.count() == 2)
+      assert(calls.get() == 3)
+    }
+  }
+
+  test("declared fields stabilize an empty response") {
+    withServer(Map("/empty" -> (_ => (200, """[]""")))) { port =>
+      val conn = new RestConnection(ConnContext(SparkSuite.spark,
+        ConnectionDef("rest", None, Map(
+          "client" -> Map("base_url" -> s"http://localhost:$port"),
+          "request" -> Map("endpoint" -> "/empty", "method" -> "get",
+            "response" -> Map.empty[String, Any]),
+          "fields" -> List(
+            Map("name" -> "id", "type" -> "BIGINT"),
+            Map("name" -> "label", "type" -> "VARCHAR")))),
+        FlowConfig(), scala.collection.mutable.Map.empty,
+        new SqlBridge.NameRegistry))
+      val df = conn.tap(None, None)
+      assert(df.count() == 0)
+      assert(df.schema.fieldNames.toSeq == Seq("id", "label"))
+    }
+  }
+}
