@@ -86,15 +86,43 @@ final class RestConnection(ctx: ConnContext) extends Connection(ctx) {
           // (reference OAuth2Auth.auth_flow, rest/server.py:100-117)
           refreshTokens()
           authRetried = true
-        } else if (code >= 400) {
+        } else if (code >= 400 || errorStatusCodes.contains(code)) {
           sys.error(s"HTTP $code from $url: ${resp.body().take(500)}")
         } else {
-          return resp.body()
+          val b = resp.body()
+          checkCustomError(b, url)
+          return b
         }
       }
     }
     sys.error("unreachable")
   }
+
+  // Custom error detection (reference: RestErrorHandler,
+  // ankaflow/models/rest.py:157-171; rest/server.py:363,415-417): a
+  // `condition` JMESPath evaluated truthy on an otherwise-OK response
+  // raises, with the message extracted at `message` (or the whole body);
+  // `error_status_codes` forces listed codes to be treated as errors.
+  private def errorHandler: Map[String, Any] = submap(request, "errorhandler")
+
+  private def errorStatusCodes: Set[Int] =
+    errorHandler.get("error_status_codes") match {
+      case Some(l: List[_]) => l.map(String.valueOf(_).toInt).toSet
+      case _ => Set.empty
+    }
+
+  private def checkCustomError(body: String, url: String): Unit =
+    str(errorHandler, "condition").foreach { cond =>
+      val parsed = try Json.parse(body) catch { case _: Exception => null }
+      if (parsed != null &&
+        graft.template.Renderer.stringToBool(Api.look(List(cond, parsed, null)))) {
+        val msg = str(errorHandler, "message")
+          .flatMap(m => Option(Api.look(List(m, parsed, null))))
+          .map(String.valueOf(_))
+          .getOrElse(body.take(500))
+        sys.error(s"REST error from $url: $msg")
+      }
+    }
 
   private def auth: Map[String, Any] = submap(client, "auth")
   private def isOAuth: Boolean =

@@ -191,6 +191,57 @@ class RestSpec extends AnyFunSuite {
     }
   }
 
+  test("URLPolling: waits for ready, then fetches the file URL") {
+    val calls = new AtomicInteger(0)
+    // the ready response must carry an absolute URL to this same server;
+    // the port is only known after bind, so the route reads it from a var
+    var boundPort = 0
+    withServer(Map(
+      "/job" -> (_ => {
+        val n = calls.incrementAndGet()
+        if (n < 2) (200, """{"done":false}""")
+        else (200,
+          s"""{"done":true,"file":"http://localhost:$boundPort/export"}""")
+      }),
+      "/export" -> (_ => (200, """[{"x":1},{"x":2},{"x":3}]""")))) { port =>
+      boundPort = port
+      val df = restConn(port, Map.empty, Map(
+        "endpoint" -> "/job", "method" -> "get",
+        "response" -> Map(
+          "handler" -> Map("kind" -> "URLPolling",
+            "ready_status" -> "done", "locator" -> "file")))).tap(None, None)
+      assert(df.count() == 3)
+      assert(calls.get() == 2)
+    }
+  }
+
+  test("custom error condition raises with the extracted message") {
+    withServer(Map("/soft" -> (_ =>
+      (200, """{"status":"FAILED","error":{"detail":"quota exceeded"},"rows":[]}""")))) {
+      port =>
+        val e = intercept[RuntimeException] {
+          restConn(port, Map.empty, Map(
+            "endpoint" -> "/soft", "method" -> "get",
+            "errorhandler" -> Map(
+              "condition" -> "error", "message" -> "error.detail"),
+            "response" -> Map("locator" -> "rows"))).tap(None, None)
+        }
+        assert(e.getMessage.contains("quota exceeded"))
+    }
+  }
+
+  test("error_status_codes forces listed 2xx/3xx codes to fail") {
+    withServer(Map("/weird" -> (_ => (203, """[{"x":1}]""")))) { port =>
+      val e = intercept[RuntimeException] {
+        restConn(port, Map.empty, Map(
+          "endpoint" -> "/weird", "method" -> "get",
+          "errorhandler" -> Map("error_status_codes" -> List(203)),
+          "response" -> Map.empty[String, Any])).tap(None, None)
+      }
+      assert(e.getMessage.contains("203"))
+    }
+  }
+
   test("declared fields stabilize an empty response") {
     withServer(Map("/empty" -> (_ => (200, """[]""")))) { port =>
       val conn = new RestConnection(ConnContext(SparkSuite.spark,

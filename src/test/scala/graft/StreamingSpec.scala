@@ -1,0 +1,79 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.Streams
+import graft.streaming.Streams.{Event, Session}
+
+/** Structured Streaming semantics over MemoryStream micro-batches. */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.spark
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+
+  test("windowed counts with watermark aggregate per window × type") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = Streams.windowedCounts(input.toDF(), "30 minutes", "1 hour")
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(10), 2, "click", 2.0),
+        Event(3, ts(40), 1, "view", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_counts")
+        .selectExpr("event_type", "n", "total_value").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows == Set(("click", 2L, 3.0), ("view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("sessionization: gap closes a session, state carries across batches") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = Streams.sessionize(input.toDS(), gapMs = 15 * 60 * 1000L)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: user 1 active 10:00–10:10; user 2 one event
+      input.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(10), 1, "click", 2.0),
+        Event(3, ts(5), 2, "view", 7.0))
+      q.processAllAvailable()
+      // batch 2: user 1 returns after a 30-min gap → first session closes
+      input.addData(Event(4, ts(40), 1, "click", 4.0))
+      q.processAllAvailable()
+      val sessions = spark.table("sessions").as[Session].collect()
+      val u1Closed = sessions.filter(_.user_id == 1)
+      assert(u1Closed.length == 1)
+      assert(u1Closed.head.n_events == 2)
+      assert(u1Closed.head.total_value == 3.0)
+      assert(u1Closed.head.started == ts(0) && u1Closed.head.ended == ts(10))
+    } finally q.stop()
+  }
+
+  test("file-source stream over the events fixture directory") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val batch = graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    batch.limit(100).write.parquet(s"$dir/in")
+    val stream = Streams.fromParquetDir(spark, s"$dir/in", batch.schema)
+    assert(stream.isStreaming)
+    val q = Streams.windowedCounts(stream, "1 day", "1 day")
+      .writeStream.format("memory").queryName("file_stream")
+      .outputMode(OutputMode.Update).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("file_stream").count() > 0)
+    } finally q.stop()
+  }
+}
