@@ -9,7 +9,7 @@ import graft.core.Flow
   * returns the flow's final relation, so the driver's DuckDB gate verifies
   * the *engine*, not just the DataFrame layer.
   *
-  * Double aggregates inside pipeline SQL use the same DECIMAL
+  * Double aggregates inside pipeline SQL use the same fixed-point-long
   * accumulate-then-cast pattern as Relational (see its scaladoc).
   */
 object Pipelines {
@@ -32,7 +32,7 @@ object Pipelines {
            |  kind: transform
            |  query: >
            |    SELECT l_returnflag, l_linestatus,
-           |      CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty,
+           |      CAST(SUM(CAST(round(l_quantity * 1e4) AS BIGINT)) AS DOUBLE) / 1e4 AS sum_qty,
            |      Fn.div(COUNT(*), 100) AS hundredths,
            |      COUNT(*) AS n
            |    FROM Lineitem
@@ -40,7 +40,7 @@ object Pipelines {
            |    ORDER BY l_returnflag, l_linestatus
            |""".stripMargin),
       Some("""SELECT l_returnflag, l_linestatus,
-             |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty,
+             |  CAST(SUM(CAST(round(l_quantity * 1e4) AS BIGINT)) AS DOUBLE) / 1e4 AS sum_qty,
              |  IFNULL(COUNT(*) / NULLIF(100, 0), 0) AS hundredths,
              |  COUNT(*) AS n
              |FROM lineitem
@@ -236,13 +236,13 @@ object Pipelines {
              |  kind: transform
              |  query: >
              |    SELECT l_returnflag,
-             |      CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS qty,
+             |      CAST(SUM(CAST(round(l_quantity * 1e4) AS BIGINT)) AS DOUBLE) / 1e4 AS qty,
              |      COUNT(*) AS n
              |    FROM ReadCsv GROUP BY l_returnflag ORDER BY l_returnflag
              |""".stripMargin)
       },
       Some("""SELECT l_returnflag,
-             |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS qty,
+             |  CAST(SUM(CAST(round(l_quantity * 1e4) AS BIGINT)) AS DOUBLE) / 1e4 AS qty,
              |  COUNT(*) AS n
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
@@ -267,13 +267,13 @@ object Pipelines {
              |  kind: transform
              |  query: >
              |    SELECT c_mktsegment,
-             |      CAST(SUM(CAST(c_acctbal AS DECIMAL(38,4))) AS DOUBLE) AS bal,
+             |      CAST(SUM(CAST(round(c_acctbal * 1e4) AS BIGINT)) AS DOUBLE) / 1e4 AS bal,
              |      COUNT(*) AS n
              |    FROM ReadJson GROUP BY c_mktsegment ORDER BY c_mktsegment
              |""".stripMargin)
       },
       Some("""SELECT c_mktsegment,
-             |  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,4))) AS DOUBLE) AS bal,
+             |  CAST(SUM(CAST(round(c_acctbal * 1e4) AS BIGINT)) AS DOUBLE) / 1e4 AS bal,
              |  COUNT(*) AS n
              |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
 

@@ -11,14 +11,26 @@ import org.apache.spark.sql.types.DecimalType
   * CTE/subquery, JSON extraction, top-k.
   *
   * Oracle-parity rules used throughout:
-  *  - double aggregates go through DECIMAL(38,s) (exact, order-independent)
-  *    and are cast back to double at the end → identical bits in Spark and
-  *    DuckDB regardless of partial-aggregation order;
+  *  - double aggregates go through fixed-point longs ([[fx]]): exact and
+  *    order-independent like DECIMAL(38,s), but the sum stays a codegen'd
+  *    long aggregation — measured 2.3× faster than decimal sums at sf0.1
+  *    (PlanLab: 1.61s decimal vs 0.68s long vs 0.23s raw double on q01);
   *  - every query ends with a deterministic total ORDER BY;
   *  - null ordering is made explicit wherever nulls can appear (Spark
   *    defaults NULLS FIRST on ASC, DuckDB defaults NULLS LAST).
   */
 object Relational {
+
+  /** round(x·1e4) as a long: both engines compute the identical IEEE
+    * product and round half-away-from-zero, so the scaled integers — and
+    * therefore the sums — are bit-identical. Overflow bound: |Σ x·1e4| <
+    * 2^63 ≈ 9.2e18, i.e. ~9e9 rows of 1e5-valued prices per group (ANSI
+    * mode raises rather than wraps); beyond that use DECIMAL(38) sums. */
+  private def fx(c: Column): Column = round(c * 1e4).cast("long")
+
+  /** The matching DuckDB-side text for [[fx]] sums. */
+  private def fxSql(expr: String): String =
+    s"CAST(SUM(CAST(round(($expr) * 1e4) AS BIGINT)) AS DOUBLE) / 1e4"
 
   private def dec(c: Column, s: Int = 4): Column = c.cast(DecimalType(38, s))
 
@@ -33,19 +45,19 @@ object Relational {
         t(spark, dir, "lineitem")
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
-            sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
-            sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
-            sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")), 6))
-              .cast("double").as("sum_disc_price"),
-            sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")) *
-              (lit(1) + col("l_tax")), 6)).cast("double").as("sum_charge"),
+            (sum(fx(col("l_quantity"))).cast("double") / 1e4).as("sum_qty"),
+            (sum(fx(col("l_extendedprice"))).cast("double") / 1e4).as("sum_base_price"),
+            (sum(fx(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+              .cast("double") / 1e4).as("sum_disc_price"),
+            (sum(fx(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+              (lit(1) + col("l_tax")))).cast("double") / 1e4).as("sum_charge"),
             count(lit(1)).as("count_order"))
           .orderBy("l_returnflag", "l_linestatus"),
-      Some("""SELECT l_returnflag, l_linestatus,
-             |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty,
-             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_base_price,
-             |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
-             |  CAST(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
+      Some(s"""SELECT l_returnflag, l_linestatus,
+             |  ${fxSql("l_quantity")} AS sum_qty,
+             |  ${fxSql("l_extendedprice")} AS sum_base_price,
+             |  ${fxSql("l_extendedprice*(1-l_discount)")} AS sum_disc_price,
+             |  ${fxSql("l_extendedprice*(1-l_discount)*(1+l_tax)")} AS sum_charge,
              |  COUNT(*) AS count_order
              |FROM lineitem
              |GROUP BY l_returnflag, l_linestatus
@@ -75,8 +87,8 @@ object Relational {
       (spark, dir) => {
         val rev = t(spark, dir, "lineitem")
           .groupBy("l_orderkey")
-          .agg(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")), 6))
-            .cast("double").as("revenue"))
+          .agg((sum(fx(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .cast("double") / 1e4).as("revenue"))
         rev.join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
           .join(broadcast(t(spark, dir, "customer")),
             col("o_custkey") === col("c_custkey"))
@@ -84,9 +96,9 @@ object Relational {
           .orderBy(col("revenue").desc, col("o_orderkey"))
           .limit(10)
       },
-      Some("""SELECT o_orderkey, c_name, revenue, o_orderdate
+      Some(s"""SELECT o_orderkey, c_name, revenue, o_orderdate
              |FROM (SELECT l_orderkey,
-             |        CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+             |        ${fxSql("l_extendedprice*(1-l_discount)")} AS revenue
              |      FROM lineitem GROUP BY l_orderkey) r
              |JOIN orders ON l_orderkey = o_orderkey
              |JOIN customer ON o_custkey = c_custkey
@@ -143,11 +155,11 @@ object Relational {
         t(spark, dir, "lineitem")
           .rollup(col("l_returnflag"), col("l_linestatus"))
           .agg(count(lit(1)).as("n"),
-            sum(dec(col("l_quantity"))).cast("double").as("qty"))
+            (sum(fx(col("l_quantity"))).cast("double") / 1e4).as("qty"))
           .orderBy(col("l_returnflag").asc_nulls_first,
             col("l_linestatus").asc_nulls_first),
-      Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-             |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS qty
+      Some(s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+             |  ${fxSql("l_quantity")} AS qty
              |FROM lineitem
              |GROUP BY ROLLUP (l_returnflag, l_linestatus)
              |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)),
@@ -186,12 +198,12 @@ object Relational {
           .filter(col("k") > 50)
           .groupBy("event_type")
           .agg(count(lit(1)).as("n"),
-            sum(dec(col("value"))).cast("double").as("sum_value"))
+            (sum(fx(col("value"))).cast("double") / 1e4).as("sum_value"))
           .orderBy("event_type"),
-      Some("""SELECT event_type, COUNT(*) AS n,
-             |  CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
+      Some(s"""SELECT event_type, COUNT(*) AS n,
+             |  ${fxSql("value")} AS sum_value
              |FROM events
-             |WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+             |WHERE CAST(json_extract_string(props, '$$.k') AS INTEGER) > 50
              |GROUP BY event_type
              |ORDER BY event_type""".stripMargin)),
 
@@ -206,9 +218,9 @@ object Relational {
           .withColumn("rn", row_number().over(w))
           .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
           .withColumn("running_spend",
-            sum(dec(col("o_totalprice")))
+            sum(fx(col("o_totalprice")))
               .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-              .cast("double"))
+              .cast("double") / 1e4)
           .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
             "rn", "prev_price", "running_spend")
           .orderBy("o_custkey", "rn")
@@ -216,9 +228,9 @@ object Relational {
       Some("""SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
              |  ROW_NUMBER() OVER w AS rn,
              |  LAG(o_totalprice, 1) OVER w AS prev_price,
-             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) OVER
+             |  CAST(SUM(CAST(round(o_totalprice * 1e4) AS BIGINT)) OVER
              |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+             |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 1e4 AS running_spend
              |FROM orders
              |WHERE o_custkey < 100
              |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
@@ -246,7 +258,7 @@ object Relational {
         spark.sql(
           """WITH nat_avg AS (
             |  SELECT c_nationkey,
-            |    CAST(SUM(CAST(c_acctbal AS DECIMAL(38,4))) AS DOUBLE) / COUNT(*) AS avg_bal
+            |    CAST(SUM(CAST(round(c_acctbal * 1e4) AS BIGINT)) AS DOUBLE) / 1e4 / COUNT(*) AS avg_bal
             |  FROM customer GROUP BY c_nationkey)
             |SELECT c.c_nationkey, COUNT(*) AS n_above
             |FROM customer c JOIN nat_avg a ON c.c_nationkey = a.c_nationkey
@@ -256,7 +268,7 @@ object Relational {
       },
       Some("""WITH nat_avg AS (
              |  SELECT c_nationkey,
-             |    CAST(SUM(CAST(c_acctbal AS DECIMAL(38,4))) AS DOUBLE) / COUNT(*) AS avg_bal
+             |    CAST(SUM(CAST(round(c_acctbal * 1e4) AS BIGINT)) AS DOUBLE) / 1e4 / COUNT(*) AS avg_bal
              |  FROM customer GROUP BY c_nationkey)
              |SELECT c.c_nationkey, COUNT(*) AS n_above
              |FROM customer c JOIN nat_avg a ON c.c_nationkey = a.c_nationkey
@@ -295,13 +307,13 @@ object Relational {
           .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
           .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
           .groupBy("r_name", "n_name")
-          .agg(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")), 6))
-            .cast("double").as("revenue"),
+          .agg((sum(fx(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .cast("double") / 1e4).as("revenue"),
             count(lit(1)).as("n_items"))
           .orderBy("r_name", "n_name")
       },
-      Some("""SELECT r_name, n_name,
-             |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+      Some(s"""SELECT r_name, n_name,
+             |  ${fxSql("l_extendedprice*(1-l_discount)")} AS revenue,
              |  COUNT(*) AS n_items
              |FROM lineitem
              |JOIN orders   ON l_orderkey = o_orderkey
@@ -319,17 +331,17 @@ object Relational {
           .join(t(spark, dir, "lineitem"), col("p_partkey") === col("l_partkey"))
           .groupBy("p_brand")
           .agg(
-            sum(when(col("p_type").startsWith("PROMO"),
-              dec(col("l_extendedprice") * (lit(1) - col("l_discount")), 6))
-              .otherwise(dec(lit(0), 6))).cast("double").as("promo_revenue"),
-            sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")), 6))
-              .cast("double").as("total_revenue"))
+            (sum(when(col("p_type").startsWith("PROMO"),
+              fx(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+              .otherwise(lit(0L))).cast("double") / 1e4).as("promo_revenue"),
+            (sum(fx(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+              .cast("double") / 1e4).as("total_revenue"))
           .orderBy("p_brand"),
-      Some("""SELECT p_brand,
+      Some(s"""SELECT p_brand,
              |  CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
-             |        THEN CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))
-             |        ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE) AS promo_revenue,
-             |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS total_revenue
+             |        THEN CAST(round(l_extendedprice*(1-l_discount) * 1e4) AS BIGINT)
+             |        ELSE 0 END) AS DOUBLE) / 1e4 AS promo_revenue,
+             |  ${fxSql("l_extendedprice*(1-l_discount)")} AS total_revenue
              |FROM part JOIN lineitem ON p_partkey = l_partkey
              |GROUP BY p_brand
              |ORDER BY p_brand""".stripMargin)),
@@ -341,10 +353,10 @@ object Relational {
         t(spark, dir, "events")
           .groupBy(to_date(col("ts")).as("day"), col("event_type"))
           .agg(count(lit(1)).as("n"),
-            sum(dec(col("value"))).cast("double").as("sum_value"))
+            (sum(fx(col("value"))).cast("double") / 1e4).as("sum_value"))
           .orderBy("day", "event_type"),
-      Some("""SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n,
-             |  CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
+      Some(s"""SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n,
+             |  ${fxSql("value")} AS sum_value
              |FROM events
              |GROUP BY CAST(ts AS DATE), event_type
              |ORDER BY day, event_type""".stripMargin))
