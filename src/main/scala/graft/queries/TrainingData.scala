@@ -449,6 +449,68 @@ object TrainingData {
            |  / (sqrt(${dotDuck("a.embedding", "a.embedding")})
            |     * sqrt(${dotDuck("b.embedding", "b.embedding")})) >= 0.2
            |ORDER BY vec_a, vec_b""".stripMargin
+      })),
+
+    // ----------------------------------------------------------------- t13
+    // IVF-style ANN (the other scale path next to t06's LSH): 8
+    // deterministic centroids partition the vectors into inverted lists
+    // (cell = argmax centroid dot); the query probes its 2 best cells and
+    // re-ranks candidates by exact cosine. At scale the assignment is one
+    // narrow shuffle-free map pass and the probe touches ~2/8 of the data.
+    "t13_ann_ivf" -> QueryDef(
+      (spark, dir) => {
+        val emb = t(spark, dir, "embeddings")
+        // centroid k: same LCG family as the LSH planes, salted by k+100
+        def centSql(k: Int): String =
+          s"transform(sequence(1, 64), d -> ${planeSql(k + 100, "d")})"
+        val cdots = (1 to 8)
+          .map(k => dotSql("embedding", s"(${centSql(k)})"))
+          .mkString("array(", ", ", ")")
+        val assigned = emb
+          .withColumn("cdots", expr(cdots))
+          .withColumn("cell",
+            expr("array_position(cdots, array_max(cdots))").cast("int"))
+          .localCheckpoint() // 8 centroid dots computed once, reused by q + join
+        val q = assigned.filter(col("vec_id") === 0)
+          .select(col("embedding").as("q_emb"),
+            expr("array_position(cdots, array_max(cdots))").cast("int").as("p1"),
+            expr("array_position(cdots, element_at(array_sort(cdots), 7))")
+              .cast("int").as("p2"))
+        assigned.join(broadcast(q),
+            col("cell") === col("p1") || col("cell") === col("p2"))
+          .filter(col("vec_id") =!= 0)
+          .withColumn("dot", expr(dotSql("embedding", "q_emb")))
+          .withColumn("na", expr(dotSql("embedding", "embedding")))
+          .withColumn("nq", expr(dotSql("q_emb", "q_emb")))
+          .select(col("vec_id"), col("label"), col("cell"),
+            (col("dot").cast("double") /
+              (sqrt(col("na").cast("double")) * sqrt(col("nq").cast("double"))))
+              .as("cosine"))
+          .orderBy(col("cosine").desc, col("vec_id"))
+          .limit(10)
+      },
+      Some({
+        def centList(k: Int): String =
+          s"list_transform(range(1, 65), d -> ${planeSql(k + 100, "d")})"
+        val cdots = (1 to 8)
+          .map(k => dotDuck("embedding", s"(${centList(k)})"))
+          .mkString("[", ", ", "]")
+        s"""WITH assigned AS (
+           |  SELECT vec_id, label, embedding, cdots,
+           |    CAST(list_position(cdots, list_max(cdots)) AS INTEGER) AS cell
+           |  FROM (SELECT vec_id, label, embedding, $cdots AS cdots FROM embeddings)),
+           |q AS (
+           |  SELECT embedding AS q_emb,
+           |    CAST(list_position(cdots, list_max(cdots)) AS INTEGER) AS p1,
+           |    CAST(list_position(cdots, list_sort(cdots)[7]) AS INTEGER) AS p2
+           |  FROM assigned WHERE vec_id = 0)
+           |SELECT a.vec_id, a.label, a.cell,
+           |  ${dotDuck("a.embedding", "q.q_emb")}
+           |  / (sqrt(${dotDuck("a.embedding", "a.embedding")})
+           |     * sqrt(${dotDuck("q.q_emb", "q.q_emb")})) AS cosine
+           |FROM assigned a JOIN q ON a.cell IN (q.p1, q.p2)
+           |WHERE a.vec_id <> 0
+           |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
       }))
   )
 }
