@@ -68,6 +68,50 @@ object Multimodal {
              |  CASE length(text) % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
              |       ELSE 'webp' END AS fmt,
              |  md5(substr(text, 1, 32)) AS frame_hash
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Frame sampling + resize: 4 evenly-spaced 16-byte "frames" per
+    // payload, each signed, plus halved (resized) dimensions. One input
+    // row fans out to 4 frame rows inside the partition iterator — the
+    // shape of a real video frame-sampler (decoder init once per
+    // partition, frames emitted streaming, no driver involvement).
+    "t14_multimodal_frames" -> QueryDef(
+      (spark, dir) => {
+        import spark.implicits._
+        val media = Tables.t(spark, dir, "documents")
+          .select(col("doc_id"), col("text").cast("binary").as("content"))
+          .as[MediaRow]
+        media.mapPartitions { batch =>
+          batch.flatMap(frameSampleStub)
+        }.toDF()
+          .orderBy("doc_id", "frame_no")
+      },
+      Some("""SELECT doc_id, f.frame_no,
+             |  md5(substr(text, f.frame_no * greatest(length(text) // 4, 1) + 1, 16)) AS frame_sig,
+             |  CAST((length(text) % 640) // 2 AS INTEGER) AS resized_w,
+             |  CAST(((length(text) * 7) % 480) // 2 AS INTEGER) AS resized_h
+             |FROM documents,
+             |  (SELECT unnest(range(0, 4)) AS frame_no) f
+             |ORDER BY doc_id, frame_no""".stripMargin))
   )
+
+  /** Frame row emitted by the sampler stub. */
+  final case class Frame(doc_id: Long, frame_no: Int, frame_sig: String,
+      resized_w: Int, resized_h: Int)
+
+  /** STUB frame sampler + resizer — 4 evenly spaced 16-byte windows stand
+    * in for decoded video frames; dimension halving stands in for resize. */
+  def frameSampleStub(r: MediaRow): Seq[Frame] = {
+    val n = r.content.length
+    val step = math.max(n / 4, 1)
+    val digest = MessageDigest.getInstance("MD5")
+    (0 until 4).map { f =>
+      val off = f * step
+      val frame =
+        if (off >= n) Array.empty[Byte]
+        else r.content.slice(off, math.min(off + 16, n))
+      val sig = digest.digest(frame).map("%02x".format(_)).mkString
+      Frame(r.doc_id, f, sig, (n % 640) / 2, ((n.toLong * 7) % 480).toInt / 2)
+    }
+  }
 }
