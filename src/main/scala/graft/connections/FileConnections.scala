@@ -24,12 +24,17 @@ final class ParquetConnection(ctx: ConnContext) extends Connection(ctx) {
   * PERMISSIVE mode; header on both directions like DuckDB COPY. */
 final class CsvConnection(ctx: ConnContext) extends Connection(ctx) {
   override def tap(query: Option[String], limit: Option[Int]): DataFrame = {
-    val raw = spark.read
+    // Declared `fields` skip schema inference — at scale, inference is a
+    // full extra pass over the data (the reference's `columns=` read
+    // option serves the same purpose, rest/common.py:70-79).
+    val reader = spark.read
       .option("header", "true")
-      .option("inferSchema", "true")
       .option("mode", "PERMISSIVE")
       .options(passthroughOptions)
-      .csv(path)
+    val raw =
+      if (conn.fields.nonEmpty)
+        reader.schema(SchemaUtil.toStruct(conn.fields)).csv(path)
+      else reader.option("inferSchema", "true").csv(path)
     finishTap(raw, query, limit)
   }
 
@@ -44,10 +49,14 @@ final class CsvConnection(ctx: ConnContext) extends Connection(ctx) {
 final class JsonConnection(ctx: ConnContext) extends Connection(ctx) {
   override def tap(query: Option[String], limit: Option[Int]): DataFrame = {
     val lines = conn.str("format").contains("lines")
-    val raw = spark.read
+    val reader = spark.read
       .option("multiLine", (!lines).toString)
       .options(passthroughOptions)
-      .json(path)
+    // declared fields skip the schema-inference pass (see CsvConnection)
+    val raw =
+      if (conn.fields.nonEmpty)
+        reader.schema(SchemaUtil.toStruct(conn.fields)).json(path)
+      else reader.json(path)
     finishTap(raw, query, limit)
   }
 

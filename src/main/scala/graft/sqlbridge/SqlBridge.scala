@@ -60,9 +60,53 @@ object SqlBridge {
       spark: Option[SparkSession] = None): String = {
     var out = FnTableMacros.expand(sql, spark)
     out = FnMacros.expand(out)
+    out = rewriteStrftime(out)
+    out = rewriteExclude(out)
     out = swapIdentifiersAndFunctions(out, names)
     out = rewriteQualify(out)
     out
+  }
+
+  /** DuckDB `* EXCLUDE (a, b)` / `* EXCLUDE a` star modifier → Spark
+    * `* EXCEPT (...)` (SURVEY §2.9). */
+  def rewriteExclude(sql: String): String = {
+    val paren = "(?i)\\bEXCLUDE\\s*\\(".r
+      .replaceAllIn(sql, "EXCEPT (")
+    "(?i)\\bEXCLUDE\\s+([A-Za-z_][A-Za-z0-9_]*)".r
+      .replaceAllIn(paren, m => s"EXCEPT (${m.group(1)})")
+  }
+
+  /** DuckDB strftime/strptime with a literal `%`-pattern (either argument
+    * order — DuckDB accepts both) → Spark date_format/to_timestamp with
+    * the Java pattern. Unsupported tokens (e.g. ISO %V/%u, which have no
+    * Java equivalent) are left untranslated for Spark to reject loudly. */
+  def rewriteStrftime(sql: String): String = {
+    val call = "(?i)\\b(strftime|strptime)\\s*\\(([^()]*)\\)".r
+    call.replaceAllIn(sql, m => {
+      val fn = m.group(1).toLowerCase
+      val args = m.group(2).split(",", 2).map(_.trim)
+      val out =
+        if (args.length != 2) m.group(0)
+        else {
+          val litPat = "^'(.*)'$".r
+          (args(0), args(1)) match {
+            case (litPat(p), other) if p.contains("%") =>
+              convertOrKeep(fn, other, p, m.group(0))
+            case (other, litPat(p)) if p.contains("%") =>
+              convertOrKeep(fn, other, p, m.group(0))
+            case _ => m.group(0)
+          }
+        }
+      java.util.regex.Matcher.quoteReplacement(out)
+    })
+  }
+
+  private def convertOrKeep(fn: String, value: String, pattern: String,
+      original: String): String = {
+    val java = FnMacros.toJavaPattern(pattern)
+    if (java.contains("%")) original // untranslatable token — pass through
+    else if (fn == "strftime") s"date_format($value, '$java')"
+    else s"to_timestamp($value, '$java')"
   }
 
   private def swapIdentifiersAndFunctions(sql: String, names: NameRegistry): String = {

@@ -153,6 +153,27 @@ class FlowSpec extends AnyFunSuite {
     assert(flow.df().count() == 5)
   }
 
+  test("CSV tap with declared fields skips inference and applies types") {
+    val dir = tmpDir()
+    spark.sql("SELECT 1 AS id, 'x' AS name UNION ALL SELECT 2, 'y'")
+      .write.option("header", "true").csv(s"$dir/c")
+    val yaml =
+      s"""
+         |- name: Typed
+         |  kind: tap
+         |  connection:
+         |    kind: CSV
+         |    locator: $dir/c
+         |    fields:
+         |      - {name: id, type: BIGINT}
+         |      - {name: name, type: VARCHAR}
+         |""".stripMargin
+    val df = Flow.runYaml(spark, yaml).df()
+    assert(df.schema.map(f => (f.name, f.dataType.simpleString)).toList ==
+      List(("id", "bigint"), ("name", "string")))
+    assert(df.count() == 2)
+  }
+
   test("skip_if gates execution; on_error continue proceeds") {
     val yaml =
       s"""

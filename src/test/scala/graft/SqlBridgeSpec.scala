@@ -102,4 +102,34 @@ class SqlBridgeSpec extends AnyFunSuite {
       == "SELECT * FROM (SELECT * FROM t) __limited LIMIT 5")
     assert(SqlBridge.limitWrap("q", None) == "q")
   }
+
+  test("EXCLUDE star modifier → EXCEPT (parenthesized and bare)") {
+    assert(SqlBridge.rewriteExclude("SELECT * EXCLUDE (a, b) FROM t")
+      == "SELECT * EXCEPT (a, b) FROM t")
+    assert(SqlBridge.rewriteExclude("SELECT * EXCLUDE secret FROM t")
+      == "SELECT * EXCEPT (secret) FROM t")
+    // runs through Spark end-to-end
+    val names = new NameRegistry
+    spark.sql("SELECT 1 AS a, 2 AS b, 3 AS c").createOrReplaceTempView("excl_t")
+    val df = spark.sql(SqlBridge.translate(
+      "SELECT * EXCLUDE (b) FROM excl_t", names))
+    assert(df.columns.toList == List("a", "c"))
+  }
+
+  test("strftime/strptime literal patterns translate (both arg orders)") {
+    assert(SqlBridge.rewriteStrftime("SELECT strftime(ts, '%Y-%m') FROM t")
+      == "SELECT date_format(ts, 'yyyy-MM') FROM t")
+    assert(SqlBridge.rewriteStrftime("SELECT strftime('%Y', o_orderdate) FROM t")
+      == "SELECT date_format(o_orderdate, 'yyyy') FROM t")
+    assert(SqlBridge.rewriteStrftime("SELECT strptime(s, '%Y-%m-%d') FROM t")
+      == "SELECT to_timestamp(s, 'yyyy-MM-dd') FROM t")
+    // untranslatable ISO token passes through untouched
+    val iso = "SELECT strftime('%V', d) FROM t"
+    assert(SqlBridge.rewriteStrftime(iso) == iso)
+    // end-to-end value check
+    val r = spark.sql(SqlBridge.translate(
+      "SELECT strftime(TIMESTAMP '2026-03-07 10:00:00', '%Y/%m/%d') AS s",
+      new NameRegistry)).collect()(0)
+    assert(r.getString(0) == "2026/03/07")
+  }
 }
