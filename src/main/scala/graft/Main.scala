@@ -15,13 +15,14 @@ import graft.model.Stages
   * from env: GRAFT_BUCKET, GRAFT_DATA_PREFIX (cli.py:37-55).
   */
 object Main {
-  def main(args: Array[String]): Unit = {
-    if (args.isEmpty) {
-      System.err.println(
-        "usage: graft <pipeline.yaml> [-c k=v ...] [-v k=v ...] [-o fmt path]")
-      sys.exit(2)
-    }
-    val yamlPath = args(0)
+
+  final case class CliArgs(yamlPath: String,
+      context: Map[String, Any], variables: mutable.Map[String, Any],
+      output: Option[(String, String)])
+
+  def parseArgs(args: Array[String]): CliArgs = {
+    require(args.nonEmpty,
+      "usage: graft <pipeline.yaml> [-c k=v ...] [-v k=v ...] [-o fmt path]")
     val context = mutable.Map[String, Any]()
     val variables = mutable.Map[String, Any]()
     var output: Option[(String, String)] = None
@@ -39,11 +40,36 @@ object Main {
         case "-o" =>
           output = Some((args(i + 1), args(i + 2)))
           i += 3
-        case other =>
-          System.err.println(s"unknown argument: $other")
-          sys.exit(2)
+        case other => sys.error(s"unknown argument: $other")
       }
     }
+    CliArgs(args(0), context.toMap, variables, output)
+  }
+
+  /** Session-independent core: run the pipeline, write the -o output,
+    * return the flow (testable without owning the session lifecycle). */
+  def run(spark: SparkSession, cli: CliArgs, cfg: FlowConfig): Flow = {
+    val flow = new Flow(spark, Stages.loadFile(cli.yamlPath), cli.context,
+      cfg, cli.variables).run()
+    cli.output.foreach { case (fmt, path) =>
+      val df = flow.df()
+      fmt match {
+        case "parquet" => df.write.mode("overwrite").parquet(path)
+        case "csv" => df.write.mode("overwrite").option("header", "true").csv(path)
+        case "json" => df.write.mode("overwrite").json(path)
+        case other => sys.error(s"unknown output format: $other")
+      }
+      println(s"wrote ${fmt} output to $path")
+    }
+    flow
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cli =
+      try parseArgs(args)
+      catch {
+        case e: Exception => System.err.println(e.getMessage); sys.exit(2)
+      }
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName("graft")
@@ -57,19 +83,7 @@ object Main {
     val cfg = FlowConfig(
       bucket = sys.env.get("GRAFT_BUCKET"),
       dataPrefix = sys.env.get("GRAFT_DATA_PREFIX"))
-    try {
-      val flow = new Flow(spark, Stages.loadFile(yamlPath), context.toMap,
-        cfg, variables).run()
-      output.foreach { case (fmt, path) =>
-        val df = flow.df()
-        fmt match {
-          case "parquet" => df.write.mode("overwrite").parquet(path)
-          case "csv" => df.write.mode("overwrite").option("header", "true").csv(path)
-          case "json" => df.write.mode("overwrite").json(path)
-          case other => sys.error(s"unknown output format: $other")
-        }
-        println(s"wrote ${fmt} output to $path")
-      }
-    } finally spark.stop()
+    try run(spark, cli, cfg)
+    finally spark.stop()
   }
 }

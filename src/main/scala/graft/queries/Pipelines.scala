@@ -231,7 +231,13 @@ object Pipelines {
              |  connection: {kind: CSV, locator: $tmp}
              |- name: ReadCsv
              |  kind: tap
-             |  connection: {kind: CSV, locator: $tmp}
+             |  connection:
+             |    kind: CSV
+             |    locator: $tmp
+             |    fields:
+             |      - {name: l_orderkey, type: BIGINT}
+             |      - {name: l_returnflag, type: VARCHAR}
+             |      - {name: l_quantity, type: DOUBLE}
              |- name: Final
              |  kind: transform
              |  query: >
