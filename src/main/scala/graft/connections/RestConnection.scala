@@ -48,10 +48,12 @@ final class RestConnection(ctx: ConnContext) extends Connection(ctx) {
     var rateWait = 1.0
     var attempt = 0
     var authRetried = false
+    var digestHeader: Option[String] = None
     while (true) {
       val builder = HttpRequest.newBuilder().uri(URI.create(url))
-      // oauth2 headers are re-resolved per attempt (token may refresh)
-      (headers ++ oauthHeaders).foreach { case (k, v) => builder.header(k, v) }
+      // oauth2/digest headers are re-resolved per attempt
+      (headers ++ oauthHeaders ++ digestHeader.map("Authorization" -> _))
+        .foreach { case (k, v) => builder.header(k, v) }
       val req = method.toUpperCase match {
         case "GET" => builder.GET().build()
         case "POST" => builder
@@ -86,6 +88,14 @@ final class RestConnection(ctx: ConnContext) extends Connection(ctx) {
           // (reference OAuth2Auth.auth_flow, rest/server.py:100-117)
           refreshTokens()
           authRetried = true
+        } else if (code == 401 && isDigest && digestHeader.isEmpty) {
+          val challenge = resp.headers().firstValue("WWW-Authenticate").orElse("")
+          if (!challenge.toLowerCase.startsWith("digest"))
+            sys.error(s"HTTP 401 from $url without a Digest challenge")
+          val u = URI.create(url)
+          val reqUri = u.getRawPath +
+            Option(u.getRawQuery).map("?" + _).getOrElse("")
+          digestHeader = Some(digestAnswer(challenge, method, reqUri))
         } else if (code >= 400 || errorStatusCodes.contains(code)) {
           sys.error(s"HTTP $code from $url: ${resp.body().take(500)}")
         } else {
@@ -140,9 +150,52 @@ final class RestConnection(ctx: ConnContext) extends Connection(ctx) {
         Map("Authorization" -> s"Bearer ${str(a, "token").getOrElse("")}")
       case "header" =>
         submap(a, "values").map { case (k, v) => k -> String.valueOf(v) }
+      case "digest" => Map.empty // challenge-driven; resolved in doRequest
       case "oauth2" => Map.empty // resolved per-attempt via oauthHeaders
       case other => sys.error(s"unsupported auth kind: $other")
     }
+  }
+
+  // ------------------------------------------------------------ Digest
+  // RFC 7616 (MD5) challenge-response (reference: DigestAuthShim over
+  // httpx.DigestAuth, rest/server.py:31-36): a 401 with WWW-Authenticate:
+  // Digest is answered once with the computed Authorization header.
+  private def isDigest: Boolean =
+    str(auth, "kind").exists(_.equalsIgnoreCase("digest"))
+
+  private var digestNc = 0
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Build the Authorization header for a Digest challenge. */
+  private def digestAnswer(challenge: String, method: String,
+      uri: String): String = {
+    def param(k: String): Option[String] =
+      (k + "=\"([^\"]*)\"").r.findFirstMatchIn(challenge).map(_.group(1))
+        .orElse((k + "=([^,\\s]+)").r.findFirstMatchIn(challenge).map(_.group(1)))
+    val realm = param("realm").getOrElse("")
+    val nonce = param("nonce").getOrElse(sys.error("digest challenge has no nonce"))
+    val qop = param("qop").map(_.split(",")(0).trim)
+    val opaque = param("opaque")
+    val user = str(auth, "username").getOrElse("")
+    val pass = str(auth, "password").getOrElse("")
+    val ha1 = md5hex(s"$user:$realm:$pass")
+    val ha2 = md5hex(s"${method.toUpperCase}:$uri")
+    digestNc += 1
+    val nc = f"$digestNc%08x"
+    val cnonce = md5hex(s"$nonce$digestNc") // deterministic client nonce
+    val response = qop match {
+      case Some(q) => md5hex(s"$ha1:$nonce:$nc:$cnonce:$q:$ha2")
+      case None => md5hex(s"$ha1:$nonce:$ha2")
+    }
+    val base = Seq(
+      s"""username="$user"""", s"""realm="$realm"""", s"""nonce="$nonce"""",
+      s"""uri="$uri"""", s"""response="$response"""")
+    val extra = qop.map(q => Seq(s"qop=$q", s"nc=$nc", s"""cnonce="$cnonce""""))
+      .getOrElse(Nil) ++ opaque.map(o => s"""opaque="$o"""").toSeq
+    "Digest " + (base ++ extra).mkString(", ")
   }
 
   // ------------------------------------------------------------ OAuth2

@@ -242,6 +242,40 @@ class RestSpec extends AnyFunSuite {
     }
   }
 
+  test("digest auth: 401 challenge answered with valid RFC 7616 response") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val realm = "graft@test"
+    val nonce = "abc123nonce"
+    withServer(Map("/secure" -> (ex => {
+      Option(ex.getRequestHeaders.getFirst("Authorization")) match {
+        case Some(authz) if authz.startsWith("Digest ") =>
+          // verify the client's response hash server-side
+          def p(k: String) = (k + "=\"([^\"]*)\"").r.findFirstMatchIn(authz)
+            .map(_.group(1))
+            .orElse((k + "=([^,\\s]+)").r.findFirstMatchIn(authz).map(_.group(1)))
+          val ha1 = md5hex(s"alice:$realm:secret")
+          val ha2 = md5hex("GET:/secure")
+          val expected = md5hex(
+            s"$ha1:$nonce:${p("nc").get}:${p("cnonce").get}:auth:$ha2")
+          if (p("response").contains(expected)) (200, """[{"ok":1}]""")
+          else (403, "{}")
+        case _ =>
+          ex.getResponseHeaders.set("WWW-Authenticate",
+            s"""Digest realm="$realm", nonce="$nonce", qop="auth"""")
+          (401, "{}")
+      }
+    }))) { port =>
+      val df = restConn(port,
+        Map("auth" -> Map("kind" -> "digest",
+          "username" -> "alice", "password" -> "secret")),
+        Map("endpoint" -> "/secure", "method" -> "get",
+          "response" -> Map.empty[String, Any])).tap(None, None)
+      assert(df.count() == 1)
+    }
+  }
+
   test("declared fields stabilize an empty response") {
     withServer(Map("/empty" -> (_ => (200, """[]""")))) { port =>
       val conn = new RestConnection(ConnContext(SparkSuite.spark,
