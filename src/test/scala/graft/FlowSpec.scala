@@ -271,6 +271,22 @@ class FlowSpec extends AnyFunSuite {
     assert(vars.contains("genq_success"))
   }
 
+  test("Fn.columns table macro lists a stage's schema") {
+    val yaml =
+      s"""
+         |- name: Nations
+         |  kind: tap
+         |  connection: {kind: Parquet, locator: $sf/nation.parquet}
+         |- name: Schema
+         |  kind: transform
+         |  query: SELECT * FROM Fn.columns('Nations') ORDER BY column_name
+         |""".stripMargin
+    val df = Flow.runYaml(spark, yaml).df()
+    assert(df.columns.toList == List("column_name", "data_type"))
+    assert(df.collect().map(_.getString(0)).toSet ==
+      Set("n_nationkey", "n_name", "n_regionkey"))
+  }
+
   test("Fn.calendar works inside a transform") {
     val yaml =
       """

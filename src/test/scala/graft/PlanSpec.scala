@@ -60,6 +60,57 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
   }
 
+  test("partitioned delta-style table prunes partitions on read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_returnflag", "l_quantity")
+    li.write.partitionBy("l_returnflag").parquet(s"$dir/t")
+    val read = spark.read.parquet(s"$dir/t")
+      .filter(org.apache.spark.sql.functions.col("l_returnflag") === "R")
+    val p = read.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters"), "partition filter must reach the scan")
+    assert("PartitionFilters: \\[[^\\]]*l_returnflag".r.findFirstIn(p).isDefined,
+      "l_returnflag must be a partition filter, not a data filter")
+  }
+
+  test("bucketed tables join without an exchange (co-located shuffle-free join)") {
+    // The 100 TB story for repeated big-big joins: bucket both sides on
+    // the join key once, then every subsequent join skips the shuffle.
+    val s = spark
+    import org.apache.spark.sql.functions.col
+    s.sql("DROP TABLE IF EXISTS b_orders")
+    s.sql("DROP TABLE IF EXISTS b_lineitem")
+    // a previously-killed run can leave the managed location behind
+    Seq("b_orders", "b_lineitem").foreach { t =>
+      val loc = java.nio.file.Paths.get(s"spark-warehouse/$t")
+      if (java.nio.file.Files.exists(loc))
+        java.nio.file.Files.walk(loc)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.delete(f))
+    }
+    s.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("b_orders")
+    s.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("b_lineitem")
+    // at test SF the sides are broadcast-sized; disable broadcast so the
+    // plan shows the big-big shape this feature exists for
+    val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = s.table("b_lineitem")
+        .join(s.table("b_orders"), col("l_orderkey") === col("o_orderkey"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"))
+      assert(!p.contains("Exchange hashpartitioning"),
+        "bucketed join must not shuffle either side")
+      assert(p.contains("Bucketed: true"), "scan must use the bucket layout")
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("whole-stage codegen covers the relational hot paths") {
     // AQE finalizes the plan lazily; execute first, then inspect.
     val df = SparkEntry.queries("q01_agg_pricing")(spark, sf)
