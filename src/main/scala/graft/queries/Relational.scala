@@ -359,6 +359,36 @@ object Relational {
              |  ${fxSql("value")} AS sum_value
              |FROM events
              |GROUP BY CAST(ts AS DATE), event_type
-             |ORDER BY day, event_type""".stripMargin))
+             |ORDER BY day, event_type""".stripMargin)),
+
+    // ----------------------------------------------------------------- q16
+    // AS-OF join (graft.operators.AsOf): each click matched to the user's
+    // latest prior-or-simultaneous purchase. The oracle is DuckDB's
+    // NATIVE ASOF JOIN — the Spark side composes the same semantics as a
+    // single-pass window (see AsOf scaladoc for the scale rationale).
+    // Purchases are deduped per (user, ts) so ties are deterministic in
+    // both engines.
+    "q16_asof_join" -> QueryDef(
+      (spark, dir) => {
+        val ev = t(spark, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .groupBy("user_id", "ts").agg(max("event_id").as("p_event_id"))
+        graft.operators.AsOf.join(clicks, purchases, Seq("user_id"),
+            "ts", "ts", Seq("p_event_id"))
+          .select(col("event_id"), col("user_id"),
+            col("asof_p_event_id").as("matched_purchase"))
+          .orderBy("event_id")
+      },
+      Some("""WITH clicks AS (
+             |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+             |purchases AS (
+             |  SELECT user_id, ts, MAX(event_id) AS p_event_id
+             |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+             |SELECT c.event_id, c.user_id, p.p_event_id AS matched_purchase
+             |FROM clicks c ASOF LEFT JOIN purchases p
+             |  ON c.user_id = p.user_id AND c.ts >= p.ts
+             |ORDER BY event_id""".stripMargin))
   )
 }

@@ -1,0 +1,38 @@
+package graft
+
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.AsOf
+
+class AsOfSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.spark
+
+  private def ts(m: Int) = Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+
+  test("as-of semantics: latest ≤, ties match, no-match is null, keys isolate") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 100L, ts(10)), // after r1 and r2 → matches r2 (latest ≤)
+      (2L, 100L, ts(5)),  // equal to r2's time → tie matches r2
+      (3L, 100L, ts(1)),  // before all right rows → null
+      (4L, 200L, ts(30))  // other key: matches only key-200 rows
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      (10L, 100L, ts(2)),  // r1
+      (20L, 100L, ts(5)),  // r2
+      (30L, 200L, ts(20)), // r3
+      (40L, 300L, ts(0))   // unrelated key
+    ).toDF("rid", "k", "rt")
+
+    val out = AsOf.join(left, right, Seq("k"), "t", "rt", Seq("rid"))
+      .orderBy("id")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(3)).map(_.asInstanceOf[Long])))
+
+    assert(out.toList == List(
+      (1L, Some(20L)),
+      (2L, Some(20L)),
+      (3L, None),
+      (4L, Some(30L))))
+  }
+}
