@@ -389,6 +389,49 @@ object Relational {
              |SELECT c.event_id, c.user_id, p.p_event_id AS matched_purchase
              |FROM clicks c ASOF LEFT JOIN purchases p
              |  ON c.user_id = p.user_id AND c.ts >= p.ts
-             |ORDER BY event_id""".stripMargin))
+             |ORDER BY event_id""".stripMargin)),
+
+    // ----------------------------------------------------------------- q17
+    // Exact interpolated quantiles: Spark percentile ≡ DuckDB
+    // quantile_cont (same sorted-interpolation definition → bit-identical
+    // doubles, verified at sf0.01). The at-scale variant is
+    // percentile_approx (t-digest), which trades the full sort for a
+    // mergeable sketch — different algorithm than DuckDB's, so the exact
+    // form is what the cross-engine gate pins.
+    "q17_quantiles" -> QueryDef(
+      (spark, dir) => {
+        Tables.registerAll(spark, dir)
+        spark.sql("""
+          |SELECT event_type,
+          |  percentile(value, 0.25) AS q25,
+          |  percentile(value, 0.5)  AS q50,
+          |  percentile(value, 0.75) AS q75
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+      },
+      Some("""SELECT event_type,
+             |  quantile_cont(value, 0.25) AS q25,
+             |  quantile_cont(value, 0.5)  AS q50,
+             |  quantile_cont(value, 0.75) AS q75
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ----------------------------------------------------------------- q18
+    // Multiple DISTINCT aggregates in one pass (Catalyst Expand: each row
+    // fans out per distinct group — one shuffle, not one job per column).
+    "q18_count_distinct" -> QueryDef(
+      (spark, dir) =>
+        t(spark, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            countDistinct(col("l_partkey")).as("n_parts"),
+            countDistinct(col("l_suppkey")).as("n_supps"),
+            countDistinct(col("l_orderkey")).as("n_orders"),
+            count(lit(1)).as("n_rows"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  COUNT(DISTINCT l_partkey) AS n_parts,
+             |  COUNT(DISTINCT l_suppkey) AS n_supps,
+             |  COUNT(DISTINCT l_orderkey) AS n_orders,
+             |  COUNT(*) AS n_rows
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
   )
 }
