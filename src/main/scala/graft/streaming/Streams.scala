@@ -92,4 +92,18 @@ object Streams {
   def fromParquetDir(spark: SparkSession, dir: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.readStream.schema(schema).parquet(dir)
+
+  /** Ingest-time exact dedup on a content digest: duplicates arriving
+    * within the watermark of the first copy are dropped; digest state is
+    * evicted once the watermark passes (bounded memory — a plain
+    * dropDuplicates would keep every digest forever). The streaming twin
+    * of the batch t01 dedup: same md5-digest key, so only 16-byte hashes
+    * enter the state store, never document bodies. */
+  def streamingDedup(docs: DataFrame, timeCol: String, contentCol: String,
+      watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("__digest", md5(col(contentCol).cast("binary")))
+      .withWatermark(timeCol, watermark)
+      .dropDuplicatesWithinWatermark("__digest")
+      .drop("__digest")
 }

@@ -61,6 +61,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops in-watermark duplicates across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    final case class Doc(ts: Timestamp, text: String)
+    val input = MemoryStream[(Timestamp, String)]
+    val q = Streams.streamingDedup(
+        input.toDF().toDF("ts", "text"), "ts", "text", "1 hour")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((ts(0), "alpha"), (ts(1), "alpha"), (ts(2), "beta"))
+      q.processAllAvailable()
+      // second batch: duplicate of alpha arrives again within watermark
+      input.addData((ts(5), "alpha"), (ts(6), "gamma"))
+      q.processAllAvailable()
+      val texts = spark.table("dedup_stream").select("text")
+        .collect().map(_.getString(0)).sorted.toList
+      assert(texts == List("alpha", "beta", "gamma"))
+    } finally q.stop()
+  }
+
   test("file-source stream over the events fixture directory") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
     val batch = graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
