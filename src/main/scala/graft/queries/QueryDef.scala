@@ -18,9 +18,19 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Memoized per (session, dir, table): `spark.read.parquet` re-lists the
+    * directory and re-reads footers on every call, which across 40+ bench
+    * queries is pure fixed overhead. DataFrames are immutable plans, so
+    * reuse is safe. */
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") events(spark, dir)
-    else spark.read.parquet(s"$dir/$name.parquet")
+    cache.computeIfAbsent(
+      (System.identityHashCode(spark), dir, name), { _ =>
+        if (name == "events") events(spark, dir)
+        else spark.read.parquet(s"$dir/$name.parquet")
+      })
 
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
     * rejects. Read it as a long (legacy conf) and truncate ns→µs exactly as
