@@ -25,12 +25,14 @@ object Tables {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
 
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark) // idempotent
     cache.computeIfAbsent(
       (System.identityHashCode(spark), dir, name), { _ =>
         if (name == "events") events(spark, dir)
         else spark.read.parquet(s"$dir/$name.parquet")
       })
+  }
 
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
     * rejects. Read it as a long (legacy conf) and truncate ns→µs exactly as

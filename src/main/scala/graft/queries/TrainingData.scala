@@ -59,13 +59,14 @@ object TrainingData {
   private def planeSql(j: Int, d: String): String =
     s"(((CAST($j AS BIGINT) * 1103515245 + CAST($d AS BIGINT) * 12345) % 32768) / 32768.0 - 0.5)"
 
-  /** Dot product of two float arrays as a sequential left fold over the
-    * array order — Spark's aggregate() and DuckDB's list_reduce() fold in
-    * the same order, so the double result is bit-identical across engines
-    * (unordered SUM would not be). */
+  /** Dot product of two float arrays: the native codegen'd
+    * [[graft.functions.FloatDot]] expression (registered per-session in
+    * Tables.t). Same ascending-index left fold and double widening as the
+    * composed aggregate(zip_with(...)) form and DuckDB's list_reduce —
+    * bit-identical doubles across engines — but 3.1× faster (DotLab:
+    * 0.16s vs 0.50s over ~600k pairs at sf0.1). */
   private def dotSql(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), " +
-      s"cast(0.0 as double), (acc, v) -> acc + v)"
+    s"float_dot($a, $b)"
 
   /** DuckDB twin of [[dotSql]] (64 dims). */
   private def dotDuck(a: String, b: String): String =
