@@ -134,6 +134,33 @@ class FlowSpec extends AnyFunSuite {
     assert(spark.table("Read_Delta").count() == 25)
   }
 
+  test("delta sink with partition columns lays out hive-style dirs") {
+    val dir = tmpDir()
+    val yaml =
+      s"""
+         |- name: Orders
+         |  kind: tap
+         |  connection: {kind: Parquet, locator: $sf/orders.parquet}
+         |  query: SELECT o_orderkey, o_orderstatus, o_totalprice FROM Parquet
+         |- name: Out
+         |  kind: sink
+         |  connection:
+         |    kind: Deltatable
+         |    locator: $dir/t
+         |    data_mode: overwrite
+         |    partition: [o_orderstatus]
+         |""".stripMargin
+    Flow.runYaml(spark, yaml)
+    val parts = new java.io.File(s"$dir/t").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(parts.forall(_.startsWith("o_orderstatus=")))
+    assert(parts.length >= 2, "expected one dir per status value")
+    // read back with a partition filter → pruned scan
+    val read = spark.read.parquet(s"$dir/t")
+      .filter(org.apache.spark.sql.functions.col("o_orderstatus") === "O")
+    assert(read.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+  }
+
   test("variable sink and tap round trip") {
     val yaml =
       s"""
