@@ -26,8 +26,14 @@ final class DeltaConnection(ctx: ConnContext) extends Connection(ctx) {
 
   private def exists: Boolean = {
     val p = Paths.get(path)
-    Files.exists(p) && Files.isDirectory(p) &&
-      Files.list(p).anyMatch(f => f.toString.endsWith(".parquet"))
+    if (!Files.exists(p) || !Files.isDirectory(p)) false
+    else {
+      // walk recursively: a partitioned sink lays out hive-style subdirs
+      // (path/col=v/part-*.parquet) with no top-level parquet files
+      val stream = Files.walk(p)
+      try stream.anyMatch(f => f.toString.endsWith(".parquet"))
+      finally stream.close()
+    }
   }
 
   private def emptyWithSchema: DataFrame = {
@@ -103,8 +109,13 @@ final class DeltaConnection(ctx: ConnContext) extends Connection(ctx) {
   private def deleteRecursively(p: String): Unit = {
     val root = Paths.get(p)
     if (Files.exists(root)) {
-      Files.walk(root).sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.delete(f))
+      // collect before deleting — the walk stream holds directory handles
+      val stream = Files.walk(root)
+      val all =
+        try stream.sorted(java.util.Comparator.reverseOrder())
+          .collect(java.util.stream.Collectors.toList[java.nio.file.Path])
+        finally stream.close()
+      all.forEach(f => Files.delete(f))
     }
   }
 }

@@ -34,20 +34,34 @@ object ClickhouseLocate {
   * surviving rows cross the wire — the reference's one genuine pushdown,
   * preserved because it matters even more at 100 TB. */
 object RemoteRank {
+  import graft.sqlbridge.SqlText._
+
   def apply(query: String, selectable: String, version: Option[String],
       keys: Seq[String]): String = {
     val swapped = SqlBridge.swapFromTable(query, selectable)
     (version, keys) match {
       case (Some(v), ks) if ks.nonEmpty =>
-        val selectList = {
-          val fromIdx = "(?i)\\bfrom\\b".r.findFirstMatchIn(swapped)
-            .getOrElse(sys.error("query has no FROM")).start
-          swapped.substring(0, fromIdx).trim.stripPrefix("SELECT").stripPrefix("select")
+        // token-based split at the TOP-LEVEL FROM (a regex would hit the
+        // `from` inside e.g. extract(month from dt) or a string literal)
+        val toks = tokenize(swapped)
+        var depth = 0
+        var selIdx = -1
+        var fromIdx = -1
+        toks.zipWithIndex.foreach { case (t, i) =>
+          t match {
+            case Sym("(") => depth += 1
+            case Sym(")") => depth -= 1
+            case w: Word if depth == 0 && selIdx < 0 &&
+              w.text.equalsIgnoreCase("select") => selIdx = i
+            case w: Word if depth == 0 && fromIdx < 0 &&
+              w.text.equalsIgnoreCase("from") => fromIdx = i
+            case _ =>
+          }
         }
-        val rest = {
-          val fromIdx = "(?i)\\bfrom\\b".r.findFirstMatchIn(swapped).get.start
-          swapped.substring(fromIdx)
-        }
+        if (selIdx < 0 || fromIdx <= selIdx)
+          sys.error(s"cannot rank query without top-level SELECT ... FROM: $query")
+        val selectList = render(toks.slice(selIdx + 1, fromIdx)).trim
+        val rest = render(toks.slice(fromIdx, toks.length))
         val partition = ks.map(k => s""""$k"""").mkString(", ")
         s"""SELECT * FROM (SELECT $selectList, ROW_NUMBER() OVER (PARTITION BY $partition ORDER BY "$v" DESC) AS __rank__ $rest) AS ranked WHERE "__rank__" = 1"""
       case _ => swapped

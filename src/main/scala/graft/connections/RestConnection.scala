@@ -75,7 +75,10 @@ final class RestConnection(ctx: ConnContext) extends Connection(ctx) {
         }
       if (resp != null) {
         val code = resp.statusCode()
-        if (code == 429) {
+        if (errorStatusCodes.contains(code)) {
+          // listed codes fail fast, before any retry policy
+          sys.error(s"HTTP $code from $url: ${resp.body().take(500)}")
+        } else if (code == 429) {
           Thread.sleep((rateWait * 1000).toLong)
           rateWait *= 2 // doubles per retry (rest/server.py:369-374)
         } else if (code >= 500) {
@@ -345,14 +348,22 @@ final class RestConnection(ctx: ConnContext) extends Connection(ctx) {
         val throttle = str(handler, "throttle").map(_.toDouble)
         val totalLocator = str(handler, "total_records").getOrElse("")
         val inBody = str(handler, "param_locator").contains("body")
+        val bodyMap0: Map[String, Any] = request.get("body") match {
+          case Some(m: Map[_, _]) => m.map { case (k, v) => k.toString -> v }
+          case _ => Map.empty
+        }
         val all = mutable.ListBuffer[Any]()
-        var page = baseQuery.get(pageParam).map(String.valueOf(_).toInt).getOrElse(0)
+        // initial page comes from wherever the param lives (reference
+        // reads req.body[page_param] in body mode, rest/rest.py:65)
+        var page = (if (inBody) bodyMap0.get(pageParam)
+          else baseQuery.get(pageParam))
+          .map(String.valueOf(_).toInt).getOrElse(0)
         var continue = true
         while (continue) {
           val q = if (inBody) baseQuery else baseQuery + (pageParam -> page)
-          val b = if (inBody)
-            bodyTpl.map(t => Json.write(Json.parse(t).asInstanceOf[Map[String, Any]] +
-              (pageParam -> page)))
+          // body mode always sends a body so the page param advances even
+          // when no body template was configured
+          val b = if (inBody) Some(Json.write(bodyMap0 + (pageParam -> page)))
           else bodyTpl
           val body = doRequest(method, buildUrl(endpoint, q), headers, b,
             maxRetries, backoff)

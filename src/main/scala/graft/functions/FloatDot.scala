@@ -98,7 +98,10 @@ case class FloatDot(left: Expression, right: Expression)
 
 object GraftFunctions {
   /** Idempotent per-session registration of the native functions. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "float_dot", exprs => FloatDot(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_len", exprs => PolyLen(exprs.head), "built-in")
+  }
 }

@@ -30,29 +30,34 @@ object AsOf {
       leftTime: String, rightTime: String,
       carry: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
-    val l = left
+    // All carry columns ride in ONE struct: the struct is non-null for
+    // every right row (even when its fields are null), so
+    // last(ignoreNulls) matches exactly the latest prior right ROW —
+    // null payloads are carried as nulls (not skipped for an older row)
+    // and multi-column carries can never mix values from different rows.
+    val carryType = org.apache.spark.sql.types.StructType(
+      carry.map(c => org.apache.spark.sql.types.StructField(
+        c, right.schema(c).dataType, nullable = true)))
+    val lAll = left
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1))
-    val carryNulls = carry.foldLeft(l)((df, c) =>
-      df.withColumn(s"__carry_$c", lit(null).cast(right.schema(c).dataType)))
-    val r = right
+      .withColumn("__carry", lit(null).cast(carryType))
+      .select((leftCols ++ Seq("__t", "__side", "__carry")).map(col): _*)
+    val rAll = right
       .withColumn("__t", col(rightTime))
       .withColumn("__side", lit(0))
-    val rCarry = carry.foldLeft(r)((df, c) => df.withColumn(s"__carry_$c", col(c)))
-      .select((keys ++ Seq("__t", "__side") ++ carry.map(c => s"__carry_$c"))
-        .map(col): _*)
-    val lAll = carryNulls.select(
-      (leftCols ++ Seq("__t", "__side") ++ carry.map(c => s"__carry_$c")).map(col): _*)
+      .withColumn("__carry", struct(carry.map(col): _*))
+      .select((keys ++ Seq("__t", "__side", "__carry")).map(col): _*)
     // right rows sort before left rows at equal time → ties match (>=)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val unioned = lAll.unionByName(rCarry.select(lAll.columns.map(c =>
-      if (rCarry.columns.contains(c)) col(c) else lit(null).as(c)): _*))
-    val carried = carry.foldLeft(unioned)((df, c) =>
-      df.withColumn(s"__asof_$c", last(col(s"__carry_$c"), ignoreNulls = true).over(w)))
-    carried.filter(col("__side") === 1)
+    val unioned = lAll.unionByName(rAll.select(lAll.columns.map(c =>
+      if (rAll.columns.contains(c)) col(c) else lit(null).as(c)): _*))
+    unioned
+      .withColumn("__asof", last(col("__carry"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
       .select(leftCols.map(col) ++
-        carry.map(c => col(s"__asof_$c").as(s"asof_$c")): _*)
+        carry.map(c => col(s"__asof.$c").as(s"asof_$c")): _*)
   }
 }

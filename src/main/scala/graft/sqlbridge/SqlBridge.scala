@@ -48,7 +48,7 @@ object SqlBridge {
     "unnest" -> "explode",
     "generate_series" -> "sequence",
     "list_value" -> "array",
-    "len" -> "length",
+    "len" -> "graft_len", // polymorphic (string chars / list elements)
     "str_split" -> "split",
     "string_split" -> "split",
     "epoch_ms" -> "unix_millis",
@@ -58,6 +58,7 @@ object SqlBridge {
   /** Full translation of a transform/internal query. */
   def translate(sql: String, names: NameRegistry,
       spark: Option[SparkSession] = None): String = {
+    spark.foreach(graft.functions.GraftFunctions.register) // graft_len etc.
     var out = FnTableMacros.expand(sql, spark)
     out = FnMacros.expand(out)
     out = rewriteStrftime(out)
@@ -68,37 +69,83 @@ object SqlBridge {
   }
 
   /** DuckDB `* EXCLUDE (a, b)` / `* EXCLUDE a` star modifier → Spark
-    * `* EXCEPT (...)` (SURVEY §2.9). */
+    * `* EXCEPT (...)` (SURVEY §2.9). Token-based: only an EXCLUDE word
+    * following a `*` is a star modifier — string literals and columns
+    * that happen to be named exclude pass through untouched. */
   def rewriteExclude(sql: String): String = {
-    val paren = "(?i)\\bEXCLUDE\\s*\\(".r
-      .replaceAllIn(sql, "EXCEPT (")
-    "(?i)\\bEXCLUDE\\s+([A-Za-z_][A-Za-z0-9_]*)".r
-      .replaceAllIn(paren, m => s"EXCEPT (${m.group(1)})")
+    val toks = tokenize(sql)
+    def prevNonBlank(i: Int): Option[Tok] =
+      toks.take(i).reverseIterator.find {
+        case Sym(s) => s.trim.nonEmpty
+        case _ => true
+      }
+    def nextNonBlank(i: Int): Int = {
+      var j = i + 1
+      while (j < toks.length && toks(j).isInstanceOf[Sym] &&
+        toks(j).text.trim.isEmpty) j += 1
+      j
+    }
+    val out = new StringBuilder
+    var i = 0
+    while (i < toks.length) {
+      if (isWord(toks(i), "exclude") && prevNonBlank(i).contains(Sym("*"))) {
+        out.append("EXCEPT")
+        val j = nextNonBlank(i)
+        if (j < toks.length && toks(j).isInstanceOf[Word]) {
+          // bare column form → parenthesize
+          out.append(render(toks.slice(i + 1, j)))
+          out.append("(").append(toks(j).text).append(")")
+          i = j + 1
+        } else i += 1 // parenthesized form: keep the rest as-is
+      } else { out.append(toks(i).text); i += 1 }
+    }
+    out.toString
   }
 
   /** DuckDB strftime/strptime with a literal `%`-pattern (either argument
     * order — DuckDB accepts both) → Spark date_format/to_timestamp with
-    * the Java pattern. Unsupported tokens (e.g. ISO %V/%u, which have no
-    * Java equivalent) are left untranslated for Spark to reject loudly. */
+    * the Java pattern. Token-based so string literals containing the
+    * words are untouched. Unsupported tokens (e.g. ISO %V/%u, which have
+    * no Java equivalent) are left untranslated for Spark to reject
+    * loudly. */
   def rewriteStrftime(sql: String): String = {
-    val call = "(?i)\\b(strftime|strptime)\\s*\\(([^()]*)\\)".r
-    call.replaceAllIn(sql, m => {
-      val fn = m.group(1).toLowerCase
-      val args = m.group(2).split(",", 2).map(_.trim)
-      val out =
-        if (args.length != 2) m.group(0)
-        else {
-          val litPat = "^'(.*)'$".r
-          (args(0), args(1)) match {
-            case (litPat(p), other) if p.contains("%") =>
-              convertOrKeep(fn, other, p, m.group(0))
-            case (other, litPat(p)) if p.contains("%") =>
-              convertOrKeep(fn, other, p, m.group(0))
-            case _ => m.group(0)
+    val toks = tokenize(sql)
+    val out = new StringBuilder
+    var i = 0
+    while (i < toks.length) {
+      val isFn = isWord(toks(i), "strftime") || isWord(toks(i), "strptime")
+      var consumed = false
+      if (isFn) {
+        var j = i + 1
+        while (j < toks.length && toks(j).isInstanceOf[Sym] &&
+          toks(j).text.trim.isEmpty) j += 1
+        if (j < toks.length && toks(j) == Sym("(")) {
+          val close = matchParen(toks, j)
+          val args = splitArgs(toks.slice(j + 1, close)).map(render)
+          if (args.length == 2) {
+            val fn = toks(i).text.toLowerCase
+            val original = render(toks.slice(i, close + 1))
+            def lit(s: String): Option[String] =
+              if (s.length >= 2 && s.head == '\'' && s.last == '\'')
+                Some(s.substring(1, s.length - 1))
+              else None
+            // recurse into nested calls inside the value argument
+            val result = (lit(args(0)), lit(args(1))) match {
+              case (Some(p), _) if p.contains("%") =>
+                convertOrKeep(fn, rewriteStrftime(args(1)), p, original)
+              case (_, Some(p)) if p.contains("%") =>
+                convertOrKeep(fn, rewriteStrftime(args(0)), p, original)
+              case _ => original
+            }
+            out.append(result)
+            i = close + 1
+            consumed = true
           }
         }
-      java.util.regex.Matcher.quoteReplacement(out)
-    })
+      }
+      if (!consumed) { out.append(toks(i).text); i += 1 }
+    }
+    out.toString
   }
 
   private def convertOrKeep(fn: String, value: String, pattern: String,

@@ -122,7 +122,8 @@ object Renderer {
   final case class For(varName: String, iter: String, body: List[Node]) extends Node
 
   private object TemplateParser {
-    private val token = "(<<.*?>>|<%.*?%>|<#.*?#>)".r
+    // (?s): tokens may span lines (YAML block scalars wrap freely)
+    private val token = "(?s)(<<.*?>>|<%.*?%>|<#.*?#>)".r
 
     def parse(tpl: String): List[Node] = {
       // split into literal text and << >> / <% %> / <# #> tokens

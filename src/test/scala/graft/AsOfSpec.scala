@@ -35,4 +35,19 @@ class AsOfSpec extends AnyFunSuite {
       (3L, None),
       (4L, Some(30L))))
   }
+
+  test("null payload on the matched row carries as null, never an older row") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, ts(10))).toDF("id", "k", "t")
+    val right = Seq(
+      (100L, ts(2), Some(7L), Option.empty[Long]),  // x=7,  y=null
+      (100L, ts(5), Option.empty[Long], Some(9L))   // x=null, y=9 (latest)
+    ).toDF("k", "rt", "x", "y")
+    val r = AsOf.join(left, right, Seq("k"), "t", "rt", Seq("x", "y"))
+      .collect()(0)
+    // both carries come from the LATEST row (t=5): x is null there — the
+    // older row's x=7 must NOT leak in (no per-column tearing)
+    assert(r.isNullAt(r.fieldIndex("asof_x")))
+    assert(r.getLong(r.fieldIndex("asof_y")) == 9L)
+  }
 }

@@ -159,6 +159,16 @@ class FlowSpec extends AnyFunSuite {
     val read = spark.read.parquet(s"$dir/t")
       .filter(org.apache.spark.sql.functions.col("o_orderstatus") === "O")
     assert(read.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+    // the ENGINE path must also see the partitioned table (exists() walks
+    // subdirs — no top-level parquet files exist in this layout)
+    val tapBack =
+      s"""
+         |- name: Back
+         |  kind: tap
+         |  connection: {kind: Deltatable, locator: $dir/t}
+         |  query: select count(*) as n from Deltatable where o_orderstatus = 'O'
+         |""".stripMargin
+    assert(Flow.runYaml(spark, tapBack).df().collect()(0).getLong(0) > 0)
   }
 
   test("variable sink and tap round trip") {

@@ -74,6 +74,42 @@ class RestSpec extends AnyFunSuite {
     }
   }
 
+  test("pagination in body mode advances the page without a body template") {
+    val pagesSeen = scala.collection.mutable.ListBuffer[Int]()
+    withServer(Map("/bpaged" -> (ex => {
+      val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+      val page = "\"page\":(\\d+)".r.findFirstMatchIn(body)
+        .map(_.group(1).toInt).getOrElse(-1)
+      pagesSeen += page
+      if (page < 2) (200, """[{"id":1},{"id":2}]""")
+      else (200, """[{"id":9}]""")
+    }))) { port =>
+      val df = restConn(port, Map.empty, Map(
+        "endpoint" -> "/bpaged", "method" -> "post",
+        "response" -> Map("handler" -> Map("kind" -> "Pagination",
+          "page_param" -> "page", "page_size" -> 2, "increment" -> 1,
+          "param_locator" -> "body")))).tap(None, None)
+      assert(df.count() == 5)
+      assert(pagesSeen.toList == List(0, 1, 2), "page must advance in the body")
+    }
+  }
+
+  test("error_status_codes fails fast even for retryable codes") {
+    val calls = new AtomicInteger(0)
+    withServer(Map("/hard500" -> (_ => { calls.incrementAndGet(); (500, "{}") }))) {
+      port =>
+        val e = intercept[RuntimeException] {
+          restConn(port, Map.empty, Map(
+            "endpoint" -> "/hard500", "method" -> "get",
+            "max_retries" -> 5,
+            "errorhandler" -> Map("error_status_codes" -> List(500)),
+            "response" -> Map.empty[String, Any])).tap(None, None)
+        }
+        assert(e.getMessage.contains("500"))
+        assert(calls.get() == 1, "listed code must not retry")
+    }
+  }
+
   test("429 → wait and retry until success") {
     val calls = new AtomicInteger(0)
     withServer(Map("/flaky" -> (_ =>

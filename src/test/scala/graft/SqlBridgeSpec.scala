@@ -103,6 +103,34 @@ class SqlBridgeSpec extends AnyFunSuite {
     assert(SqlBridge.limitWrap("q", None) == "q")
   }
 
+  test("len() is polymorphic: string chars and list elements (graft_len)") {
+    val names = new NameRegistry
+    val sql = SqlBridge.translate(
+      "SELECT len('hello') AS a, len(string_split('x y z', ' ')) AS b",
+      names, Some(spark))
+    val r = spark.sql(sql).collect()(0)
+    assert(r.getLong(0) == 5L)
+    assert(r.getLong(1) == 3L)
+  }
+
+  test("rewrites leave string literals untouched") {
+    val lit1 = "SELECT 'codes to EXCLUDE here' AS note FROM t"
+    assert(SqlBridge.rewriteExclude(lit1) == lit1)
+    val lit2 = "SELECT 'call strftime(x, ''%Y'') later' AS doc FROM t"
+    assert(SqlBridge.rewriteStrftime(lit2) == lit2)
+    // a column merely named exclude is not a star modifier
+    val colUse = "SELECT exclude FROM t"
+    assert(SqlBridge.rewriteExclude(colUse) == colUse)
+  }
+
+  test("RemoteRank survives inner FROM keywords and mixed-case SELECT") {
+    val q = graft.connections.RemoteRank(
+      "Select extract(month from dt) AS m, v, ts, id FROM Clickhouse",
+      "\"db\".\"t\"", Some("ts"), Seq("id"))
+    assert(q.contains("SELECT extract(month from dt) AS m, v, ts, id, ROW_NUMBER()"))
+    assert(q.contains("FROM \"db\".\"t\""))
+  }
+
   test("EXCLUDE star modifier → EXCEPT (parenthesized and bare)") {
     assert(SqlBridge.rewriteExclude("SELECT * EXCLUDE (a, b) FROM t")
       == "SELECT * EXCEPT (a, b) FROM t")
