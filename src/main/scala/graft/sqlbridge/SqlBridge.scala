@@ -63,6 +63,7 @@ object SqlBridge {
     out = FnMacros.expand(out)
     out = rewriteStrftime(out)
     out = rewriteExclude(out)
+    out = rewriteUsingSample(out)
     out = swapIdentifiersAndFunctions(out, names)
     out = rewriteQualify(out)
     out
@@ -97,6 +98,49 @@ object SqlBridge {
           out.append("(").append(toks(j).text).append(")")
           i = j + 1
         } else i += 1 // parenthesized form: keep the rest as-is
+      } else { out.append(toks(i).text); i += 1 }
+    }
+    out.toString
+  }
+
+  /** DuckDB `USING SAMPLE n ROWS` / `USING SAMPLE p%` → Spark
+    * `TABLESAMPLE (n ROWS)` / `(p PERCENT)` (SURVEY §2.9; the reference
+    * generates these for previews, flow.py:68-73). Token-based pass. */
+  def rewriteUsingSample(sql: String): String = {
+    val toks = tokenize(sql)
+    val out = new StringBuilder
+    var i = 0
+    def nextNonBlank(j0: Int): Int = {
+      var j = j0
+      while (j < toks.length && toks(j).isInstanceOf[Sym] &&
+        toks(j).text.trim.isEmpty) j += 1
+      j
+    }
+    while (i < toks.length) {
+      val j = nextNonBlank(i + 1)
+      if (isWord(toks(i), "using") && j < toks.length && isWord(toks(j), "sample")) {
+        // digits tokenize as single-char Syms — collect the full number
+        var k = nextNonBlank(j + 1)
+        val amt = new StringBuilder
+        while (k < toks.length && toks(k).isInstanceOf[Sym] &&
+          toks(k).text.length == 1 &&
+          (toks(k).text(0).isDigit || toks(k).text == ".")) {
+          amt.append(toks(k).text); k += 1
+        }
+        if (amt.nonEmpty) {
+          val afterIdx = nextNonBlank(k)
+          if (afterIdx < toks.length && isWord(toks(afterIdx), "rows")) {
+            out.append(s"TABLESAMPLE ($amt ROWS)")
+            i = afterIdx + 1
+          } else if (afterIdx < toks.length && toks(afterIdx) == Sym("%")) {
+            out.append(s"TABLESAMPLE ($amt PERCENT)")
+            i = afterIdx + 1
+          } else {
+            // bare number = rows in DuckDB
+            out.append(s"TABLESAMPLE ($amt ROWS)")
+            i = k
+          }
+        } else { out.append(toks(i).text); i += 1 }
       } else { out.append(toks(i).text); i += 1 }
     }
     out.toString

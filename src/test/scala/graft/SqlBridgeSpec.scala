@@ -103,6 +103,19 @@ class SqlBridgeSpec extends AnyFunSuite {
     assert(SqlBridge.limitWrap("q", None) == "q")
   }
 
+  test("USING SAMPLE translates to TABLESAMPLE and runs") {
+    assert(SqlBridge.rewriteUsingSample("SELECT * FROM t USING SAMPLE 5 ROWS")
+      == "SELECT * FROM t TABLESAMPLE (5 ROWS)")
+    assert(SqlBridge.rewriteUsingSample("SELECT * FROM t USING SAMPLE 10%")
+      == "SELECT * FROM t TABLESAMPLE (10 PERCENT)")
+    assert(SqlBridge.rewriteUsingSample("SELECT * FROM t USING SAMPLE 7")
+      == "SELECT * FROM t TABLESAMPLE (7 ROWS)")
+    spark.sql("SELECT explode(sequence(1, 100)) AS v").createOrReplaceTempView("samp_t")
+    val n = spark.sql(SqlBridge.translate(
+      "SELECT * FROM samp_t USING SAMPLE 5 ROWS", new NameRegistry)).count()
+    assert(n == 5)
+  }
+
   test("len() is polymorphic: string chars and list elements (graft_len)") {
     val names = new NameRegistry
     val sql = SqlBridge.translate(
