@@ -112,4 +112,22 @@ class TemplateSpec extends AnyFunSuite {
     assert(Renderer.renderTyped("<< 5 > 3 and 1 == 1 >>", ctx()) == true)
     assert(Renderer.renderTyped("<< not (variables.x in [1, 2]) >>", ctx("x" -> 3L)) == true)
   }
+
+  test("API.error raises on truthy expr, renders empty otherwise") {
+    val e = intercept[RuntimeException] {
+      Renderer.render("<< API.error('true', 'boom') >>", ctx())
+    }
+    assert(e.getMessage.contains("boom"))
+    assert(Renderer.render("a<< API.error('false', 'boom') >>b", ctx()) == "ab")
+  }
+
+  test("API.int coerces, API.peek passes the value through") {
+    assert(Renderer.render("<< API.int('42') >>", ctx()) == "42")
+    assert(Renderer.render("<< API.peek(7) >>", ctx()) == "7")
+  }
+
+  test("tokens spanning lines render (YAML block scalars wrap freely)") {
+    assert(Renderer.render("<< 1 +\n   2 >>", ctx()) == "3")
+    assert(Renderer.render("<% if true\n%>yes<% endif %>", ctx()) == "yes")
+  }
 }
