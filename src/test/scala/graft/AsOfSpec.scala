@@ -36,6 +36,34 @@ class AsOfSpec extends AnyFunSuite {
       (4L, Some(30L))))
   }
 
+  test("randomized: matches a brute-force per-row reference (seeded)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260812L)
+    val leftRows = (1 to 300).map(i =>
+      (i.toLong, rnd.nextInt(10).toLong, ts(rnd.nextInt(60))))
+    val rightRows = (1 to 200).map(i =>
+      (1000L + i, rnd.nextInt(10).toLong, ts(rnd.nextInt(60))))
+    // dedupe right per (key, time): keep max rid (ambiguous ties otherwise)
+    val rightDedup = rightRows.groupBy(r => (r._2, r._3))
+      .map { case ((k, t), rs) => (rs.map(_._1).max, k, t) }.toSeq
+    val left = leftRows.toDF("id", "k", "t")
+    val right = rightDedup.toDF("rid", "k", "rt")
+
+    val got = AsOf.join(left, right, Seq("k"), "t", "rt", Seq("rid"))
+      .collect()
+      .map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long]))
+      .toMap
+
+    // brute force: latest right with rt <= t for the same key
+    leftRows.foreach { case (id, k, t) =>
+      val expect = rightDedup
+        .filter(r => r._2 == k && !r._3.after(t))
+        .sortBy(r => (r._3.getTime, r._1))
+        .lastOption.map(_._1)
+      assert(got(id) == expect, s"left id=$id k=$k t=$t")
+    }
+  }
+
   test("null payload on the matched row carries as null, never an older row") {
     import spark.implicits._
     val left = Seq((1L, 100L, ts(10))).toDF("id", "k", "t")
