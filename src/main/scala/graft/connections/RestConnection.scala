@@ -99,7 +99,7 @@ final class RestConnection(ctx: ConnContext) extends Connection(ctx) {
           val reqUri = u.getRawPath +
             Option(u.getRawQuery).map("?" + _).getOrElse("")
           digestHeader = Some(digestAnswer(challenge, method, reqUri))
-        } else if (code >= 400 || errorStatusCodes.contains(code)) {
+        } else if (code >= 400) { // listed errorStatusCodes already raised above
           sys.error(s"HTTP $code from $url: ${resp.body().take(500)}")
         } else {
           val b = resp.body()
@@ -350,7 +350,15 @@ final class RestConnection(ctx: ConnContext) extends Connection(ctx) {
         val inBody = str(handler, "param_locator").contains("body")
         val bodyMap0: Map[String, Any] = request.get("body") match {
           case Some(m: Map[_, _]) => m.map { case (k, v) => k.toString -> v }
-          case _ => Map.empty
+          case Some(s: String) => Json.parse(s) match {
+            // a templated JSON-string body is fine as long as it's an object
+            case m: Map[_, _] => m.map { case (k, v) => k.toString -> v }
+            case other => sys.error(
+              s"Pagination in body mode needs a JSON object body, got: $other")
+          }
+          case Some(other) => sys.error(
+            s"Pagination in body mode needs an object body, got: $other")
+          case None => Map.empty
         }
         val all = mutable.ListBuffer[Any]()
         // initial page comes from wherever the param lives (reference

@@ -18,7 +18,9 @@ case class PolyLen(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case StringType | BinaryType | _: ArrayType | _: MapType =>
+    // NullType: len(NULL) is NULL in DuckDB — the null-safe eval path
+    // returns null before the (never-reached) accessor dispatch
+    case StringType | BinaryType | _: ArrayType | _: MapType | NullType =>
       TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
       s"len requires a string, binary, array, or map argument, got ${other.sql}")

@@ -75,29 +75,41 @@ object SqlBridge {
     * that happen to be named exclude pass through untouched. */
   def rewriteExclude(sql: String): String = {
     val toks = tokenize(sql)
-    def prevNonBlank(i: Int): Option[Tok] =
-      toks.take(i).reverseIterator.find {
-        case Sym(s) => s.trim.nonEmpty
-        case _ => true
-      }
-    def nextNonBlank(i: Int): Int = {
-      var j = i + 1
-      while (j < toks.length && toks(j).isInstanceOf[Sym] &&
-        toks(j).text.trim.isEmpty) j += 1
+    def prevNonBlankIdx(i: Int): Int = {
+      var j = i - 1
+      while (j >= 0 && toks(j).isInstanceOf[Sym] &&
+        toks(j).text.trim.isEmpty) j -= 1
       j
+    }
+    // the `*` before EXCLUDE must be a star projection, not multiplication:
+    // a star follows SELECT / a comma / a dot (table.*), never an operand
+    def isStarProjection(starIdx: Int): Boolean = {
+      val before = prevNonBlankIdx(starIdx)
+      before < 0 || (toks(before) match {
+        case w: Word => w.text.equalsIgnoreCase("select")
+        case Sym(",") | Sym(".") | Sym("(") => true
+        case _ => false
+      })
     }
     val out = new StringBuilder
     var i = 0
     while (i < toks.length) {
-      if (isWord(toks(i), "exclude") && prevNonBlank(i).contains(Sym("*"))) {
+      val prevIdx = prevNonBlankIdx(i)
+      if (isWord(toks(i), "exclude") && prevIdx >= 0 &&
+        toks(prevIdx) == Sym("*") && isStarProjection(prevIdx)) {
         out.append("EXCEPT")
-        val j = nextNonBlank(i)
-        if (j < toks.length && toks(j).isInstanceOf[Word]) {
-          // bare column form → parenthesize
-          out.append(render(toks.slice(i + 1, j)))
-          out.append("(").append(toks(j).text).append(")")
-          i = j + 1
-        } else i += 1 // parenthesized form: keep the rest as-is
+        val j = nextNonBlank(toks, i + 1)
+        toks.lift(j) match {
+          case Some(w: Word) =>
+            out.append(render(toks.slice(i + 1, j)))
+            out.append("(").append(w.text).append(")")
+            i = j + 1
+          case Some(q: QuotedId) => // bare quoted form also needs parens
+            out.append(render(toks.slice(i + 1, j)))
+            out.append("(").append(q.text).append(")")
+            i = j + 1
+          case _ => i += 1 // parenthesized form: keep the rest as-is
+        }
       } else { out.append(toks(i).text); i += 1 }
     }
     out.toString
@@ -110,17 +122,11 @@ object SqlBridge {
     val toks = tokenize(sql)
     val out = new StringBuilder
     var i = 0
-    def nextNonBlank(j0: Int): Int = {
-      var j = j0
-      while (j < toks.length && toks(j).isInstanceOf[Sym] &&
-        toks(j).text.trim.isEmpty) j += 1
-      j
-    }
     while (i < toks.length) {
-      val j = nextNonBlank(i + 1)
+      val j = nextNonBlank(toks, i + 1)
       if (isWord(toks(i), "using") && j < toks.length && isWord(toks(j), "sample")) {
         // digits tokenize as single-char Syms — collect the full number
-        var k = nextNonBlank(j + 1)
+        var k = nextNonBlank(toks, j + 1)
         val amt = new StringBuilder
         while (k < toks.length && toks(k).isInstanceOf[Sym] &&
           toks(k).text.length == 1 &&
@@ -128,11 +134,12 @@ object SqlBridge {
           amt.append(toks(k).text); k += 1
         }
         if (amt.nonEmpty) {
-          val afterIdx = nextNonBlank(k)
+          val afterIdx = nextNonBlank(toks, k)
           if (afterIdx < toks.length && isWord(toks(afterIdx), "rows")) {
             out.append(s"TABLESAMPLE ($amt ROWS)")
             i = afterIdx + 1
-          } else if (afterIdx < toks.length && toks(afterIdx) == Sym("%")) {
+          } else if (afterIdx < toks.length && (toks(afterIdx) == Sym("%") ||
+            isWord(toks(afterIdx), "percent"))) { // 10% or 10 PERCENT
             out.append(s"TABLESAMPLE ($amt PERCENT)")
             i = afterIdx + 1
           } else {
@@ -160,9 +167,7 @@ object SqlBridge {
       val isFn = isWord(toks(i), "strftime") || isWord(toks(i), "strptime")
       var consumed = false
       if (isFn) {
-        var j = i + 1
-        while (j < toks.length && toks(j).isInstanceOf[Sym] &&
-          toks(j).text.trim.isEmpty) j += 1
+        val j = nextNonBlank(toks, i + 1)
         if (j < toks.length && toks(j) == Sym("(")) {
           val close = matchParen(toks, j)
           val args = splitArgs(toks.slice(j + 1, close)).map(render)

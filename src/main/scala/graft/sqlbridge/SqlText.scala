@@ -107,6 +107,14 @@ object SqlText {
     a.dropWhile(isBlank).reverse.dropWhile(isBlank).reverse
   }
 
+  /** First index ≥ `from` that is not a whitespace Sym. */
+  def nextNonBlank(toks: Vector[Tok], from: Int): Int = {
+    var j = from
+    while (j < toks.length && toks(j).isInstanceOf[Sym] &&
+      toks(j).text.trim.isEmpty) j += 1
+    j
+  }
+
   /** Strip the quotes off a quoted identifier. */
   def unquote(id: String): String =
     if (id.length >= 2 && (id.head == '"' || id.head == '`')) id.substring(1, id.length - 1)

@@ -122,7 +122,9 @@ object Renderer {
   final case class For(varName: String, iter: String, body: List[Node]) extends Node
 
   private object TemplateParser {
-    // (?s): tokens may span lines (YAML block scalars wrap freely)
+    // (?s): tokens may span lines (YAML block scalars wrap freely). Same
+    // tradeoff as the reference's Jinja with << >> delimiters: SQL
+    // bit-shift operators would be read as template delimiters there too.
     private val token = "(?s)(<<.*?>>|<%.*?%>|<#.*?#>)".r
 
     def parse(tpl: String): List[Node] = {

@@ -126,6 +126,26 @@ class SqlBridgeSpec extends AnyFunSuite {
     assert(r.getLong(1) == 3L)
   }
 
+  test("USING SAMPLE spelled-out PERCENT form") {
+    assert(SqlBridge.rewriteUsingSample("SELECT * FROM t USING SAMPLE 10 PERCENT")
+      == "SELECT * FROM t TABLESAMPLE (10 PERCENT)")
+  }
+
+  test("EXCLUDE: quoted identifier gets parens; multiplication untouched") {
+    assert(SqlBridge.rewriteExclude("SELECT * EXCLUDE \"my col\" FROM t")
+      == "SELECT * EXCEPT (\"my col\") FROM t")
+    val mult = "SELECT price * exclude FROM t"
+    assert(SqlBridge.rewriteExclude(mult) == mult)
+    assert(SqlBridge.rewriteExclude("SELECT t.* EXCLUDE (a) FROM t")
+      == "SELECT t.* EXCEPT (a) FROM t")
+  }
+
+  test("graft_len(NULL) is null, not an analysis error") {
+    val r = spark.sql(SqlBridge.translate("SELECT len(NULL) AS n",
+      new NameRegistry, Some(spark))).collect()(0)
+    assert(r.isNullAt(0))
+  }
+
   test("rewrites leave string literals untouched") {
     val lit1 = "SELECT 'codes to EXCLUDE here' AS note FROM t"
     assert(SqlBridge.rewriteExclude(lit1) == lit1)
