@@ -432,6 +432,32 @@ object Relational {
              |  COUNT(DISTINCT l_suppkey) AS n_supps,
              |  COUNT(DISTINCT l_orderkey) AS n_orders,
              |  COUNT(*) AS n_rows
-             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // ----------------------------------------------------------------- q19
+    // PIVOT: priorities → columns. Spark's relational pivot compiles to a
+    // single pass of conditional aggregation (no per-column scans); the
+    // oracle spells the same thing with FILTER. Counts coalesce to 0 so
+    // absent combinations agree across engines.
+    "q19_pivot" -> QueryDef(
+      (spark, dir) => {
+        val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+        val aliases = Seq("p1_urgent", "p2_high", "p3_medium", "p4_notspec", "p5_low")
+        val pivoted = t(spark, dir, "orders")
+          .groupBy("o_orderstatus")
+          .pivot("o_orderpriority", prios)
+          .agg(count(lit(1)))
+        pivoted.select(col("o_orderstatus") +:
+          prios.zip(aliases).map { case (p, a) =>
+            coalesce(col(s"`$p`"), lit(0L)).as(a) }: _*)
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus,
+             |  COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS p1_urgent,
+             |  COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS p2_high,
+             |  COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS p3_medium,
+             |  COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS p4_notspec,
+             |  COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS p5_low
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
   )
 }
