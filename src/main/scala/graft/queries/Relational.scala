@@ -458,6 +458,28 @@ object Relational {
              |  COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS p3_medium,
              |  COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS p4_notspec,
              |  COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS p5_low
-             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // ----------------------------------------------------------------- q20
+    // UNPIVOT: metrics → rows via stack() (Spark's unpivot generator —
+    // one pass, no self-union of the aggregate).
+    "q20_unpivot" -> QueryDef(
+      (spark, dir) =>
+        t(spark, dir, "orders")
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).cast("double").as("n_orders"),
+            (sum(fx(col("o_totalprice"))).cast("double") / 1e4).as("total_price"))
+          .selectExpr("o_orderstatus",
+            "stack(2, 'n_orders', n_orders, 'total_price', total_price) AS (metric, value)")
+          .orderBy("o_orderstatus", "metric"),
+      Some(s"""WITH agg AS (
+             |  SELECT o_orderstatus,
+             |    CAST(COUNT(*) AS DOUBLE) AS n_orders,
+             |    ${fxSql("o_totalprice")} AS total_price
+             |  FROM orders GROUP BY o_orderstatus)
+             |SELECT o_orderstatus, 'n_orders' AS metric, n_orders AS value FROM agg
+             |UNION ALL
+             |SELECT o_orderstatus, 'total_price', total_price FROM agg
+             |ORDER BY o_orderstatus, metric""".stripMargin))
   )
 }

@@ -23,7 +23,7 @@ class EntrySpec extends AnyFunSuite {
       assert(k.matches("[a-z][a-z0-9_]+"), s"bad query name: $k"))
   }
 
-  test("all 43 declared operators are present") {
-    assert(SparkEntry.queries.size == 43)
+  test("all 44 declared operators are present") {
+    assert(SparkEntry.queries.size == 44)
   }
 }
