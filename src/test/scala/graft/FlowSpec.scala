@@ -308,6 +308,23 @@ class FlowSpec extends AnyFunSuite {
     assert(vars.contains("genq_success"))
   }
 
+  test("show / show_schema / explain stage flags execute without error") {
+    val yaml =
+      s"""
+         |- name: Regions
+         |  kind: tap
+         |  connection: {kind: Parquet, locator: $sf/region.parquet}
+         |  show: 2
+         |  show_schema: true
+         |- name: Named
+         |  kind: transform
+         |  query: select r_name from Regions order by r_name
+         |  show: -1
+         |  explain: true
+         |""".stripMargin
+    assert(Flow.runYaml(spark, yaml).df().count() == 5)
+  }
+
   test("Fn.columns table macro lists a stage's schema") {
     val yaml =
       s"""

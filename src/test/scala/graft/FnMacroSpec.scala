@@ -134,6 +134,12 @@ class FnMacroSpec extends AnyFunSuite {
     assert(one("SELECT Fn.validate_gt(NULL, 3, TRUE)") == null)
   }
 
+  test("validate_lt passes and raises") {
+    assert(one("SELECT Fn.validate_lt(2, 3, FALSE)") == 2)
+    intercept[Exception] { one("SELECT Fn.validate_lt(5, 3, FALSE)") }
+    assert(one("SELECT Fn.validate_lt(NULL, 3, TRUE)") == null)
+  }
+
   test("validate_regex") {
     assert(one("SELECT Fn.validate_regex('abc', '^a', FALSE)") == "abc")
     intercept[Exception] { one("SELECT Fn.validate_regex('xyz', '^a', FALSE)") }
