@@ -202,6 +202,43 @@ final class Flow(
 
     case "pipeline" =>
       lastNameVar match {
+        case Some(prev) if stagesBefore(stage) && stage.parallel =>
+          // opt-in PARALLEL loop (100 TB extension beyond the reference's
+          // sequential semantics, SURVEY §7.4): iterations run
+          // concurrently on the shared session, each with an isolated
+          // variables copy and a suffixed view namespace. Divergences
+          // from the sequential form, by design: iteration-local variable
+          // writes are discarded, and iterations must sink to distinct
+          // locators (template the path from loop_control) — concurrent
+          // appends to ONE path race on the output committer.
+          val prevView = names.get(prev).getOrElse(prev)
+          val rows = spark.table(prevView).toJSON.collect()
+          val failures =
+            new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(
+            math.min(rows.length.max(1), 8))
+          try {
+            rows.zipWithIndex.foreach { case (rowJson, idx) =>
+              pool.submit(new Runnable {
+                override def run(): Unit =
+                  try {
+                    val record = Json.parse(rowJson)
+                    val iterVars = mutable.Map(variables.toSeq: _*)
+                    iterVars.put("loop_control", record)
+                    new Flow(spark, Stages(stage.stages), context, config,
+                      iterVars, new NameRegistry(s"__it$idx"), flowOnError)
+                      .run()
+                  } catch {
+                    case e: Throwable => failures.add(new FlowRunError(
+                      s"loop iteration failed for loop_control=$rowJson", e))
+                  }
+              })
+            }
+            pool.shutdown()
+            pool.awaitTermination(24, java.util.concurrent.TimeUnit.HOURS)
+          } finally pool.shutdownNow()
+          if (!failures.isEmpty) throw failures.peek
+
         case Some(prev) if stagesBefore(stage) =>
           // row-driven loop (flow.py:126-173): one sub-flow per row of the
           // previous stage; loop_control carries the row.
@@ -226,7 +263,11 @@ final class Flow(
             names, flowOnError).run()
       }
       // lastname propagates to the final stage of the sub-pipeline
-      stage.stages.lastOption.foreach(s => lastNameVar = Some(s.name))
+      // lastname propagates to the sub-pipeline's final stage — except for
+      // parallel loops, whose per-iteration views are namespace-isolated
+      // (their results live in the sinks each iteration wrote)
+      if (!(stage.parallel && stagesBefore(stage)))
+        stage.stages.lastOption.foreach(s => lastNameVar = Some(s.name))
 
     case other => sys.error(s"unknown stage kind: $other")
   }

@@ -74,6 +74,7 @@ final case class Stage(
     showSchema: Boolean = false,
     explain: Boolean = false,
     stages: List[Stage] = Nil,
+    parallel: Boolean = false,          // pipeline loops: concurrent iterations
     onError: String = "fail",           // fail|continue
     throttle: Option[Double] = None,
     logLevel: Option[String] = None,
@@ -156,6 +157,11 @@ object Stages {
       stages = m.get("stages") match {
         case Some(l: List[_]) => l.map(parseStage)
         case _ => Nil
+      },
+      parallel = m.get("parallel").exists {
+        case b: Boolean => b
+        case s: String => s.toLowerCase == "true"
+        case _ => false
       },
       onError = strOpt("on_error").getOrElse("fail"),
       throttle = m.get("throttle").collect {

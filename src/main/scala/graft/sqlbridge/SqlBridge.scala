@@ -23,12 +23,15 @@ object SqlBridge {
 
   /** stage name → temp view name. Spark temp views must be simple
     * identifiers; reference stage names may contain spaces
-    * (integration.yaml:114 `"Read Delta"`). */
-  final class NameRegistry {
+    * (integration.yaml:114 `"Read Delta"`). A `suffix` isolates the view
+    * namespace of one registry from another — parallel loop iterations
+    * each get their own so same-named stages don't race on the shared
+    * session catalog. */
+  final class NameRegistry(suffix: String = "") {
     private val byStage = mutable.LinkedHashMap[String, String]()
 
     def register(stageName: String): String = byStage.getOrElseUpdate(stageName, {
-      val base = stageName.replaceAll("[^A-Za-z0-9_]", "_")
+      val base = stageName.replaceAll("[^A-Za-z0-9_]", "_") + suffix
       val candidate = if (base.headOption.exists(_.isDigit)) "_" + base else base
       if (byStage.values.exists(_ == candidate)) candidate + "_" + byStage.size
       else candidate

@@ -268,6 +268,38 @@ class FlowSpec extends AnyFunSuite {
     assert(!vars.contains("loop_control"))
   }
 
+  test("parallel loop: concurrent iterations sink to templated locators") {
+    val dir = tmpDir()
+    val yaml =
+      s"""
+         |- name: RegionsLoop
+         |  kind: tap
+         |  connection: {kind: Parquet, locator: $sf/region.parquet}
+         |- name: PerRegion
+         |  kind: pipeline
+         |  parallel: true
+         |  stages:
+         |    - name: NationsOfRegion
+         |      kind: tap
+         |      connection: {kind: Parquet, locator: $sf/nation.parquet}
+         |      query: >
+         |        SELECT n_nationkey, n_name, n_regionkey FROM Parquet
+         |        WHERE n_regionkey = << API.look('loop_control.r_regionkey', variables) >>
+         |    - name: Out
+         |      kind: sink
+         |      connection:
+         |        kind: Parquet
+         |        locator: $dir/region_<< API.look('loop_control.r_regionkey', variables) >>
+         |""".stripMargin
+    Flow.runYaml(spark, yaml)
+    val outs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).sorted
+    assert(outs.toList == (0 to 4).map(i => s"region_$i").toList)
+    val total = (0 to 4).map(i =>
+      spark.read.parquet(s"$dir/region_$i").count()).sum
+    assert(total == 25) // every nation lands exactly once
+  }
+
   test("internal stage and templated query with variables") {
     val vars = mutable.Map[String, Any]("min_bal" -> 9000L)
     val yaml =
