@@ -102,15 +102,17 @@ final class Flow(
 
   private def runStage(stage: Stage): Unit = {
     val t0 = System.nanoTime()
-    // skip_if gate (flow.py:440-441, 484-487)
-    val skipped = stage.skipIf.exists { expr =>
-      Renderer.stringToBool(Renderer.renderTyped(expr, renderCtx))
-    }
-    if (skipped) {
-      log.info(s"stage '${stage.name}' skipped (skip_if)")
-      return
-    }
     try {
+      // skip_if gate (flow.py:440-441, 484-487) — INSIDE the policy
+      // wrapper: a failing skip_if expression honors on_error: continue
+      // like any other stage failure (the reference renders within do())
+      val skipped = stage.skipIf.exists { expr =>
+        Renderer.stringToBool(Renderer.renderTyped(expr, renderCtx))
+      }
+      if (skipped) {
+        log.info(s"stage '${stage.name}' skipped (skip_if)")
+        return
+      }
       execute(stage)
       log.info(f"stage '${stage.name}' done in ${(System.nanoTime() - t0) / 1e9}%.2fs")
     } catch {
@@ -226,7 +228,8 @@ final class Flow(
                     val iterVars = mutable.Map(variables.toSeq: _*)
                     iterVars.put("loop_control", record)
                     new Flow(spark, Stages(stage.stages), context, config,
-                      iterVars, new NameRegistry(s"__it$idx"), flowOnError)
+                      iterVars,
+                      new NameRegistry(s"__it$idx").preload(names), flowOnError)
                       .run()
                   } catch {
                     case e: Throwable => failures.add(new FlowRunError(
@@ -244,6 +247,9 @@ final class Flow(
           // previous stage; loop_control carries the row.
           val prevView = names.get(prev).getOrElse(prev)
           val rows = spark.table(prevView).toJSON.collect()
+          // restore (not remove) so a nested loop's cleanup doesn't wipe
+          // the outer loop's control row
+          val saved = variables.get("loop_control")
           try {
             rows.foreach { rowJson =>
               val record = Json.parse(rowJson)
@@ -257,7 +263,10 @@ final class Flow(
                     s"loop iteration failed for loop_control=$rowJson", e)
               }
             }
-          } finally variables.remove("loop_control")
+          } finally saved match {
+            case Some(v) => variables.put("loop_control", v)
+            case None => variables.remove("loop_control")
+          }
         case _ =>
           new Flow(spark, Stages(stage.stages), context, config, variables,
             names, flowOnError).run()

@@ -39,6 +39,14 @@ object SqlBridge {
 
     def get(stageName: String): Option[String] = byStage.get(stageName)
     def all: Map[String, String] = byStage.toMap
+
+    /** Copy the parent's mappings in (shared, read-only pre-loop views)
+      * so loop bodies can still reference stages created before the loop;
+      * only NEW registrations in this registry get the suffix. */
+    def preload(parent: NameRegistry): this.type = {
+      parent.byStage.foreach { case (k, v) => byStage.getOrElseUpdate(k, v) }
+      this
+    }
   }
 
   private val fnSwaps: Map[String, String] = Map(

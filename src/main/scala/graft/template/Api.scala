@@ -43,10 +43,14 @@ object Api {
         case d: Double => epochToInstant(d)
         case s: String if s.matches("-?\\d+(\\.\\d+)?") => epochToInstant(s.toDouble)
         case s: String =>
-          val cleaned = s.trim.replace("Z", "").replaceAll("[+-]\\d{2}:\\d{2}$", "")
-          if (cleaned.contains("T") || cleaned.contains(" ")) {
-            LocalDateTime.parse(cleaned.replace(" ", "T")).toInstant(ZoneOffset.UTC)
-          } else LocalDate.parse(cleaned).atStartOfDay.toInstant(ZoneOffset.UTC)
+          val t = s.trim.replace(" ", "T")
+          // offset-aware strings keep their offset (arrow.get preserves
+          // it; stripping and reinterpreting as UTC shifts the instant)
+          if (t.matches(".*([Zz]|[+-]\\d{2}:?\\d{2})$"))
+            java.time.OffsetDateTime.parse(t).toInstant
+          else if (t.contains("T"))
+            LocalDateTime.parse(t).toInstant(ZoneOffset.UTC)
+          else LocalDate.parse(t).atStartOfDay.toInstant(ZoneOffset.UTC)
         case other => sys.error(s"API.dt: cannot parse $other")
       }
       DateTimeFormatter.ISO_INSTANT.format(inst).replace("Z", "+00:00")
@@ -59,10 +63,10 @@ object Api {
   }
 
   private def epochToInstant(v: Double): Instant = {
-    // same cascade as Fn.dt: s (1e9..1e10), ms, ns (>15 digits)
-    val abs = math.abs(v)
-    if (abs >= 1e17) Instant.ofEpochSecond((v / 1e9).toLong, (v % 1e9).toLong)
-    else if (abs >= 1e12) Instant.ofEpochMilli(v.toLong)
+    // reference semantics (api.py:47-49): ints > 1e10 are NANOSECONDS
+    // (pd.to_datetime on int), anything smaller is epoch seconds
+    if (math.abs(v) > 1e10)
+      Instant.ofEpochSecond((v / 1e9).toLong, (v % 1e9).toLong)
     else Instant.ofEpochSecond(v.toLong, ((v - v.toLong) * 1e9).toLong)
   }
 

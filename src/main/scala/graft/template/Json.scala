@@ -41,7 +41,7 @@ object Json {
       else sb.append(d)
     case n: Number => sb.append(n)
     case s: String => quote(s, sb)
-    case m: Map[_, _] =>
+    case m: scala.collection.Map[_, _] => // incl. mutable (flow variables)
       sb.append('{')
       var first = true
       m.foreach { case (k, vv) =>

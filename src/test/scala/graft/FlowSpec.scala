@@ -230,6 +230,22 @@ class FlowSpec extends AnyFunSuite {
     assert(flow.df().count() == 5)
   }
 
+  test("failing skip_if honors on_error: continue") {
+    val yaml =
+      s"""
+         |- name: BadGate
+         |  kind: transform
+         |  query: select 1 as x
+         |  skip_if: << totally_undefined_name >>
+         |  on_error: continue
+         |- name: Survives
+         |  kind: transform
+         |  query: select 42 as answer
+         |""".stripMargin
+    val flow = Flow.runYaml(spark, yaml)
+    assert(flow.df().collect()(0).getInt(0) == 42)
+  }
+
   test("on_error fail raises FlowRunError") {
     val yaml =
       """

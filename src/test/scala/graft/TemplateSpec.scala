@@ -130,4 +130,42 @@ class TemplateSpec extends AnyFunSuite {
     assert(Renderer.render("<< 1 +\n   2 >>", ctx()) == "3")
     assert(Renderer.render("<% if true\n%>yes<% endif %>", ctx()) == "yes")
   }
+
+  test("and/or short-circuit: guarded RHS neither runs nor crashes") {
+    assert(Renderer.renderTyped(
+      "<< variables.n != 0 and 10 % variables.n == 0 >>", ctx("n" -> 0L)) == false)
+    assert(Renderer.renderTyped(
+      "<< variables.n == 0 or 10 % variables.n == 0 >>", ctx("n" -> 0L)) == true)
+    // short-circuited API.error must not fire
+    assert(Renderer.renderTyped(
+      "<< false and API.error('true', 'boom') >>", ctx()) == false)
+  }
+
+  test("trailing garbage after a valid prefix is an error, not ignored") {
+    intercept[Exception] {
+      Renderer.renderTyped("<< variables.x && variables.x >>", ctx("x" -> true))
+    }
+  }
+
+  test("method call on a non-API receiver errors instead of Api dispatch") {
+    val e = intercept[Exception] {
+      Renderer.renderTyped("<< variables.rec.dt('2024-01-01') >>",
+        ctx("rec" -> Map("a" -> 1)))
+    }
+    assert(e.getMessage.contains("cannot call"))
+  }
+
+  test("API.dt preserves timezone offsets (arrow.get parity)") {
+    assert(Renderer.render("<< API.dt('2024-06-01T12:00:00+05:30') >>", ctx())
+      .startsWith("2024-06-01T06:30:00"))
+    // ints > 1e10 are nanoseconds (api.py:47-49)
+    assert(Renderer.render("<< API.dt(1712361600000000000) >>", ctx())
+      .startsWith("2024-04-06T00:00:00"))
+  }
+
+  test("tojson renders the mutable variables map as a JSON object") {
+    val out = Renderer.render("<< variables|tojson >>", ctx("k" -> 1L))
+    assert(out.contains("\"k\""))
+    assert(out.trim.startsWith("{"))
+  }
 }
