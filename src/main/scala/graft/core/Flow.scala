@@ -38,10 +38,19 @@ final class Flow(
     val config: FlowConfig = FlowConfig(),
     val variables: mutable.Map[String, Any] = mutable.Map.empty,
     val names: NameRegistry = new NameRegistry,
-    flowOnError: String = "fail") {
+    flowOnError: String = "fail",
+    parentWrites: List[(String, String)] = null) {
 
   private var lastNameVar: Option[String] = None
   private val log = org.slf4j.LoggerFactory.getLogger(classOf[Flow])
+
+  /** Write targets of the WHOLE flow tree: (connection family, normalized
+    * locator prefix) for every sink/sql stage, nested pipelines included.
+    * Sub-flows inherit the parent's set so an inner tap still sees outer
+    * rewrites (and vice versa across loop iterations). */
+  private val writeTargets: List[(String, String)] =
+    if (parentWrites != null) parentWrites
+    else Flow.collectWrites(stagesDef.stages, config)
 
   def lastName: Option[String] = lastNameVar
 
@@ -65,7 +74,7 @@ final class Flow(
           } catch { case _: UnsupportedOperationException => None }
         case "pipeline" =>
           new Flow(spark, graft.model.Stages(stage.stages), context, config,
-            variables, names, flowOnError).showSchema()
+            variables, names, flowOnError, writeTargets).showSchema()
         case _ => None
       }
     }
@@ -146,12 +155,17 @@ final class Flow(
             spark.catalog.dropTempView(view) // drop on failure (flow.py:228)
             throw e
         }
-      // localCheckpoint (not cache) = true point-in-time materialization:
-      // the reference's taps are CREATE TABLE AS snapshots (flow.py:217-221),
-      // and a cache would be invalidated/recomputed when the source path is
-      // rewritten later in the pipeline (e.g. Deltatable truncate).
+      // The reference's taps are CREATE TABLE AS snapshots (flow.py:217-221).
+      // Materializing EVERY tap is wasteful: snapshot semantics only matter
+      // when some later stage can rewrite this tap's source (e.g. the
+      // Deltatable truncate in a loop). That is statically detectable from
+      // the flow tree, so we localCheckpoint (a cache would be invalidated
+      // and recomputed on rewrite — exactly the wrong behavior) only taps
+      // whose source overlaps a write target; all other taps stay lazy and
+      // keep Catalyst pushdown into the scan.
       val materialized =
-        if (config.materializeTaps) df.localCheckpoint()
+        if (config.materializeTaps && Flow.sourceRewrittenLater(
+            stage.connection, writeTargets, config)) df.localCheckpoint()
         else df
       materialized.createOrReplaceTempView(view)
       lastNameVar = Some(stage.name)
@@ -229,7 +243,8 @@ final class Flow(
                     iterVars.put("loop_control", record)
                     new Flow(spark, Stages(stage.stages), context, config,
                       iterVars,
-                      new NameRegistry(s"__it$idx").preload(names), flowOnError)
+                      new NameRegistry(s"__it$idx").preload(names), flowOnError,
+                      writeTargets)
                       .run()
                   } catch {
                     case e: Throwable => failures.add(new FlowRunError(
@@ -255,7 +270,7 @@ final class Flow(
               val record = Json.parse(rowJson)
               variables.put("loop_control", record)
               val sub = new Flow(spark, Stages(stage.stages), context, config,
-                variables, names, flowOnError)
+                variables, names, flowOnError, writeTargets)
               try sub.run()
               catch {
                 case e: Exception =>
@@ -269,7 +284,7 @@ final class Flow(
           }
         case _ =>
           new Flow(spark, Stages(stage.stages), context, config, variables,
-            names, flowOnError).run()
+            names, flowOnError, writeTargets).run()
       }
       // lastname propagates to the final stage of the sub-pipeline
       // lastname propagates to the sub-pipeline's final stage — except for
@@ -297,6 +312,52 @@ final class Flow(
 }
 
 object Flow {
+
+  /** Connection kinds that share a storage namespace for rewrite detection:
+    * a Deltatable sink compacts/drops the same parquet files a Parquet tap
+    * of that path reads, so all file-backed kinds form one family. */
+  private def family(kind: String): String = kind.toLowerCase match {
+    case "parquet" | "deltatable" | "file" | "csv" | "json" => "file"
+    case k => k
+  }
+
+  /** Normalize a locator for overlap testing: cut at the first wildcard or
+    * template marker (everything after is unknown statically), then resolve
+    * relative→concrete so `out.parquet` and `/bucket/prefix/out.parquet`
+    * compare equal. Comparison is prefix-overlap in either direction, which
+    * errs toward snapshotting (correct, just slower) on ambiguity. */
+  private def normLocator(loc: String, cfg: FlowConfig): String = {
+    val cutAt = List("*", "?", "<<", "<%").map(loc.indexOf)
+      .filter(_ >= 0).sorted.headOption.getOrElse(loc.length)
+    graft.connections.Locator.locate(loc.substring(0, cutAt), cfg)
+  }
+
+  /** All (family, normalized locator) pairs a flow tree may write:
+    * sinks rewrite their locator; sql stages may DROP/TRUNCATE/append at
+    * theirs (Delta pseudo-SQL, JDBC DDL). */
+  private[core] def collectWrites(stages: List[Stage],
+      cfg: FlowConfig): List[(String, String)] =
+    stages.flatMap { s =>
+      val own = s.kind.toLowerCase match {
+        case "sink" | "sql" =>
+          s.connection.map(c =>
+            family(c.kind) -> c.locator.map(normLocator(_, cfg)).getOrElse(""))
+        case _ => None
+      }
+      own.toList ++ collectWrites(s.stages, cfg)
+    }
+
+  /** Does any write target in the flow overlap this tap's source? */
+  private[core] def sourceRewrittenLater(conn: Option[ConnectionDef],
+      writes: List[(String, String)], cfg: FlowConfig): Boolean =
+    conn.exists { c =>
+      val fam = family(c.kind)
+      val loc = c.locator.map(normLocator(_, cfg)).getOrElse("")
+      writes.exists { case (wf, wl) =>
+        wf == fam && (loc.startsWith(wl) || wl.startsWith(loc))
+      }
+    }
+
   /** Convenience: run a YAML pipeline end-to-end and return the flow. */
   def runYaml(spark: SparkSession, yaml: String,
       context: Map[String, Any] = Map.empty,

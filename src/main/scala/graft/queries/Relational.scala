@@ -180,9 +180,11 @@ object Relational {
             coalesce(col("n_without_orders"), lit(0L)).as("n_without_orders"))
           .orderBy("c_mktsegment")
       },
+      // CAST to BIGINT: DuckDB's SUM returns HUGEINT, which pandas renders
+      // as float64 and breaks the driver's typed hash vs Spark's int64.
       Some("""SELECT c_mktsegment,
-             |  COALESCE(SUM(CASE WHEN has_o THEN 1 ELSE 0 END), 0) AS n_with_orders,
-             |  COALESCE(SUM(CASE WHEN has_o THEN 0 ELSE 1 END), 0) AS n_without_orders
+             |  CAST(COALESCE(SUM(CASE WHEN has_o THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_with_orders,
+             |  CAST(COALESCE(SUM(CASE WHEN has_o THEN 0 ELSE 1 END), 0) AS BIGINT) AS n_without_orders
              |FROM (SELECT c_mktsegment,
              |        EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) AS has_o
              |      FROM customer) t

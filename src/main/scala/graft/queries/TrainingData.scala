@@ -72,6 +72,10 @@ object TrainingData {
   private def dotDuck(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE)*CAST($b[i] AS DOUBLE)), (acc, x) -> acc + x)"
 
+  /** t03 shingle document-frequency cap: shingles in more than this many
+    * documents are dropped before the pair join (f² candidate bound). */
+  private val DfCap = 100
+
   val defs: Map[String, QueryDef] = Map(
 
     // ----------------------------------------------------------------- t01
@@ -101,7 +105,7 @@ object TrainingData {
           (0 until 4).map(b => struct(lit(b + 1).as("band"),
             md5(concat(col(s"sig${2 * b + 1}"), col(s"sig${2 * b + 2}"))).as("bucket"))): _*
         )).as("bb")).select(col("doc_id"), col("bb.band"), col("bb.bucket"))
-          .localCheckpoint() // tiny (4 rows/doc); both join sides reuse it
+          .cache() // tiny (4 rows/doc); both self-join sides reuse it lazily
         val a = bands.as("a")
         val b = bands.as("b")
         a.join(b, col("a.band") === col("b.band") &&
@@ -126,22 +130,33 @@ object TrainingData {
               |ORDER BY doc_a, doc_b""".stripMargin)),
 
     // ----------------------------------------------------------------- t03
-    // Exact n-gram Jaccard within (lang, length-bucket) blocks.
+    // Exact n-gram Jaccard within (lang, length-bucket) blocks, with a
+    // shingle document-frequency cap: a shingle appearing in f documents
+    // contributes f² candidate pairs to the equi-join, so one corpus-scale
+    // stop-shingle ("of the and" class, f in the millions) alone produces
+    // ~f² ≈ 10¹² pairs. Dropping shingles with df > K bounds per-shingle
+    // join work at K² and removes only non-discriminative shingles — the
+    // standard trick in near-dup mining. Jaccard is computed over the
+    // KEPT shingle sets (sizes count post-cap), identically in both
+    // engines, so parity is exact.
     "t03_ngram_jaccard" -> QueryDef(
       (spark, dir) => {
-        // localCheckpoint: the shingle array is consumed twice (sizes +
-        // explode); without it the split/transform recomputes per branch.
         val docs = withWords(t(spark, dir, "documents"))
           .select(col("doc_id"), col("lang"),
             (col("n_chars") / 100).cast("int").as("bucket"),
             expr(shingleExpr).as("sh"))
-          .localCheckpoint()
-        val sizes = docs.select(col("doc_id"), col("lang"), col("bucket"),
-          size(col("sh")).as("n_sh"))
-        val exploded = docs.select(col("doc_id"), col("lang"), col("bucket"),
-          explode(col("sh")).as("shingle"))
-        val inter = exploded.as("a")
-          .join(exploded.as("b"),
+        // shingles are distinct per doc, so COUNT over (shingle) == df
+        val kept = docs
+          .select(col("doc_id"), col("lang"), col("bucket"),
+            explode(col("sh")).as("shingle"))
+          .withColumn("df", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
+          .filter(col("df") <= DfCap)
+          .drop("df")
+          .cache() // consumed by sizes + both pair-join sides
+        val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+        val inter = kept.as("a")
+          .join(kept.as("b"),
             col("a.lang") === col("b.lang") && col("a.bucket") === col("b.bucket") &&
               col("a.shingle") === col("b.shingle") &&
               col("a.doc_id") < col("b.doc_id"))
@@ -161,11 +176,15 @@ object TrainingData {
               |  SELECT doc_id, lang, CAST(n_chars//100 AS INTEGER) AS bucket,
               |         $shingleSqlDuck AS sh
               |  FROM documents),
-              |sizes AS (SELECT doc_id, len(sh) AS n_sh FROM ds),
               |ex AS (SELECT doc_id, lang, bucket, unnest(sh) AS shingle FROM ds),
+              |kept AS (
+              |  SELECT doc_id, lang, bucket, shingle FROM (
+              |    SELECT *, COUNT(*) OVER (PARTITION BY shingle) AS df FROM ex)
+              |  WHERE df <= $DfCap),
+              |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY doc_id),
               |inter AS (
               |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-              |  FROM ex a JOIN ex b
+              |  FROM kept a JOIN kept b
               |    ON a.lang = b.lang AND a.bucket = b.bucket
               |   AND a.shingle = b.shingle AND a.doc_id < b.doc_id
               |  GROUP BY a.doc_id, b.doc_id)
@@ -412,27 +431,49 @@ object TrainingData {
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // ----------------------------------------------------------------- t12
-    // Embedding-cosine near-dup pairs, LSH-bucket-restricted (no global
-    // cross join — pairs only inside hyperplane buckets).
+    // Embedding-cosine near-dup pairs via BANDED hyperplane LSH
+    // (mirroring t02's MinHash banding): 64 deterministic hyperplanes →
+    // 4 bands × 16 sign bits. Pairs only form when a full 16-bit band
+    // matches, i.e. the join key space is 4 × 2^16 = 262,144 buckets —
+    // NOT a fixed 256 as in round 1, where each bucket held N/256 vectors
+    // and within-bucket pair formation was O(N²/256). With 16-bit bands a
+    // random (non-similar) pair collides with prob 4·(1/2)^16 ≈ 6e-5, so
+    // the candidate set stays ~linear in N; only genuinely aligned vectors
+    // (high per-plane agreement prob) concentrate into shared buckets.
+    // Candidates are deduped as bare id pairs (shuffles 2 longs, never
+    // embeddings), then exact cosine re-ranks via two id joins.
     "t12_cosine_neardup" -> QueryDef(
       (spark, dir) => {
         val emb = t(spark, dir, "embeddings")
-        val planeDots = (1 to 8).map { j =>
+        def signExpr(j: Int): String = {
           val plane = s"transform(sequence(1, 64), d -> ${planeSql(j, "d")})"
-          expr(s"CASE WHEN ${dotSql("embedding", plane)} > 0 THEN ${1 << (j - 1)} ELSE 0 END")
+          s"(CASE WHEN ${dotSql("embedding", plane)} > 0 THEN 1 ELSE 0 END)"
         }
-        val bucketed = emb
-          .withColumn("bucket", planeDots.reduce(_ + _).cast("int"))
-          .withColumn("norm2", expr(dotSql("embedding", "embedding")))
-          .localCheckpoint() // both self-join sides reuse the bucket dots
-        val a = bucketed.as("a")
-        val b = bucketed.as("b")
-        a.join(b, col("a.bucket") === col("b.bucket") &&
-            col("a.vec_id") < col("b.vec_id"))
-          .withColumn("dot", expr(dotSql("a.embedding", "b.embedding")))
-          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        def bucketOf(k: Int): String = (0 until 16)
+          .map(i => s"${signExpr((k - 1) * 16 + i + 1)} * ${1 << i}")
+          .mkString("(", " + ", ")")
+        val bands = emb.select(
+            col("vec_id") +: (1 to 4).map(k =>
+              expr(bucketOf(k)).cast("int").as(s"b$k")): _*)
+          .select(col("vec_id"), explode(array((1 to 4).map(k =>
+            struct(lit(k).as("band"), col(s"b$k").as("bucket"))): _*)).as("bb"))
+          .select(col("vec_id"), col("bb.band"), col("bb.bucket"))
+          .cache() // 64 plane dots computed once; both self-join sides reuse
+        val cands = bands.as("a").join(bands.as("b"),
+            col("a.band") === col("b.band") &&
+              col("a.bucket") === col("b.bucket") &&
+              col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+          .distinct()
+        val ea = emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+        val eb = emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+        cands.join(ea, "vec_a").join(eb, "vec_b")
+          .withColumn("dot", expr(dotSql("ea", "eb")))
+          .withColumn("na", expr(dotSql("ea", "ea")))
+          .withColumn("nb", expr(dotSql("eb", "eb")))
+          .select(col("vec_a"), col("vec_b"),
             (col("dot").cast("double") /
-              (sqrt(col("a.norm2").cast("double")) * sqrt(col("b.norm2").cast("double"))))
+              (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
               .as("cosine"))
           .filter(col("cosine") >= 0.2)
           .orderBy("vec_a", "vec_b")
@@ -440,21 +481,35 @@ object TrainingData {
       Some({
         val planeList = (j: Int) =>
           s"list_transform(range(1, 65), d -> ${planeSql(j, "d")})"
-        val planeDot = (j: Int) => dotDuck("embedding", s"(${planeList(j)})")
-        val bucketExpr = (1 to 8).map(j =>
-          s"CASE WHEN ${planeDot(j)} > 0 THEN ${1 << (j - 1)} ELSE 0 END").mkString(" + ")
-        s"""WITH bucketed AS (
-           |  SELECT vec_id, embedding, CAST($bucketExpr AS INTEGER) AS bucket
-           |  FROM embeddings)
-           |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           |  ${dotDuck("a.embedding", "b.embedding")}
-           |  / (sqrt(${dotDuck("a.embedding", "a.embedding")})
-           |     * sqrt(${dotDuck("b.embedding", "b.embedding")})) AS cosine
-           |FROM bucketed a JOIN bucketed b
-           |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-           |WHERE ${dotDuck("a.embedding", "b.embedding")}
-           |  / (sqrt(${dotDuck("a.embedding", "a.embedding")})
-           |     * sqrt(${dotDuck("b.embedding", "b.embedding")})) >= 0.2
+        def signDuck(j: Int): String =
+          s"(CASE WHEN ${dotDuck("embedding", s"(${planeList(j)})")} > 0 THEN 1 ELSE 0 END)"
+        def bucketDuck(k: Int): String = (0 until 16)
+          .map(i => s"${signDuck((k - 1) * 16 + i + 1)} * ${1 << i}")
+          .mkString("(", " + ", ")")
+        val bandCols = (1 to 4)
+          .map(k => s"CAST(${bucketDuck(k)} AS INTEGER) AS b$k").mkString(",\n    ")
+        val cosine =
+          s"""${dotDuck("ea.embedding", "eb.embedding")}
+             |  / (sqrt(${dotDuck("ea.embedding", "ea.embedding")})
+             |     * sqrt(${dotDuck("eb.embedding", "eb.embedding")}))""".stripMargin
+        s"""WITH sig AS (
+           |  SELECT vec_id,
+           |    $bandCols
+           |  FROM embeddings),
+           |bands AS (
+           |  SELECT vec_id, 1 AS band, b1 AS bucket FROM sig
+           |  UNION ALL SELECT vec_id, 2, b2 FROM sig
+           |  UNION ALL SELECT vec_id, 3, b3 FROM sig
+           |  UNION ALL SELECT vec_id, 4, b4 FROM sig),
+           |cands AS (
+           |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+           |SELECT vec_a, vec_b, $cosine AS cosine
+           |FROM cands
+           |JOIN embeddings ea ON ea.vec_id = vec_a
+           |JOIN embeddings eb ON eb.vec_id = vec_b
+           |WHERE $cosine >= 0.2
            |ORDER BY vec_a, vec_b""".stripMargin
       })),
 
