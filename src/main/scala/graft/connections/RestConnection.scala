@@ -335,7 +335,10 @@ final class RestConnection(ctx: ConnContext) extends Connection(ctx) {
     val baseQuery = submap(request, "query")
 
     str(handler, "kind").getOrElse("") match {
-      case "" =>
+      // "Basic" is the reference's explicit single-request no-op handler
+      // (models/rest.py ResponseHandlerTypes.BASIC); absent/empty means
+      // the same thing.
+      case k if k.isEmpty || k.equalsIgnoreCase("basic") =>
         extractRecords(doRequest(method, buildUrl(endpoint, baseQuery),
           headers, bodyTpl, maxRetries, backoff), recLocator)
 

@@ -103,5 +103,7 @@ object GraftFunctions {
       "float_dot", exprs => FloatDot(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_len", exprs => PolyLen(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_shingles", exprs => WordShingles(exprs.head), "built-in")
   }
 }

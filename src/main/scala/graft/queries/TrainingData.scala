@@ -25,11 +25,13 @@ object TrainingData {
 
   import Tables.t
 
-  /** 3-word shingles of `text`, distinct per doc. Expects a pre-split
-    * `words` column — computing split(text) once instead of three times
-    * inside the expression measured 3.2× faster at sf0.1 (ShingleLab). */
-  private val shingleExpr =
-    "array_distinct(transform(sequence(1, greatest(size(words) - 2, 1)), i -> concat_ws(' ', slice(words, i, 3))))"
+  /** 3-word shingles of `text`, distinct per doc: the native codegen'd
+    * [[graft.functions.WordShingles]] (registered in Tables.t). The
+    * composed HOF form it replaces — array_distinct(transform(sequence,
+    * i -> concat_ws(slice))) — interprets three lambdas per shingle and
+    * alone cost 2.1 s of t03's 3.5 s at sf0.1 (T03Probe). Expects a
+    * pre-split `words` column (split(text) once, not per reference). */
+  private val shingleExpr = "word_shingles(words)"
 
   /** Adds the `words` column [[shingleExpr]] consumes. */
   private def withWords(df: DataFrame): DataFrame =
@@ -58,6 +60,24 @@ object TrainingData {
     * h(j,d) ∈ (−0.5, 0.5), identical arithmetic in both engines. */
   private def planeSql(j: Int, d: String): String =
     s"(((CAST($j AS BIGINT) * 1103515245 + CAST($d AS BIGINT) * 12345) % 32768) / 32768.0 - 0.5)"
+
+  /** The same hyperplane as a literal SQL double array.
+    *
+    * `transform(sequence(1,64), d -> lcg)` is a higher-order function —
+    * not foldable, CodegenFallback — so Catalyst re-builds the plane for
+    * EVERY row (t12: 64 planes × 64 dims = 4096 interpreted evals/row,
+    * the dominant cost of round 2's bench). The LCG is deterministic, so
+    * we evaluate it driver-side instead. m/32768 has an exact binary
+    * representation (2^15 divisor) and DuckDB's decimal division yields
+    * DOUBLE, so these literals are bit-identical to what the oracle's
+    * list_transform computes — `Double.toString` round-trips exactly.
+    * `array(<literals>)` IS foldable → one Literal array, zero per-row
+    * work, and float_dot stays inside whole-stage codegen. */
+  private def planeLit(j: Int): String =
+    (1 to 64).map { d =>
+      val m = (j.toLong * 1103515245L + d.toLong * 12345L) % 32768L
+      s"${m.toDouble / 32768.0 - 0.5}D"
+    }.mkString("array(", ", ", ")")
 
   /** Dot product of two float arrays: the native codegen'd
     * [[graft.functions.FloatDot]] expression (registered per-session in
@@ -268,12 +288,13 @@ object TrainingData {
       (spark, dir) => {
         val emb = t(spark, dir, "embeddings")
         val planeDots = (1 to 8).map { j =>
-          val plane = s"transform(sequence(1, 64), d -> ${planeSql(j, "d")})"
-          expr(s"CASE WHEN ${dotSql("embedding", plane)} > 0 THEN ${1 << (j - 1)} ELSE 0 END")
+          expr(s"CASE WHEN ${dotSql("embedding", planeLit(j))} > 0 THEN ${1 << (j - 1)} ELSE 0 END")
         }
+        // no materialization: with literal planes the bucket is 8 codegen'd
+        // float_dots — recomputing beats checkpointing full embeddings, and
+        // the q side's vec_id=0 filter pushes into the parquet scan
         val bucketed = emb.withColumn("bucket",
           planeDots.reduce(_ + _).cast("int"))
-          .localCheckpoint() // 8 plane dots computed once, reused by q + join
         val q = bucketed.filter(col("vec_id") === 0)
           .select(col("embedding").as("q_emb"), col("bucket").as("q_bucket"))
         bucketed.join(broadcast(q), col("bucket") === col("q_bucket"))
@@ -445,10 +466,8 @@ object TrainingData {
     "t12_cosine_neardup" -> QueryDef(
       (spark, dir) => {
         val emb = t(spark, dir, "embeddings")
-        def signExpr(j: Int): String = {
-          val plane = s"transform(sequence(1, 64), d -> ${planeSql(j, "d")})"
-          s"(CASE WHEN ${dotSql("embedding", plane)} > 0 THEN 1 ELSE 0 END)"
-        }
+        def signExpr(j: Int): String =
+          s"(CASE WHEN ${dotSql("embedding", planeLit(j))} > 0 THEN 1 ELSE 0 END)"
         def bucketOf(k: Int): String = (0 until 16)
           .map(i => s"${signExpr((k - 1) * 16 + i + 1)} * ${1 << i}")
           .mkString("(", " + ", ")")
@@ -523,16 +542,15 @@ object TrainingData {
       (spark, dir) => {
         val emb = t(spark, dir, "embeddings")
         // centroid k: same LCG family as the LSH planes, salted by k+100
-        def centSql(k: Int): String =
-          s"transform(sequence(1, 64), d -> ${planeSql(k + 100, "d")})"
         val cdots = (1 to 8)
-          .map(k => dotSql("embedding", s"(${centSql(k)})"))
+          .map(k => dotSql("embedding", planeLit(k + 100)))
           .mkString("array(", ", ", ")")
+        // no materialization (see t06): literal centroids keep the whole
+        // assignment in codegen; the q side prunes to one row at the scan
         val assigned = emb
           .withColumn("cdots", expr(cdots))
           .withColumn("cell",
             expr("array_position(cdots, array_max(cdots))").cast("int"))
-          .localCheckpoint() // 8 centroid dots computed once, reused by q + join
         val q = assigned.filter(col("vec_id") === 0)
           .select(col("embedding").as("q_emb"),
             expr("array_position(cdots, array_max(cdots))").cast("int").as("p1"),

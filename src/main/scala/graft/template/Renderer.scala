@@ -41,15 +41,20 @@ object Renderer {
     else inferType(out)
   }
 
-  /** "true"/"false"/"null"/int/float strings → typed values. */
-  def inferType(s: String): Any = s match {
-    case "true" | "True" => true
-    case "false" | "False" => false
-    case "null" | "None" => null
+  /** "true"/"false"/"null"/int/float strings → typed values. Matches the
+    * reference (renderer.py:56-71): case-insensitive true/false/null/none
+    * (it lowercases first) and Python float() acceptance, which includes
+    * exponent literals without a decimal point ("1e5"). */
+  def inferType(s: String): Any = s.toLowerCase match {
+    case "true" => true
+    case "false" => false
+    case "null" | "none" => null
     case _ =>
       if (s.nonEmpty && s.matches("-?\\d+")) {
         try s.toLong.asInstanceOf[Any] catch { case _: Exception => s }
-      } else if (s.nonEmpty && s.matches("-?\\d+\\.\\d+([eE][-+]?\\d+)?"))
+      } else if (s.nonEmpty &&
+          s.matches("-?\\d+(\\.\\d+)?([eE][-+]?\\d+)?") && (
+            s.contains('.') || s.contains('e') || s.contains('E')))
         s.toDouble
       else s
   }

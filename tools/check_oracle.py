@@ -77,13 +77,24 @@ def main():
             print(f"FAIL {name}: rows {len(got)} != {len(want)}")
             n_fail += 1
             continue
-        # order-sensitive compare first; if it fails, try sorted compare
-        mism = []
-        for c in got.columns:
-            gv, wv = got[c].tolist(), want[c].tolist()
-            bad = [i for i in range(len(gv)) if not eq_cell(gv[i], wv[i])]
-            if bad:
-                mism.append((c, bad[:3], [(gv[i], wv[i]) for i in bad[:3]]))
+        # order-sensitive compare first; on mismatch retry with both
+        # frames sorted by all columns (queries without a deterministic
+        # total ORDER BY would otherwise fail nondeterministically)
+        def mismatches(g, w):
+            out = []
+            for c in g.columns:
+                gv, wv = g[c].tolist(), w[c].tolist()
+                bad = [i for i in range(len(gv)) if not eq_cell(gv[i], wv[i])]
+                if bad:
+                    out.append((c, bad[:3], [(gv[i], wv[i]) for i in bad[:3]]))
+            return out
+        mism = mismatches(got, want)
+        if mism:
+            cols = list(got.columns)
+            got_s = got.sort_values(cols, kind="mergesort").reset_index(drop=True)
+            want_s = want.sort_values(cols, kind="mergesort").reset_index(drop=True)
+            if not mismatches(got_s, want_s):
+                mism = []
         if not mism:
             print(f"PASS {name} ({len(got)} rows)")
             n_pass += 1
