@@ -39,18 +39,29 @@ final class Flow(
     val variables: mutable.Map[String, Any] = mutable.Map.empty,
     val names: NameRegistry = new NameRegistry,
     flowOnError: String = "fail",
-    parentWrites: List[(String, String)] = null) {
+    inheritedWrites: List[(String, String)] = Nil) {
 
   private var lastNameVar: Option[String] = None
   private val log = org.slf4j.LoggerFactory.getLogger(classOf[Flow])
 
-  /** Write targets of the WHOLE flow tree: (connection family, normalized
-    * locator prefix) for every sink/sql stage, nested pipelines included.
-    * Sub-flows inherit the parent's set so an inner tap still sees outer
-    * rewrites (and vice versa across loop iterations). */
-  private val writeTargets: List[(String, String)] =
-    if (parentWrites != null) parentWrites
-    else Flow.collectWrites(stagesDef.stages, config)
+  /** Write targets that can still fire AFTER stage i of this flow:
+    * (connection family, normalized locator prefix) of every sink/sql in
+    * stages i+1..n (subtrees included), plus `inheritedWrites` — writes
+    * an ancestor performs after this sub-flow returns, and, for looped
+    * sub-flows, the loop body's own writes (iteration k+1 writes after
+    * iteration k's taps). Writes at or before stage i cannot rewrite what
+    * a tap at i reads, so they don't force a snapshot. */
+  private val futureWrites: Array[List[(String, String)]] = {
+    val n = stagesDef.stages.length
+    val out = new Array[List[(String, String)]](n + 1)
+    out(n) = inheritedWrites
+    var i = n - 1
+    while (i >= 0) {
+      out(i) = Flow.collectWrites(List(stagesDef.stages(i)), config) ++ out(i + 1)
+      i -= 1
+    }
+    out
+  }
 
   def lastName: Option[String] = lastNameVar
 
@@ -74,7 +85,7 @@ final class Flow(
           } catch { case _: UnsupportedOperationException => None }
         case "pipeline" =>
           new Flow(spark, graft.model.Stages(stage.stages), context, config,
-            variables, names, flowOnError, writeTargets).showSchema()
+            variables, names, flowOnError, inheritedWrites).showSchema()
         case _ => None
       }
     }
@@ -83,7 +94,9 @@ final class Flow(
     config.hadoopConf.foreach { case (k, v) =>
       spark.sparkContext.hadoopConfiguration.set(k, v)
     }
-    stagesDef.stages.foreach(runStage)
+    stagesDef.stages.zipWithIndex.foreach { case (s, i) =>
+      runStage(s, futureWrites(i + 1))
+    }
     this
   }
 
@@ -109,7 +122,7 @@ final class Flow(
       params = c.params.map { case (k, v) => k -> renderAny(v) })
   }
 
-  private def runStage(stage: Stage): Unit = {
+  private def runStage(stage: Stage, future: List[(String, String)]): Unit = {
     val t0 = System.nanoTime()
     try {
       // skip_if gate (flow.py:440-441, 484-487) — INSIDE the policy
@@ -122,7 +135,7 @@ final class Flow(
         log.info(s"stage '${stage.name}' skipped (skip_if)")
         return
       }
-      execute(stage)
+      execute(stage, future)
       log.info(f"stage '${stage.name}' done in ${(System.nanoTime() - t0) / 1e9}%.2fs")
     } catch {
       case e: Exception =>
@@ -142,7 +155,8 @@ final class Flow(
     ConnContext(spark, rendered, config, variables, names)
   }
 
-  private def execute(stage: Stage): Unit = stage.kind.toLowerCase match {
+  private def execute(stage: Stage, future: List[(String, String)]): Unit =
+      stage.kind.toLowerCase match {
     case "tap" | "source" =>
       val view = names.register(stage.name)
       val conn = Connection.resolve(connCtx(stage))
@@ -157,15 +171,15 @@ final class Flow(
         }
       // The reference's taps are CREATE TABLE AS snapshots (flow.py:217-221).
       // Materializing EVERY tap is wasteful: snapshot semantics only matter
-      // when some later stage can rewrite this tap's source (e.g. the
-      // Deltatable truncate in a loop). That is statically detectable from
-      // the flow tree, so we localCheckpoint (a cache would be invalidated
-      // and recomputed on rewrite — exactly the wrong behavior) only taps
-      // whose source overlaps a write target; all other taps stay lazy and
-      // keep Catalyst pushdown into the scan.
+      // when some stage that runs LATER can rewrite this tap's source (e.g.
+      // the Deltatable truncate in a loop). That is statically detectable
+      // from the flow tree, so we localCheckpoint (a cache would be
+      // invalidated and recomputed on rewrite — exactly the wrong behavior)
+      // only taps whose source overlaps a still-future write target; all
+      // other taps stay lazy and keep Catalyst pushdown into the scan.
       val materialized =
         if (config.materializeTaps && Flow.sourceRewrittenLater(
-            stage.connection, writeTargets, config)) df.localCheckpoint()
+            stage.connection, future, config)) df.localCheckpoint()
         else df
       materialized.createOrReplaceTempView(view)
       lastNameVar = Some(stage.name)
@@ -217,6 +231,10 @@ final class Flow(
       postActions(stage, Some(df))
 
     case "pipeline" =>
+      // a looped body re-runs: iteration k+1's writes land after iteration
+      // k's taps, so the body's own writes join the sub-flow's future set
+      val subFuture = future ++ (if (stagesBefore(stage))
+        Flow.collectWrites(stage.stages, config) else Nil)
       lastNameVar match {
         case Some(prev) if stagesBefore(stage) && stage.parallel =>
           // opt-in PARALLEL loop (100 TB extension beyond the reference's
@@ -244,7 +262,7 @@ final class Flow(
                     new Flow(spark, Stages(stage.stages), context, config,
                       iterVars,
                       new NameRegistry(s"__it$idx").preload(names), flowOnError,
-                      writeTargets)
+                      subFuture)
                       .run()
                   } catch {
                     case e: Throwable => failures.add(new FlowRunError(
@@ -270,7 +288,7 @@ final class Flow(
               val record = Json.parse(rowJson)
               variables.put("loop_control", record)
               val sub = new Flow(spark, Stages(stage.stages), context, config,
-                variables, names, flowOnError, writeTargets)
+                variables, names, flowOnError, subFuture)
               try sub.run()
               catch {
                 case e: Exception =>
@@ -284,7 +302,7 @@ final class Flow(
           }
         case _ =>
           new Flow(spark, Stages(stage.stages), context, config, variables,
-            names, flowOnError, writeTargets).run()
+            names, flowOnError, subFuture).run()
       }
       // lastname propagates to the final stage of the sub-pipeline
       // lastname propagates to the sub-pipeline's final stage — except for

@@ -165,14 +165,18 @@ object TrainingData {
           .select(col("doc_id"), col("lang"),
             (col("n_chars") / 100).cast("int").as("bucket"),
             expr(shingleExpr).as("sh"))
-        // shingles are distinct per doc, so COUNT over (shingle) == df
-        val kept = docs
+        // shingles are distinct per doc, so COUNT(*) per shingle == df.
+        // The hot set (df > K) is tiny by construction — at most
+        // total_shingles/K entries — so filter via broadcast anti-join:
+        // a partial-agg'd groupBy (shuffles only distinct shingle counts)
+        // instead of a window over every exploded row, which would
+        // full-shuffle AND sort the corpus by shingle.
+        val ex = docs
           .select(col("doc_id"), col("lang"), col("bucket"),
             explode(col("sh")).as("shingle"))
-          .withColumn("df", count(lit(1)).over(
-            org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
-          .filter(col("df") <= DfCap)
-          .drop("df")
+        val hot = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") > DfCap).select("shingle")
+        val kept = ex.join(broadcast(hot), Seq("shingle"), "left_anti")
           .cache() // consumed by sizes + both pair-join sides
         val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
         val inter = kept.as("a")
@@ -197,10 +201,10 @@ object TrainingData {
               |         $shingleSqlDuck AS sh
               |  FROM documents),
               |ex AS (SELECT doc_id, lang, bucket, unnest(sh) AS shingle FROM ds),
+              |hot AS (SELECT shingle FROM ex GROUP BY shingle HAVING COUNT(*) > $DfCap),
               |kept AS (
-              |  SELECT doc_id, lang, bucket, shingle FROM (
-              |    SELECT *, COUNT(*) OVER (PARTITION BY shingle) AS df FROM ex)
-              |  WHERE df <= $DfCap),
+              |  SELECT doc_id, lang, bucket, shingle FROM ex
+              |  WHERE shingle NOT IN (SELECT shingle FROM hot)),
               |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY doc_id),
               |inter AS (
               |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
