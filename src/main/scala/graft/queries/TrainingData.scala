@@ -79,6 +79,20 @@ object TrainingData {
       s"${m.toDouble / 32768.0 - 0.5}D"
     }.mkString("array(", ", ", ")")
 
+  /** [[planeLit]] as ONE Column literal node. The SQL-string form parses
+    * to a 64-child CreateArray per plane — t12's 64 planes made a ~4600-
+    * node tree that cost 0.41 s of Catalyst planning per run (PlanCostLab).
+    * `typedlit` emits a single Literal holding the whole array: same
+    * values, same ArrayType(double), tree 64× smaller. */
+  private def planeCol(j: Int): Column = typedlit((1 to 64).map { d =>
+    val m = (j.toLong * 1103515245L + d.toLong * 12345L) % 32768L
+    m.toDouble / 32768.0 - 0.5
+  })
+
+  /** Column form of [[dotSql]] against a plane literal. */
+  private def dotCol(a: Column, b: Column): Column =
+    call_function("float_dot", a, b)
+
   /** Dot product of two float arrays: the native codegen'd
     * [[graft.functions.FloatDot]] expression (registered per-session in
     * Tables.t). Same ascending-index left fold and double widening as the
@@ -125,7 +139,7 @@ object TrainingData {
           (0 until 4).map(b => struct(lit(b + 1).as("band"),
             md5(concat(col(s"sig${2 * b + 1}"), col(s"sig${2 * b + 2}"))).as("bucket"))): _*
         )).as("bb")).select(col("doc_id"), col("bb.band"), col("bb.bucket"))
-          .cache() // tiny (4 rows/doc); both self-join sides reuse it lazily
+
         val a = bands.as("a")
         val b = bands.as("b")
         a.join(b, col("a.band") === col("b.band") &&
@@ -151,41 +165,47 @@ object TrainingData {
 
     // ----------------------------------------------------------------- t03
     // Exact n-gram Jaccard within (lang, length-bucket) blocks, with a
-    // shingle document-frequency cap: a shingle appearing in f documents
-    // contributes f² candidate pairs to the equi-join, so one corpus-scale
-    // stop-shingle ("of the and" class, f in the millions) alone produces
-    // ~f² ≈ 10¹² pairs. Dropping shingles with df > K bounds per-shingle
-    // join work at K² and removes only non-discriminative shingles — the
+    // BLOCK-LOCAL shingle document-frequency cap: a shingle shared by f
+    // docs of one block contributes f(f-1)/2 candidate pairs, so one
+    // corpus-scale stop-shingle ("of the and" class, f in the millions)
+    // alone would produce ~f^2 = 10^12 pairs. Capping f per (lang,
+    // bucket, shingle) group at K bounds TOTAL candidate work at
+    // #groups * K^2/2 and removes only non-discriminative shingles — the
     // standard trick in near-dup mining. Jaccard is computed over the
     // KEPT shingle sets (sizes count post-cap), identically in both
     // engines, so parity is exact.
+    //
+    // Dataflow (ONE wide shuffle, no self-join): explode → groupBy
+    // (lang, bucket, shingle) collecting the sorted doc list — the cap
+    // is a filter on list size, and candidate pairs unfold from each
+    // list map-side (a sort_array'd list gives doc_a < doc_b for free;
+    // the unfold lambda only runs on the rare lists with ≥2 docs, so
+    // its interpreted HOF cost is negligible). The self-join
+    // formulation this replaces shuffled + sort-merged the exploded
+    // corpus per side: 2.0 s vs 1.2 s at sf0.1 (T03Probe), and no
+    // broadcast/driver-side hot set anywhere.
     "t03_ngram_jaccard" -> QueryDef(
       (spark, dir) => {
         val docs = withWords(t(spark, dir, "documents"))
           .select(col("doc_id"), col("lang"),
             (col("n_chars") / 100).cast("int").as("bucket"),
             expr(shingleExpr).as("sh"))
-        // shingles are distinct per doc, so COUNT(*) per shingle == df.
-        // The hot set (df > K) is tiny by construction — at most
-        // total_shingles/K entries — so filter via broadcast anti-join:
-        // a partial-agg'd groupBy (shuffles only distinct shingle counts)
-        // instead of a window over every exploded row, which would
-        // full-shuffle AND sort the corpus by shingle.
         val ex = docs
           .select(col("doc_id"), col("lang"), col("bucket"),
             explode(col("sh")).as("shingle"))
-        val hot = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
-          .filter(col("df") > DfCap).select("shingle")
-        val kept = ex.join(broadcast(hot), Seq("shingle"), "left_anti")
-          .cache() // consumed by sizes + both pair-join sides
-        val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-        val inter = kept.as("a")
-          .join(kept.as("b"),
-            col("a.lang") === col("b.lang") && col("a.bucket") === col("b.bucket") &&
-              col("a.shingle") === col("b.shingle") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        // shingles are distinct per doc → list size == block-local df
+        val groups = ex.groupBy("lang", "bucket", "shingle")
+          .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+          .filter(size(col("ids")) <= DfCap)
+        val inter = groups.filter(size(col("ids")) > 1)
+          .select(explode(expr(
+            "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), y -> struct(x as a, y as b))))")).as("p"))
+          .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
           .agg(count(lit(1)).as("n_inter"))
+        val sizes = groups.select(explode(col("ids")).as("doc_id"))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+        // sizes is one narrow row per doc: AQE broadcasts it here; at
+        // corpus scale it shuffle-joins on the pair keys
         inter
           .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
           .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
@@ -201,10 +221,13 @@ object TrainingData {
               |         $shingleSqlDuck AS sh
               |  FROM documents),
               |ex AS (SELECT doc_id, lang, bucket, unnest(sh) AS shingle FROM ds),
-              |hot AS (SELECT shingle FROM ex GROUP BY shingle HAVING COUNT(*) > $DfCap),
+              |hot AS (SELECT lang, bucket, shingle FROM ex
+              |        GROUP BY lang, bucket, shingle HAVING COUNT(*) > $DfCap),
               |kept AS (
-              |  SELECT doc_id, lang, bucket, shingle FROM ex
-              |  WHERE shingle NOT IN (SELECT shingle FROM hot)),
+              |  SELECT e.doc_id, e.lang, e.bucket, e.shingle FROM ex e
+              |  LEFT JOIN hot h ON e.lang = h.lang AND e.bucket = h.bucket
+              |    AND e.shingle = h.shingle
+              |  WHERE h.shingle IS NULL),
               |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY doc_id),
               |inter AS (
               |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
@@ -292,7 +315,7 @@ object TrainingData {
       (spark, dir) => {
         val emb = t(spark, dir, "embeddings")
         val planeDots = (1 to 8).map { j =>
-          expr(s"CASE WHEN ${dotSql("embedding", planeLit(j))} > 0 THEN ${1 << (j - 1)} ELSE 0 END")
+          when(dotCol(col("embedding"), planeCol(j)) > 0, 1 << (j - 1)).otherwise(0)
         }
         // no materialization: with literal planes the bucket is 8 codegen'd
         // float_dots — recomputing beats checkpointing full embeddings, and
@@ -470,18 +493,22 @@ object TrainingData {
     "t12_cosine_neardup" -> QueryDef(
       (spark, dir) => {
         val emb = t(spark, dir, "embeddings")
-        def signExpr(j: Int): String =
-          s"(CASE WHEN ${dotSql("embedding", planeLit(j))} > 0 THEN 1 ELSE 0 END)"
-        def bucketOf(k: Int): String = (0 until 16)
-          .map(i => s"${signExpr((k - 1) * 16 + i + 1)} * ${1 << i}")
-          .mkString("(", " + ", ")")
+        def signCol(j: Int): Column =
+          when(dotCol(col("embedding"), planeCol(j)) > 0, 1).otherwise(0)
+        def bucketOf(k: Int): Column = (0 until 16)
+          .map(i => signCol((k - 1) * 16 + i + 1) * lit(1 << i))
+          .reduce(_ + _)
         val bands = emb.select(
             col("vec_id") +: (1 to 4).map(k =>
-              expr(bucketOf(k)).cast("int").as(s"b$k")): _*)
+              bucketOf(k).cast("int").as(s"b$k")): _*)
           .select(col("vec_id"), explode(array((1 to 4).map(k =>
             struct(lit(k).as("band"), col(s"b$k").as("bucket"))): _*)).as("bb"))
           .select(col("vec_id"), col("bb.band"), col("bb.bucket"))
-          .cache() // 64 plane dots computed once; both self-join sides reuse
+          // cache (tiny: 4 (id,band,bucket) rows/vector) — recomputing the
+          // 64 float_dots per row on both self-join sides measured 1.5×
+          // slower than materializing once (R3Lab)
+          .cache()
+
         val cands = bands.as("a").join(bands.as("b"),
             col("a.band") === col("b.band") &&
               col("a.bucket") === col("b.bucket") &&
@@ -546,13 +573,12 @@ object TrainingData {
       (spark, dir) => {
         val emb = t(spark, dir, "embeddings")
         // centroid k: same LCG family as the LSH planes, salted by k+100
-        val cdots = (1 to 8)
-          .map(k => dotSql("embedding", planeLit(k + 100)))
-          .mkString("array(", ", ", ")")
+        val cdots = array((1 to 8)
+          .map(k => dotCol(col("embedding"), planeCol(k + 100))): _*)
         // no materialization (see t06): literal centroids keep the whole
         // assignment in codegen; the q side prunes to one row at the scan
         val assigned = emb
-          .withColumn("cdots", expr(cdots))
+          .withColumn("cdots", cdots)
           .withColumn("cell",
             expr("array_position(cdots, array_max(cdots))").cast("int"))
         val q = assigned.filter(col("vec_id") === 0)
