@@ -17,6 +17,10 @@ final case class FlowConfig(
     dataPrefix: Option[String] = None,
     locatorWildcards: List[(String, String)] = Nil,
     hadoopConf: Map[String, String] = Map.empty,
+    /** Flow-level fallback for per-connection `config:` blocks (the
+      * reference's default_connection, ankaflow/core/flow.py:97-98);
+      * same shape as the per-connection map — see [[CloudSecrets]]. */
+    defaultConnection: Map[String, Any] = Map.empty,
     /** Materialize taps eagerly (cache + count) like the reference's
       * CREATE TABLE AS semantics. Disable for very large pipelines where
       * lazy evaluation + Catalyst whole-plan optimization wins. */
@@ -159,8 +163,16 @@ abstract class Connection(protected val ctx: ConnContext) {
 
 object Connection {
   /** kind string → implementation (reference:
-    * ankaflow/connections/__init__.py:41-70). */
-  def resolve(ctx: ConnContext): Connection = ctx.conn.kind.toLowerCase match {
+    * ankaflow/connections/__init__.py:41-70). Resolution is the choke
+    * point every tap/sink/sql passes through, so scoped credentials are
+    * injected here — same placement as the reference's inject_secrets
+    * calls before each stage body (flow.py:215,291,321). */
+  def resolve(ctx: ConnContext): Connection = {
+    CloudSecrets.inject(ctx.spark, ctx.conn, ctx.cfg)
+    resolveKind(ctx)
+  }
+
+  private def resolveKind(ctx: ConnContext): Connection = ctx.conn.kind.toLowerCase match {
     case "parquet" => new ParquetConnection(ctx)
     case "csv" => new CsvConnection(ctx)
     case "json" => new JsonConnection(ctx)

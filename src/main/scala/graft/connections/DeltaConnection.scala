@@ -24,6 +24,8 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
   */
 final class DeltaConnection(ctx: ConnContext) extends Connection(ctx) {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(classOf[DeltaConnection])
+
   private def exists: Boolean = {
     val p = Paths.get(path)
     if (!Files.exists(p) || !Files.isDirectory(p)) false
@@ -92,9 +94,14 @@ final class DeltaConnection(ctx: ConnContext) extends Connection(ctx) {
       }
       None
     } else if (s.startsWith("OPTIMIZE DELTATABLE")) {
-      // COMPACT / VACUUM → single compaction rewrite (delta.py:604-659);
-      // retention bookkeeping is a no-op without a transaction log.
-      if (exists && !s.contains("DRY_RUN")) {
+      val flags = DeltaConnection.parseOptimizeFlags(stmt)
+      log.info(s"OPTIMIZE $path: $flags")
+      // COMPACT / VACUUM both map to one compaction rewrite on the
+      // parquet emulation (no transaction log → nothing older than the
+      // live files to vacuum); CLEANUP-only is a logged no-op for the
+      // same reason. retention_hours is parsed + clamped for parity and
+      // ready for a real delta-spark drop-in.
+      if (exists && !flags.dryRun && (flags.compact || flags.vacuum)) {
         val df = spark.read.option("mergeSchema", "true").parquet(path)
         val tmp = path.stripSuffix("/") + "__compact_tmp"
         df.repartition(math.max(1, (df.count() / 5000000L).toInt))
@@ -117,5 +124,34 @@ final class DeltaConnection(ctx: ConnContext) extends Connection(ctx) {
         finally stream.close()
       all.forEach(f => Files.delete(f))
     }
+  }
+}
+
+object DeltaConnection {
+
+  /** Parsed `OPTIMIZE DELTATABLE` flags (delta.py:604-659). */
+  final case class OptimizeFlags(
+      compact: Boolean, vacuum: Boolean, cleanup: Boolean,
+      dryRun: Boolean, retentionHours: Int)
+
+  /** Flag parsing with the reference's defaulting rule: neither COMPACT
+    * nor VACUUM given → both, unless CLEANUP alone was asked; AGE=n[d|h]
+    * (default 7 d) clamped to [0, 365 d] (delta.py:616-659). */
+  def parseOptimizeFlags(stmt: String): OptimizeFlags = {
+    val toks = stmt.trim.split("\\s+").map(_.toLowerCase).toList
+    var compact = toks.contains("compact")
+    var vacuum = toks.contains("vacuum")
+    val cleanup = toks.contains("cleanup")
+    val dryRun = toks.contains("dry_run")
+    if (!compact && !vacuum && !cleanup) { compact = true; vacuum = true }
+    val age = toks.collectFirst {
+      case t if t.startsWith("age=") =>
+        val v = t.substring(4)
+        if (v.endsWith("h")) v.dropRight(1).toInt
+        else if (v.endsWith("d")) v.dropRight(1).toInt * 24
+        else v.toInt * 24
+    }.getOrElse(7 * 24)
+    OptimizeFlags(compact, vacuum, cleanup, dryRun,
+      math.max(0, math.min(age, 365 * 24)))
   }
 }

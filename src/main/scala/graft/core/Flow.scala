@@ -94,9 +94,10 @@ final class Flow(
     config.hadoopConf.foreach { case (k, v) =>
       spark.sparkContext.hadoopConfiguration.set(k, v)
     }
-    stagesDef.stages.zipWithIndex.foreach { case (s, i) =>
+    try stagesDef.stages.zipWithIndex.foreach { case (s, i) =>
       runStage(s, futureWrites(i + 1))
-    }
+    } finally if (stagesDef.stages.exists(_.logLevel.isDefined))
+      Flow.setEngineLogLevel("INFO") // flow.py:627 resets after the run
     this
   }
 
@@ -131,6 +132,11 @@ final class Flow(
       val skipped = stage.skipIf.exists { expr =>
         Renderer.stringToBool(Renderer.renderTyped(expr, renderCtx))
       }
+      // stage-declared log level applies from this stage on, like the
+      // reference's `self.log.setLevel(step.log_level)` (flow.py:593-594);
+      // run() restores INFO at the end (flow.py:627). Scope is the
+      // engine's own logger namespace, not Spark's global log4j.
+      stage.logLevel.foreach(Flow.setEngineLogLevel)
       if (skipped) {
         log.info(s"stage '${stage.name}' skipped (skip_if)")
         return
@@ -316,20 +322,34 @@ final class Flow(
 
   private def stagesBefore(stage: Stage): Boolean = lastNameVar.isDefined
 
-  /** show / show_schema / explain (flow.py:61-80,119-120; §4 explain). */
+  /** show / show_schema / explain (flow.py:61-80,119-120; §4 explain).
+    * `show` previews a RANDOM sample like the reference's
+    * `USING SAMPLE n ROWS / p%` (flow.py:60-74): a fraction in (0,1)
+    * samples that share, an integer n ≥ 1 draws n random rows, and -1
+    * prints everything. */
   private def postActions(stage: Stage, df: Option[DataFrame]): Unit = df.foreach { d =>
     stage.show.foreach {
       case -1 => d.show(Int.MaxValue, truncate = false)
-      case n if n > 0 => d.show(n, truncate = false)
+      case f if f > 0 && f < 1 =>
+        d.sample(f).show(Int.MaxValue, truncate = false)
+      case n if n >= 1 =>
+        d.orderBy(org.apache.spark.sql.functions.rand())
+          .show(n.toInt, truncate = false)
       case _ =>
     }
     if (stage.showSchema) log.info(s"schema of '${stage.name}':\n" + d.schema.treeString)
     if (stage.explain) d.explain("formatted")
-    stage.logLevel.foreach(_ => ()) // per-stage log level: spark log4j is global
   }
 }
 
 object Flow {
+
+  /** Set the engine ("graft" namespace) log level — the Spark/log4j2
+    * equivalent of the reference's per-stage logger.setLevel. */
+  private[core] def setEngineLogLevel(level: String): Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel("graft",
+      org.apache.logging.log4j.Level.toLevel(level,
+        org.apache.logging.log4j.Level.INFO))
 
   /** Connection kinds that share a storage namespace for rewrite detection:
     * a Deltatable sink compacts/drops the same parquet files a Parquet tap

@@ -70,7 +70,7 @@ final case class Stage(
     connection: Option[ConnectionDef] = None,
     query: Option[String] = None,
     skipIf: Option[String] = None,
-    show: Option[Int] = None,
+    show: Option[Double] = None,      // n rows (>1), fraction (0..1), -1 = all
     showSchema: Boolean = false,
     explain: Boolean = false,
     stages: List[Stage] = Nil,
@@ -140,9 +140,10 @@ object Stages {
       query = strOpt("query"),
       skipIf = strOpt("skip_if"),
       show = m.get("show").collect {
-        case i: Int => i
-        case l: Long => l.toInt
-        case s: String => s.toInt
+        case i: Int => i.toDouble
+        case l: Long => l.toDouble
+        case d: Double => d
+        case s: String => s.toDouble
       },
       showSchema = m.get("show_schema").exists {
         case b: Boolean => b

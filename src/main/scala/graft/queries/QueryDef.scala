@@ -21,17 +21,22 @@ object Tables {
   /** Memoized per (session, dir, table): `spark.read.parquet` re-lists the
     * directory and re-reads footers on every call, which across 40+ bench
     * queries is pure fixed overhead. DataFrames are immutable plans, so
-    * reuse is safe. */
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
+    * reuse is safe. Keyed by the session through a WeakHashMap so a
+    * stopped session's plans can be collected (an identityHashCode key
+    * would pin them forever and could silently collide). */
+  private val cache = new java.util.WeakHashMap[
+    SparkSession, java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]()
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark) // idempotent
-    cache.computeIfAbsent(
-      (System.identityHashCode(spark), dir, name), { _ =>
-        if (name == "events") events(spark, dir)
-        else spark.read.parquet(s"$dir/$name.parquet")
-      })
+    val perSession = cache.synchronized {
+      cache.computeIfAbsent(spark,
+        _ => new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]())
+    }
+    perSession.computeIfAbsent((dir, name), { _ =>
+      if (name == "events") events(spark, dir)
+      else spark.read.parquet(s"$dir/$name.parquet")
+    })
   }
 
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader

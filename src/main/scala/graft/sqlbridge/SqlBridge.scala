@@ -347,15 +347,21 @@ object SqlBridge {
   /** True if the query contains aggregation at the top level —
     * disallowed under dedup ranking (util.py:419-424). */
   def hasAggregation(sql: String): Boolean = {
-    val toks = tokenize(sql)
+    val toks = tokenize(sql).toIndexedSeq
     var depth = 0
-    toks.exists {
-      case Sym("(") => depth += 1; false
-      case Sym(")") => depth -= 1; false
-      case w: Word if depth == 0 =>
-        Set("group", "having").contains(w.text.toLowerCase) ||
-          Set("sum", "count", "avg", "min", "max").contains(w.text.toLowerCase)
-      case _ => false
+    toks.indices.exists { i =>
+      toks(i) match {
+        case Sym("(") => depth += 1; false
+        case Sym(")") => depth -= 1; false
+        case w: Word if depth == 0 =>
+          val lower = w.text.toLowerCase
+          // agg NAMES only count as calls — a column named `count` is
+          // fine (it's only a function when followed by "(")
+          Set("group", "having").contains(lower) ||
+            (Set("sum", "count", "avg", "min", "max").contains(lower) &&
+              (i + 1 < toks.length) && toks(i + 1) == Sym("("))
+        case _ => false
+      }
     }
   }
 

@@ -134,6 +134,52 @@ class FlowSpec extends AnyFunSuite {
     assert(spark.table("Read_Delta").count() == 25)
   }
 
+  test("delta OPTIMIZE: flag parsing + compaction; DRY_RUN leaves files") {
+    import graft.connections.DeltaConnection.parseOptimizeFlags
+    val f = parseOptimizeFlags("OPTIMIZE DELTATABLE COMPACT AGE=3d DRY_RUN")
+    assert(f.compact && !f.vacuum && f.dryRun && f.retentionHours == 72)
+    // bare OPTIMIZE → compact + vacuum, 7d default
+    val g = parseOptimizeFlags("OPTIMIZE DELTATABLE")
+    assert(g.compact && g.vacuum && !g.cleanup && g.retentionHours == 168)
+    // CLEANUP alone → neither compact nor vacuum
+    val c = parseOptimizeFlags("OPTIMIZE DELTATABLE CLEANUP")
+    assert(!c.compact && !c.vacuum && c.cleanup)
+    // guardrail: AGE beyond a year clamps (delta.py retention rule)
+    assert(parseOptimizeFlags("OPTIMIZE DELTATABLE AGE=9999d").retentionHours == 365 * 24)
+
+    val delta = tmpDir() + "/opt_t"
+    def append() = Flow.runYaml(spark,
+      s"""
+         |- name: Nations
+         |  kind: tap
+         |  connection: {kind: Parquet, locator: $sf/nation.parquet}
+         |- name: W
+         |  kind: sink
+         |  connection: {kind: Deltatable, locator: $delta, data_mode: append}
+         |""".stripMargin)
+    append(); append()
+    def files = java.nio.file.Files.walk(java.nio.file.Paths.get(delta))
+      .filter(_.toString.endsWith(".parquet")).count()
+    val before = files
+    Flow.runYaml(spark,
+      s"""
+         |- name: Dry
+         |  kind: sql
+         |  connection: {kind: Deltatable, locator: $delta}
+         |  query: OPTIMIZE DELTATABLE COMPACT DRY_RUN
+         |""".stripMargin)
+    assert(files == before) // dry run touches nothing
+    Flow.runYaml(spark,
+      s"""
+         |- name: Compact
+         |  kind: sql
+         |  connection: {kind: Deltatable, locator: $delta}
+         |  query: OPTIMIZE DELTATABLE COMPACT
+         |""".stripMargin)
+    assert(files < before)
+    assert(spark.read.parquet(delta).count() == 50) // 25 nations × 2 appends
+  }
+
   test("delta sink with partition columns lays out hive-style dirs") {
     val dir = tmpDir()
     val yaml =
@@ -364,11 +410,16 @@ class FlowSpec extends AnyFunSuite {
          |  connection: {kind: Parquet, locator: $sf/region.parquet}
          |  show: 2
          |  show_schema: true
+         |- name: Sampled
+         |  kind: transform
+         |  query: select r_name from Regions
+         |  show: 0.5
          |- name: Named
          |  kind: transform
          |  query: select r_name from Regions order by r_name
          |  show: -1
          |  explain: true
+         |  log_level: DEBUG
          |""".stripMargin
     assert(Flow.runYaml(spark, yaml).df().count() == 5)
   }

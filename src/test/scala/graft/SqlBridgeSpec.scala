@@ -34,6 +34,14 @@ class SqlBridgeSpec extends AnyFunSuite {
     assert(q.contains("__rank__ = 1"))
   }
 
+  test("hasAggregation: agg names count only as calls, not column names") {
+    assert(SqlBridge.hasAggregation("SELECT sum(x) FROM t"))
+    assert(SqlBridge.hasAggregation("SELECT a FROM t GROUP BY a"))
+    // a column literally named `count` must not block a ranked tap
+    assert(!SqlBridge.hasAggregation("SELECT count, min FROM t"))
+    assert(!SqlBridge.hasAggregation("SELECT id, count FROM t WHERE count > 3"))
+  }
+
   test("ranking + aggregation rejected (util.py:419-424)") {
     intercept[Exception] {
       SqlBridge.rankedQuery("SELECT id, count(*) FROM t GROUP BY id", "v", List("id"))
