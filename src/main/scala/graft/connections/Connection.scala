@@ -21,6 +21,9 @@ final case class FlowConfig(
       * reference's default_connection, ankaflow/core/flow.py:97-98);
       * same shape as the per-connection map — see [[CloudSecrets]]. */
     defaultConnection: Map[String, Any] = Map.empty,
+    /** Named OAuth2 providers REST auth can reference by name (the
+      * reference's oauth_keyring — see [[OAuth2Provider]]). */
+    oauthKeyring: Seq[OAuth2Provider] = Nil,
     /** Materialize taps eagerly (cache + count) like the reference's
       * CREATE TABLE AS semantics. Disable for very large pipelines where
       * lazy evaluation + Catalyst whole-plan optimization wins. */

@@ -65,9 +65,9 @@ final class JsonConnection(ctx: ConnContext) extends Connection(ctx) {
 }
 
 /** Generic file reader (file.py:121-180): dispatch by `filetype` param or
-  * path suffix. parquet/csv/json/txt supported; xlsx/xml/html raise like
-  * the reference does for unknown kinds (file.py:149) — no such jars in
-  * the offline environment. Read-only. */
+  * path suffix. parquet/csv/json/txt distribute through Spark readers;
+  * xlsx/xml/html parse driver-side (small-ingest formats, exactly how the
+  * reference's pandas readers work — see [[TabularFiles]]). Read-only. */
 final class FileConnection(ctx: ConnContext) extends Connection(ctx) {
   override def tap(query: Option[String], limit: Option[Int]): DataFrame = {
     val ftype = conn.str("filetype").getOrElse(
@@ -79,6 +79,11 @@ final class FileConnection(ctx: ConnContext) extends Connection(ctx) {
       case "json" | "jsonl" => spark.read
         .option("multiLine", (ftype == "json").toString).json(path)
       case "txt" | "text" => spark.read.text(path)
+      // spreadsheet/markup kinds parse driver-side like the reference's
+      // pandas readers (file.py:136-147) — see TabularFiles scaladoc
+      case "xlsx" => TabularFiles.readXlsx(spark, path)
+      case "xml" => TabularFiles.readXml(spark, path)
+      case "html" | "htm" => TabularFiles.readHtml(spark, path)
       case other => throw new UnsupportedOperationException(
         s"File connection: unsupported filetype '$other'")
     }

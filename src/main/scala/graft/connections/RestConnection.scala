@@ -205,11 +205,27 @@ final class RestConnection(ctx: ConnContext) extends Connection(ctx) {
   // Reference: OAuth2Auth + token exchange (RFC 8693) / refresh flows,
   // ankaflow/connections/rest/server.py:58-211. Transient statuses on the
   // token endpoint retry ≤3 with 2^(n+1) backoff; a 401 on the data call
-  // triggers one refresh+retry (wired in doRequest).
-  private var accessToken: Option[String] = None
-  private var refreshToken: Option[String] = None
+  // triggers one refresh+retry (wired in doRequest). Token state lives on
+  // the resolved [[OAuth2Provider]]: `provider: <name>` looks it up in
+  // the flow's oauthKeyring (rotations persist there and fire its
+  // callbacks), `provider: {…}` defines one inline, and bare auth-level
+  // config/refresh_token fields keep working as an anonymous inline
+  // provider.
+  private lazy val provider: OAuth2Provider = auth.get("provider") match {
+    case Some(name: String) =>
+      ctx.cfg.oauthKeyring.find(_.name == name).getOrElse(
+        sys.error(s"Provider '$name' not found in keyring."))
+    case Some(m: Map[_, _]) =>
+      OAuth2Provider.fromMap(m.map { case (k, v) => k.toString -> v })
+    case _ => OAuth2Provider.fromMap(auth)
+  }
 
-  private def oauthConfig: Map[String, Any] = submap(auth, "config")
+  private def accessToken: Option[String] = provider.accessToken
+  private def accessToken_=(v: Option[String]): Unit = provider.accessToken = v
+  private def refreshToken: Option[String] = provider.refreshToken
+  private def refreshToken_=(v: Option[String]): Unit = provider.refreshToken = v
+
+  private def oauthConfig: Map[String, Any] = provider.config
 
   private def oauthHeaders: Map[String, String] =
     if (!isOAuth) Map.empty
@@ -230,14 +246,14 @@ final class RestConnection(ctx: ConnContext) extends Connection(ctx) {
     val conf = oauthConfig
     val tokenUrl = str(conf, "access_token_url").getOrElse(
       sys.error("oauth2 requires config.access_token_url"))
-    val base = refreshToken.orElse(str(auth, "refresh_token")) match {
+    val base = refreshToken match {
       case Some(rt) => Map(
         "grant_type" -> "refresh_token",
         "refresh_token" -> rt)
       case None => Map(
         "grant_type" -> str(conf, "grant_type")
           .getOrElse("urn:ietf:params:oauth:grant-type:token-exchange"),
-        "subject_token" -> str(auth, "subject_token")
+        "subject_token" -> provider.subjectToken
           .orElse(str(conf, "subject_token")).getOrElse(""),
         "subject_token_type" -> str(conf, "subject_token_type")
           .getOrElse("urn:ietf:params:oauth:token-type:refresh_token"),
@@ -279,6 +295,23 @@ final class RestConnection(ctx: ConnContext) extends Connection(ctx) {
           attempt += 1
         } else if (code >= 400) {
           accessToken = None // kill switch (rest/server.py:126)
+          // failure callback with the RFC 6749 error key when the
+          // provider answered JSON, raw body excerpt otherwise
+          // (rest/server.py:127-147), then fail the pipeline
+          val (errMsg, body): (String, Any) =
+            try {
+              Json.parse(resp.body()) match {
+                case m: Map[_, _] =>
+                  val mm = m.map { case (k, v) => k.toString -> v }
+                  (mm.get("error").map(String.valueOf(_))
+                    .getOrElse("unknown_error"), mm)
+                case other => ("non_json_response", String.valueOf(other))
+              }
+            } catch {
+              case _: Exception => ("non_json_response", resp.body().take(200))
+            }
+          provider.onRefreshFail(provider.name, Map(
+            "error" -> errMsg, "status_code" -> code, "body" -> body))
           sys.error(s"OAuth2 token refresh failed: HTTP $code " +
             resp.body().take(200))
         } else {
@@ -291,6 +324,9 @@ final class RestConnection(ctx: ConnContext) extends Connection(ctx) {
             refreshToken = Some(String.valueOf(rt)))
           if (accessToken.isEmpty)
             sys.error("token endpoint response has no access_token")
+          // success callback so the host can persist rotated tokens
+          // (rest/server.py:121-123)
+          provider.onTokenRefresh(provider.name, data)
           done = true
         }
       }

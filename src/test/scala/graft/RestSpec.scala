@@ -32,12 +32,13 @@ class RestSpec extends AnyFunSuite {
   }
 
   private def restConn(port: Int, client: Map[String, Any],
-      request: Map[String, Any]): RestConnection = {
+      request: Map[String, Any],
+      cfg: FlowConfig = FlowConfig()): RestConnection = {
     val base = Map("base_url" -> s"http://localhost:$port") ++ client
     new RestConnection(ConnContext(SparkSuite.spark,
       ConnectionDef("rest", None,
         Map("client" -> base, "request" -> request)),
-      FlowConfig(), scala.collection.mutable.Map.empty,
+      cfg, scala.collection.mutable.Map.empty,
       new SqlBridge.NameRegistry))
   }
 
@@ -209,6 +210,78 @@ class RestSpec extends AnyFunSuite {
           "response" -> Map.empty[String, Any])).tap(None, None)
       assert(df.count() == 1)
     }
+  }
+
+  test("oauth2 keyring: named provider shares rotated tokens and fires callbacks") {
+    import graft.connections.OAuth2Provider
+    val tokenCalls = new AtomicInteger(0)
+    val refreshed = scala.collection.mutable.ArrayBuffer[(String, Map[String, Any])]()
+    withServer(Map(
+      "/token" -> (_ => {
+        val n = tokenCalls.incrementAndGet()
+        (200, s"""{"access_token":"AT$n","refresh_token":"RT$n"}""")
+      }),
+      "/data" -> (ex => {
+        val authz = Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("")
+        if (authz.startsWith("Bearer AT")) (200, """[{"id":1}]""") else (401, "{}")
+      }))) { port =>
+      val prov = OAuth2Provider(name = "acme",
+        refreshToken = Some("RT0"),
+        config = Map(
+          "access_token_url" -> s"http://localhost:$port/token",
+          "client_id" -> "cid", "client_secret" -> "sec"),
+        onTokenRefresh = (n, data) => refreshed += (n -> data))
+      val cfg = FlowConfig(oauthKeyring = Seq(prov))
+      val client = Map("auth" -> Map("kind" -> "oauth2", "provider" -> "acme"))
+      val req = Map("endpoint" -> "/data", "method" -> "get",
+        "response" -> Map.empty[String, Any])
+      assert(restConn(port, client, req, cfg).tap(None, None).count() == 1)
+      // rotation persisted on the provider + surfaced through the callback
+      assert(prov.accessToken.contains("AT1"))
+      assert(prov.refreshToken.contains("RT1"))
+      assert(refreshed.toList == List("acme" -> Map(
+        "access_token" -> "AT1", "refresh_token" -> "RT1")))
+      // a SECOND connection against the same provider reuses the token —
+      // no extra token-endpoint call
+      assert(restConn(port, client, req, cfg).tap(None, None).count() == 1)
+      assert(tokenCalls.get() == 1)
+    }
+  }
+
+  test("oauth2: refresh failure fires on_refresh_fail with the RFC error key") {
+    import graft.connections.OAuth2Provider
+    val failures = scala.collection.mutable.ArrayBuffer[(String, Map[String, Any])]()
+    withServer(Map(
+      "/token" -> (_ => (400, """{"error":"invalid_grant"}""")))) { port =>
+      val prov = OAuth2Provider(name = "bad",
+        refreshToken = Some("RTX"),
+        config = Map("access_token_url" -> s"http://localhost:$port/token",
+          "client_id" -> "c", "client_secret" -> "s"),
+        onRefreshFail = (n, data) => failures += (n -> data))
+      val ex = intercept[Exception] {
+        restConn(port,
+          Map("auth" -> Map("kind" -> "oauth2", "provider" -> "bad")),
+          Map("endpoint" -> "/d", "method" -> "get",
+            "response" -> Map.empty[String, Any]),
+          FlowConfig(oauthKeyring = Seq(prov))).tap(None, None)
+      }
+      assert(ex.getMessage.contains("token refresh failed"))
+      assert(prov.accessToken.isEmpty) // kill switch
+      val (name, data) = failures.head
+      assert(name == "bad")
+      assert(data("error") == "invalid_grant")
+      assert(data("status_code") == 400)
+    }
+  }
+
+  test("oauth2: unknown keyring provider name is a clear error") {
+    val ex = intercept[Exception] {
+      restConn(0,
+        Map("auth" -> Map("kind" -> "oauth2", "provider" -> "ghost")),
+        Map("endpoint" -> "/d", "method" -> "get",
+          "response" -> Map.empty[String, Any])).tap(None, None)
+    }
+    assert(ex.getMessage.contains("'ghost' not found in keyring"))
   }
 
   test("StatePolling waits for ready_status then extracts records") {
