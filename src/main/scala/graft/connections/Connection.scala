@@ -27,7 +27,13 @@ final case class FlowConfig(
     /** Materialize taps eagerly (cache + count) like the reference's
       * CREATE TABLE AS semantics. Disable for very large pipelines where
       * lazy evaluation + Catalyst whole-plan optimization wins. */
-    materializeTaps: Boolean = true)
+    materializeTaps: Boolean = true,
+    /** Cap on rows any driver-side materialization (loop control rows,
+      * Variable sinks) may pull. The reference does unbounded df()
+      * pulls at these spots; at cluster scale an accidental million-row
+      * loop should fail fast with a clear message, not OOM an executor
+      * or the driver. Raise per flow when genuinely needed. */
+    maxDriverRows: Int = 100000)
 
 /** Everything a connection needs at execution time. */
 final case class ConnContext(

@@ -116,7 +116,9 @@ final class VariableConnection(ctx: ConnContext) extends Connection(ctx) {
   }
 
   override def sink(from: DataFrame): Unit = {
-    val rows = from.toJSON.collect().toList.map(Json.parse)
+    val rows = graft.core.Flow.guardedCollect(from,
+      s"Variable sink '$varName'", ctx.cfg.maxDriverRows)
+      .toList.map(Json.parse)
     ctx.variables.put(varName, rows)
   }
 }

@@ -252,7 +252,8 @@ final class Flow(
           // locators (template the path from loop_control) — concurrent
           // appends to ONE path race on the output committer.
           val prevView = names.get(prev).getOrElse(prev)
-          val rows = spark.table(prevView).toJSON.collect()
+          val rows = Flow.guardedCollect(
+            spark.table(prevView), s"loop over '$prev'", config.maxDriverRows)
           val failures =
             new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
           val pool = java.util.concurrent.Executors.newFixedThreadPool(
@@ -285,7 +286,8 @@ final class Flow(
           // row-driven loop (flow.py:126-173): one sub-flow per row of the
           // previous stage; loop_control carries the row.
           val prevView = names.get(prev).getOrElse(prev)
-          val rows = spark.table(prevView).toJSON.collect()
+          val rows = Flow.guardedCollect(
+            spark.table(prevView), s"loop over '$prev'", config.maxDriverRows)
           // restore (not remove) so a nested loop's cleanup doesn't wipe
           // the outer loop's control row
           val saved = variables.get("loop_control")
@@ -343,6 +345,19 @@ final class Flow(
 }
 
 object Flow {
+
+  /** Driver-side row pull with a hard cap (reference parity is an
+    * unbounded df() pull, flow.py:134-138; the cap turns a would-be OOM
+    * at cluster scale into an actionable error). Fetches max+1 rows so
+    * the check costs no extra job. */
+  private[graft] def guardedCollect(df: DataFrame, what: String,
+      max: Int): Array[String] = {
+    val rows = df.toJSON.take(max + 1)
+    if (rows.length > max) sys.error(
+      s"$what would materialize more than $max rows on the driver; " +
+        "restructure the pipeline or raise FlowConfig.maxDriverRows")
+    rows
+  }
 
   /** Set the engine ("graft" namespace) log level — the Spark/log4j2
     * equivalent of the reference's per-stage logger.setLevel. */

@@ -32,7 +32,7 @@ object Pipelines {
            |  kind: transform
            |  query: >
            |    SELECT l_returnflag, l_linestatus,
-           |      CAST(SUM(CAST(round(l_quantity * 1e4) AS BIGINT)) AS DOUBLE) / 1e4 AS sum_qty,
+           |      CAST(SUM(CAST(FLOOR(l_quantity * 1e4 + 0.5) AS BIGINT)) AS DOUBLE) / 1e4 AS sum_qty,
            |      Fn.div(COUNT(*), 100) AS hundredths,
            |      COUNT(*) AS n
            |    FROM Lineitem
@@ -40,7 +40,7 @@ object Pipelines {
            |    ORDER BY l_returnflag, l_linestatus
            |""".stripMargin),
       Some("""SELECT l_returnflag, l_linestatus,
-             |  CAST(SUM(CAST(round(l_quantity * 1e4) AS BIGINT)) AS DOUBLE) / 1e4 AS sum_qty,
+             |  CAST(SUM(CAST(FLOOR(l_quantity * 1e4 + 0.5) AS BIGINT)) AS DOUBLE) / 1e4 AS sum_qty,
              |  IFNULL(COUNT(*) / NULLIF(100, 0), 0) AS hundredths,
              |  COUNT(*) AS n
              |FROM lineitem
@@ -242,13 +242,13 @@ object Pipelines {
              |  kind: transform
              |  query: >
              |    SELECT l_returnflag,
-             |      CAST(SUM(CAST(round(l_quantity * 1e4) AS BIGINT)) AS DOUBLE) / 1e4 AS qty,
+             |      CAST(SUM(CAST(FLOOR(l_quantity * 1e4 + 0.5) AS BIGINT)) AS DOUBLE) / 1e4 AS qty,
              |      COUNT(*) AS n
              |    FROM ReadCsv GROUP BY l_returnflag ORDER BY l_returnflag
              |""".stripMargin)
       },
       Some("""SELECT l_returnflag,
-             |  CAST(SUM(CAST(round(l_quantity * 1e4) AS BIGINT)) AS DOUBLE) / 1e4 AS qty,
+             |  CAST(SUM(CAST(FLOOR(l_quantity * 1e4 + 0.5) AS BIGINT)) AS DOUBLE) / 1e4 AS qty,
              |  COUNT(*) AS n
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
@@ -273,13 +273,13 @@ object Pipelines {
              |  kind: transform
              |  query: >
              |    SELECT c_mktsegment,
-             |      CAST(SUM(CAST(round(c_acctbal * 1e4) AS BIGINT)) AS DOUBLE) / 1e4 AS bal,
+             |      CAST(SUM(CAST(FLOOR(c_acctbal * 1e4 + 0.5) AS BIGINT)) AS DOUBLE) / 1e4 AS bal,
              |      COUNT(*) AS n
              |    FROM ReadJson GROUP BY c_mktsegment ORDER BY c_mktsegment
              |""".stripMargin)
       },
       Some("""SELECT c_mktsegment,
-             |  CAST(SUM(CAST(round(c_acctbal * 1e4) AS BIGINT)) AS DOUBLE) / 1e4 AS bal,
+             |  CAST(SUM(CAST(FLOOR(c_acctbal * 1e4 + 0.5) AS BIGINT)) AS DOUBLE) / 1e4 AS bal,
              |  COUNT(*) AS n
              |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
 

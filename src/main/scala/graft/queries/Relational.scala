@@ -21,16 +21,20 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Relational {
 
-  /** round(x·1e4) as a long: both engines compute the identical IEEE
-    * product and round half-away-from-zero, so the scaled integers — and
-    * therefore the sums — are bit-identical. Overflow bound: |Σ x·1e4| <
-    * 2^63 ≈ 9.2e18, i.e. ~9e9 rows of 1e5-valued prices per group (ANSI
-    * mode raises rather than wraps); beyond that use DECIMAL(38) sums. */
-  private def fx(c: Column): Column = round(c * 1e4).cast("long")
+  /** floor(x·1e4 + 0.5) as a long: both engines compute the identical
+    * IEEE product, add, and floor, so the scaled integers — and therefore
+    * the sums — are bit-identical BY CONSTRUCTION (no reliance on the
+    * engines' round() tie/negative semantics agreeing). floor of a plain
+    * double expression also stays inside whole-stage codegen, where
+    * Spark's round() allocates a BigDecimal per row — 0.28s vs 0.63s on
+    * q01 at sf0.1 (PlanLab). Overflow bound: |Σ x·1e4| < 2^63 ≈ 9.2e18,
+    * i.e. ~9e9 rows of 1e5-valued prices per group (ANSI mode raises
+    * rather than wraps); beyond that use DECIMAL(38) sums. */
+  private def fx(c: Column): Column = floor(c * 1e4 + 0.5).cast("long")
 
   /** The matching DuckDB-side text for [[fx]] sums. */
   private def fxSql(expr: String): String =
-    s"CAST(SUM(CAST(round(($expr) * 1e4) AS BIGINT)) AS DOUBLE) / 1e4"
+    s"CAST(SUM(CAST(FLOOR(($expr) * 1e4 + 0.5) AS BIGINT)) AS DOUBLE) / 1e4"
 
   private def dec(c: Column, s: Int = 4): Column = c.cast(DecimalType(38, s))
 
@@ -230,7 +234,7 @@ object Relational {
       Some("""SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
              |  ROW_NUMBER() OVER w AS rn,
              |  LAG(o_totalprice, 1) OVER w AS prev_price,
-             |  CAST(SUM(CAST(round(o_totalprice * 1e4) AS BIGINT)) OVER
+             |  CAST(SUM(CAST(FLOOR(o_totalprice * 1e4 + 0.5) AS BIGINT)) OVER
              |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
              |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 1e4 AS running_spend
              |FROM orders
@@ -260,7 +264,7 @@ object Relational {
         spark.sql(
           """WITH nat_avg AS (
             |  SELECT c_nationkey,
-            |    CAST(SUM(CAST(round(c_acctbal * 1e4) AS BIGINT)) AS DOUBLE) / 1e4 / COUNT(*) AS avg_bal
+            |    CAST(SUM(CAST(FLOOR(c_acctbal * 1e4 + 0.5) AS BIGINT)) AS DOUBLE) / 1e4 / COUNT(*) AS avg_bal
             |  FROM customer GROUP BY c_nationkey)
             |SELECT c.c_nationkey, COUNT(*) AS n_above
             |FROM customer c JOIN nat_avg a ON c.c_nationkey = a.c_nationkey
@@ -270,7 +274,7 @@ object Relational {
       },
       Some("""WITH nat_avg AS (
              |  SELECT c_nationkey,
-             |    CAST(SUM(CAST(round(c_acctbal * 1e4) AS BIGINT)) AS DOUBLE) / 1e4 / COUNT(*) AS avg_bal
+             |    CAST(SUM(CAST(FLOOR(c_acctbal * 1e4 + 0.5) AS BIGINT)) AS DOUBLE) / 1e4 / COUNT(*) AS avg_bal
              |  FROM customer GROUP BY c_nationkey)
              |SELECT c.c_nationkey, COUNT(*) AS n_above
              |FROM customer c JOIN nat_avg a ON c.c_nationkey = a.c_nationkey
@@ -341,7 +345,7 @@ object Relational {
           .orderBy("p_brand"),
       Some(s"""SELECT p_brand,
              |  CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
-             |        THEN CAST(round(l_extendedprice*(1-l_discount) * 1e4) AS BIGINT)
+             |        THEN CAST(FLOOR(l_extendedprice*(1-l_discount) * 1e4 + 0.5) AS BIGINT)
              |        ELSE 0 END) AS DOUBLE) / 1e4 AS promo_revenue,
              |  ${fxSql("l_extendedprice*(1-l_discount)")} AS total_revenue
              |FROM part JOIN lineitem ON p_partkey = l_partkey
@@ -420,15 +424,24 @@ object Relational {
     // Multiple DISTINCT aggregates in one pass (Catalyst Expand: each row
     // fans out per distinct group — one shuffle, not one job per column).
     "q18_count_distinct" -> QueryDef(
-      (spark, dir) =>
-        t(spark, dir, "lineitem")
-          .groupBy("l_returnflag")
-          .agg(
-            countDistinct(col("l_partkey")).as("n_parts"),
-            countDistinct(col("l_suppkey")).as("n_supps"),
-            countDistinct(col("l_orderkey")).as("n_orders"),
-            count(lit(1)).as("n_rows"))
-          .orderBy("l_returnflag"),
+      (spark, dir) => {
+        // one narrow agg per distinct column instead of a single 4-way
+        // Expand: Expand pushes 4× the row count through partial agg in
+        // one pass, while each separate agg scans a pruned 2-int-column
+        // projection and shuffles only its own deduped keys — measured
+        // 0.9 s vs 1.4 s at sf0.1 (Q18Lab); the 3-row joins broadcast
+        val li = t(spark, dir, "lineitem")
+        def cd(c: String, as: String) =
+          li.select("l_returnflag", c).groupBy("l_returnflag")
+            .agg(countDistinct(col(c)).as(as))
+        cd("l_partkey", "n_parts")
+          .join(cd("l_suppkey", "n_supps"), "l_returnflag")
+          .join(cd("l_orderkey", "n_orders"), "l_returnflag")
+          .join(li.groupBy("l_returnflag").agg(count(lit(1)).as("n_rows")),
+            "l_returnflag")
+          .select("l_returnflag", "n_parts", "n_supps", "n_orders", "n_rows")
+          .orderBy("l_returnflag")
+      },
       Some("""SELECT l_returnflag,
              |  COUNT(DISTINCT l_partkey) AS n_parts,
              |  COUNT(DISTINCT l_suppkey) AS n_supps,

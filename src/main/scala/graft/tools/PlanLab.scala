@@ -47,6 +47,14 @@ object PlanLab {
         sum((col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).cast(DecimalType(18, 6))).cast("double").as("d"),
         count(lit(1)).as("n")))
     }
+    time("q01 long fp, cast(x+0.5) no round") {
+      noop(li.groupBy(col("l_returnflag"), col("l_linestatus")).agg(
+        (sum((col("l_quantity") * 1e4 + 0.5).cast("long")) / 1e4).as("a"),
+        (sum((col("l_extendedprice") * 1e4 + 0.5).cast("long")) / 1e4).as("b"),
+        (sum((col("l_extendedprice") * (lit(1) - col("l_discount")) * 1e6 + 0.5).cast("long")) / 1e6).as("c"),
+        (sum((col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")) * 1e6 + 0.5).cast("long")) / 1e6).as("d"),
+        count(lit(1)).as("n")))
+    }
     time("q01 long fixed-point sums") {
       noop(li.groupBy(col("l_returnflag"), col("l_linestatus")).agg(
         (sum(round(col("l_quantity") * 1e4).cast("long")) / 1e4).as("a"),

@@ -134,6 +134,26 @@ class FlowSpec extends AnyFunSuite {
     assert(spark.table("Read_Delta").count() == 25)
   }
 
+  test("driver-row cap: an oversized loop fails fast with a clear error") {
+    val yaml =
+      s"""
+         |- name: Lineitem
+         |  kind: tap
+         |  connection: {kind: Parquet, locator: $sf/lineitem.parquet}
+         |- name: Loop
+         |  kind: pipeline
+         |  stages:
+         |    - name: Inner
+         |      kind: transform
+         |      query: select 1 as one
+         |""".stripMargin
+    val ex = intercept[FlowRunError] {
+      Flow.runYaml(spark, yaml, config = FlowConfig(maxDriverRows = 10))
+    }
+    assert(ex.getMessage.contains("more than 10 rows"))
+    assert(ex.getMessage.contains("maxDriverRows"))
+  }
+
   test("delta OPTIMIZE: flag parsing + compaction; DRY_RUN leaves files") {
     import graft.connections.DeltaConnection.parseOptimizeFlags
     val f = parseOptimizeFlags("OPTIMIZE DELTATABLE COMPACT AGE=3d DRY_RUN")
