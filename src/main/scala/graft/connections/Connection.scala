@@ -183,6 +183,7 @@ object Connection {
 
   private def resolveKind(ctx: ConnContext): Connection = ctx.conn.kind.toLowerCase match {
     case "parquet" => new ParquetConnection(ctx)
+    case "orc" => new OrcConnection(ctx)
     case "csv" => new CsvConnection(ctx)
     case "json" => new JsonConnection(ctx)
     case "file" => new FileConnection(ctx)

@@ -20,6 +20,23 @@ final class ParquetConnection(ctx: ConnContext) extends Connection(ctx) {
     from.write.mode(SaveMode.Overwrite).options(passthroughOptions).parquet(path)
 }
 
+/** ORC source/sink — an extension beyond the reference's format set
+  * (DuckDB has no ORC reader): same contract as [[ParquetConnection]],
+  * backed by Spark's built-in columnar ORC reader/writer, so predicate
+  * pushdown and column pruning work exactly as for parquet. */
+final class OrcConnection(ctx: ConnContext) extends Connection(ctx) {
+  override def tap(query: Option[String], limit: Option[Int]): DataFrame = {
+    val raw = spark.read
+      .option("mergeSchema", "true")
+      .options(passthroughOptions)
+      .orc(path)
+    finishTap(raw, query, limit)
+  }
+
+  override def sink(from: DataFrame): Unit =
+    from.write.mode(SaveMode.Overwrite).options(passthroughOptions).orc(path)
+}
+
 /** CSV source/sink (file.py:96-118). `ignore_errors=true` default ≈
   * PERMISSIVE mode; header on both directions like DuckDB COPY. */
 final class CsvConnection(ctx: ConnContext) extends Connection(ctx) {
@@ -79,6 +96,7 @@ final class FileConnection(ctx: ConnContext) extends Connection(ctx) {
       case "json" | "jsonl" => spark.read
         .option("multiLine", (ftype == "json").toString).json(path)
       case "txt" | "text" => spark.read.text(path)
+      case "orc" => spark.read.option("mergeSchema", "true").orc(path)
       // spreadsheet/markup kinds parse driver-side like the reference's
       // pandas readers (file.py:136-147) — see TabularFiles scaladoc
       case "xlsx" => TabularFiles.readXlsx(spark, path)

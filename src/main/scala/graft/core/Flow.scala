@@ -370,7 +370,7 @@ object Flow {
     * a Deltatable sink compacts/drops the same parquet files a Parquet tap
     * of that path reads, so all file-backed kinds form one family. */
   private def family(kind: String): String = kind.toLowerCase match {
-    case "parquet" | "deltatable" | "file" | "csv" | "json" => "file"
+    case "parquet" | "deltatable" | "file" | "csv" | "json" | "orc" => "file"
     case k => k
   }
 

@@ -301,6 +301,38 @@ object Pipelines {
            |      - "SELECT p_brand, COUNT(*) AS n FROM Parts GROUP BY p_brand ORDER BY p_brand"
            |  query: "count parts by brand"
            |""".stripMargin),
-      Some("SELECT p_brand, COUNT(*) AS n FROM part GROUP BY p_brand ORDER BY p_brand"))
+      Some("SELECT p_brand, COUNT(*) AS n FROM part GROUP BY p_brand ORDER BY p_brand")),
+
+    // ----------------------------------------------------------------- p11
+    // ORC round trip (format extension beyond the reference; the oracle
+    // aggregates the source table directly since DuckDB reads no ORC).
+    "p11_pipeline_orc" -> QueryDef(
+      (spark, dir) => {
+        val tmp = Files.createTempDirectory("graft_p11").toString + "/orc"
+        run(spark,
+          s"""
+             |- name: Orders
+             |  kind: tap
+             |  connection: {kind: Parquet, locator: $dir/orders.parquet}
+             |  query: SELECT o_orderkey, o_orderstatus, o_totalprice FROM Parquet
+             |- name: WriteOrc
+             |  kind: sink
+             |  connection: {kind: ORC, locator: $tmp}
+             |- name: ReadOrc
+             |  kind: tap
+             |  connection: {kind: ORC, locator: $tmp}
+             |- name: Final
+             |  kind: transform
+             |  query: >
+             |    SELECT o_orderstatus,
+             |      CAST(SUM(CAST(FLOOR(o_totalprice * 1e4 + 0.5) AS BIGINT)) AS DOUBLE) / 1e4 AS total,
+             |      COUNT(*) AS n
+             |    FROM ReadOrc GROUP BY o_orderstatus ORDER BY o_orderstatus
+             |""".stripMargin)
+      },
+      Some("""SELECT o_orderstatus,
+             |  CAST(SUM(CAST(FLOOR(o_totalprice * 1e4 + 0.5) AS BIGINT)) AS DOUBLE) / 1e4 AS total,
+             |  COUNT(*) AS n
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
   )
 }

@@ -110,6 +110,42 @@ object TrainingData {
     * documents are dropped before the pair join (f² candidate bound). */
   private val DfCap = 100
 
+  /** MinHash+LSH candidate pairs (t02's dataflow, shared with t15):
+    * shingle → 8 minhash sigs → 4 bands (r=2) → bucket self-join. */
+  private def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val shingled = withWords(docs)
+      .select(col("doc_id"), explode(expr(shingleExpr)).as("shingle"))
+    val sigs = shingled.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val bands = sigs.select(col("doc_id"), explode(array(
+      (0 until 4).map(b => struct(lit(b + 1).as("band"),
+        md5(concat(col(s"sig${2 * b + 1}"), col(s"sig${2 * b + 2}"))).as("bucket"))): _*
+    )).as("bb")).select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** DuckDB CTE text producing [[minhashPairs]] as relation `pairs`. */
+  private def minhashPairsDuck: String =
+    s"""shingled AS (
+       |  SELECT doc_id, unnest($shingleSqlDuck) AS shingle FROM documents),
+       |sigs AS (
+       |  SELECT doc_id, $sigSqlDuck FROM shingled GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, 1 AS band, md5(concat(sig1, sig2)) AS bucket FROM sigs
+       |  UNION ALL SELECT doc_id, 2, md5(concat(sig3, sig4)) FROM sigs
+       |  UNION ALL SELECT doc_id, 3, md5(concat(sig5, sig6)) FROM sigs
+       |  UNION ALL SELECT doc_id, 4, md5(concat(sig7, sig8)) FROM sigs),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
 
     // ----------------------------------------------------------------- t01
@@ -130,37 +166,9 @@ object TrainingData {
     // MinHash + LSH near-dup candidates: shingle → 8 minhash sigs →
     // 4 bands (r=2) → bucket join. Pairs only form within buckets.
     "t02_minhash_lsh" -> QueryDef(
-      (spark, dir) => {
-        val docs = t(spark, dir, "documents")
-        val shingled = withWords(docs)
-          .select(col("doc_id"), explode(expr(shingleExpr)).as("shingle"))
-        val sigs = shingled.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
-        val bands = sigs.select(col("doc_id"), explode(array(
-          (0 until 4).map(b => struct(lit(b + 1).as("band"),
-            md5(concat(col(s"sig${2 * b + 1}"), col(s"sig${2 * b + 2}"))).as("bucket"))): _*
-        )).as("bb")).select(col("doc_id"), col("bb.band"), col("bb.bucket"))
-
-        val a = bands.as("a")
-        val b = bands.as("b")
-        a.join(b, col("a.band") === col("b.band") &&
-            col("a.bucket") === col("b.bucket") &&
-            col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .distinct()
-          .orderBy("doc_a", "doc_b")
-      },
-      Some(s"""WITH shingled AS (
-              |  SELECT doc_id, unnest($shingleSqlDuck) AS shingle FROM documents),
-              |sigs AS (
-              |  SELECT doc_id, $sigSqlDuck FROM shingled GROUP BY doc_id),
-              |bands AS (
-              |  SELECT doc_id, 1 AS band, md5(concat(sig1, sig2)) AS bucket FROM sigs
-              |  UNION ALL SELECT doc_id, 2, md5(concat(sig3, sig4)) FROM sigs
-              |  UNION ALL SELECT doc_id, 3, md5(concat(sig5, sig6)) FROM sigs
-              |  UNION ALL SELECT doc_id, 4, md5(concat(sig7, sig8)) FROM sigs)
-              |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-              |FROM bands a JOIN bands b
-              |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      (spark, dir) => minhashPairs(spark, dir).orderBy("doc_a", "doc_b"),
+      Some(s"""WITH $minhashPairsDuck
+              |SELECT doc_a, doc_b FROM pairs
               |ORDER BY doc_a, doc_b""".stripMargin)),
 
     // ----------------------------------------------------------------- t03
@@ -621,6 +629,72 @@ object TrainingData {
            |FROM assigned a JOIN q ON a.cell IN (q.p1, q.p2)
            |WHERE a.vec_id <> 0
            |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
-      }))
+      })),
+
+    // ----------------------------------------------------------------- t15
+    // Near-dup CLUSTERING: connected components over the MinHash+LSH
+    // candidate pairs (t02) — the step that turns pairwise candidates
+    // into dedup decisions (keep one canonical doc per component).
+    //
+    // Spark side: iterative min-label propagation — every doc starts
+    // labeled with itself; each round takes the min label over its
+    // neighborhood; fixpoint when no label changes. Each round is one
+    // shuffle-on-key join + agg, and labels/edges are localCheckpointed
+    // so lineage doesn't grow with iterations. Convergence is
+    // O(component diameter) rounds, and LSH components are near-cliques
+    // (every member shares a band bucket), so a handful of rounds
+    // suffice; a trillion-edge corpus would swap the loop body for the
+    // large-star/small-star contraction, which is the same
+    // join-agg-checkpoint dataflow with a different neighbor rule.
+    //
+    // Oracle: transitive closure by recursive CTE, component id =
+    // min(reachable ∪ self) — tractable at oracle scale, identical
+    // result by definition of connectivity.
+    "t15_dedup_components" -> QueryDef(
+      (spark, dir) => {
+        val docs = t(spark, dir, "documents").select("doc_id")
+        // edges reused every round: materialize once, symmetric closure
+        val pairs = minhashPairs(spark, dir).localCheckpoint()
+        val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .unionByName(
+            pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
+          .localCheckpoint()
+        var changed = 1L
+        var rounds = 0
+        while (changed > 0 && rounds < 50) {
+          val nbr = edges.join(labels, edges("dst") === labels("doc_id"))
+            .groupBy("src").agg(min("label").as("nbr_label"))
+          val next = labels
+            .join(nbr, labels("doc_id") === nbr("src"), "left")
+            .select(labels("doc_id"), col("label").as("old_label"),
+              least(col("label"), coalesce(col("nbr_label"), col("label")))
+                .as("label"))
+            .localCheckpoint()
+          changed = next.filter(col("label") =!= col("old_label")).count()
+          labels = next.select("doc_id", "label")
+          rounds += 1
+        }
+        labels
+          .select(col("doc_id"), col("label").as("cluster_id"))
+          .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $minhashPairsDuck,
+              |edges AS (
+              |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+              |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+              |reach(src, dst) AS (
+              |  SELECT src, dst FROM edges
+              |  UNION
+              |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+              |comp AS (SELECT src AS doc_id, MIN(dst) AS min_reach
+              |         FROM reach GROUP BY src)
+              |SELECT d.doc_id,
+              |  LEAST(d.doc_id, COALESCE(c.min_reach, d.doc_id)) AS cluster_id,
+              |  d.doc_id = LEAST(d.doc_id, COALESCE(c.min_reach, d.doc_id))
+              |    AS is_canonical
+              |FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+              |ORDER BY d.doc_id""".stripMargin))
   )
 }

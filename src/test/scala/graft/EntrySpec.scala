@@ -23,7 +23,26 @@ class EntrySpec extends AnyFunSuite {
       assert(k.matches("[a-z][a-z0-9_]+"), s"bad query name: $k"))
   }
 
-  test("all 44 declared operators are present") {
-    assert(SparkEntry.queries.size == 44)
+  test("all 46 declared operators are present") {
+    assert(SparkEntry.queries.size == 46)
+  }
+
+  test("t15 components: labels are canonical minima consistent with t02 pairs") {
+    val sf = "/root/testdata/sf0.001"
+    val comp = SparkEntry.queries("t15_dedup_components")(spark, sf)
+    val rows = comp.collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // every cluster id is the min doc of its component → never above doc
+    rows.foreach { case (doc, (cluster, canonical)) =>
+      assert(cluster <= doc)
+      assert(canonical == (cluster == doc))
+      // the cluster representative labels itself
+      assert(rows(cluster)._1 == cluster)
+    }
+    // both endpoints of every candidate pair share a cluster
+    SparkEntry.queries("t02_minhash_lsh")(spark, sf).collect().foreach { r =>
+      assert(rows(r.getLong(0))._1 == rows(r.getLong(1))._1,
+        s"pair ${r.getLong(0)},${r.getLong(1)} split across clusters")
+    }
   }
 }

@@ -134,6 +134,34 @@ class FlowSpec extends AnyFunSuite {
     assert(spark.table("Read_Delta").count() == 25)
   }
 
+  test("ORC sink/tap round trip preserves rows and types") {
+    val out = tmpDir() + "/orc"
+    val yaml =
+      s"""
+         |- name: Nations
+         |  kind: tap
+         |  connection: {kind: Parquet, locator: $sf/nation.parquet}
+         |- name: W
+         |  kind: sink
+         |  connection: {kind: ORC, locator: $out}
+         |- name: Back
+         |  kind: tap
+         |  connection: {kind: ORC, locator: $out}
+         |  query: SELECT n_regionkey, COUNT(*) AS n FROM ORC GROUP BY 1 ORDER BY 1
+         |""".stripMargin
+    val df = Flow.runYaml(spark, yaml).df()
+    assert(df.count() == 5)
+    assert(spark.read.orc(out).count() == 25)
+    // File connection picks the reader from the .orc suffix too
+    val viaFile = Flow.runYaml(spark,
+      s"""
+         |- name: F
+         |  kind: tap
+         |  connection: {kind: File, locator: $out, filetype: orc}
+         |""".stripMargin).df()
+    assert(viaFile.count() == 25)
+  }
+
   test("driver-row cap: an oversized loop fails fast with a clear error") {
     val yaml =
       s"""
