@@ -60,6 +60,43 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
   }
 
+  test("t03: pair formation costs ONE wide shuffle of the exploded corpus") {
+    // the one-shuffle design (groupBy lang/bucket/shingle with map-side
+    // pair unfolding) must not regress to a self-join that re-exchanges
+    // the exploded shingles per side
+    val p = plan("t03_ngram_jaccard")
+    assert(!p.contains("SortMergeJoin"),
+      "pair candidates must unfold from grouped doc lists, not a self-join")
+    // the map-side unfold: explode over the per-shingle doc list
+    assert(p.contains("Generate explode(flatten(transform(ids"),
+      "pairs must unfold map-side from the grouped lists")
+    // the only exchange carrying shingle strings is the grouping one
+    // (pre-AQE the shared subtree prints once per consumer; execution
+    // reuses it — so assert on kinds, not occurrence counts)
+    assert("Exchange hashpartitioning\\(lang[^)]*shingle".r.findFirstIn(p).isDefined)
+  }
+
+  test("q18: count-distincts stay narrow and the 3-row joins broadcast") {
+    val p = plan("q18_count_distinct")
+    assert(!p.contains("Expand"),
+      "separate pruned aggregations replace the 4-way Expand")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("t12: hyperplanes are literals (no per-row plane construction)") {
+    val df = SparkEntry.queries("t12_cosine_neardup")(spark, sf)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("transform("),
+      "plane arrays must be folded to literals at plan time")
+    assert(optimized.contains("floatdot"), "dot product must be the native expression")
+  }
+
+  test("t15: per-round dataflow is join + partial agg (no cartesian)") {
+    val p = plan("t15_dedup_components")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("partitioned delta-style table prunes partitions on read") {
     val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
