@@ -97,6 +97,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("no query in the suite plans a CartesianProduct") {
+    // the one blanket rule that must hold at any scale; queries that
+    // RUN pipelines (p-series) execute side effects, so guard the pure
+    // q/t series only
+    SparkEntry.queries.keys.filterNot(_.startsWith("p")).toSeq.sorted
+      .foreach { name =>
+        val p = plan(name)
+        assert(!p.contains("CartesianProduct"), s"$name plans a cartesian")
+      }
+  }
+
   test("partitioned delta-style table prunes partitions on read") {
     val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
