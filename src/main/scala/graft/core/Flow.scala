@@ -236,6 +236,10 @@ final class Flow(
       lastNameVar = Some(stage.name)
       postActions(stage, Some(df))
 
+    // documentation-only stage, skipped by the runner (flow.py:591-592,
+    // enums.py:48)
+    case "header" => ()
+
     case "pipeline" =>
       // a looped body re-runs: iteration k+1's writes land after iteration
       // k's taps, so the body's own writes join the sub-flow's future set

@@ -134,6 +134,18 @@ class FlowSpec extends AnyFunSuite {
     assert(spark.table("Read_Delta").count() == 25)
   }
 
+  test("header stages are documentation no-ops (flow.py:591-592)") {
+    val yaml =
+      s"""
+         |- name: Title
+         |  kind: header
+         |- name: Regions
+         |  kind: tap
+         |  connection: {kind: Parquet, locator: $sf/region.parquet}
+         |""".stripMargin
+    assert(Flow.runYaml(spark, yaml).df().count() == 5)
+  }
+
   test("ORC sink/tap round trip preserves rows and types") {
     val out = tmpDir() + "/orc"
     val yaml =
