@@ -35,13 +35,17 @@ final case class FlowConfig(
       * or the driver. Raise per flow when genuinely needed. */
     maxDriverRows: Int = 100000)
 
-/** Everything a connection needs at execution time. */
+/** Everything a connection needs at execution time. `context` is the
+  * caller-supplied runtime context (the reference's `self.ctx` — e.g.
+  * `FileName`/`FileType` overrides for the File connection,
+  * file.py:124-131). */
 final case class ConnContext(
     spark: SparkSession,
     conn: ConnectionDef,
     cfg: FlowConfig,
     variables: scala.collection.mutable.Map[String, Any],
-    names: NameRegistry)
+    names: NameRegistry,
+    context: Map[String, Any] = Map.empty)
 
 /** Locator → concrete path resolution (reference: Locator.locate,
   * ankaflow/connections/connection.py:40-121). */

@@ -87,21 +87,26 @@ final class JsonConnection(ctx: ConnContext) extends Connection(ctx) {
   * reference's pandas readers work — see [[TabularFiles]]). Read-only. */
 final class FileConnection(ctx: ConnContext) extends Connection(ctx) {
   override def tap(query: Option[String], limit: Option[Int]): DataFrame = {
-    val ftype = conn.str("filetype").getOrElse(
-      path.reverse.takeWhile(_ != '.').reverse.toLowerCase)
+    // runtime context overrides: FileName replaces the locator, FileType
+    // the kind — the reference's per-run file dispatch (file.py:124-131)
+    val file = ctx.context.get("FileName").map(v =>
+      Locator.locate(String.valueOf(v), ctx.cfg)).getOrElse(path)
+    val ftype = ctx.context.get("FileType").map(String.valueOf(_).toLowerCase)
+      .orElse(conn.str("filetype")).getOrElse(
+        file.reverse.takeWhile(_ != '.').reverse.toLowerCase)
     val raw = ftype match {
-      case "parquet" => spark.read.option("mergeSchema", "true").parquet(path)
+      case "parquet" => spark.read.option("mergeSchema", "true").parquet(file)
       case "csv" => spark.read.option("header", "true")
-        .option("inferSchema", "true").csv(path)
+        .option("inferSchema", "true").csv(file)
       case "json" | "jsonl" => spark.read
-        .option("multiLine", (ftype == "json").toString).json(path)
-      case "txt" | "text" => spark.read.text(path)
-      case "orc" => spark.read.option("mergeSchema", "true").orc(path)
+        .option("multiLine", (ftype == "json").toString).json(file)
+      case "txt" | "text" => spark.read.text(file)
+      case "orc" => spark.read.option("mergeSchema", "true").orc(file)
       // spreadsheet/markup kinds parse driver-side like the reference's
       // pandas readers (file.py:136-147) — see TabularFiles scaladoc
-      case "xlsx" => TabularFiles.readXlsx(spark, path)
-      case "xml" => TabularFiles.readXml(spark, path)
-      case "html" | "htm" => TabularFiles.readHtml(spark, path)
+      case "xlsx" => TabularFiles.readXlsx(spark, file)
+      case "xml" => TabularFiles.readXml(spark, file)
+      case "html" | "htm" => TabularFiles.readHtml(spark, file)
       case other => throw new UnsupportedOperationException(
         s"File connection: unsupported filetype '$other'")
     }

@@ -65,10 +65,12 @@ final class Flow(
 
   def lastName: Option[String] = lastNameVar
 
-  /** Final relation of the flow as a DataFrame (reference Flow.df()). */
+  /** Final relation of the flow as a DataFrame. A flow that produced no
+    * relation yields an EMPTY frame, matching the reference's
+    * `return pd.DataFrame()` (flow.py:631-637). */
   def df(): DataFrame = lastNameVar match {
     case Some(n) => spark.table(names.get(n).getOrElse(n))
-    case None => sys.error("flow has not produced a relation")
+    case None => spark.emptyDataFrame
   }
 
   /** Schemas for all introspectable stages WITHOUT executing the pipeline
@@ -158,7 +160,7 @@ final class Flow(
   private def connCtx(stage: Stage): ConnContext = {
     val rendered = renderConn(stage.connection.getOrElse(
       sys.error(s"stage '${stage.name}' (${stage.kind}) requires a connection")))
-    ConnContext(spark, rendered, config, variables, names)
+    ConnContext(spark, rendered, config, variables, names, context)
   }
 
   private def execute(stage: Stage, future: List[(String, String)]): Unit =

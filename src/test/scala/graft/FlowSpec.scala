@@ -144,6 +144,22 @@ class FlowSpec extends AnyFunSuite {
          |  connection: {kind: Parquet, locator: $sf/region.parquet}
          |""".stripMargin
     assert(Flow.runYaml(spark, yaml).df().count() == 5)
+    // a flow of only no-ops yields an EMPTY frame (flow.py:631-637)
+    assert(Flow.runYaml(spark, "- {name: T, kind: header}").df().count() == 0)
+  }
+
+  test("context FileName/FileType override the File connection dispatch") {
+    // locator points nowhere useful; the runtime context redirects the
+    // read to nation.parquet (file.py:124-131)
+    val yaml =
+      s"""
+         |- name: F
+         |  kind: tap
+         |  connection: {kind: File, locator: /nonexistent.bin}
+         |""".stripMargin
+    val flow = Flow.runYaml(spark, yaml,
+      context = Map("FileName" -> s"$sf/nation.parquet", "FileType" -> "parquet"))
+    assert(flow.df().count() == 25)
   }
 
   test("ORC sink/tap round trip preserves rows and types") {
