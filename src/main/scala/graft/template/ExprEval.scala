@@ -14,6 +14,10 @@ package graft.template
   */
 object ExprEval {
 
+  /** Jinja's Undefined: renders as the empty string (unlike null, which
+    * prints as a literal) — produced by the dunder gate. */
+  private[template] case object Undefined
+
   def eval(src: String, ctx: Map[String, Any]): Any = {
     val p = new Parser(src, ctx)
     val v = p.parseOr()
@@ -164,12 +168,18 @@ object ExprEval {
           val name = word()
           ws()
           if (peek == '(') {
-            // method call: only the API helper object has methods —
-            // calling one on any other receiver is an error, never a
-            // silent dispatch to the global helper of the same name
+            // method call: the API helper object, plus Jinja's
+            // dict.get(key[, default]) — anything else is an error,
+            // never a silent dispatch to a global helper of that name
             val args = parseArgs()
             v = v match {
               case Api => if (quiet) null else Api.invoke(name, args)
+              case m: scala.collection.Map[_, _] if name == "get" =>
+                m.asInstanceOf[scala.collection.Map[Any, Any]]
+                  .get(args.head) match {
+                    case Some(found) => found
+                    case None => args.lift(1).orNull
+                  }
               case other =>
                 if (quiet) null
                 else sys.error(s"cannot call method '$name' on $other in: $src")
@@ -259,6 +269,10 @@ object ExprEval {
     // -------------------------------------------------------------- ops
 
     private def access(v: Any, name: String): Any = v match {
+      // the reference's dunder gate (common/security.py, exercised in
+      // test_safe_containers): `__`-prefixed attributes never resolve,
+      // even when a key of that name exists — sandbox parity
+      case _ if name.startsWith("__") => Undefined
       case Api => Api // method resolved at call time
       case m: scala.collection.Map[_, _] =>
         m.asInstanceOf[scala.collection.Map[String, Any]].getOrElse(name, null)

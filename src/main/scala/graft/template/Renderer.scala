@@ -62,6 +62,7 @@ object Renderer {
   /** Reference truthiness for skip_if (ankaflow/common/util.py:169-188):
     * 'false','0','0.0','none','','[]','{}','()' → false, else true. */
   def stringToBool(v: Any): Boolean = v match {
+    case ExprEval.Undefined => false
     case null => false
     case b: Boolean => b
     case n: Long => n != 0
@@ -107,6 +108,7 @@ object Renderer {
 
   object Stringify {
     def apply(v: Any): String = v match {
+      case ExprEval.Undefined => "" // Jinja Undefined renders empty
       case null => "null"
       case true => "true"
       case false => "false"

@@ -168,4 +168,20 @@ class TemplateSpec extends AnyFunSuite {
     assert(out.contains("\"k\""))
     assert(out.trim.startsWith("{"))
   }
+
+  test("dict.get with and without default (test_safe_containers parity)") {
+    assert(Renderer.renderTyped("<< variables.get('num') >>",
+      ctx("num" -> 5L)) == 5L)
+    assert(Renderer.renderTyped("<< variables.get('missing', 7) >>",
+      ctx()) == 7L)
+    // a missing key without default is None → typed null (Jinja parity)
+    assert(Renderer.renderTyped("<< variables.get('missing') >>", ctx()) == null)
+  }
+
+  test("dunder attributes are gated to empty, sunder passes (security parity)") {
+    // test_safe_containers: vars.__ver -> "" even though the key exists
+    assert(Renderer.render("<< variables.__ver >>", ctx("__ver" -> "12")) == "")
+    assert(Renderer.render("<< variables._ver >>", ctx("_ver" -> "1.2.0"))
+      == "1.2.0")
+  }
 }
