@@ -356,8 +356,40 @@ final class RestConnection(ctx: ConnContext) extends Connection(ctx) {
     }
   }
 
+  /** Fetch outcome: in-memory JSON records, or a downloaded data file
+    * with its kind (the reference's Materializer accepts both,
+    * rest/common.py:99-121 — files carry csv/parquet/jsonl payloads the
+    * in-memory JSON path can't). */
+  private sealed trait Fetched
+  private final case class Records(rows: List[Any]) extends Fetched
+  private final case class DataFile(path: String, kind: String) extends Fetched
+
+  /** "text/csv" / "application/vnd.apache.parquet" / "jsonl" / … → kind. */
+  private def contentKind(ct: String): String = {
+    val c = ct.toLowerCase
+    if (c.contains("parquet")) "parquet"
+    else if (c.contains("csv")) "csv"
+    else if (c.contains("jsonl")) "jsonl"
+    else "json"
+  }
+
+  /** Binary-safe download to a temp file (parquet bodies can't ride a
+    * String); same retry/backoff policy as doRequest. */
+  private def downloadFile(url: String, headers: Map[String, String]): String = {
+    val tmp = java.nio.file.Files.createTempFile("graft_rest", ".dat")
+    val b = HttpRequest.newBuilder().uri(URI.create(url))
+    headers.foreach { case (k, v) => b.header(k, v) }
+    val resp = http.send(b.GET().build(),
+      HttpResponse.BodyHandlers.ofFile(tmp,
+        java.nio.file.StandardOpenOption.WRITE,
+        java.nio.file.StandardOpenOption.TRUNCATE_EXISTING))
+    if (resp.statusCode() >= 400)
+      sys.error(s"REST file download failed: HTTP ${resp.statusCode()} $url")
+    tmp.toString
+  }
+
   /** Run the request + handler state machine; returns all record pages. */
-  private def fetchAll(): List[Any] = {
+  private def fetchAll(): Fetched = {
     val endpoint = str(request, "endpoint").getOrElse(sys.error("Rest: no endpoint"))
     val method = str(request, "method").getOrElse("get")
     val headers = authHeaders ++
@@ -375,8 +407,8 @@ final class RestConnection(ctx: ConnContext) extends Connection(ctx) {
       // (models/rest.py ResponseHandlerTypes.BASIC); absent/empty means
       // the same thing.
       case k if k.isEmpty || k.equalsIgnoreCase("basic") =>
-        extractRecords(doRequest(method, buildUrl(endpoint, baseQuery),
-          headers, bodyTpl, maxRetries, backoff), recLocator)
+        Records(extractRecords(doRequest(method, buildUrl(endpoint, baseQuery),
+          headers, bodyTpl, maxRetries, backoff), recLocator))
 
       case "Pagination" =>
         // increment page_param per page; stop when page < page_size or
@@ -425,7 +457,7 @@ final class RestConnection(ctx: ConnContext) extends Connection(ctx) {
           page += increment
           if (continue) throttle.foreach(t => Thread.sleep((t * 1000).toLong))
         }
-        all.toList
+        Records(all.toList)
 
       case "StatePolling" =>
         // poll same endpoint until ready_status truthy (rest/rest.py:150-175)
@@ -441,7 +473,7 @@ final class RestConnection(ctx: ConnContext) extends Connection(ctx) {
             result = extractRecords(body, recLocator)
           else { Thread.sleep((wait * 1000).toLong); wait *= 1.5 }
         }
-        result
+        Records(result)
 
       case "URLPolling" =>
         // poll until ready, then fetch the file at the locator URL
@@ -459,8 +491,15 @@ final class RestConnection(ctx: ConnContext) extends Connection(ctx) {
             fileUrl = String.valueOf(Api.look(List(urlLocator, parsed, null)))
           else { Thread.sleep((wait * 1000).toLong); wait *= 1.5 }
         }
-        extractRecords(doRequest("GET", fileUrl, headers, None, maxRetries,
-          backoff), "")
+        // the fetched file's payload kind comes from the response's
+        // content_type (DataType enum; Materializer dispatches read_json/
+        // read_csv/read_parquet on it, rest/common.py:124-140)
+        contentKind(str(response, "content_type").getOrElse("json")) match {
+          case "json" =>
+            Records(extractRecords(doRequest("GET", fileUrl, headers, None,
+              maxRetries, backoff), ""))
+          case kind => DataFile(downloadFile(fileUrl, headers), kind)
+        }
 
       case other => sys.error(s"unknown REST handler kind: $other")
     }
@@ -469,19 +508,30 @@ final class RestConnection(ctx: ConnContext) extends Connection(ctx) {
   /** Materializer (rest/common.py:38-156): records → DataFrame; declared
     * `fields` stabilize empty/ragged responses. */
   override def tap(query: Option[String], limit: Option[Int]): DataFrame = {
-    val records = fetchAll()
-    val jsonRows = records.map(Json.write)
-    val reader = spark.read
     val declared = conn.fields
-    val withSchema =
-      if (declared.nonEmpty) reader.schema(SchemaUtil.toStruct(declared))
-      else reader
-    val raw =
-      if (jsonRows.isEmpty && declared.nonEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          SchemaUtil.toStruct(declared))
-      else withSchema.json(
-        spark.createDataset(jsonRows)(org.apache.spark.sql.Encoders.STRING))
+    val raw = fetchAll() match {
+      case Records(records) =>
+        val jsonRows = records.map(Json.write)
+        val reader = spark.read
+        val withSchema =
+          if (declared.nonEmpty) reader.schema(SchemaUtil.toStruct(declared))
+          else reader
+        if (jsonRows.isEmpty && declared.nonEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            SchemaUtil.toStruct(declared))
+        else withSchema.json(
+          spark.createDataset(jsonRows)(org.apache.spark.sql.Encoders.STRING))
+      case DataFile(p, "parquet") => spark.read.parquet(p)
+      case DataFile(p, "csv") =>
+        val rdr = spark.read.option("header", "true")
+        if (declared.nonEmpty) rdr.schema(SchemaUtil.toStruct(declared)).csv(p)
+        else rdr.option("inferSchema", "true").csv(p)
+      case DataFile(p, "jsonl") =>
+        if (declared.nonEmpty)
+          spark.read.schema(SchemaUtil.toStruct(declared)).json(p)
+        else spark.read.json(p)
+      case DataFile(_, other) => sys.error(s"unsupported content kind: $other")
+    }
     finishTap(raw, query, limit)
   }
 

@@ -324,6 +324,64 @@ class RestSpec extends AnyFunSuite {
     }
   }
 
+  test("URLPolling materializes a CSV payload per response content_type") {
+    var boundPort = 0
+    withServer(Map(
+      "/job" -> (_ => (200,
+        s"""{"done":true,"file":"http://localhost:$boundPort/export.csv"}""")),
+      "/export.csv" -> (_ => (200, "id,name\n1,alpha\n2,beta\n")))) { port =>
+      boundPort = port
+      val df = restConn(port, Map.empty, Map(
+        "endpoint" -> "/job", "method" -> "get",
+        "response" -> Map(
+          "content_type" -> "text/csv",
+          "handler" -> Map("kind" -> "URLPolling",
+            "ready_status" -> "done", "locator" -> "file")))).tap(None, None)
+      assert(df.count() == 2)
+      assert(df.columns.toList == List("id", "name"))
+      assert(df.filter(df("id") === 2).collect()(0).getString(1) == "beta")
+    }
+  }
+
+  test("URLPolling materializes a binary parquet payload") {
+    // build a real parquet file, serve its bytes verbatim
+    val dir = java.nio.file.Files.createTempDirectory("graft_restpq").toString
+    val spark0 = SparkSuite.spark
+    spark0.read.parquet("/root/testdata/sf0.001/region.parquet")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/pq")
+    val pqFile = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/pq"))
+      .filter(_.toString.endsWith(".parquet")).findFirst().get()
+    val bytes = java.nio.file.Files.readAllBytes(pqFile)
+
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress(0), 0)
+    server.createContext("/data.parquet", (ex: HttpExchange) => {
+      ex.sendResponseHeaders(200, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    server.createContext("/job", (ex: HttpExchange) => {
+      val resp =
+        s"""{"done":true,"file":"http://localhost:${server.getAddress.getPort}/data.parquet"}"""
+          .getBytes("UTF-8")
+      ex.sendResponseHeaders(200, resp.length)
+      ex.getResponseBody.write(resp)
+      ex.close()
+    })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val df = restConn(port, Map.empty, Map(
+        "endpoint" -> "/job", "method" -> "get",
+        "response" -> Map(
+          "content_type" -> "application/vnd.apache.parquet",
+          "handler" -> Map("kind" -> "URLPolling",
+            "ready_status" -> "done", "locator" -> "file")))).tap(None, None)
+      assert(df.count() == 5)
+      assert(df.columns.contains("r_name"))
+    } finally server.stop(0)
+  }
+
   test("custom error condition raises with the extracted message") {
     withServer(Map("/soft" -> (_ =>
       (200, """{"status":"FAILED","error":{"detail":"quota exceeded"},"rows":[]}""")))) {
