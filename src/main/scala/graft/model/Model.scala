@@ -84,12 +84,21 @@ final case class Stages(stages: List[Stage])
 
 object Stages {
 
-  /** Load a pipeline from YAML text (reference: Stages.load,
-    * ankaflow/models/core.py:378-429). Accepts either a bare list of
-    * stages or a map with a `stages` key. */
+  /** Load a pipeline from YAML text OR a path to a YAML file (reference:
+    * Stages.load, ankaflow/models/core.py:378-429 — a parse that yields a
+    * plain string is re-tried as a filename). Accepts either a bare list
+    * of stages or a map with a `stages` key. */
   def load(yamlText: String): Stages = {
     val yaml = new org.yaml.snakeyaml.Yaml()
-    val root = yaml.load[Object](yamlText)
+    val root = yaml.load[Object](yamlText) match {
+      case s: String =>
+        val p = java.nio.file.Paths.get(s)
+        if (java.nio.file.Files.isRegularFile(p))
+          yaml.load[Object](new String(
+            java.nio.file.Files.readAllBytes(p), "UTF-8"))
+        else sys.error(s"could not interpret '$s' as YAML or a file path")
+      case other => other
+    }
     val stageList = root match {
       case l: java.util.List[_] => l.asScala.toList
       case m: java.util.Map[_, _] =>

@@ -134,6 +134,20 @@ class FlowSpec extends AnyFunSuite {
     assert(spark.table("Read_Delta").count() == 25)
   }
 
+  test("Stages.load accepts a file path in place of YAML text") {
+    val p = java.nio.file.Files.createTempFile("graft_stages", ".yaml")
+    java.nio.file.Files.write(p,
+      s"""
+         |- name: R
+         |  kind: tap
+         |  connection: {kind: Parquet, locator: $sf/region.parquet}
+         |""".stripMargin.getBytes("UTF-8"))
+    val flow = new Flow(spark, graft.model.Stages.load(p.toString)).run()
+    assert(flow.df().count() == 5)
+    val bad = intercept[Exception](graft.model.Stages.load("/no/such/file.yaml"))
+    assert(bad.getMessage.contains("could not interpret"))
+  }
+
   test("header stages are documentation no-ops (flow.py:591-592)") {
     val yaml =
       s"""
