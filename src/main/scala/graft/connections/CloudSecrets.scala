@@ -71,9 +71,15 @@ object CloudSecrets {
 
     val gs = merged("gs")
     if (gs.contains("hmac_key")) {
-      // HMAC keys → S3-compatible XML API; per-bucket scope as above
-      val prefix = gs.get("bucket")
-        .map(b => s"fs.s3a.bucket.$b.").getOrElse("fs.s3a.")
+      // HMAC keys → S3-compatible XML API, scoped to the named bucket.
+      // A bucket is REQUIRED here: unscoped GCS would write the same
+      // global fs.s3a.* keys the s3 section uses and silently clobber
+      // its credentials/endpoint.
+      val bucket = gs.getOrElse("bucket", sys.error(
+        "gs HMAC credentials need a 'bucket' scope (they map to per-" +
+          "bucket S3A interop settings and would otherwise overwrite " +
+          "the global S3 configuration)"))
+      val prefix = s"fs.s3a.bucket.$bucket."
       gs.get("hmac_key").foreach(v => hc.set(prefix + "access.key", v))
       gs.get("hmac_secret").foreach(v => hc.set(prefix + "secret.key", v))
       hc.set(prefix + "endpoint", "https://storage.googleapis.com")

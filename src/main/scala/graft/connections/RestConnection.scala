@@ -374,18 +374,54 @@ final class RestConnection(ctx: ConnContext) extends Connection(ctx) {
   }
 
   /** Binary-safe download to a temp file (parquet bodies can't ride a
-    * String); same retry/backoff policy as doRequest. */
-  private def downloadFile(url: String, headers: Map[String, String]): String = {
+    * String). Same resilience as doRequest: transient 429/5xx and IO
+    * errors retry with backoff, a 401 under OAuth refreshes once. The
+    * temp file is removed on failure and at JVM exit (the success path
+    * must outlive this call — Spark reads it lazily). */
+  private def downloadFile(url: String, headers: Map[String, String],
+      maxRetries: Int, initialBackoff: Double): String = {
     val tmp = java.nio.file.Files.createTempFile("graft_rest", ".dat")
-    val b = HttpRequest.newBuilder().uri(URI.create(url))
-    headers.foreach { case (k, v) => b.header(k, v) }
-    val resp = http.send(b.GET().build(),
-      HttpResponse.BodyHandlers.ofFile(tmp,
-        java.nio.file.StandardOpenOption.WRITE,
-        java.nio.file.StandardOpenOption.TRUNCATE_EXISTING))
-    if (resp.statusCode() >= 400)
-      sys.error(s"REST file download failed: HTTP ${resp.statusCode()} $url")
-    tmp.toString
+    tmp.toFile.deleteOnExit()
+    var attempt = 0
+    var rateWait = 1.0
+    var authRetried = false
+    try {
+      while (true) {
+        val b = HttpRequest.newBuilder().uri(URI.create(url))
+        (headers ++ oauthHeaders).foreach { case (k, v) => b.header(k, v) }
+        val resp =
+          try http.send(b.GET().build(),
+            HttpResponse.BodyHandlers.ofFile(tmp,
+              java.nio.file.StandardOpenOption.WRITE,
+              java.nio.file.StandardOpenOption.TRUNCATE_EXISTING))
+          catch {
+            case _: java.io.IOException if attempt < maxRetries =>
+              Thread.sleep((initialBackoff * math.pow(2, attempt) * 1000).toLong)
+              attempt += 1
+              null
+          }
+        if (resp != null) {
+          val code = resp.statusCode()
+          if (code == 429) {
+            Thread.sleep((rateWait * 1000).toLong)
+            rateWait *= 2
+          } else if (code >= 500 && attempt < maxRetries) {
+            Thread.sleep(((attempt + 1) * 1000).toLong)
+            attempt += 1
+          } else if (code == 401 && isOAuth && !authRetried) {
+            refreshTokens()
+            authRetried = true
+          } else if (code >= 400) {
+            sys.error(s"REST file download failed: HTTP $code $url")
+          } else return tmp.toString
+        }
+      }
+      tmp.toString // unreachable
+    } catch {
+      case e: Throwable =>
+        java.nio.file.Files.deleteIfExists(tmp)
+        throw e
+    }
   }
 
   /** Run the request + handler state machine; returns all record pages. */
@@ -498,7 +534,8 @@ final class RestConnection(ctx: ConnContext) extends Connection(ctx) {
           case "json" =>
             Records(extractRecords(doRequest("GET", fileUrl, headers, None,
               maxRetries, backoff), ""))
-          case kind => DataFile(downloadFile(fileUrl, headers), kind)
+          case kind => DataFile(
+            downloadFile(fileUrl, headers, maxRetries, backoff), kind)
         }
 
       case other => sys.error(s"unknown REST handler kind: $other")
@@ -544,7 +581,8 @@ final class RestConnection(ctx: ConnContext) extends Connection(ctx) {
       str(request, "content_type").map("Content-Type" -> _).toMap
     val body = request.get("body") match {
       case Some(b) => Json.write(b)
-      case None => "[" + from.toJSON.collect().mkString(",") + "]"
+      case None => "[" + graft.core.Flow.guardedCollect(from,
+        "Rest sink body", ctx.cfg.maxDriverRows).mkString(",") + "]"
     }
     doRequest(method, buildUrl(endpoint, submap(request, "query")), headers,
       Some(body),

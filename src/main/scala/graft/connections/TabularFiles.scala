@@ -38,12 +38,45 @@ object TabularFiles {
       val shared = Option(zip.getEntry("xl/sharedStrings.xml"))
         .map(e => parseSharedStrings(zip.getInputStream(e)))
         .getOrElse(IndexedSeq.empty)
-      val sheetEntry = Option(zip.getEntry("xl/worksheets/sheet1.xml"))
-        .getOrElse(sys.error(s"no xl/worksheets/sheet1.xml in $file"))
+      val sheetEntry = firstSheetPart(zip).flatMap(p =>
+        Option(zip.getEntry(p)))
+        .orElse(Option(zip.getEntry("xl/worksheets/sheet1.xml")))
+        .getOrElse(sys.error(s"no first worksheet part found in $file"))
       val rows = parseSheet(zip.getInputStream(sheetEntry), shared)
       toDataFrame(spark, rows)
     } finally zip.close()
   }
+
+  /** Resolve the FIRST sheet in workbook order through the relationship
+    * table — sheets deleted/reordered in Excel keep their original part
+    * names, so `sheet1.xml` is not necessarily the first sheet (pandas
+    * resolves through openpyxl the same way). Falls back to sheet1.xml
+    * for producers that omit the rels part. */
+  private def firstSheetPart(zip: ZipFile): Option[String] =
+    for {
+      wbEntry <- Option(zip.getEntry("xl/workbook.xml"))
+      relEntry <- Option(zip.getEntry("xl/_rels/workbook.xml.rels"))
+      wb = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+        .newDocumentBuilder().parse(zip.getInputStream(wbEntry))
+      sheets = wb.getElementsByTagName("sheet")
+      if sheets.getLength > 0
+      rid = {
+        val attrs = sheets.item(0).getAttributes
+        // the r:id attribute may carry any namespace prefix
+        (0 until attrs.getLength).map(attrs.item)
+          .find(_.getNodeName.endsWith(":id")).map(_.getNodeValue)
+          .getOrElse("")
+      }
+      rels = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+        .newDocumentBuilder().parse(zip.getInputStream(relEntry))
+        .getElementsByTagName("Relationship")
+      target <- (0 until rels.getLength).map(rels.item).collectFirst {
+        case r if Option(r.getAttributes.getNamedItem("Id"))
+            .exists(_.getNodeValue == rid) =>
+          val t = r.getAttributes.getNamedItem("Target").getNodeValue
+          if (t.startsWith("/")) t.stripPrefix("/") else s"xl/$t"
+      }
+    } yield target
 
   private def parseSharedStrings(in: java.io.InputStream): IndexedSeq[String] = {
     val reader = XMLInputFactory.newInstance().createXMLStreamReader(in)

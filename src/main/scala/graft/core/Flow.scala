@@ -39,7 +39,8 @@ final class Flow(
     val variables: mutable.Map[String, Any] = mutable.Map.empty,
     val names: NameRegistry = new NameRegistry,
     flowOnError: String = "fail",
-    inheritedWrites: List[(String, String)] = Nil) {
+    inheritedWrites: List[(String, String)] = Nil,
+    rootFlow: Boolean = true) {
 
   private var lastNameVar: Option[String] = None
   private val log = org.slf4j.LoggerFactory.getLogger(classOf[Flow])
@@ -98,8 +99,11 @@ final class Flow(
     }
     try stagesDef.stages.zipWithIndex.foreach { case (s, i) =>
       runStage(s, futureWrites(i + 1))
-    } finally if (stagesDef.stages.exists(_.logLevel.isDefined))
-      Flow.setEngineLogLevel("INFO") // flow.py:627 resets after the run
+    } finally if (rootFlow && Flow.declaresLogLevel(stagesDef.stages))
+      // flow.py:627 resets ONCE, after the whole run — a sub-flow ending
+      // must not clobber a level a parent stage set for later stages,
+      // and a flow that never touched the level leaves the host's alone
+      Flow.setEngineLogLevel("INFO")
     this
   }
 
@@ -275,7 +279,7 @@ final class Flow(
                     new Flow(spark, Stages(stage.stages), context, config,
                       iterVars,
                       new NameRegistry(s"__it$idx").preload(names), flowOnError,
-                      subFuture)
+                      subFuture, rootFlow = false)
                       .run()
                   } catch {
                     case e: Throwable => failures.add(new FlowRunError(
@@ -302,7 +306,7 @@ final class Flow(
               val record = Json.parse(rowJson)
               variables.put("loop_control", record)
               val sub = new Flow(spark, Stages(stage.stages), context, config,
-                variables, names, flowOnError, subFuture)
+                variables, names, flowOnError, subFuture, rootFlow = false)
               try sub.run()
               catch {
                 case e: Exception =>
@@ -316,7 +320,7 @@ final class Flow(
           }
         case _ =>
           new Flow(spark, Stages(stage.stages), context, config, variables,
-            names, flowOnError, subFuture).run()
+            names, flowOnError, subFuture, rootFlow = false).run()
       }
       // lastname propagates to the final stage of the sub-pipeline
       // lastname propagates to the sub-pipeline's final stage — except for
@@ -364,6 +368,11 @@ object Flow {
         "restructure the pipeline or raise FlowConfig.maxDriverRows")
     rows
   }
+
+  /** Any stage in the tree (nested pipelines included) declaring a
+    * log_level? Decides whether run() restores INFO at the end. */
+  private[core] def declaresLogLevel(stages: List[Stage]): Boolean =
+    stages.exists(s => s.logLevel.isDefined || declaresLogLevel(s.stages))
 
   /** Set the engine ("graft" namespace) log level — the Spark/log4j2
     * equivalent of the reference's per-stage logger.setLevel. */

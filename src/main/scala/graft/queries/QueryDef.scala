@@ -21,15 +21,16 @@ object Tables {
   /** Memoized per (session, dir, table): `spark.read.parquet` re-lists the
     * directory and re-reads footers on every call, which across 40+ bench
     * queries is pure fixed overhead. DataFrames are immutable plans, so
-    * reuse is safe. Keyed by the session through a WeakHashMap so a
-    * stopped session's plans can be collected (an identityHashCode key
-    * would pin them forever and could silently collide). */
-  private val cache = new java.util.WeakHashMap[
+    * reuse is safe. Stopped sessions are evicted explicitly on the next
+    * lookup — weak keys alone would never collect here, because the
+    * cached DataFrames strongly reference their session. */
+  private val cache = new java.util.HashMap[
     SparkSession, java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]()
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark) // idempotent
     val perSession = cache.synchronized {
+      cache.keySet.removeIf(s => s.sparkContext.isStopped)
       cache.computeIfAbsent(spark,
         _ => new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]())
     }

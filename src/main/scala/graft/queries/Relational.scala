@@ -434,11 +434,17 @@ object Relational {
         def cd(c: String, as: String) =
           li.select("l_returnflag", c).groupBy("l_returnflag")
             .agg(countDistinct(col(c)).as(as))
-        cd("l_partkey", "n_parts")
-          .join(cd("l_suppkey", "n_supps"), "l_returnflag")
-          .join(cd("l_orderkey", "n_orders"), "l_returnflag")
-          .join(li.groupBy("l_returnflag").agg(count(lit(1)).as("n_rows")),
-            "l_returnflag")
+        // null-SAFE join keys: a NULL group key is a legal group in both
+        // engines' GROUP BY, and a plain equi-join would drop its row.
+        // (rename before joining — all sides share li's lineage, so
+        // attribute-based conditions would be ambiguous/trivially true)
+        def merge(a: DataFrame, b: DataFrame): DataFrame = {
+          val bb = b.withColumnRenamed("l_returnflag", "__rf")
+          a.join(bb, col("l_returnflag") <=> col("__rf")).drop("__rf")
+        }
+        Seq(cd("l_suppkey", "n_supps"), cd("l_orderkey", "n_orders"),
+            li.groupBy("l_returnflag").agg(count(lit(1)).as("n_rows")))
+          .foldLeft(cd("l_partkey", "n_parts"))(merge)
           .select("l_returnflag", "n_parts", "n_supps", "n_orders", "n_rows")
           .orderBy("l_returnflag")
       },

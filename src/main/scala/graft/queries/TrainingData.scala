@@ -662,7 +662,8 @@ object TrainingData {
           .localCheckpoint()
         var changed = 1L
         var rounds = 0
-        while (changed > 0 && rounds < 50) {
+        val maxRounds = 50
+        while (changed > 0 && rounds < maxRounds) {
           val nbr = edges.join(labels, edges("dst") === labels("doc_id"))
             .groupBy("src").agg(min("label").as("nbr_label"))
           val next = labels
@@ -675,6 +676,12 @@ object TrainingData {
           labels = next.select("doc_id", "label")
           rounds += 1
         }
+        // labels move one hop per round, so the cap implies diameter >
+        // maxRounds — wrong clusters must never return silently
+        if (changed > 0) sys.error(
+          s"t15 components did not converge in $maxRounds rounds " +
+            s"($changed labels still changing); component diameter too " +
+            "large for plain propagation — switch to star contraction")
         labels
           .select(col("doc_id"), col("label").as("cluster_id"))
           .withColumn("is_canonical", col("doc_id") === col("cluster_id"))

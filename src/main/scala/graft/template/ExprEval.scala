@@ -175,6 +175,8 @@ object ExprEval {
             v = v match {
               case Api => if (quiet) null else Api.invoke(name, args)
               case m: scala.collection.Map[_, _] if name == "get" =>
+                if (args.isEmpty)
+                  sys.error(s".get() needs a key argument in: $src")
                 m.asInstanceOf[scala.collection.Map[Any, Any]]
                   .get(args.head) match {
                     case Some(found) => found

@@ -55,6 +55,40 @@ class TabularFilesSpec extends AnyFunSuite {
     assert(rows(0).isNullAt(1) && rows(0).getDouble(2) == 2.25)
   }
 
+  test("xlsx: first sheet resolves through workbook rels, not the part name") {
+    // workbook order says the first sheet lives in sheet2.xml (as Excel
+    // leaves things after deleting the original first sheet)
+    val f = tmp("_rels.xlsx")
+    val zos = new ZipOutputStream(java.nio.file.Files.newOutputStream(
+      java.nio.file.Paths.get(f)))
+    def put(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name)); zos.write(content.getBytes("UTF-8")); zos.closeEntry()
+    }
+    put("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="Data" sheetId="2" r:id="rId5"/></sheets></workbook>""")
+    put("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId5" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet2.xml"/></Relationships>""")
+    put("xl/worksheets/sheet2.xml",
+      """<?xml version="1.0"?><worksheet><sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><t>v</t></is></c></row>
+        |<row r="2"><c r="A2"><v>42</v></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    // decoy with different data — must NOT be read
+    put("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?><worksheet><sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><t>wrong</t></is></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    zos.close()
+    val df = Flow.runYaml(spark,
+      s"""
+         |- name: S
+         |  kind: tap
+         |  connection: {kind: File, locator: $f, filetype: xlsx}
+         |""".stripMargin).df()
+    assert(df.columns.toList == List("v"))
+    assert(df.collect()(0).getLong(0) == 42L)
+  }
+
   test("xml tap: repeating children become rows, attrs + elements columns") {
     val f = tmp(".xml")
     Files.write(java.nio.file.Paths.get(f),

@@ -89,14 +89,20 @@ def main():
                     out.append((c, bad[:3], [(gv[i], wv[i]) for i in bad[:3]]))
             return out
         mism = mismatches(got, want)
+        order_drift = False
         if mism:
             cols = list(got.columns)
             got_s = got.sort_values(cols, kind="mergesort").reset_index(drop=True)
             want_s = want.sort_values(cols, kind="mergesort").reset_index(drop=True)
             if not mismatches(got_s, want_s):
                 mism = []
+                order_drift = True
         if not mism:
-            print(f"PASS {name} ({len(got)} rows)")
+            # an ORDER-ONLY match is loudly flagged, not a silent PASS:
+            # every query is supposed to carry a deterministic total
+            # ORDER BY, so drift here usually means a broken sort
+            tag = " [ORDER DRIFT — rows match only after sorting]" if order_drift else ""
+            print(f"PASS {name} ({len(got)} rows){tag}")
             n_pass += 1
         else:
             print(f"FAIL {name}: value mismatches {mism[:2]}")
