@@ -702,6 +702,111 @@ object TrainingData {
               |  d.doc_id = LEAST(d.doc_id, COALESCE(c.min_reach, d.doc_id))
               |    AS is_canonical
               |FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
-              |ORDER BY d.doc_id""".stripMargin))
+              |ORDER BY d.doc_id""".stripMargin)),
+
+    // ----------------------------------------------------------------- t16
+    // IVF centroid LEARNING: one Lloyd (k-means) round on the embedding
+    // corpus — the training path t13's static centroids stand in for.
+    // Dataflow is the standard broadcast-centroids shape Spark MLlib
+    // uses: assignment is a map pass against k literal centroid arrays
+    // (codegen'd float_dot, no shuffle), the update is a distributed
+    // (cell, dim) aggregation whose k×64 result — and ONLY that — comes
+    // to the driver to become the next round's literals. Dimension sums
+    // accumulate as FLOOR(v·1e6 + 0.5) longs, so the learned centroid
+    // doubles are identical in both engines regardless of partitioning /
+    // aggregation order, and every distance both engines compute from
+    // them is bit-identical (same IEEE fold).
+    "t16_kmeans_train" -> QueryDef(
+      (spark, dir) => {
+        import org.apache.spark.sql.Row
+        val emb = t(spark, dir, "embeddings")
+        def lcg(j: Int): IndexedSeq[Double] = (1 to 64).map { d =>
+          val m = (j.toLong * 1103515245L + d.toLong * 12345L) % 32768L
+          m.toDouble / 32768.0 - 0.5
+        }
+        def norm(c: Seq[Double]): Double = c.foldLeft(0.0)((a, x) => a + x * x)
+        // cells ascending; first-min tie-break == lowest cell, matching
+        // the oracle's ROW_NUMBER ... ORDER BY dist, cell
+        def assign(cs: Seq[(Int, IndexedSeq[Double])]): DataFrame = {
+          val dists = array(cs.map { case (_, c) =>
+            lit(norm(c)) - lit(2.0) * dotCol(col("embedding"), typedlit(c))
+          }: _*)
+          val cellIds = typedlit(cs.map(_._1))
+          emb.withColumn("__d", dists)
+            .withColumn("cell", element_at(cellIds,
+              expr("array_position(__d, array_min(__d))").cast("int")))
+            .drop("__d")
+        }
+        val init = (1 to 8).map(c => c -> lcg(c + 100))
+        val learned = assign(init)
+          .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "v")))
+          .groupBy("cell", "dim")
+          .agg(sum(floor(col("v") * 1e6 + 0.5)).as("s"), count(lit(1)).as("n"))
+          .groupBy("cell")
+          .agg(sort_array(collect_list(struct(col("dim"), col("s"), col("n"))))
+            .as("dims"))
+          .collect()
+          .map { r =>
+            val dims = r.getSeq[Row](1)
+            r.getInt(0) -> dims.map(d =>
+              d.getLong(1) / 1e6 / d.getLong(2)).toIndexedSeq
+          }.sortBy(_._1).toSeq
+        val norms = spark.createDataFrame(learned.map { case (c, arr) =>
+          (c, math.floor(norm(arr) * 1e6 + 0.5).toLong)
+        }).toDF("cell", "norm_fp")
+        assign(learned).groupBy("cell").agg(count(lit(1)).as("n"))
+          .join(broadcast(norms), "cell")
+          .select(col("cell"), col("n"), col("norm_fp"))
+          .orderBy("cell")
+      },
+      Some {
+        def lcgList(j: Int): String = (1 to 64).map { d =>
+          val m = (j.toLong * 1103515245L + d.toLong * 12345L) % 32768L
+          s"${m.toDouble / 32768.0 - 0.5}"
+        }.mkString("[", ", ", "]")
+        def lcgNorm(j: Int): Double = (1 to 64).map { d =>
+          val m = (j.toLong * 1103515245L + d.toLong * 12345L) % 32768L
+          val x = m.toDouble / 32768.0 - 0.5
+          x * x
+        }.foldLeft(0.0)(_ + _)
+        val initDists = (1 to 8).map(c =>
+          s"(${lcgNorm(c + 100)} - 2*${dotDuck("embedding", lcgList(c + 100))})")
+          .mkString("[", ", ", "]")
+        s"""WITH a1 AS (
+           |  SELECT vec_id, embedding,
+           |    list_position($initDists,
+           |      list_min($initDists)) AS cell
+           |  FROM embeddings),
+           |u1 AS (
+           |  SELECT cell, g.dim AS dim,
+           |    SUM(CAST(FLOOR(CAST(embedding[g.dim] AS DOUBLE)*1e6 + 0.5)
+           |      AS BIGINT)) AS s,
+           |    COUNT(*) AS n
+           |  FROM a1, generate_series(1, 64) AS g(dim)
+           |  GROUP BY cell, g.dim),
+           |c1 AS (
+           |  SELECT cell, list(CAST(s AS DOUBLE)/1e6/n ORDER BY dim) AS centroid
+           |  FROM u1 GROUP BY cell),
+           |cn AS (
+           |  SELECT cell, centroid,
+           |    list_reduce(list_transform(centroid, x -> x*x), (a,b) -> a+b)
+           |      AS nrm
+           |  FROM c1),
+           |d2 AS (
+           |  SELECT e.vec_id, cn.cell,
+           |    cn.nrm - 2*${dotDuck("e.embedding", "cn.centroid")} AS dist
+           |  FROM embeddings e, cn),
+           |a2 AS (
+           |  SELECT vec_id, cell FROM (
+           |    SELECT vec_id, cell,
+           |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell)
+           |        AS rn
+           |    FROM d2) WHERE rn = 1)
+           |SELECT a2.cell AS cell, COUNT(*) AS n,
+           |  CAST(FLOOR(cn.nrm*1e6 + 0.5) AS BIGINT) AS norm_fp
+           |FROM a2 JOIN cn ON a2.cell = cn.cell
+           |GROUP BY a2.cell, cn.nrm
+           |ORDER BY a2.cell""".stripMargin
+      })
   )
 }
