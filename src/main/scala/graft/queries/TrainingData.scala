@@ -677,7 +677,9 @@ object TrainingData {
           rounds += 1
         }
         // labels move one hop per round, so the cap implies diameter >
-        // maxRounds — wrong clusters must never return silently
+        // maxRounds — wrong clusters must never return silently.
+        // (A 2-hop-per-checkpoint variant measured SLOWER at sf0.1 —
+        // the deeper per-round plan outweighed the halved round count.)
         if (changed > 0) sys.error(
           s"t15 components did not converge in $maxRounds rounds " +
             s"($changed labels still changing); component diameter too " +
