@@ -70,6 +70,21 @@ class CloudSecretsSpec extends AnyFunSuite {
     assert(hc.get("fs.s3a.bucket.bkt-own.secret.key") == "DEF_SECRET")
   }
 
+  test("gs hmac without a bucket scope is rejected, not applied globally") {
+    val yaml =
+      s"""
+         |- name: T
+         |  kind: tap
+         |  connection:
+         |    kind: Parquet
+         |    locator: $sf/region.parquet
+         |    config:
+         |      gs: {hmac_key: GK, hmac_secret: GS}
+         |""".stripMargin
+    val ex = intercept[Exception](Flow.runYaml(spark, yaml))
+    assert(ex.getMessage.contains("bucket"))
+  }
+
   test("gs hmac creds ride the S3 interop endpoint; hadoop map passes through") {
     val yaml =
       s"""

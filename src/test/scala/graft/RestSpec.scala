@@ -343,6 +343,28 @@ class RestSpec extends AnyFunSuite {
     }
   }
 
+  test("URLPolling file download retries a transient 503") {
+    val fileCalls = new AtomicInteger(0)
+    var boundPort = 0
+    withServer(Map(
+      "/job" -> (_ => (200,
+        s"""{"done":true,"file":"http://localhost:$boundPort/f.csv"}""")),
+      "/f.csv" -> (_ => {
+        if (fileCalls.incrementAndGet() == 1) (503, "busy")
+        else (200, "a,b\n1,2\n")
+      }))) { port =>
+      boundPort = port
+      val df = restConn(port, Map.empty, Map(
+        "endpoint" -> "/job", "method" -> "get", "max_retries" -> "2",
+        "response" -> Map(
+          "content_type" -> "text/csv",
+          "handler" -> Map("kind" -> "URLPolling",
+            "ready_status" -> "done", "locator" -> "file")))).tap(None, None)
+      assert(df.count() == 1)
+      assert(fileCalls.get() == 2)
+    }
+  }
+
   test("URLPolling materializes a binary parquet payload") {
     // build a real parquet file, serve its bytes verbatim
     val dir = java.nio.file.Files.createTempDirectory("graft_restpq").toString
