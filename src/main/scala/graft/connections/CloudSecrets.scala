@@ -71,15 +71,19 @@ object CloudSecrets {
 
     val gs = merged("gs")
     if (gs.contains("hmac_key")) {
-      // HMAC keys → S3-compatible XML API, scoped to the named bucket.
-      // A bucket is REQUIRED here: unscoped GCS would write the same
-      // global fs.s3a.* keys the s3 section uses and silently clobber
-      // its credentials/endpoint.
-      val bucket = gs.getOrElse("bucket", sys.error(
-        "gs HMAC credentials need a 'bucket' scope (they map to per-" +
-          "bucket S3A interop settings and would otherwise overwrite " +
-          "the global S3 configuration)"))
-      val prefix = s"fs.s3a.bucket.$bucket."
+      // HMAC keys → S3-compatible XML API. Unscoped gs writes the same
+      // global fs.s3a.* keys the s3 section uses, so when BOTH are
+      // configured unscoped the gs block would silently clobber the S3
+      // credentials/endpoint — that conflict is an error; gs alone may
+      // go global like any single-tenant config.
+      val prefix = gs.get("bucket") match {
+        case Some(b) => s"fs.s3a.bucket.$b."
+        case None if s3.contains("access_key_id") && !s3.contains("bucket") =>
+          sys.error("gs HMAC credentials need a 'bucket' scope when " +
+            "unscoped s3 credentials are also configured — both map to " +
+            "the global fs.s3a.* settings and would overwrite each other")
+        case None => "fs.s3a."
+      }
       gs.get("hmac_key").foreach(v => hc.set(prefix + "access.key", v))
       gs.get("hmac_secret").foreach(v => hc.set(prefix + "secret.key", v))
       hc.set(prefix + "endpoint", "https://storage.googleapis.com")

@@ -402,7 +402,11 @@ final class RestConnection(ctx: ConnContext) extends Connection(ctx) {
           }
         if (resp != null) {
           val code = resp.statusCode()
-          if (code == 429) {
+          if (errorStatusCodes.contains(code)) {
+            // configured fail-fast codes bypass every retry, as in
+            // doRequest
+            sys.error(s"HTTP $code from $url")
+          } else if (code == 429) {
             Thread.sleep((rateWait * 1000).toLong)
             rateWait *= 2
           } else if (code >= 500 && attempt < maxRetries) {
@@ -529,13 +533,23 @@ final class RestConnection(ctx: ConnContext) extends Connection(ctx) {
         }
         // the fetched file's payload kind comes from the response's
         // content_type (DataType enum; Materializer dispatches read_json/
-        // read_csv/read_parquet on it, rest/common.py:124-140)
+        // read_csv/read_parquet on it, rest/common.py:124-140). Text
+        // payloads ride doRequest (full retry + oauth + digest
+        // machinery); only binary parquet needs the raw downloader,
+        // which covers oauth but not digest challenges.
         contentKind(str(response, "content_type").getOrElse("json")) match {
           case "json" =>
             Records(extractRecords(doRequest("GET", fileUrl, headers, None,
               maxRetries, backoff), ""))
-          case kind => DataFile(
-            downloadFile(fileUrl, headers, maxRetries, backoff), kind)
+          case "parquet" => DataFile(
+            downloadFile(fileUrl, headers, maxRetries, backoff), "parquet")
+          case kind =>
+            val body = doRequest("GET", fileUrl, headers, None,
+              maxRetries, backoff)
+            val tmp = java.nio.file.Files.createTempFile("graft_rest", ".dat")
+            tmp.toFile.deleteOnExit()
+            java.nio.file.Files.write(tmp, body.getBytes("UTF-8"))
+            DataFile(tmp.toString, kind)
         }
 
       case other => sys.error(s"unknown REST handler kind: $other")

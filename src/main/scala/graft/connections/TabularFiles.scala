@@ -30,6 +30,17 @@ import org.apache.spark.sql.types._
   */
 object TabularFiles {
 
+  /** Hardened XML parser factory: DOCTYPEs (and with them external
+    * entities) are refused outright — a crafted xlsx/xml could otherwise
+    * read local files or make outbound requests during parse (XXE). */
+  private def secureDocBuilder(): javax.xml.parsers.DocumentBuilder = {
+    val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+    f.setXIncludeAware(false)
+    f.setExpandEntityReferences(false)
+    f.newDocumentBuilder()
+  }
+
   // ------------------------------------------------------------------ xlsx
 
   def readXlsx(spark: SparkSession, file: String): DataFrame = {
@@ -56,8 +67,7 @@ object TabularFiles {
     for {
       wbEntry <- Option(zip.getEntry("xl/workbook.xml"))
       relEntry <- Option(zip.getEntry("xl/_rels/workbook.xml.rels"))
-      wb = javax.xml.parsers.DocumentBuilderFactory.newInstance()
-        .newDocumentBuilder().parse(zip.getInputStream(wbEntry))
+      wb = secureDocBuilder().parse(zip.getInputStream(wbEntry))
       sheets = wb.getElementsByTagName("sheet")
       if sheets.getLength > 0
       rid = {
@@ -67,8 +77,7 @@ object TabularFiles {
           .find(_.getNodeName.endsWith(":id")).map(_.getNodeValue)
           .getOrElse("")
       }
-      rels = javax.xml.parsers.DocumentBuilderFactory.newInstance()
-        .newDocumentBuilder().parse(zip.getInputStream(relEntry))
+      rels = secureDocBuilder().parse(zip.getInputStream(relEntry))
         .getElementsByTagName("Relationship")
       target <- (0 until rels.getLength).map(rels.item).collectFirst {
         case r if Option(r.getAttributes.getNamedItem("Id"))
@@ -78,8 +87,16 @@ object TabularFiles {
       }
     } yield target
 
+  /** StAX factory with DTD/external-entity support off (XXE). */
+  private def secureStax(): XMLInputFactory = {
+    val f = XMLInputFactory.newInstance()
+    f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+    f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+    f
+  }
+
   private def parseSharedStrings(in: java.io.InputStream): IndexedSeq[String] = {
-    val reader = XMLInputFactory.newInstance().createXMLStreamReader(in)
+    val reader = secureStax().createXMLStreamReader(in)
     val out = mutable.ArrayBuffer[String]()
     val cur = new StringBuilder
     var inSi = false
@@ -101,7 +118,7 @@ object TabularFiles {
     * cell reference so skipped blanks keep later columns aligned. */
   private def parseSheet(in: java.io.InputStream,
       shared: IndexedSeq[String]): Seq[IndexedSeq[String]] = {
-    val reader = XMLInputFactory.newInstance().createXMLStreamReader(in)
+    val reader = secureStax().createXMLStreamReader(in)
     val rows = mutable.ArrayBuffer[IndexedSeq[String]]()
     var row: mutable.ArrayBuffer[String] = null
     var cellType = ""
@@ -148,8 +165,7 @@ object TabularFiles {
   // ------------------------------------------------------------------- xml
 
   def readXml(spark: SparkSession, file: String): DataFrame = {
-    val doc = javax.xml.parsers.DocumentBuilderFactory.newInstance()
-      .newDocumentBuilder().parse(new java.io.File(file))
+    val doc = secureDocBuilder().parse(new java.io.File(file))
     val rootKids = doc.getDocumentElement.getChildNodes
     val cols = mutable.LinkedHashSet[String]()
     val rows = mutable.ArrayBuffer[mutable.LinkedHashMap[String, String]]()

@@ -92,7 +92,10 @@ object Stages {
     val yaml = new org.yaml.snakeyaml.Yaml()
     val root = yaml.load[Object](yamlText) match {
       case s: String =>
-        val p = java.nio.file.Paths.get(s)
+        val p = try java.nio.file.Paths.get(s) catch {
+          case _: java.nio.file.InvalidPathException =>
+            sys.error(s"could not interpret '$s' as YAML or a file path")
+        }
         if (java.nio.file.Files.isRegularFile(p))
           yaml.load[Object](new String(
             java.nio.file.Files.readAllBytes(p), "UTF-8"))

@@ -70,8 +70,9 @@ class CloudSecretsSpec extends AnyFunSuite {
     assert(hc.get("fs.s3a.bucket.bkt-own.secret.key") == "DEF_SECRET")
   }
 
-  test("gs hmac without a bucket scope is rejected, not applied globally") {
-    val yaml =
+  test("unscoped gs alone goes global; colliding with unscoped s3 is rejected") {
+    // gs-only: legal single-tenant config, lands on the global keys
+    Flow.runYaml(spark,
       s"""
          |- name: T
          |  kind: tap
@@ -79,9 +80,23 @@ class CloudSecretsSpec extends AnyFunSuite {
          |    kind: Parquet
          |    locator: $sf/region.parquet
          |    config:
+         |      gs: {hmac_key: GK_GLOBAL, hmac_secret: GS_GLOBAL}
+         |""".stripMargin)
+    assert(hc.get("fs.s3a.access.key") == "GK_GLOBAL")
+    hc.unset("fs.s3a.access.key"); hc.unset("fs.s3a.secret.key")
+    hc.unset("fs.s3a.endpoint"); hc.unset("fs.s3a.path.style.access")
+    // both sections unscoped would overwrite each other → error
+    val ex = intercept[Exception](Flow.runYaml(spark,
+      s"""
+         |- name: T
+         |  kind: tap
+         |  connection:
+         |    kind: Parquet
+         |    locator: $sf/region.parquet
+         |    config:
+         |      s3: {access_key_id: AK}
          |      gs: {hmac_key: GK, hmac_secret: GS}
-         |""".stripMargin
-    val ex = intercept[Exception](Flow.runYaml(spark, yaml))
+         |""".stripMargin))
     assert(ex.getMessage.contains("bucket"))
   }
 

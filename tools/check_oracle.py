@@ -97,12 +97,14 @@ def main():
             if not mismatches(got_s, want_s):
                 mism = []
                 order_drift = True
-        if not mism:
-            # an ORDER-ONLY match is loudly flagged, not a silent PASS:
-            # every query is supposed to carry a deterministic total
-            # ORDER BY, so drift here usually means a broken sort
-            tag = " [ORDER DRIFT — rows match only after sorting]" if order_drift else ""
-            print(f"PASS {name} ({len(got)} rows){tag}")
+        if not mism and order_drift:
+            # rows match only after sorting: every query carries a
+            # deterministic total ORDER BY, so drift means a broken sort
+            # — a FAILURE, visible in the exit code, not just stdout
+            print(f"FAIL {name}: ORDER DRIFT (rows match only after sorting)")
+            n_fail += 1
+        elif not mism:
+            print(f"PASS {name} ({len(got)} rows)")
             n_pass += 1
         else:
             print(f"FAIL {name}: value mismatches {mism[:2]}")
