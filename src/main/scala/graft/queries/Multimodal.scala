@@ -92,8 +92,65 @@ object Multimodal {
              |  CAST(((length(text) * 7) % 480) // 2 AS INTEGER) AS resized_h
              |FROM documents,
              |  (SELECT unnest(range(0, 4)) AS frame_no) f
-             |ORDER BY doc_id, frame_no""".stripMargin))
+             |ORDER BY doc_id, frame_no""".stripMargin)),
+
+    // Feature extraction: the third leg of the multimodal quartet
+    // (decode t11, frames+resize t14, features here). An 8-dim hashed
+    // feature vector per payload — the hashing-trick featurization any
+    // encoder-less pipeline can run at full scale — produced in the same
+    // batched per-partition shape a real embedding model would use (model
+    // weights loaded once per partition, rows streamed through). Each
+    // feature is 24 bits of a salted md5 scaled to [0,1): integer /
+    // 2^24 is exact in a double, so both engines agree bit-for-bit, as
+    // does the ascending-fold squared norm.
+    "t17_multimodal_features" -> QueryDef(
+      (spark, dir) => {
+        import spark.implicits._
+        val media = Tables.t(spark, dir, "documents")
+          .select(col("doc_id"), col("text").cast("binary").as("content"))
+          .as[MediaRow]
+        media.mapPartitions { batch =>
+          // a real extractor would load its model once per partition here
+          batch.map(featureStub)
+        }.toDF()
+          .orderBy("doc_id")
+      },
+      Some {
+        def feat(k: Int): String = {
+          val digits = (1 to 6).map { j =>
+            s"(instr('0123456789abcdef', substr(md5(concat('$k|', text)), $j, 1)) - 1) * ${math.pow(16, 6 - j).toLong}"
+          }.mkString("(", " + ", ")")
+          s"CAST($digits AS DOUBLE) / 16777216.0"
+        }
+        val cols = (1 to 8).map(k => s"${feat(k)} AS f$k").mkString(",\n  ")
+        val norm = (1 to 8).map(k => s"f$k*f$k").mkString(" + ")
+        s"""WITH f AS (SELECT doc_id,
+           |  $cols
+           |FROM documents)
+           |SELECT doc_id, f1, f2, f3, f4, f5, f6, f7, f8,
+           |  $norm AS f_norm
+           |FROM f ORDER BY doc_id""".stripMargin
+      })
   )
+
+  /** Hashed feature row (8 dims + squared norm). */
+  final case class MediaFeatures(doc_id: Long,
+      f1: Double, f2: Double, f3: Double, f4: Double,
+      f5: Double, f6: Double, f7: Double, f8: Double, f_norm: Double)
+
+  /** STUB feature extractor — salted-md5 hashing-trick features standing
+    * in for a learned encoder; 24 high bits per salt, scaled to [0,1). */
+  def featureStub(r: MediaRow): MediaFeatures = {
+    val md = MessageDigest.getInstance("MD5")
+    val feats = (1 to 8).map { k =>
+      val h = md.digest(s"$k|".getBytes("UTF-8") ++ r.content)
+      val hex = h.take(3).map("%02x".format(_)).mkString // 6 hex chars
+      java.lang.Long.parseLong(hex, 16).toDouble / 16777216.0
+    }
+    val norm = feats.foldLeft(0.0)((a, x) => a + x * x)
+    MediaFeatures(r.doc_id, feats(0), feats(1), feats(2), feats(3),
+      feats(4), feats(5), feats(6), feats(7), norm)
+  }
 
   /** Frame row emitted by the sampler stub. */
   final case class Frame(doc_id: Long, frame_no: Int, frame_sig: String,
