@@ -146,6 +146,41 @@ object TrainingData {
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)""".stripMargin
 
+  /** 16-bit SimHash per document (t04's computation, shared with t18):
+    * per-token md5 bit votes, +1/-1 summed, sign → bit. */
+  private def simhash16(spark: SparkSession, dir: String): DataFrame = {
+    val toks = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+      .withColumn("h", md5(col("tok").cast("binary")))
+    // bit i lives in hex digit i/4, position (i%4): digit value d →
+    // bit = (d div 2^(i%4)) % 2; weight +1/-1 summed over tokens.
+    val bitSums = (0 until 16).map { i =>
+      val digit = s"(instr('0123456789abcdef', substr(h, ${i / 4 + 1}, 1)) - 1)"
+      val bit = s"(($digit div ${1 << (i % 4)}) % 2)"
+      sum(expr(s"CASE WHEN $bit = 1 THEN 1 ELSE -1 END")).as(s"s$i")
+    }
+    val sums = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val value = (0 until 16).map(i =>
+      expr(s"CASE WHEN s$i > 0 THEN ${1 << i} ELSE 0 END")).reduce(_ + _)
+    sums.select(col("doc_id"), value.cast("int").as("simhash16"))
+  }
+
+  /** DuckDB CTE text producing [[simhash16]] as relation `sims`. */
+  private def simhash16Duck: String = {
+    val bitSums = (0 until 16).map { i =>
+      val digit = s"(instr('0123456789abcdef', substr(h, ${i / 4 + 1}, 1)) - 1)"
+      val bit = s"(($digit // ${1 << (i % 4)}) % 2)"
+      s"SUM(CASE WHEN $bit = 1 THEN 1 ELSE -1 END) AS s$i"
+    }.mkString(", ")
+    val value = (0 until 16).map(i =>
+      s"CASE WHEN s$i > 0 THEN ${1 << i} ELSE 0 END").mkString(" + ")
+    s"""toks AS (
+       |  SELECT doc_id, md5(unnest(string_split(lower(text), ' '))) AS h
+       |  FROM documents),
+       |sums AS (SELECT doc_id, $bitSums FROM toks GROUP BY doc_id),
+       |sims AS (SELECT doc_id, CAST($value AS INTEGER) AS simhash16 FROM sums)""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // ----------------------------------------------------------------- t01
@@ -254,38 +289,9 @@ object TrainingData {
     // ----------------------------------------------------------------- t04
     // SimHash (16-bit) document fingerprints from token md5 bits.
     "t04_simhash" -> QueryDef(
-      (spark, dir) => {
-        val toks = t(spark, dir, "documents")
-          .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
-          .withColumn("h", md5(col("tok").cast("binary")))
-        // bit i lives in hex digit i/4, position (i%4): digit value d →
-        // bit = (d div 2^(i%4)) % 2; weight +1/-1 summed over tokens.
-        val bitSums = (0 until 16).map { i =>
-          val digit = s"(instr('0123456789abcdef', substr(h, ${i / 4 + 1}, 1)) - 1)"
-          val bit = s"(($digit div ${1 << (i % 4)}) % 2)"
-          sum(expr(s"CASE WHEN $bit = 1 THEN 1 ELSE -1 END")).as(s"s$i")
-        }
-        val sums = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-        val value = (0 until 16).map(i =>
-          expr(s"CASE WHEN s$i > 0 THEN ${1 << i} ELSE 0 END")).reduce(_ + _)
-        sums.select(col("doc_id"), value.cast("int").as("simhash16"))
-          .orderBy("doc_id")
-      },
-      Some({
-        val bitSums = (0 until 16).map { i =>
-          val digit = s"(instr('0123456789abcdef', substr(h, ${i / 4 + 1}, 1)) - 1)"
-          val bit = s"(($digit // ${1 << (i % 4)}) % 2)"
-          s"SUM(CASE WHEN $bit = 1 THEN 1 ELSE -1 END) AS s$i"
-        }.mkString(", ")
-        val value = (0 until 16).map(i =>
-          s"CASE WHEN s$i > 0 THEN ${1 << i} ELSE 0 END").mkString(" + ")
-        s"""WITH toks AS (
-           |  SELECT doc_id, md5(unnest(string_split(lower(text), ' '))) AS h
-           |  FROM documents),
-           |sums AS (SELECT doc_id, $bitSums FROM toks GROUP BY doc_id)
-           |SELECT doc_id, CAST($value AS INTEGER) AS simhash16
-           |FROM sums ORDER BY doc_id""".stripMargin
-      })),
+      (spark, dir) => simhash16(spark, dir).orderBy("doc_id"),
+      Some(s"""WITH $simhash16Duck
+              |SELECT doc_id, simhash16 FROM sims ORDER BY doc_id""".stripMargin)),
 
     // ----------------------------------------------------------------- t05
     // Brute-force cosine top-k ANN baseline (query = vec_id 0, broadcast).
@@ -809,6 +815,47 @@ object TrainingData {
            |FROM a2 JOIN cn ON a2.cell = cn.cell
            |GROUP BY a2.cell, cn.nrm
            |ORDER BY a2.cell""".stripMargin
-      })
+      }),
+
+    // ----------------------------------------------------------------- t18
+    // SimHash near-dup pairs by EXACT pigeonhole banding: the 16-bit
+    // fingerprint splits into 2 bands of 8 bits; a pair within hamming
+    // distance 1 differs in at most one band, so at least one band
+    // matches — banding loses NOTHING (exact retrieval, unlike
+    // probabilistic MinHash banding; wider hashes band the same way:
+    // b+1 bands retrieve hamming ≤ b exactly). Candidates only form
+    // inside (band, value) buckets — 2 × 2^8 keys scaling with hash
+    // width — and the popcount(xor) verification prunes them to true
+    // near-dups. Candidates dedupe as bare id pairs via DISTINCT.
+    "t18_simhash_neardup" -> QueryDef(
+      (spark, dir) => {
+        val sims = simhash16(spark, dir)
+        val bands = sims.select(col("doc_id"), col("simhash16"),
+          explode(array((0 until 2).map(b => struct(lit(b).as("band"),
+            ((col("simhash16") divide lit(1 << (8 * b))).cast("int") % 256)
+              .as("value"))): _*)).as("bv"))
+          .select(col("doc_id"), col("simhash16"),
+            col("bv.band"), col("bv.value"))
+        bands.as("a").join(bands.as("b"),
+            col("a.band") === col("b.band") &&
+              col("a.value") === col("b.value") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            expr("bit_count(a.simhash16 ^ b.simhash16)").as("hamming"))
+          .filter(col("hamming") <= 1)
+          .distinct()
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH $simhash16Duck,
+              |bands AS (
+              |  SELECT doc_id, simhash16, g.band AS band,
+              |    (simhash16 // CAST(pow(256, g.band) AS INTEGER)) % 256 AS value
+              |  FROM sims, generate_series(0, 1) AS g(band))
+              |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |  bit_count(CAST(xor(a.simhash16, b.simhash16) AS BIGINT)) AS hamming
+              |FROM bands a JOIN bands b
+              |  ON a.band = b.band AND a.value = b.value AND a.doc_id < b.doc_id
+              |WHERE bit_count(CAST(xor(a.simhash16, b.simhash16) AS BIGINT)) <= 1
+              |ORDER BY doc_a, doc_b""".stripMargin))
   )
 }
