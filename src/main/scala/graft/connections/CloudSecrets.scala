@@ -71,19 +71,21 @@ object CloudSecrets {
 
     val gs = merged("gs")
     if (gs.contains("hmac_key")) {
-      // HMAC keys → S3-compatible XML API. Unscoped gs writes the same
-      // global fs.s3a.* keys the s3 section uses, so when BOTH are
-      // configured unscoped the gs block would silently clobber the S3
-      // credentials/endpoint — that conflict is an error; gs alone may
-      // go global like any single-tenant config.
-      val prefix = gs.get("bucket") match {
-        case Some(b) => s"fs.s3a.bucket.$b."
-        case None if s3.contains("access_key_id") && !s3.contains("bucket") =>
-          sys.error("gs HMAC credentials need a 'bucket' scope when " +
-            "unscoped s3 credentials are also configured — both map to " +
-            "the global fs.s3a.* settings and would overwrite each other")
-        case None => "fs.s3a."
-      }
+      // HMAC keys → S3-compatible XML API, and a bucket scope is
+      // REQUIRED. Unscoped gs would write the global fs.s3a.* endpoint
+      // and credentials, which poisons every other s3a access in the
+      // session: per-bucket s3 configs inherit any key they don't
+      // explicitly set from the global level (a scoped AWS config
+      // without an explicit endpoint would suddenly talk to GCS), and a
+      // later stage's connection can't see this one's config to detect
+      // the collision. DuckDB's native typed GCS secret has no such
+      // interference, so the reference can allow it; the s3a-interop
+      // mapping cannot.
+      val bucket = gs.getOrElse("bucket", sys.error(
+        "gs HMAC credentials need a 'bucket' scope: unscoped they would " +
+          "redirect the session-global fs.s3a.* endpoint/credentials " +
+          "that every other S3A access inherits from"))
+      val prefix = s"fs.s3a.bucket.$bucket."
       gs.get("hmac_key").foreach(v => hc.set(prefix + "access.key", v))
       gs.get("hmac_secret").foreach(v => hc.set(prefix + "secret.key", v))
       hc.set(prefix + "endpoint", "https://storage.googleapis.com")

@@ -42,9 +42,14 @@ final class RestConnection(ctx: ConnContext) extends Connection(ctx) {
       .build()
   }
 
-  /** One HTTP round with the reference's error policy. Returns body. */
+  /** One HTTP round with the reference's error policy. Returns body.
+    * `payload = true` marks a DATA-file fetch: the custom errorhandler
+    * condition applies to API response envelopes, not to the payload
+    * bytes themselves (a JSONL record that happens to contain the
+    * condition's field must not abort the download). */
   private def doRequest(method: String, url: String, headers: Map[String, String],
-      body: Option[String], maxRetries: Int, initialBackoff: Double): String = {
+      body: Option[String], maxRetries: Int, initialBackoff: Double,
+      payload: Boolean = false): String = {
     var rateWait = 1.0
     var attempt = 0
     var authRetried = false
@@ -103,7 +108,7 @@ final class RestConnection(ctx: ConnContext) extends Connection(ctx) {
           sys.error(s"HTTP $code from $url: ${resp.body().take(500)}")
         } else {
           val b = resp.body()
-          checkCustomError(b, url)
+          if (!payload) checkCustomError(b, url)
           return b
         }
       }
@@ -545,7 +550,7 @@ final class RestConnection(ctx: ConnContext) extends Connection(ctx) {
             downloadFile(fileUrl, headers, maxRetries, backoff), "parquet")
           case kind =>
             val body = doRequest("GET", fileUrl, headers, None,
-              maxRetries, backoff)
+              maxRetries, backoff, payload = true)
             val tmp = java.nio.file.Files.createTempFile("graft_rest", ".dat")
             tmp.toFile.deleteOnExit()
             java.nio.file.Files.write(tmp, body.getBytes("UTF-8"))

@@ -142,8 +142,11 @@ object Multimodal {
     * in for a learned encoder; 24 high bits per salt, scaled to [0,1). */
   def featureStub(r: MediaRow): MediaFeatures = {
     val md = MessageDigest.getInstance("MD5")
+    // null payload → feature of the bare salt, matching the oracle's
+    // concat('k|', NULL) which DuckDB treats as 'k|'
+    val content = if (r.content == null) Array.empty[Byte] else r.content
     val feats = (1 to 8).map { k =>
-      val h = md.digest(s"$k|".getBytes("UTF-8") ++ r.content)
+      val h = md.digest(s"$k|".getBytes("UTF-8") ++ content)
       val hex = h.take(3).map("%02x".format(_)).mkString // 6 hex chars
       java.lang.Long.parseLong(hex, 16).toDouble / 16777216.0
     }

@@ -70,22 +70,9 @@ class CloudSecretsSpec extends AnyFunSuite {
     assert(hc.get("fs.s3a.bucket.bkt-own.secret.key") == "DEF_SECRET")
   }
 
-  test("unscoped gs alone goes global; colliding with unscoped s3 is rejected") {
-    // gs-only: legal single-tenant config, lands on the global keys
-    Flow.runYaml(spark,
-      s"""
-         |- name: T
-         |  kind: tap
-         |  connection:
-         |    kind: Parquet
-         |    locator: $sf/region.parquet
-         |    config:
-         |      gs: {hmac_key: GK_GLOBAL, hmac_secret: GS_GLOBAL}
-         |""".stripMargin)
-    assert(hc.get("fs.s3a.access.key") == "GK_GLOBAL")
-    hc.unset("fs.s3a.access.key"); hc.unset("fs.s3a.secret.key")
-    hc.unset("fs.s3a.endpoint"); hc.unset("fs.s3a.path.style.access")
-    // both sections unscoped would overwrite each other → error
+  test("gs hmac without a bucket scope is rejected (would poison global s3a)") {
+    // scoped s3 configs inherit unset keys (endpoint!) from the global
+    // level, so an unscoped gs interop mapping is never safe
     val ex = intercept[Exception](Flow.runYaml(spark,
       s"""
          |- name: T
@@ -94,10 +81,10 @@ class CloudSecretsSpec extends AnyFunSuite {
          |    kind: Parquet
          |    locator: $sf/region.parquet
          |    config:
-         |      s3: {access_key_id: AK}
          |      gs: {hmac_key: GK, hmac_secret: GS}
          |""".stripMargin))
     assert(ex.getMessage.contains("bucket"))
+    assert(hc.get("fs.s3a.endpoint") == null) // nothing leaked globally
   }
 
   test("gs hmac creds ride the S3 interop endpoint; hadoop map passes through") {
