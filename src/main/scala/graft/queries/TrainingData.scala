@@ -152,11 +152,16 @@ object TrainingData {
     val toks = t(spark, dir, "documents")
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
       .withColumn("h", md5(col("tok").cast("binary")))
-    // bit i lives in hex digit i/4, position (i%4): digit value d →
-    // bit = (d div 2^(i%4)) % 2; weight +1/-1 summed over tokens.
+      // decode the 4 leading hex digits ONCE; 16 bit tests on the int
+      // beat 16 per-bit substr+instr string probes (the oracle keeps the
+      // digit-probe spelling — only the extraction differs, bits agree).
+      // Bit numbering matches the digit form: hex digit i/4 holds bits
+      // 4*(i/4)..4*(i/4)+3 little-endian within the digit, so bit i of
+      // the SimHash = bit (12 - 4*(i/4)) + i%4 of the decoded int.
+      .withColumn("hv", expr("CAST(conv(substr(h, 1, 4), 16, 10) AS INT)"))
     val bitSums = (0 until 16).map { i =>
-      val digit = s"(instr('0123456789abcdef', substr(h, ${i / 4 + 1}, 1)) - 1)"
-      val bit = s"(($digit div ${1 << (i % 4)}) % 2)"
+      val shift = 12 - 4 * (i / 4) + i % 4
+      val bit = s"((hv div ${1 << shift}) % 2)"
       sum(expr(s"CASE WHEN $bit = 1 THEN 1 ELSE -1 END")).as(s"s$i")
     }
     val sums = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
