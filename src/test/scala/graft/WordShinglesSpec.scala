@@ -40,6 +40,20 @@ class WordShinglesSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("property: random word arrays match the composed form") {
+    import org.scalacheck.Gen
+    import spark.implicits._
+    val word = Gen.oneOf(Gen.alphaNumStr.map(_.take(6)), Gen.const(""),
+      Gen.oneOf("the", "a", "of"))
+    val doc = Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, word))
+    val docs = Gen.listOfN(200, doc).sample.get
+    val df = docs.map(_.toArray).toDF("words")
+    val bad = df.select(
+      expr("word_shingles(words)").as("n"), expr(composed).as("c"))
+      .filter(expr("n != c")).count()
+    assert(bad == 0)
+  }
+
   test("null words → null shingles") {
     import spark.implicits._
     val df = Seq(Option.empty[Array[String]]).toDF("words")
