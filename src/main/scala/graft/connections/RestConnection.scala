@@ -411,9 +411,12 @@ final class RestConnection(ctx: ConnContext) extends Connection(ctx) {
             // configured fail-fast codes bypass every retry, as in
             // doRequest
             sys.error(s"HTTP $code from $url")
-          } else if (code == 429) {
+          } else if (code == 429 && attempt < maxRetries) {
+            // rate-limit retries count against maxRetries like 5xx —
+            // otherwise a persistently 429ing endpoint hangs forever
             Thread.sleep((rateWait * 1000).toLong)
             rateWait *= 2
+            attempt += 1
           } else if (code >= 500 && attempt < maxRetries) {
             Thread.sleep(((attempt + 1) * 1000).toLong)
             attempt += 1

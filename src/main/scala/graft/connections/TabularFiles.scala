@@ -213,9 +213,12 @@ object TabularFiles {
     toDataFrame(spark, rows)
   }
 
+  /** `&amp;` must be replaced LAST: doing it first turns a pre-escaped
+    * `&amp;lt;` into `&lt;` and then `<` (double-unescape). */
   private def unescape(s: String): String = s
-    .replace("&amp;", "&").replace("&lt;", "<").replace("&gt;", ">")
+    .replace("&lt;", "<").replace("&gt;", ">")
     .replace("&quot;", "\"").replace("&#39;", "'").replace("&nbsp;", " ")
+    .replace("&amp;", "&")
 
   // ------------------------------------------------- shared materialization
 

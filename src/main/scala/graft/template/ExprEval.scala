@@ -177,8 +177,12 @@ object ExprEval {
               case m: scala.collection.Map[_, _] if name == "get" =>
                 if (args.isEmpty)
                   sys.error(s".get() needs a key argument in: $src")
-                m.asInstanceOf[scala.collection.Map[Any, Any]]
-                  .get(args.head) match {
+                val map = m.asInstanceOf[scala.collection.Map[Any, Any]]
+                // context maps are string-keyed (YAML keys stringify in
+                // Stages.toScala), so a literal Long key like d.get(1)
+                // must fall back to its string form to match
+                map.get(args.head)
+                  .orElse(map.get(String.valueOf(args.head))) match {
                     case Some(found) => found
                     case None => args.lift(1).orNull
                   }

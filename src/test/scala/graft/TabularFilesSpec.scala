@@ -129,4 +129,22 @@ class TabularFilesSpec extends AnyFunSuite {
     assert(rows.map(_.getString(0)).toList == List("S&P Town", "Oslo"))
     assert(rows(1).getLong(1) == 709000L)
   }
+
+  test("html tap: pre-escaped entities do not double-unescape") {
+    val f = tmp(".html")
+    // &amp;lt; is the ESCAPED text "&lt;" — one unescape pass must yield
+    // the literal string "&lt;", not "<" (pandas read_html agrees)
+    Files.write(java.nio.file.Paths.get(f),
+      """<table><tr><th>t</th></tr>
+        |<tr><td>a &amp;lt; b</td></tr>
+        |</table>""".stripMargin.getBytes("UTF-8"))
+    val df = Flow.runYaml(spark,
+      s"""
+         |- name: H
+         |  kind: tap
+         |  connection: {kind: File, locator: $f}
+         |  query: SELECT t FROM File
+         |""".stripMargin).df()
+    assert(df.collect().head.getString(0) == "a &lt; b")
+  }
 }

@@ -176,6 +176,10 @@ class TemplateSpec extends AnyFunSuite {
       ctx()) == 7L)
     // a missing key without default is None → typed null (Jinja parity)
     assert(Renderer.renderTyped("<< variables.get('missing') >>", ctx()) == null)
+    // YAML map keys stringify, so a literal integer key must still hit
+    // the string-keyed entry ("1") instead of silently defaulting
+    assert(Renderer.renderTyped("<< variables.get(1, 9) >>",
+      ctx("1" -> 42L)) == 42L)
   }
 
   test("dunder attributes are gated to empty, sunder passes (security parity)") {

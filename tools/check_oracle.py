@@ -91,12 +91,17 @@ def main():
         mism = mismatches(got, want)
         order_drift = False
         if mism:
-            cols = list(got.columns)
-            got_s = got.sort_values(cols, kind="mergesort").reset_index(drop=True)
-            want_s = want.sort_values(cols, kind="mergesort").reset_index(drop=True)
-            if not mismatches(got_s, want_s):
-                mism = []
-                order_drift = True
+            # object columns with None/mixed types can make sort_values
+            # raise — fall through to the normal FAIL report then
+            try:
+                cols = list(got.columns)
+                got_s = got.sort_values(cols, kind="mergesort").reset_index(drop=True)
+                want_s = want.sort_values(cols, kind="mergesort").reset_index(drop=True)
+                if not mismatches(got_s, want_s):
+                    mism = []
+                    order_drift = True
+            except TypeError:
+                pass
         if not mism and order_drift:
             # rows match only after sorting: every query carries a
             # deterministic total ORDER BY, so drift means a broken sort
