@@ -1,0 +1,299 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data SELECTION operators: the decision layer that sits on top
+  * of the measurement ops in [[TrainingData]] — which documents go into
+  * the training mix, which are contaminated by evaluation data, which
+  * strata are over-represented, which vectors best represent a cluster.
+  *
+  * Same oracle-portability rules as [[TrainingData]]: integer counts and
+  * exact IEEE divisions only (a/b of two ints is one rounding in both
+  * engines), md5 as the portable hash, fixed-point FLOOR(x*1e6+0.5) longs
+  * wherever doubles must aggregate across partitions.
+  */
+object DataSelection {
+
+  import Tables.t
+  import TrainingData.{shingleExpr, shingleSqlDuck, withWords, dotCol, dotSql, dotDuck}
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ----------------------------------------------------------------- t19
+    // Test-set DECONTAMINATION: flag training documents whose 3-gram
+    // shingles overlap an evaluation set (here: doc_id % 50 == 0 stands in
+    // for the benchmark corpus). The at-scale shape: the eval shingle set
+    // is tiny relative to the corpus (benchmarks are ~1e5 docs vs 1e9), so
+    // it BROADCASTS — the corpus is scanned once, never shuffled on text;
+    // only (doc_id, count) rows move. This is the standard n-gram-overlap
+    // decontamination run before every training job.
+    "t19_decontaminate" -> QueryDef(
+      (spark, dir) => {
+        val sh = withWords(t(spark, dir, "documents"))
+          .select(col("doc_id"), explode(expr(shingleExpr)).as("shingle"))
+        val evalSh = sh.filter(col("doc_id") % 50 === 0)
+          .select("shingle").distinct()
+        val train = sh.filter(col("doc_id") % 50 =!= 0)
+        val tot = train.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+        val ov = train.join(broadcast(evalSh), "shingle")
+          .groupBy("doc_id").agg(count(lit(1)).as("ov"))
+        tot.join(ov, Seq("doc_id"), "left")
+          .withColumn("n_overlap", coalesce(col("ov"), lit(0L)))
+          .withColumn("contamination",
+            col("n_overlap").cast("double") / col("n_shingles").cast("double"))
+          .withColumn("contaminated", col("contamination") >= 0.5)
+          .select("doc_id", "n_shingles", "n_overlap", "contamination",
+            "contaminated")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH sh AS (
+              |  SELECT doc_id, unnest($shingleSqlDuck) AS shingle FROM documents),
+              |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+              |tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh
+              |        WHERE doc_id % 50 <> 0 GROUP BY doc_id),
+              |ov AS (SELECT s.doc_id, COUNT(*) AS ov
+              |       FROM sh s JOIN ev USING (shingle)
+              |       WHERE s.doc_id % 50 <> 0 GROUP BY s.doc_id)
+              |SELECT t.doc_id, t.n_shingles,
+              |  COALESCE(o.ov, 0) AS n_overlap,
+              |  CAST(COALESCE(o.ov, 0) AS DOUBLE) / CAST(t.n_shingles AS DOUBLE)
+              |    AS contamination,
+              |  CAST(COALESCE(o.ov, 0) AS DOUBLE) / CAST(t.n_shingles AS DOUBLE)
+              |    >= 0.5 AS contaminated
+              |FROM tot t LEFT JOIN ov o ON o.doc_id = t.doc_id
+              |ORDER BY t.doc_id""".stripMargin)),
+
+    // ----------------------------------------------------------------- t20
+    // REPETITION quality filters (the Gopher-rules family): distinct-word
+    // ratio, top-word fraction, duplicate-2-gram fraction. Two explode →
+    // (doc, token) → per-doc aggs — both map-side combinable on the
+    // (doc_id, token) key, so the shuffle carries counts, not text. All
+    // outputs are integer counts + one exact division each.
+    "t20_quality_repetition" -> QueryDef(
+      (spark, dir) => {
+        val docs = withWords(t(spark, dir, "documents"))
+        // bigram i pairs word i with word i+1 (0-based transform index,
+        // 1-based element_at); slice length size-1 → empty when <2 words
+        val bigramExpr =
+          "transform(slice(words, 1, size(words) - 1), " +
+            "(x, i) -> concat(x, ' ', element_at(words, i + 2)))"
+        val wstats = docs
+          .select(col("doc_id"), explode(col("words")).as("w"))
+          .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id").agg(
+            sum("c").as("n_words"),
+            count(lit(1)).as("n_distinct"),
+            max("c").as("top_count"))
+        val bstats = docs
+          .select(col("doc_id"), explode(expr(bigramExpr)).as("b"))
+          .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id").agg(
+            sum("c").as("n_bigrams"),
+            sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_bigrams"))
+        wstats.join(bstats, Seq("doc_id"), "left")
+          .withColumn("distinct_ratio",
+            col("n_distinct").cast("double") / col("n_words").cast("double"))
+          .withColumn("top_word_frac",
+            col("top_count").cast("double") / col("n_words").cast("double"))
+          .withColumn("dup_2gram_frac",
+            when(coalesce(col("n_bigrams"), lit(0L)) === 0, lit(0.0))
+              .otherwise(col("dup_bigrams").cast("double") /
+                col("n_bigrams").cast("double")))
+          .select("doc_id", "n_words", "n_distinct", "top_count",
+            "distinct_ratio", "top_word_frac", "dup_2gram_frac")
+          .orderBy("doc_id")
+      },
+      Some("""WITH ws AS (
+             |  SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+             |wc AS (
+             |  SELECT doc_id, w, COUNT(*) AS c
+             |  FROM (SELECT doc_id, unnest(words) AS w FROM ws)
+             |  GROUP BY doc_id, w),
+             |wstats AS (
+             |  SELECT doc_id, SUM(c) AS n_words, COUNT(*) AS n_distinct,
+             |         MAX(c) AS top_count
+             |  FROM wc GROUP BY doc_id),
+             |bc AS (
+             |  SELECT doc_id, b, COUNT(*) AS c
+             |  FROM (SELECT doc_id,
+             |          unnest(list_transform(range(1, len(words)),
+             |            i -> array_to_string(words[i:i+1], ' '))) AS b
+             |        FROM ws)
+             |  GROUP BY doc_id, b),
+             |bstats AS (
+             |  SELECT doc_id, SUM(c) AS n_bigrams,
+             |         SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_bigrams
+             |  FROM bc GROUP BY doc_id)
+             |SELECT w.doc_id, w.n_words, w.n_distinct, w.top_count,
+             |  CAST(w.n_distinct AS DOUBLE) / CAST(w.n_words AS DOUBLE)
+             |    AS distinct_ratio,
+             |  CAST(w.top_count AS DOUBLE) / CAST(w.n_words AS DOUBLE)
+             |    AS top_word_frac,
+             |  CASE WHEN COALESCE(b.n_bigrams, 0) = 0 THEN 0.0
+             |       ELSE CAST(b.dup_bigrams AS DOUBLE) / CAST(b.n_bigrams AS DOUBLE)
+             |  END AS dup_2gram_frac
+             |FROM wstats w LEFT JOIN bstats b ON b.doc_id = w.doc_id
+             |ORDER BY w.doc_id""".stripMargin)),
+
+    // ----------------------------------------------------------------- t21
+    // Deterministic STRATIFIED SAMPLING (mix balancing): downsample every
+    // language stratum to the smallest language's size with an md5 hash
+    // gate — keep iff the first 16 md5 bits of doc_id fall under
+    // (65536 * min_n) div n_stratum (the over-represented language keeps
+    // ~min_n docs, the smallest keeps everything). Hash-gate sampling is
+    // the at-scale idiom: reproducible across runs and engines (no RNG
+    // state), stable under re-partitioning, and requires NO shuffle of
+    // the corpus — the per-stratum counts are a tiny map-side-combined
+    // agg that broadcasts back as thresholds, then one filter pass.
+    "t21_stratified_sample" -> QueryDef(
+      (spark, dir) => {
+        val docs = t(spark, dir, "documents")
+        val counts = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+        val minN = counts.agg(min("n").as("min_n"))
+        val thr = counts.crossJoin(broadcast(minN))
+          .select(col("lang"),
+            expr("(65536 * min_n) div n").as("thr"))
+        docs
+          .withColumn("hash_bucket", expr(
+            "CAST(conv(substr(md5(CAST(CAST(doc_id AS STRING) AS BINARY)), 1, 4), 16, 10) AS INT)"))
+          .join(broadcast(thr), "lang")
+          .filter(col("hash_bucket") < col("thr"))
+          .select("doc_id", "lang", "hash_bucket")
+          .orderBy("doc_id")
+      },
+      Some {
+        // decode md5's 4 leading hex digits without conv() (DuckDB has
+        // from_hex but instr-decode matches the engine-portable pattern
+        // already proven by t04)
+        val hb = (1 to 4).map { i =>
+          s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1) * ${1 << (4 * (4 - i))}"
+        }.mkString(" + ")
+        s"""WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+           |thr AS (
+           |  SELECT lang, (65536 * (SELECT MIN(n) FROM counts)) // n AS thr
+           |  FROM counts),
+           |hashed AS (
+           |  SELECT doc_id, lang,
+           |    CAST($hb AS INTEGER) AS hash_bucket
+           |  FROM (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h
+           |        FROM documents))
+           |SELECT d.doc_id, d.lang, d.hash_bucket
+           |FROM hashed d JOIN thr t ON d.lang = t.lang
+           |WHERE d.hash_bucket < t.thr
+           |ORDER BY d.doc_id""".stripMargin
+      }),
+
+    // ----------------------------------------------------------------- t22
+    // WORD RARITY scoring via corpus document frequency: build the df
+    // table (one shuffle on word — the vocabulary), join it back to each
+    // doc's distinct words (second shuffle on word), and aggregate mean /
+    // min df per doc. At 100 TB the vocabulary is far too large to
+    // broadcast — the word-keyed shuffle join IS the scale path, and both
+    // shuffles carry (word, count) pairs, never text. mean_df is one
+    // exact division of two exactly-summed bigints.
+    "t22_word_rarity" -> QueryDef(
+      (spark, dir) => {
+        val dw = t(spark, dir, "documents")
+          .select(col("doc_id"),
+            explode(array_distinct(split(col("text"), " "))).as("w"))
+        val df = dw.groupBy("w").agg(count(lit(1)).as("df"))
+        dw.join(df, "w")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_distinct"),
+            sum("df").as("sum_df"),
+            min("df").as("min_df"))
+          .withColumn("mean_df",
+            col("sum_df").cast("double") / col("n_distinct").cast("double"))
+          .select("doc_id", "n_distinct", "min_df", "mean_df")
+          .orderBy("doc_id")
+      },
+      Some("""WITH dw AS (
+             |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+             |  FROM documents),
+             |df AS (SELECT w, COUNT(*) AS df FROM dw GROUP BY w)
+             |SELECT dw.doc_id, COUNT(*) AS n_distinct, MIN(df.df) AS min_df,
+             |  CAST(SUM(df.df) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_df
+             |FROM dw JOIN df ON dw.w = df.w
+             |GROUP BY dw.doc_id
+             |ORDER BY dw.doc_id""".stripMargin)),
+
+    // ----------------------------------------------------------------- t23
+    // CLUSTER REPRESENTATIVES: per-label centroid (t16's fixed-point
+    // recipe — FLOOR(v*1e6+0.5) long sums make the learned doubles
+    // independent of partitioning), then the 3 vectors closest to their
+    // own label's centroid by squared euclidean distance. This is the
+    // data-selection step after clustering: pick exemplars per topic for
+    // a curated training mix. Only the k×64 centroid matrix visits the
+    // driver; assignment + distance is one codegen'd map pass against
+    // broadcast literals, and the per-label top-k window shuffles (label,
+    // dist) pairs, never embeddings. (With k ≪ cores the window key
+    // skews; the standard fix — per-partition top-k pre-aggregation
+    // before the global rank — drops in here without changing results.)
+    "t23_cluster_reps" -> QueryDef(
+      (spark, dir) => {
+        import org.apache.spark.sql.Row
+        val emb = t(spark, dir, "embeddings")
+        // exact per-(label, dim) fixed-point sums → driver → literal
+        // centroids (same convergence-free single pass as t16's update)
+        val learned: Seq[(Int, IndexedSeq[Double])] = emb
+          .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+          .groupBy("label", "dim")
+          .agg(sum(floor(col("v") * 1e6 + 0.5)).as("s"), count(lit(1)).as("n"))
+          .groupBy("label")
+          .agg(sort_array(collect_list(struct(col("dim"), col("s"), col("n"))))
+            .as("dims"))
+          .collect()
+          .map { r =>
+            val dims = r.getSeq[Row](1)
+            r.getInt(0) -> dims.map(d =>
+              d.getLong(1) / 1e6 / d.getLong(2)).toIndexedSeq
+          }.sortBy(_._1).toSeq
+        // 0.0-seeded fold == DuckDB list_reduce (0.0 + x1 ≡ x1)
+        def norm(c: Seq[Double]): Double = c.foldLeft(0.0)((a, x) => a + x * x)
+        val distByLabel = learned.map { case (l, c) =>
+          (l, (lit(norm(c)) - lit(2.0) * dotCol(col("embedding"), typedlit(c))) +
+            expr(dotSql("embedding", "embedding")))
+        }
+        val dist = distByLabel.tail.foldLeft(
+          when(col("label") === distByLabel.head._1, distByLabel.head._2)) {
+          case (acc, (l, d)) => acc.when(col("label") === l, d)
+        }
+        val scored = emb.withColumn("dist", dist)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("label").orderBy(col("dist"), col("vec_id"))
+        scored.withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select(col("label"), col("rnk"), col("vec_id"), col("dist"))
+          .orderBy("label", "rnk")
+      },
+      Some(s"""WITH sums AS (
+              |  SELECT label, g.dim AS dim,
+              |    SUM(CAST(FLOOR(CAST(embedding[g.dim] AS DOUBLE)*1e6 + 0.5)
+              |      AS BIGINT)) AS s,
+              |    COUNT(*) AS n
+              |  FROM embeddings, generate_series(1, 64) AS g(dim)
+              |  GROUP BY label, g.dim),
+              |cent AS (
+              |  SELECT label, list(CAST(s AS DOUBLE)/1e6/n ORDER BY dim) AS centroid
+              |  FROM sums GROUP BY label),
+              |cn AS (
+              |  SELECT label, centroid,
+              |    list_reduce(list_transform(centroid, x -> x*x), (a,b) -> a+b)
+              |      AS nrm
+              |  FROM cent),
+              |scored AS (
+              |  SELECT e.vec_id, e.label,
+              |    (cn.nrm - 2*${dotDuck("e.embedding", "cn.centroid")})
+              |      + ${dotDuck("e.embedding", "e.embedding")} AS dist
+              |  FROM embeddings e JOIN cn ON e.label = cn.label),
+              |ranked AS (
+              |  SELECT label, vec_id, dist,
+              |    ROW_NUMBER() OVER (PARTITION BY label ORDER BY dist, vec_id)
+              |      AS rnk
+              |  FROM scored)
+              |SELECT label, rnk, vec_id, dist
+              |FROM ranked WHERE rnk <= 3
+              |ORDER BY label, rnk""".stripMargin))
+  )
+}

@@ -31,14 +31,14 @@ object TrainingData {
     * i -> concat_ws(slice))) — interprets three lambdas per shingle and
     * alone cost 2.1 s of t03's 3.5 s at sf0.1 (T03Probe). Expects a
     * pre-split `words` column (split(text) once, not per reference). */
-  private val shingleExpr = "word_shingles(words)"
+  private[queries] val shingleExpr = "word_shingles(words)"
 
   /** Adds the `words` column [[shingleExpr]] consumes. */
-  private def withWords(df: DataFrame): DataFrame =
+  private[queries] def withWords(df: DataFrame): DataFrame =
     df.withColumn("words", split(col("text"), " "))
 
   /** DuckDB equivalent of [[shingleExpr]]. */
-  private val shingleSqlDuck =
+  private[queries] val shingleSqlDuck =
     "list_distinct(list_transform(range(1, greatest(len(string_split(text,' '))-2,1)+1), i -> array_to_string((string_split(text,' '))[i:i+2], ' ')))"
 
   /** MinHash signatures: 8 components from 2 salted md5s, sliced into
@@ -90,7 +90,7 @@ object TrainingData {
   })
 
   /** Column form of [[dotSql]] against a plane literal. */
-  private def dotCol(a: Column, b: Column): Column =
+  private[queries] def dotCol(a: Column, b: Column): Column =
     call_function("float_dot", a, b)
 
   /** Dot product of two float arrays: the native codegen'd
@@ -99,11 +99,11 @@ object TrainingData {
     * composed aggregate(zip_with(...)) form and DuckDB's list_reduce —
     * bit-identical doubles across engines — but 3.1× faster (DotLab:
     * 0.16s vs 0.50s over ~600k pairs at sf0.1). */
-  private def dotSql(a: String, b: String): String =
+  private[queries] def dotSql(a: String, b: String): String =
     s"float_dot($a, $b)"
 
   /** DuckDB twin of [[dotSql]] (64 dims). */
-  private def dotDuck(a: String, b: String): String =
+  private[queries] def dotDuck(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE)*CAST($b[i] AS DOUBLE)), (acc, x) -> acc + x)"
 
   /** t03 shingle document-frequency cap: shingles in more than this many
