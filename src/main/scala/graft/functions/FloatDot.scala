@@ -105,5 +105,7 @@ object GraftFunctions {
       "graft_len", exprs => PolyLen(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_shingles", exprs => WordShingles(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_bigrams", exprs => WordBigrams(exprs.head), "built-in")
   }
 }

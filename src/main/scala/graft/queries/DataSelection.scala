@@ -73,25 +73,27 @@ object DataSelection {
     "t20_quality_repetition" -> QueryDef(
       (spark, dir) => {
         val docs = withWords(t(spark, dir, "documents"))
-        // bigram i pairs word i with word i+1 (0-based transform index,
-        // 1-based element_at); slice length size-1 → empty when <2 words
-        val bigramExpr =
-          "transform(slice(words, 1, size(words) - 1), " +
-            "(x, i) -> concat(x, ' ', element_at(words, i + 2)))"
-        val wstats = docs
-          .select(col("doc_id"), explode(col("words")).as("w"))
-          .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        // native codegen'd 2-gram expression ([[graft.functions
+        // .WordBigrams]]); the composed transform/slice/element_at HOF
+        // form it replaces interprets its lambda per word
+        val bigramExpr = "word_bigrams(words)"
+        // ONE tagged token stream instead of separate word/bigram passes:
+        // unioning before the shuffle halves the wide (doc, token) shuffles
+        // from four to two and removes the doc_id join entirely
+        // (1.27 s → measured faster at sf0.1; same map-side combine story)
+        val toks = docs
+          .select(col("doc_id"), lit(0).as("kind"), explode(col("words")).as("tok"))
+          .unionByName(docs.select(col("doc_id"), lit(1).as("kind"),
+            explode(expr(bigramExpr)).as("tok")))
+        toks
+          .groupBy("doc_id", "kind", "tok").agg(count(lit(1)).as("c"))
           .groupBy("doc_id").agg(
-            sum("c").as("n_words"),
-            count(lit(1)).as("n_distinct"),
-            max("c").as("top_count"))
-        val bstats = docs
-          .select(col("doc_id"), explode(expr(bigramExpr)).as("b"))
-          .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
-          .groupBy("doc_id").agg(
-            sum("c").as("n_bigrams"),
-            sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_bigrams"))
-        wstats.join(bstats, Seq("doc_id"), "left")
+            sum(when(col("kind") === 0, col("c"))).as("n_words"),
+            count(when(col("kind") === 0, lit(1))).as("n_distinct"),
+            max(when(col("kind") === 0, col("c"))).as("top_count"),
+            sum(when(col("kind") === 1, col("c"))).as("n_bigrams"),
+            coalesce(sum(when(col("kind") === 1 && col("c") > 1, col("c"))),
+              lit(0L)).as("dup_bigrams"))
           .withColumn("distinct_ratio",
             col("n_distinct").cast("double") / col("n_words").cast("double"))
           .withColumn("top_word_frac",

@@ -148,7 +148,7 @@ object TrainingData {
 
   /** 16-bit SimHash per document (t04's computation, shared with t18):
     * per-token md5 bit votes, +1/-1 summed, sign → bit. */
-  private def simhash16(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def simhash16(spark: SparkSession, dir: String): DataFrame = {
     val toks = t(spark, dir, "documents")
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
       .withColumn("h", md5(col("tok").cast("binary")))
@@ -832,6 +832,10 @@ object TrainingData {
     // inside (band, value) buckets — 2 × 2^8 keys scaling with hash
     // width — and the popcount(xor) verification prunes them to true
     // near-dups. Candidates dedupe as bare id pairs via DISTINCT.
+    // (t03's one-shuffle collect_list+unfold pattern measured SLOWER
+    // here — 1.14 vs 0.85 s at sf0.1, T18Lab — because these buckets
+    // are larger and skewed, so the interpreted unfold lambda dominates;
+    // the codegen'd self-join amortizes better. Kept the self-join.)
     "t18_simhash_neardup" -> QueryDef(
       (spark, dir) => {
         val sims = simhash16(spark, dir)
