@@ -296,6 +296,100 @@ object DataSelection {
               |  FROM scored)
               |SELECT label, rnk, vec_id, dist
               |FROM ranked WHERE rnk <= 3
-              |ORDER BY label, rnk""".stripMargin))
+              |ORDER BY label, rnk""".stripMargin)),
+
+    // ----------------------------------------------------------------- t24
+    // Token-budget SHARD ASSIGNMENT (training-file packing): shard i
+    // holds the docs whose running token total starts in
+    // [i*budget, (i+1)*budget). The running sum is a global prefix sum
+    // ordered by doc_id — the textbook distributed form is TWO passes,
+    // never a partition-less window (Spark moves those to ONE task):
+    // (1) per-bucket token totals (tiny agg) → exclusive prefix offsets
+    // on the driver; (2) one map pass accumulating within each bucket,
+    // seeded by its offset. Buckets are fixed-width doc_id ranges, so
+    // the result is deterministic under any physical partitioning:
+    // sortWithinPartitions keeps each bucket contiguous and the
+    // accumulator reseeds at every bucket boundary.
+    "t24_token_shards" -> QueryDef(
+      (spark, dir) => {
+        val budget = 20000L
+        val docs = t(spark, dir, "documents")
+          .select(col("doc_id"),
+            expr("(n_chars + 3) div 4").as("tok")) // t09's BPE estimate
+        val n = docs.count()
+        val bucketWidth = math.max(1L, (n + 31) / 32)
+        val bucketed = docs
+          .withColumn("bucket", expr(s"doc_id div $bucketWidth"))
+        val offsets: Map[Long, Long] = {
+          val totals = bucketed.groupBy("bucket")
+            .agg(sum("tok").as("s")).collect()
+            .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1).toSeq
+          totals.scanLeft((Long.MinValue, 0L)) {
+            case ((_, acc), (b, s)) => (b, acc + s)
+          }.sliding(2).map {
+            case Seq((_, prev), (b, _)) => b -> prev
+          }.toMap
+        }
+        import spark.implicits._
+        val cum = bucketed
+          .repartition(col("bucket"))
+          .sortWithinPartitions("bucket", "doc_id")
+          .as[(Long, Long, Long)]
+          .mapPartitions { it =>
+            var curBucket = Long.MinValue
+            var acc = 0L
+            it.map { case (id, tok, bucket) =>
+              if (bucket != curBucket) { curBucket = bucket; acc = offsets(bucket) }
+              acc += tok
+              (id, tok, acc)
+            }
+          }
+          .toDF("doc_id", "tok", "cum")
+        cum
+          .withColumn("shard", expr(s"(cum - tok) div $budget"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, (n_chars + 3) // 4 AS tok FROM documents),
+             |c AS (
+             |  SELECT doc_id, tok,
+             |    SUM(tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+             |      AS cum
+             |  FROM toks)
+             |SELECT doc_id, tok, cum, (cum - tok) // 20000 AS shard
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // ----------------------------------------------------------------- t25
+    // Keep-BEST dedup: within each exact-content group keep the longest
+    // document (ties → lowest doc_id) instead of t01's first-seen — the
+    // practical retention rule when near-identical crawls differ in
+    // truncation. Window partitions are dup groups keyed by a 16-byte
+    // digest: millions of tiny partitions, no skew, shuffles digests
+    // and two ints per doc, never text.
+    "t25_dedup_keep_best" -> QueryDef(
+      (spark, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("content_hash")
+          .orderBy(col("n_chars").desc, col("doc_id"))
+        t(spark, dir, "documents")
+          .withColumn("content_hash", md5(col("text").cast("binary")))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("dup_count",
+            count(lit(1)).over(
+              org.apache.spark.sql.expressions.Window.partitionBy("content_hash")))
+          .filter(col("rn") === 1)
+          .select(col("content_hash"), col("doc_id").as("keep_doc_id"),
+            col("n_chars"), col("dup_count"))
+          .orderBy("keep_doc_id")
+      },
+      Some("""SELECT content_hash, doc_id AS keep_doc_id, n_chars, dup_count
+             |FROM (
+             |  SELECT md5(text) AS content_hash, doc_id, n_chars,
+             |    ROW_NUMBER() OVER (PARTITION BY md5(text)
+             |      ORDER BY n_chars DESC, doc_id) AS rn,
+             |    COUNT(*) OVER (PARTITION BY md5(text)) AS dup_count
+             |  FROM documents)
+             |WHERE rn = 1
+             |ORDER BY keep_doc_id""".stripMargin))
   )
 }

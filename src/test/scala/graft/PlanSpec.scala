@@ -97,6 +97,40 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("t19: the eval shingle set joins via broadcast (corpus never shuffles on text)") {
+    val p = plan("t19_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      "benchmark shingles are tiny relative to the corpus and must broadcast")
+  }
+
+  test("t20: single-pass tagged union, no join, map-side partial aggs") {
+    val p = plan("t20_quality_repetition")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "word and bigram streams union before the shuffle; no doc_id join")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "token counts must partial-aggregate map-side")
+  }
+
+  test("t21: sampling thresholds broadcast back; corpus filter is one pass") {
+    val p = plan("t21_stratified_sample")
+    assert(p.contains("BroadcastHashJoin"),
+      "per-stratum thresholds are tiny and must broadcast")
+  }
+
+  test("t24: prefix sum is two-pass map work, never a partition-less window") {
+    val p = plan("t24_token_shards")
+    assert(!p.contains("Window"),
+      "a global-order window would pull all rows into one task; the " +
+        "bucket-offset mapPartitions form must be used")
+  }
+
+  test("t25: keep-best dedup is one window over digest groups") {
+    val p = plan("t25_dedup_keep_best")
+    assert(p.contains("Window"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      "one shuffle for the digest partition + the final sort at most")
+  }
+
   test("no query in the suite plans a CartesianProduct") {
     // the one blanket rule that must hold at any scale; queries that
     // RUN pipelines (p-series) execute side effects, so guard the pure
