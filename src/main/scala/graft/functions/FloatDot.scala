@@ -107,5 +107,7 @@ object GraftFunctions {
       "word_shingles", exprs => WordShingles(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_bigrams", exprs => WordBigrams(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash8", exprs => MinHash8(exprs.head), "built-in")
   }
 }

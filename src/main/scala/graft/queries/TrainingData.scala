@@ -46,11 +46,6 @@ object TrainingData {
     * components (the classic slice-one-hash trick; 4× less hashing than
     * one md5 per permutation). Hex-string ordering == numeric ordering,
     * and md5 is identical in Spark and DuckDB → portable MinHash. */
-  private def sigCols: Seq[Column] =
-    for (m <- Seq(1, 2); w <- 0 until 4) yield
-      min(substring(md5(concat(lit(s"$m|"), col("shingle"))),
-        w * 8 + 1, 8)).as(s"sig${(m - 1) * 4 + w + 1}")
-
   private def sigSqlDuck: String =
     (for (m <- Seq(1, 2); w <- 0 until 4) yield
       s"MIN(substr(md5(concat('$m|', shingle)), ${w * 8 + 1}, 8)) AS sig${(m - 1) * 4 + w + 1}")
@@ -114,12 +109,17 @@ object TrainingData {
     * shingle → 8 minhash sigs → 4 bands (r=2) → bucket self-join. */
   private def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
-    val shingled = withWords(docs)
-      .select(col("doc_id"), explode(expr(shingleExpr)).as("shingle"))
-    val sigs = shingled.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    // all 8 signature components in one compiled pass per doc (native
+    // [[graft.functions.MinHash8]]) — replaces explode → groupBy(doc_id)
+    // with a pure map, removing the widest leg of the signature stage;
+    // bit-identical to the relational min-over-md5-slices form the
+    // DuckDB oracle still uses (sigSqlDuck)
+    val sigs = withWords(docs)
+      .select(col("doc_id"), expr(s"minhash8($shingleExpr)").as("sigs"))
     val bands = sigs.select(col("doc_id"), explode(array(
       (0 until 4).map(b => struct(lit(b + 1).as("band"),
-        md5(concat(col(s"sig${2 * b + 1}"), col(s"sig${2 * b + 2}"))).as("bucket"))): _*
+        md5(concat(element_at(col("sigs"), 2 * b + 1),
+          element_at(col("sigs"), 2 * b + 2))).as("bucket"))): _*
     )).as("bb")).select(col("doc_id"), col("bb.band"), col("bb.bucket"))
 
     bands.as("a").join(bands.as("b"),

@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+
+class MinHash8Spec extends AnyFunSuite {
+  private lazy val spark = { val s = SparkSuite.spark; GraftFunctions.register(s); s }
+
+  /** The exploded relational twin minhash8 replaces (and the form the
+    * DuckDB oracle still computes): min over salted-md5 8-hex windows. */
+  private def relational(df: org.apache.spark.sql.DataFrame) = {
+    val sigCols = for (m <- Seq(1, 2); w <- 0 until 4) yield
+      min(substring(md5(concat(lit(s"$m|"), col("shingle"))),
+        w * 8 + 1, 8)).as(s"sig${(m - 1) * 4 + w + 1}")
+    df.select(col("doc_id"), explode(expr("word_shingles(words)")).as("shingle"))
+      .groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  test("minhash8 matches the exploded min-over-md5-slices form on real docs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("words", split(col("text"), " "))
+    val native = docs
+      .select(col("doc_id"), expr("minhash8(word_shingles(words))").as("s"))
+      .select(col("doc_id") +: (1 to 8).map(i =>
+        element_at(col("s"), i).as(s"sig$i")): _*)
+    val rel = relational(docs)
+    assert(native.exceptAll(rel).isEmpty && rel.exceptAll(native).isEmpty)
+    assert(native.count() == docs.count())
+  }
+
+  test("minhash8 of an empty shingle array is null (agg-over-zero-rows parity)") {
+    import spark.implicits._
+    val r = Seq(Seq.empty[String]).toDF("sh")
+      .select(expr("minhash8(sh)")).collect().head
+    assert(r.isNullAt(0))
+  }
+
+  test("minhash8 signature values are 8 lowercase hex chars") {
+    import spark.implicits._
+    val r = Seq(Seq("the quick brown", "quick brown fox")).toDF("sh")
+      .select(expr("minhash8(sh)").as("s")).collect().head.getSeq[String](0)
+    assert(r.size == 8)
+    r.foreach(s => assert(s.matches("[0-9a-f]{8}"), s))
+  }
+}
