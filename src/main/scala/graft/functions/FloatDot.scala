@@ -109,5 +109,7 @@ object GraftFunctions {
       "word_bigrams", exprs => WordBigrams(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash8", exprs => MinHash8(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash16", exprs => SimHash16(exprs.head), "built-in")
   }
 }

@@ -148,27 +148,14 @@ object TrainingData {
 
   /** 16-bit SimHash per document (t04's computation, shared with t18):
     * per-token md5 bit votes, +1/-1 summed, sign → bit. */
-  private[graft] def simhash16(spark: SparkSession, dir: String): DataFrame = {
-    val toks = t(spark, dir, "documents")
-      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
-      .withColumn("h", md5(col("tok").cast("binary")))
-      // decode the 4 leading hex digits ONCE; 16 bit tests on the int
-      // beat 16 per-bit substr+instr string probes (the oracle keeps the
-      // digit-probe spelling — only the extraction differs, bits agree).
-      // Bit numbering matches the digit form: hex digit i/4 holds bits
-      // 4*(i/4)..4*(i/4)+3 little-endian within the digit, so bit i of
-      // the SimHash = bit (12 - 4*(i/4)) + i%4 of the decoded int.
-      .withColumn("hv", expr("CAST(conv(substr(h, 1, 4), 16, 10) AS INT)"))
-    val bitSums = (0 until 16).map { i =>
-      val shift = 12 - 4 * (i / 4) + i % 4
-      val bit = s"((hv div ${1 << shift}) % 2)"
-      sum(expr(s"CASE WHEN $bit = 1 THEN 1 ELSE -1 END")).as(s"s$i")
-    }
-    val sums = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val value = (0 until 16).map(i =>
-      expr(s"CASE WHEN s$i > 0 THEN ${1 << i} ELSE 0 END")).reduce(_ + _)
-    sums.select(col("doc_id"), value.cast("int").as("simhash16"))
-  }
+  private[graft] def simhash16(spark: SparkSession, dir: String): DataFrame =
+    // one compiled pass per doc (native [[graft.functions.SimHash16]]);
+    // replaces explode → groupBy(doc_id) → 16 conditional sums. The
+    // oracle keeps the exploded digit-probe spelling (simhash16Duck) —
+    // bit parity proven by Simhash16Spec and the driver hash gate.
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        expr("simhash16(split(lower(text), ' '))").as("simhash16"))
 
   /** DuckDB CTE text producing [[simhash16]] as relation `sims`. */
   private def simhash16Duck: String = {
