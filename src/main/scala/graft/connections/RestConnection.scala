@@ -84,6 +84,12 @@ final class RestConnection(ctx: ConnContext) extends Connection(ctx) {
           // listed codes fail fast, before any retry policy
           sys.error(s"HTTP $code from $url: ${resp.body().take(500)}")
         } else if (code == 429) {
+          // UNBOUNDED by reference design: the reference's 429 handler
+          // re-fetches with doubling wait and never decrements its retry
+          // budget (rest/server.py:349-374 — only 5xx consumes
+          // self.retry), so a persistently rate-limiting endpoint waits
+          // forever there too. downloadFile (no reference counterpart)
+          // caps instead.
           Thread.sleep((rateWait * 1000).toLong)
           rateWait *= 2 // doubles per retry (rest/server.py:369-374)
         } else if (code >= 500) {
@@ -379,10 +385,13 @@ final class RestConnection(ctx: ConnContext) extends Connection(ctx) {
   }
 
   /** Binary-safe download to a temp file (parquet bodies can't ride a
-    * String). Same resilience as doRequest: transient 429/5xx and IO
-    * errors retry with backoff, a 401 under OAuth refreshes once. The
-    * temp file is removed on failure and at JVM exit (the success path
-    * must outlive this call — Spark reads it lazily). */
+    * String). Like doRequest, transient 429/5xx and IO errors retry
+    * with backoff and a 401 under OAuth refreshes once — but unlike
+    * doRequest (which mirrors the reference's unbounded 429 loop), 429
+    * here counts against maxRetries: downloads have no reference
+    * counterpart to stay faithful to, so they fail fast instead of
+    * hanging. The temp file is removed on failure and at JVM exit (the
+    * success path must outlive this call — Spark reads it lazily). */
   private def downloadFile(url: String, headers: Map[String, String],
       maxRetries: Int, initialBackoff: Double): String = {
     val tmp = java.nio.file.Files.createTempFile("graft_rest", ".dat")

@@ -56,35 +56,43 @@ object MinHash8 {
       java.security.MessageDigest.getInstance("MD5")
   }
 
-  /** Null for empty shingle arrays — matching min() over zero rows in the
-    * exploded form (a doc with no shingles never reaches the agg). */
+  /** Null for empty (or all-null-element) shingle arrays — matching
+    * min() over zero non-null rows in the exploded form. Null elements
+    * are skipped exactly as min() skips the null md5(concat('m|', NULL))
+    * they would produce (word_shingles never emits them, but
+    * checkInputDataTypes admits containsNull = true inputs). */
   def sigs(shingles: ArrayData): ArrayData = {
     val n = shingles.numElements()
     if (n == 0) return null
     val md = digestTL.get()
     // mins(0..3): salt 1 windows 0..3, mins(4..7): salt 2 windows 0..3
     val mins = Array.fill(8)(0xFFFFFFFFL)
+    var seen = false
     var i = 0
     while (i < n) {
-      val sh = shingles.getUTF8String(i).getBytes
-      var m = 0
-      while (m < 2) {
-        md.reset()
-        md.update(if (m == 0) Salt1 else Salt2)
-        md.update(sh)
-        val d = md.digest()
-        var w = 0
-        while (w < 4) {
-          val v = ((d(4 * w) & 0xFFL) << 24) | ((d(4 * w + 1) & 0xFFL) << 16) |
-            ((d(4 * w + 2) & 0xFFL) << 8) | (d(4 * w + 3) & 0xFFL)
-          val k = 4 * m + w
-          if (v < mins(k)) mins(k) = v
-          w += 1
+      if (!shingles.isNullAt(i)) {
+        seen = true
+        val sh = shingles.getUTF8String(i).getBytes
+        var m = 0
+        while (m < 2) {
+          md.reset()
+          md.update(if (m == 0) Salt1 else Salt2)
+          md.update(sh)
+          val d = md.digest()
+          var w = 0
+          while (w < 4) {
+            val v = ((d(4 * w) & 0xFFL) << 24) | ((d(4 * w + 1) & 0xFFL) << 16) |
+              ((d(4 * w + 2) & 0xFFL) << 8) | (d(4 * w + 3) & 0xFFL)
+            val k = 4 * m + w
+            if (v < mins(k)) mins(k) = v
+            w += 1
+          }
+          m += 1
         }
-        m += 1
       }
       i += 1
     }
+    if (!seen) return null
     val out = new Array[AnyRef](8)
     var k = 0
     while (k < 8) {

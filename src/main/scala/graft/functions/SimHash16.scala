@@ -63,15 +63,22 @@ object SimHash16 {
     val votes = new Array[Int](16)
     var t = 0
     while (t < n) {
-      md.reset()
-      val d = md.digest(tokens.getUTF8String(t).getBytes)
-      // hv = the 4 leading hex digits = the first two digest bytes
-      val hv = ((d(0) & 0xFF) << 8) | (d(1) & 0xFF)
-      var i = 0
-      while (i < 16) {
-        val shift = 12 - 4 * (i / 4) + i % 4
-        votes(i) += (if (((hv >> shift) & 1) == 1) 1 else -1)
-        i += 1
+      if (tokens.isNullAt(t)) {
+        // relational parity: md5(NULL) → null hv → every
+        // CASE WHEN bit=1 THEN 1 ELSE -1 lands in the ELSE
+        var i = 0
+        while (i < 16) { votes(i) -= 1; i += 1 }
+      } else {
+        md.reset()
+        val d = md.digest(tokens.getUTF8String(t).getBytes)
+        // hv = the 4 leading hex digits = the first two digest bytes
+        val hv = ((d(0) & 0xFF) << 8) | (d(1) & 0xFF)
+        var i = 0
+        while (i < 16) {
+          val shift = 12 - 4 * (i / 4) + i % 4
+          votes(i) += (if (((hv >> shift) & 1) == 1) 1 else -1)
+          i += 1
+        }
       }
       t += 1
     }

@@ -43,19 +43,25 @@ case class WordBigrams(child: Expression) extends UnaryExpression {
 object WordBigrams {
   private val Space = UTF8String.fromString(" ")
 
-  /** Compiled twin of the composed HOF form — see class doc. `concat`
-    * treats a null word as null, making the whole bigram null; concat_ws
-    * of the two parts with null skipped matches DuckDB array_to_string
-    * (parquet string columns here are never null-element arrays, but the
-    * split(" ") source guarantees non-null anyway). */
+  /** Compiled twin of the composed HOF form — see class doc. Null words
+    * are skipped concat_ws-style (DuckDB array_to_string semantics), so
+    * the output honors containsNull = false even for null-element inputs
+    * — the split(" ") source never produces them, but checkInputDataTypes
+    * admits ArrayType(StringType, true) and the eval path must not NPE
+    * or emit nulls into a non-null array. */
   def bigrams(words: ArrayData): ArrayData = {
     val n = words.numElements()
     if (n < 2) return new GenericArrayData(Array.empty[AnyRef])
     val out = new Array[AnyRef](n - 1)
     var i = 0
     while (i < n - 1) {
-      out(i) = UTF8String.concat(
-        words.getUTF8String(i), Space, words.getUTF8String(i + 1))
+      val a = if (words.isNullAt(i)) null else words.getUTF8String(i)
+      val b = if (words.isNullAt(i + 1)) null else words.getUTF8String(i + 1)
+      out(i) =
+        if (a == null && b == null) UTF8String.EMPTY_UTF8
+        else if (a == null) b
+        else if (b == null) a
+        else UTF8String.concat(a, Space, b)
       i += 1
     }
     new GenericArrayData(out)

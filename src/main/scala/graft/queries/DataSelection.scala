@@ -32,14 +32,19 @@ object DataSelection {
       (spark, dir) => {
         val sh = withWords(t(spark, dir, "documents"))
           .select(col("doc_id"), explode(expr(shingleExpr)).as("shingle"))
+        // the doc_id filters push below the explode to the scan, so the
+        // eval leg shingles only the benchmark docs (1/50 of the corpus)
+        // and the train leg runs ONCE: the broadcast LEFT join marks
+        // overlap hits in-stream and one agg counts totals + hits
+        // together (a separate overlap agg + doc_id join re-shingled
+        // the whole train corpus a second time)
         val evalSh = sh.filter(col("doc_id") % 50 === 0)
-          .select("shingle").distinct()
+          .select("shingle").distinct().withColumn("hit", lit(1L))
         val train = sh.filter(col("doc_id") % 50 =!= 0)
-        val tot = train.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-        val ov = train.join(broadcast(evalSh), "shingle")
-          .groupBy("doc_id").agg(count(lit(1)).as("ov"))
-        tot.join(ov, Seq("doc_id"), "left")
-          .withColumn("n_overlap", coalesce(col("ov"), lit(0L)))
+        train.join(broadcast(evalSh), Seq("shingle"), "left")
+          .groupBy("doc_id").agg(
+            count(lit(1)).as("n_shingles"),
+            coalesce(sum("hit"), lit(0L)).as("n_overlap"))
           .withColumn("contamination",
             col("n_overlap").cast("double") / col("n_shingles").cast("double"))
           .withColumn("contaminated", col("contamination") >= 0.5)
@@ -253,21 +258,26 @@ object DataSelection {
           }.sortBy(_._1).toSeq
         // 0.0-seeded fold == DuckDB list_reduce (0.0 + x1 ≡ x1)
         def norm(c: Seq[Double]): Double = c.foldLeft(0.0)((a, x) => a + x * x)
-        val distByLabel = learned.map { case (l, c) =>
-          (l, (lit(norm(c)) - lit(2.0) * dotCol(col("embedding"), typedlit(c))) +
-            expr(dotSql("embedding", "embedding")))
+        if (learned.isEmpty) // empty embeddings: schema-correct empty out
+          emb.select(col("label"), lit(1).as("rnk"), col("vec_id"),
+            lit(0.0).as("dist")).limit(0)
+        else {
+          val distByLabel = learned.map { case (l, c) =>
+            (l, (lit(norm(c)) - lit(2.0) * dotCol(col("embedding"), typedlit(c))) +
+              expr(dotSql("embedding", "embedding")))
+          }
+          val dist = distByLabel.tail.foldLeft(
+            when(col("label") === distByLabel.head._1, distByLabel.head._2)) {
+            case (acc, (l, d)) => acc.when(col("label") === l, d)
+          }
+          val scored = emb.withColumn("dist", dist)
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("label").orderBy(col("dist"), col("vec_id"))
+          scored.withColumn("rnk", row_number().over(w))
+            .filter(col("rnk") <= 3)
+            .select(col("label"), col("rnk"), col("vec_id"), col("dist"))
+            .orderBy("label", "rnk")
         }
-        val dist = distByLabel.tail.foldLeft(
-          when(col("label") === distByLabel.head._1, distByLabel.head._2)) {
-          case (acc, (l, d)) => acc.when(col("label") === l, d)
-        }
-        val scored = emb.withColumn("dist", dist)
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("label").orderBy(col("dist"), col("vec_id"))
-        scored.withColumn("rnk", row_number().over(w))
-          .filter(col("rnk") <= 3)
-          .select(col("label"), col("rnk"), col("vec_id"), col("dist"))
-          .orderBy("label", "rnk")
       },
       Some(s"""WITH sums AS (
               |  SELECT label, g.dim AS dim,
@@ -324,11 +334,11 @@ object DataSelection {
           val totals = bucketed.groupBy("bucket")
             .agg(sum("tok").as("s")).collect()
             .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1).toSeq
-          totals.scanLeft((Long.MinValue, 0L)) {
-            case ((_, acc), (b, s)) => (b, acc + s)
-          }.sliding(2).map {
-            case Seq((_, prev), (b, _)) => b -> prev
-          }.toMap
+          // zip against the exclusive prefix sums (scanLeft emits n+1
+          // values; zip truncates) — empty-table safe
+          totals.map(_._1)
+            .zip(totals.scanLeft(0L)((acc, t) => acc + t._2))
+            .toMap
         }
         import spark.implicits._
         val cum = bucketed

@@ -153,9 +153,12 @@ object TrainingData {
     // replaces explode → groupBy(doc_id) → 16 conditional sums. The
     // oracle keeps the exploded digit-probe spelling (simhash16Duck) —
     // bit parity proven by Simhash16Spec and the driver hash gate.
+    // isNotNull: a NULL-text doc never reaches the exploded form's agg
+    // (unnest of NULL is zero rows), so it must drop here too.
     t(spark, dir, "documents")
       .select(col("doc_id"),
         expr("simhash16(split(lower(text), ' '))").as("simhash16"))
+      .filter(col("simhash16").isNotNull)
 
   /** DuckDB CTE text producing [[simhash16]] as relation `sims`. */
   private def simhash16Duck: String = {

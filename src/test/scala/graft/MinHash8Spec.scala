@@ -36,6 +36,19 @@ class MinHash8Spec extends AnyFunSuite {
     assert(r.isNullAt(0))
   }
 
+  test("minhash8 skips null elements; all-null collapses to null") {
+    import spark.implicits._
+    val df = Seq(
+      (1, Seq[String]("the quick brown", null)),
+      (2, Seq[String]("the quick brown")),
+      (3, Seq[String](null, null))
+    ).toDF("id", "sh").select(col("id"), expr("minhash8(sh)").as("s"))
+    val rows = df.collect().sortBy(_.getInt(0))
+    // a null shingle contributes no min (md5(concat('m|', NULL)) is null)
+    assert(rows(0).getSeq[String](1) == rows(1).getSeq[String](1))
+    assert(rows(2).isNullAt(1))
+  }
+
   test("minhash8 signature values are 8 lowercase hex chars") {
     import spark.implicits._
     val r = Seq(Seq("the quick brown", "quick brown fox")).toDF("sh")

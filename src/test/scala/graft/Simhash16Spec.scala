@@ -40,6 +40,19 @@ class Simhash16Spec extends AnyFunSuite {
     assert(r.isNullAt(0))
   }
 
+  test("simhash16 votes -1 on every bit for null tokens (CASE-ELSE parity)") {
+    import spark.implicits._
+    // the relational form's CASE WHEN bit=1 THEN 1 ELSE -1 sends a null
+    // hv to the ELSE branch; enough null tokens must drag bits to 0
+    val r = Seq(
+      (1, Seq[String]("a")),
+      (2, Seq[String]("a", null, null))
+    ).toDF("id", "toks").select(col("id"), expr("simhash16(toks)").as("v"))
+      .collect().sortBy(_.getInt(0))
+    assert(r(1).getInt(1) == 0, "2 null votes against 1 real vote → all bits 0")
+    assert(r(0).getInt(1) != 0)
+  }
+
   test("simhash16 is within [0, 65536) and deterministic") {
     import spark.implicits._
     val vals = Seq(Seq("a", "b", "c"), Seq("a", "b", "c"), Seq("z"))

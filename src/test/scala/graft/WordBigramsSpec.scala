@@ -32,6 +32,16 @@ class WordBigramsSpec extends AnyFunSuite {
     }
   }
 
+  test("null words are skipped concat_ws-style, never emitted as null elements") {
+    import spark.implicits._
+    val r = Seq(Seq[String]("a", null, "b"))
+      .toDF("words").select(expr("word_bigrams(words)").as("b"))
+      .collect().head.getSeq[String](0)
+    // the declared type is containsNull=false — a null element here would
+    // corrupt downstream codegen that trusts the schema
+    assert(r == Seq("a", "b"))
+  }
+
   test("property: random word arrays match the composed form") {
     import org.scalacheck.Gen
     import spark.implicits._
