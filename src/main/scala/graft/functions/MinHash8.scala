@@ -39,8 +39,20 @@ case class MinHash8(child: Expression) extends UnaryExpression {
   override def nullSafeEval(a: Any): Any =
     MinHash8.sigs(a.asInstanceOf[ArrayData])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.MinHash8.sigs($c)")
+  // NOT defineCodeGen: sigs() returns null for empty / all-null-element
+  // inputs, and defineCodeGen never sets ev.isNull from the result — under
+  // whole-stage codegen (any file-backed plan) the downstream
+  // ArrayData.numElements() would NPE. Same explicit-null pattern as
+  // [[SimHash16]]; pinned by MinHash8Spec's codegen-path tests.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val v = ctx.freshName("mhSigs")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $v =
+         |  graft.functions.MinHash8.sigs($c);
+         |if ($v == null) { ${ev.isNull} = true; } else { ${ev.value} = $v; }
+       """.stripMargin)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

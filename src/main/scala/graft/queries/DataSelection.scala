@@ -12,11 +12,68 @@ import org.apache.spark.sql.functions._
   * exact IEEE divisions only (a/b of two ints is one rounding in both
   * engines), md5 as the portable hash, fixed-point FLOOR(x*1e6+0.5) longs
   * wherever doubles must aggregate across partitions.
+  *
+  * HUGEINT rule: any DuckDB `SUM(<integer>)` (plain or windowed) that
+  * reaches a top-level SELECT output returns HUGEINT, which pandas
+  * renders float64 while Spark emits int64 — the driver's typed hash
+  * then mismatches even when values agree (q07 round 1, t20/t24 round
+  * 4). Every such SUM in an oracle string MUST be wrapped
+  * `CAST(SUM(...) AS BIGINT)` (or AS DOUBLE when the engine side is
+  * double). Sums that only feed divisions/comparisons inside the query
+  * are exempt — they never hit the output schema.
   */
 object DataSelection {
 
   import Tables.t
   import TrainingData.{shingleExpr, shingleSqlDuck, withWords, dotCol, dotSql, dotDuck}
+
+  /** t24's bucket count for the distributed prefix sum: grows with the
+    * input's partitioning so the second (accumulate) pass never caps at a
+    * constant task count when the data scales — a hard-coded 32 would make
+    * it 32 long serial scans at 100×. Floor of 32 keeps small inputs from
+    * degenerating into a handful of giant buckets on a re-coalesced read;
+    * the driver-side offsets map costs one long per bucket regardless. */
+  private[graft] def tokenShardBuckets(inputPartitions: Int): Int =
+    math.max(32, inputPartitions)
+
+  /** t23's per-partition pre-top-k: reduce a (label, vec_id, dist) frame
+    * to at most k rows per (label, input partition) — a bounded insertion
+    * pass with NO shuffle — before the global per-label rank. With k ≪
+    * cores the global window's partition key skews (8 labels = 8 tasks
+    * over the whole corpus' pairs); after this pass the window ranks at
+    * most k × labels × partitions rows. The global top-k per label is
+    * contained in the union of partition-local top-ks, and ties break on
+    * the same (dist, vec_id) tuple order the window uses, so results are
+    * identical by construction (pinned by PlanSpec). */
+  private[graft] def localLabelTopK(scored: DataFrame, k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val ord = implicitly[Ordering[(Double, Long)]]
+    scored
+      .select(col("label").cast("int"), col("vec_id").cast("long"),
+        col("dist").cast("double"))
+      .as[(Int, Long, Double)]
+      .mapPartitions { it =>
+        val best = scala.collection.mutable.HashMap
+          .empty[Int, scala.collection.mutable.ArrayBuffer[(Double, Long)]]
+        it.foreach { case (l, id, d) =>
+          val buf = best.getOrElseUpdate(l,
+            new scala.collection.mutable.ArrayBuffer[(Double, Long)](k + 1))
+          if (buf.length < k || ord.lt((d, id), buf.last)) {
+            buf += ((d, id))
+            var i = buf.length - 1
+            while (i > 0 && ord.lt(buf(i), buf(i - 1))) {
+              val t = buf(i - 1); buf(i - 1) = buf(i); buf(i) = t; i -= 1
+            }
+            if (buf.length > k) buf.remove(k)
+          }
+        }
+        best.iterator.flatMap { case (l, buf) =>
+          buf.iterator.map { case (d, id) => (l, id, d) }
+        }
+      }
+      .toDF("label", "vec_id", "dist")
+  }
 
   val defs: Map[String, QueryDef] = Map(
 
@@ -118,7 +175,8 @@ object DataSelection {
              |  FROM (SELECT doc_id, unnest(words) AS w FROM ws)
              |  GROUP BY doc_id, w),
              |wstats AS (
-             |  SELECT doc_id, SUM(c) AS n_words, COUNT(*) AS n_distinct,
+             |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+             |         COUNT(*) AS n_distinct,
              |         MAX(c) AS top_count
              |  FROM wc GROUP BY doc_id),
              |bc AS (
@@ -233,10 +291,11 @@ object DataSelection {
     // data-selection step after clustering: pick exemplars per topic for
     // a curated training mix. Only the k×64 centroid matrix visits the
     // driver; assignment + distance is one codegen'd map pass against
-    // broadcast literals, and the per-label top-k window shuffles (label,
-    // dist) pairs, never embeddings. (With k ≪ cores the window key
-    // skews; the standard fix — per-partition top-k pre-aggregation
-    // before the global rank — drops in here without changing results.)
+    // broadcast literals. With k ≪ cores a bare per-label window skews
+    // (k tasks over the whole corpus' (label, dist) pairs), so
+    // [[localLabelTopK]] pre-reduces each partition to its local top-3
+    // per label first — the global window then ranks ≤ 3 × k × partitions
+    // rows, and only those survivors ever shuffle.
     "t23_cluster_reps" -> QueryDef(
       (spark, dir) => {
         import org.apache.spark.sql.Row
@@ -271,9 +330,11 @@ object DataSelection {
             case (acc, (l, d)) => acc.when(col("label") === l, d)
           }
           val scored = emb.withColumn("dist", dist)
+            .select(col("label"), col("vec_id"), col("dist"))
           val w = org.apache.spark.sql.expressions.Window
             .partitionBy("label").orderBy(col("dist"), col("vec_id"))
-          scored.withColumn("rnk", row_number().over(w))
+          localLabelTopK(scored, 3)
+            .withColumn("rnk", row_number().over(w))
             .filter(col("rnk") <= 3)
             .select(col("label"), col("rnk"), col("vec_id"), col("dist"))
             .orderBy("label", "rnk")
@@ -319,7 +380,11 @@ object DataSelection {
     // seeded by its offset. Buckets are fixed-width doc_id ranges, so
     // the result is deterministic under any physical partitioning:
     // sortWithinPartitions keeps each bucket contiguous and the
-    // accumulator reseeds at every bucket boundary.
+    // accumulator reseeds at every bucket boundary. Bucket count scales
+    // with the input's partitioning ([[tokenShardBuckets]]) so the
+    // accumulate pass keeps cluster-wide parallelism at 100× — offsets
+    // stay one long per bucket on the driver either way, and the output
+    // is bucket-count-invariant by construction.
     "t24_token_shards" -> QueryDef(
       (spark, dir) => {
         val budget = 20000L
@@ -327,7 +392,8 @@ object DataSelection {
           .select(col("doc_id"),
             expr("(n_chars + 3) div 4").as("tok")) // t09's BPE estimate
         val n = docs.count()
-        val bucketWidth = math.max(1L, (n + 31) / 32)
+        val buckets = tokenShardBuckets(docs.rdd.getNumPartitions)
+        val bucketWidth = math.max(1L, (n + buckets - 1) / buckets)
         val bucketed = docs
           .withColumn("bucket", expr(s"doc_id div $bucketWidth"))
         val offsets: Map[Long, Long] = {
@@ -363,8 +429,8 @@ object DataSelection {
              |  SELECT doc_id, (n_chars + 3) // 4 AS tok FROM documents),
              |c AS (
              |  SELECT doc_id, tok,
-             |    SUM(tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
-             |      AS cum
+             |    CAST(SUM(tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+             |      AS BIGINT) AS cum
              |  FROM toks)
              |SELECT doc_id, tok, cum, (cum - tok) // 20000 AS shard
              |FROM c ORDER BY doc_id""".stripMargin)),

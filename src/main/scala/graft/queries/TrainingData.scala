@@ -13,7 +13,10 @@ import org.apache.spark.sql.functions._
   *  - array dot products fold sequentially in array order (Spark
   *    aggregate() ≡ DuckDB list_reduce()) → bit-identical doubles;
   *  - deterministic pseudo-random hyperplanes from integer arithmetic
-  *    (LCG) rather than engine RNG.
+  *    (LCG) rather than engine RNG;
+  *  - any DuckDB SUM that reaches a top-level SELECT output must be
+  *    `CAST(... AS BIGINT)` — HUGEINT renders as pandas float64 and
+  *    breaks the driver's typed hash (full rule in [[DataSelection]]).
   *
   * Scale notes (100 TB story): every operator here is a pure
   * shuffle-on-key dataflow — shingle explode → per-doc agg (map-side

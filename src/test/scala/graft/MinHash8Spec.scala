@@ -49,6 +49,27 @@ class MinHash8Spec extends AnyFunSuite {
     assert(rows(2).isNullAt(1))
   }
 
+  test("minhash8 null-for-empty survives whole-stage codegen (file-backed plan)") {
+    // local relations are folded by ConvertToLocalRelation and evaluated
+    // interpreted — which masked a defineCodeGen bug where ev.isNull was
+    // never set from the null result (NPE in the consuming operator). A
+    // parquet-backed plan goes through whole-stage codegen for real.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mh8codegen").toString
+    Seq(
+      (1, Seq[String]("the quick brown", "quick brown fox")),
+      (2, Seq.empty[String]),
+      (3, Seq[String](null, null))
+    ).toDF("id", "sh").write.mode("overwrite").parquet(dir)
+    val rows = spark.read.parquet(dir)
+      .select(col("id"), expr("minhash8(sh)").as("s"),
+        expr("coalesce(size(minhash8(sh)), -1)").as("n"))
+      .collect().sortBy(_.getInt(0))
+    assert(rows(0).getSeq[String](1).size == 8 && rows(0).getInt(2) == 8)
+    assert(rows(1).isNullAt(1) && rows(1).getInt(2) == -1)
+    assert(rows(2).isNullAt(1) && rows(2).getInt(2) == -1)
+  }
+
   test("minhash8 signature values are 8 lowercase hex chars") {
     import spark.implicits._
     val r = Seq(Seq("the quick brown", "quick brown fox")).toDF("sh")

@@ -124,6 +124,61 @@ class PlanSpec extends AnyFunSuite {
         "bucket-offset mapPartitions form must be used")
   }
 
+  test("t23: partition-local top-k bounds the global window's input") {
+    import org.apache.spark.sql.functions.{col, row_number}
+    import org.apache.spark.sql.expressions.Window
+    // synthetic scored frame: 5 labels × 10k rows over 8 partitions,
+    // with duplicate dists so tie-breaking is exercised
+    val scored = spark.range(0, 10000).repartition(8).select(
+      (col("id") % 5).cast("int").as("label"),
+      col("id").as("vec_id"),
+      (col("id") % 97).cast("double").as("dist"))
+    val pre = graft.queries.DataSelection.localLabelTopK(scored, 3)
+    assert(pre.count() <= 3L * 5 * 8,
+      "window input must be ≤ k × labels × partitions rows")
+    // identity: ranking the survivors equals ranking the full frame
+    val w = Window.partitionBy("label").orderBy(col("dist"), col("vec_id"))
+    def top3(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+        .select("label", "rnk", "vec_id", "dist")
+    val got = top3(pre)
+    val want = top3(scored)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    assert(got.count() == 15)
+  }
+
+  test("t23: the corpus never shuffles into the label window (pre-top-k runs map-side)") {
+    val p = plan("t23_cluster_reps")
+    assert(p.contains("MapPartitions"),
+      "the bounded per-partition top-k must precede the global window")
+    assert(p.contains("Window"))
+  }
+
+  test("t24: prefix-sum bucket count scales with input partitions") {
+    // a constant bucket count caps the accumulate pass at a fixed task
+    // count forever; it must track the input's parallelism (floor 32)
+    import graft.queries.DataSelection.tokenShardBuckets
+    assert(tokenShardBuckets(1) == 32)
+    assert(tokenShardBuckets(32) == 32)
+    assert(tokenShardBuckets(400) == 400)
+    assert(tokenShardBuckets(4000) == 4000)
+  }
+
+  test("t24: bucketed prefix sum equals the single-task global window") {
+    // bucket-count invariance: the two-pass form must reproduce the
+    // textbook running sum exactly, whatever the physical partitioning
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, expr, sum}
+    val got = SparkEntry.queries("t24_token_shards")(spark, sf)
+    val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    val want = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), expr("(n_chars + 3) div 4").as("tok"))
+      .withColumn("cum", sum("tok").over(w))
+      .withColumn("shard", expr("(cum - tok) div 20000"))
+      .orderBy("doc_id")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("t25: keep-best dedup is one window over digest groups") {
     val p = plan("t25_dedup_keep_best")
     assert(p.contains("Window"))
