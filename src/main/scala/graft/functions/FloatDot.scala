@@ -106,7 +106,11 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_shingles", exprs => WordShingles(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "word_bigrams", exprs => WordBigrams(exprs.head), "built-in")
+      "word_ngrams", exprs => WordNGrams(exprs(0), exprs(1)), "built-in")
+    // legacy alias from when only the bigram case existed
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_bigrams", exprs => WordNGrams(exprs.head,
+        org.apache.spark.sql.catalyst.expressions.Literal(2)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash8", exprs => MinHash8(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -127,79 +127,110 @@ object DataSelection {
               |ORDER BY t.doc_id""".stripMargin)),
 
     // ----------------------------------------------------------------- t20
-    // REPETITION quality filters (the Gopher-rules family): distinct-word
-    // ratio, top-word fraction, duplicate-2-gram fraction. Two explode →
-    // (doc, token) → per-doc aggs — both map-side combinable on the
-    // (doc_id, token) key, so the shuffle carries counts, not text. All
-    // outputs are integer counts + one exact division each.
+    // REPETITION quality filters (the full Gopher-rules family):
+    // distinct-word ratio, top-word fraction, duplicate 2/3/4-gram
+    // fractions and top 2/3/4-gram fractions — the rule set real
+    // pretraining pipelines run per document. ONE tagged token stream
+    // (kind 0 = word, k-1 = k-gram via the native [[graft.functions
+    // .WordNGrams]]) unions all four explode legs BEFORE the shuffle, so
+    // per-doc stats for every n come out of a single (doc_id, kind, tok)
+    // groupBy — map-side combinable, two wide shuffles total, no doc_id
+    // join — instead of one explode+agg pass per n. All outputs are
+    // integer counts + one exact IEEE division each.
     "t20_quality_repetition" -> QueryDef(
       (spark, dir) => {
         val docs = withWords(t(spark, dir, "documents"))
-        // native codegen'd 2-gram expression ([[graft.functions
-        // .WordBigrams]]); the composed transform/slice/element_at HOF
-        // form it replaces interprets its lambda per word
-        val bigramExpr = "word_bigrams(words)"
-        // ONE tagged token stream instead of separate word/bigram passes:
-        // unioning before the shuffle halves the wide (doc, token) shuffles
-        // from four to two and removes the doc_id join entirely
-        // (1.27 s → measured faster at sf0.1; same map-side combine story)
-        val toks = docs
-          .select(col("doc_id"), lit(0).as("kind"), explode(col("words")).as("tok"))
-          .unionByName(docs.select(col("doc_id"), lit(1).as("kind"),
-            explode(expr(bigramExpr)).as("tok")))
+        val toks = (2 to 4).foldLeft(
+          docs.select(col("doc_id"), lit(0).as("kind"),
+            explode(col("words")).as("tok"))) { case (acc, n) =>
+          acc.unionByName(docs.select(col("doc_id"), lit(n - 1).as("kind"),
+            explode(expr(s"word_ngrams(words, $n)")).as("tok")))
+        }
+        def tot(k: Int) = sum(when(col("kind") === k, col("c")))
+        def dup(k: Int) = coalesce(
+          sum(when(col("kind") === k && col("c") > 1, col("c"))), lit(0L))
+        def top(k: Int) = max(when(col("kind") === k, col("c")))
+        // a missing n-gram stream (doc shorter than n words) sums to null
+        def frac(num: Column, den: Column): Column =
+          when(coalesce(den, lit(0L)) === 0, lit(0.0))
+            .otherwise(num.cast("double") / den.cast("double"))
         toks
           .groupBy("doc_id", "kind", "tok").agg(count(lit(1)).as("c"))
           .groupBy("doc_id").agg(
-            sum(when(col("kind") === 0, col("c"))).as("n_words"),
+            tot(0).as("n_words"),
             count(when(col("kind") === 0, lit(1))).as("n_distinct"),
-            max(when(col("kind") === 0, col("c"))).as("top_count"),
-            sum(when(col("kind") === 1, col("c"))).as("n_bigrams"),
-            coalesce(sum(when(col("kind") === 1 && col("c") > 1, col("c"))),
-              lit(0L)).as("dup_bigrams"))
+            top(0).as("top_count"),
+            tot(1).as("n_2grams"), dup(1).as("dup_2grams"), top(1).as("top_2gram"),
+            tot(2).as("n_3grams"), dup(2).as("dup_3grams"), top(2).as("top_3gram"),
+            tot(3).as("n_4grams"), dup(3).as("dup_4grams"), top(3).as("top_4gram"))
           .withColumn("distinct_ratio",
             col("n_distinct").cast("double") / col("n_words").cast("double"))
           .withColumn("top_word_frac",
             col("top_count").cast("double") / col("n_words").cast("double"))
-          .withColumn("dup_2gram_frac",
-            when(coalesce(col("n_bigrams"), lit(0L)) === 0, lit(0.0))
-              .otherwise(col("dup_bigrams").cast("double") /
-                col("n_bigrams").cast("double")))
+          .withColumn("dup_2gram_frac", frac(col("dup_2grams"), col("n_2grams")))
+          .withColumn("dup_3gram_frac", frac(col("dup_3grams"), col("n_3grams")))
+          .withColumn("dup_4gram_frac", frac(col("dup_4grams"), col("n_4grams")))
+          .withColumn("top_2gram_frac", frac(col("top_2gram"), col("n_2grams")))
+          .withColumn("top_3gram_frac", frac(col("top_3gram"), col("n_3grams")))
+          .withColumn("top_4gram_frac", frac(col("top_4gram"), col("n_4grams")))
           .select("doc_id", "n_words", "n_distinct", "top_count",
-            "distinct_ratio", "top_word_frac", "dup_2gram_frac")
+            "distinct_ratio", "top_word_frac",
+            "dup_2gram_frac", "dup_3gram_frac", "dup_4gram_frac",
+            "top_2gram_frac", "top_3gram_frac", "top_4gram_frac")
           .orderBy("doc_id")
       },
-      Some("""WITH ws AS (
-             |  SELECT doc_id, string_split(text, ' ') AS words FROM documents),
-             |wc AS (
-             |  SELECT doc_id, w, COUNT(*) AS c
-             |  FROM (SELECT doc_id, unnest(words) AS w FROM ws)
-             |  GROUP BY doc_id, w),
-             |wstats AS (
-             |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
-             |         COUNT(*) AS n_distinct,
-             |         MAX(c) AS top_count
-             |  FROM wc GROUP BY doc_id),
-             |bc AS (
-             |  SELECT doc_id, b, COUNT(*) AS c
-             |  FROM (SELECT doc_id,
-             |          unnest(list_transform(range(1, len(words)),
-             |            i -> array_to_string(words[i:i+1], ' '))) AS b
-             |        FROM ws)
-             |  GROUP BY doc_id, b),
-             |bstats AS (
-             |  SELECT doc_id, SUM(c) AS n_bigrams,
-             |         SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_bigrams
-             |  FROM bc GROUP BY doc_id)
-             |SELECT w.doc_id, w.n_words, w.n_distinct, w.top_count,
-             |  CAST(w.n_distinct AS DOUBLE) / CAST(w.n_words AS DOUBLE)
-             |    AS distinct_ratio,
-             |  CAST(w.top_count AS DOUBLE) / CAST(w.n_words AS DOUBLE)
-             |    AS top_word_frac,
-             |  CASE WHEN COALESCE(b.n_bigrams, 0) = 0 THEN 0.0
-             |       ELSE CAST(b.dup_bigrams AS DOUBLE) / CAST(b.n_bigrams AS DOUBLE)
-             |  END AS dup_2gram_frac
-             |FROM wstats w LEFT JOIN bstats b ON b.doc_id = w.doc_id
-             |ORDER BY w.doc_id""".stripMargin)),
+      Some {
+        // the same tagged union, spelled relationally; range(1, len-n+2)
+        // is the oracle twin of word_ngrams(words, n) (inclusive DuckDB
+        // slice words[i:i+n-1] = n words). n_words must CAST to BIGINT
+        // (HUGEINT rule, file header); the other sums only feed divisions.
+        val legs = (2 to 4).map { n =>
+          s"""  UNION ALL
+             |  SELECT doc_id, ${n - 1} AS kind,
+             |    unnest(list_transform(range(1, len(words) - ${n - 2}),
+             |      i -> array_to_string(words[i:i+${n - 1}], ' '))) AS tok
+             |  FROM ws""".stripMargin
+        }.mkString("\n")
+        def frac(num: String, den: String) =
+          s"""CASE WHEN COALESCE($den, 0) = 0 THEN 0.0
+             |       ELSE CAST($num AS DOUBLE) / CAST($den AS DOUBLE) END""".stripMargin
+        s"""WITH ws AS (
+           |  SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+           |tok AS (
+           |  SELECT doc_id, 0 AS kind, unnest(words) AS tok FROM ws
+           |$legs),
+           |wc AS (
+           |  SELECT doc_id, kind, tok, COUNT(*) AS c
+           |  FROM tok GROUP BY doc_id, kind, tok),
+           |stats AS (
+           |  SELECT doc_id,
+           |    CAST(SUM(CASE WHEN kind = 0 THEN c END) AS BIGINT) AS n_words,
+           |    COUNT(CASE WHEN kind = 0 THEN 1 END) AS n_distinct,
+           |    MAX(CASE WHEN kind = 0 THEN c END) AS top_count,
+           |    SUM(CASE WHEN kind = 1 THEN c END) AS n_2grams,
+           |    COALESCE(SUM(CASE WHEN kind = 1 AND c > 1 THEN c END), 0) AS dup_2grams,
+           |    MAX(CASE WHEN kind = 1 THEN c END) AS top_2gram,
+           |    SUM(CASE WHEN kind = 2 THEN c END) AS n_3grams,
+           |    COALESCE(SUM(CASE WHEN kind = 2 AND c > 1 THEN c END), 0) AS dup_3grams,
+           |    MAX(CASE WHEN kind = 2 THEN c END) AS top_3gram,
+           |    SUM(CASE WHEN kind = 3 THEN c END) AS n_4grams,
+           |    COALESCE(SUM(CASE WHEN kind = 3 AND c > 1 THEN c END), 0) AS dup_4grams,
+           |    MAX(CASE WHEN kind = 3 THEN c END) AS top_4gram
+           |  FROM wc GROUP BY doc_id)
+           |SELECT doc_id, n_words, n_distinct, top_count,
+           |  CAST(n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE)
+           |    AS distinct_ratio,
+           |  CAST(top_count AS DOUBLE) / CAST(n_words AS DOUBLE)
+           |    AS top_word_frac,
+           |  ${frac("dup_2grams", "n_2grams")} AS dup_2gram_frac,
+           |  ${frac("dup_3grams", "n_3grams")} AS dup_3gram_frac,
+           |  ${frac("dup_4grams", "n_4grams")} AS dup_4gram_frac,
+           |  ${frac("top_2gram", "n_2grams")} AS top_2gram_frac,
+           |  ${frac("top_3gram", "n_3grams")} AS top_3gram_frac,
+           |  ${frac("top_4gram", "n_4grams")} AS top_4gram_frac
+           |FROM stats
+           |ORDER BY doc_id""".stripMargin
+      }),
 
     // ----------------------------------------------------------------- t21
     // Deterministic STRATIFIED SAMPLING (mix balancing): downsample every
