@@ -180,7 +180,11 @@ object ExprEval {
                 val map = m.asInstanceOf[scala.collection.Map[Any, Any]]
                 // context maps are string-keyed (YAML keys stringify in
                 // Stages.toScala), so a literal Long key like d.get(1)
-                // must fall back to its string form to match
+                // must fall back to its string form to match. The
+                // fallback is one-directional — a divergence from the
+                // Python reference documented in TemplateSpec's dict.get
+                // test (d.get('1') finds a YAML-int key here; the
+                // reference would return the default)
                 map.get(args.head)
                   .orElse(map.get(String.valueOf(args.head))) match {
                     case Some(found) => found

@@ -180,6 +180,14 @@ class TemplateSpec extends AnyFunSuite {
     // the string-keyed entry ("1") instead of silently defaulting
     assert(Renderer.renderTyped("<< variables.get(1, 9) >>",
       ctx("1" -> 42L)) == 42L)
+    // DOCUMENTED DIVERGENCE (one-directional fallback): in the Python
+    // reference a YAML int key stays an int, so d.get('1') against
+    // {1: v} returns the default there; here keys are stringified at
+    // load (Stages.toScala), so the string-form lookup finds the value.
+    // Acceptable because every map that reaches templates is already
+    // string-keyed — this pin exists so a behavior change is deliberate.
+    assert(Renderer.renderTyped("<< variables.get('1', 9) >>",
+      ctx("1" -> 42L)) == 42L)
   }
 
   test("dunder attributes are gated to empty, sunder passes (security parity)") {
