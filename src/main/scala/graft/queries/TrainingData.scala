@@ -640,16 +640,17 @@ object TrainingData {
     // candidate pairs (t02) — the step that turns pairwise candidates
     // into dedup decisions (keep one canonical doc per component).
     //
-    // Spark side: iterative min-label propagation — every doc starts
-    // labeled with itself; each round takes the min label over its
-    // neighborhood; fixpoint when no label changes. Each round is one
-    // shuffle-on-key join + agg, and labels/edges are localCheckpointed
-    // so lineage doesn't grow with iterations. Convergence is
-    // O(component diameter) rounds, and LSH components are near-cliques
-    // (every member shares a band bucket), so a handful of rounds
-    // suffice; a trillion-edge corpus would swap the loop body for the
-    // large-star/small-star contraction, which is the same
-    // join-agg-checkpoint dataflow with a different neighbor rule.
+    // Spark side: [[graft.operators.Components]] — min-label propagation
+    // (one shuffle-on-key join + agg per round, labels/edges
+    // localCheckpointed so lineage doesn't grow, O(diameter) rounds; LSH
+    // components are near-cliques so a handful suffice) with the
+    // alternating large-star/small-star contraction as the automatic
+    // fallback when the round cap is hit: contraction converges in
+    // O(log n) rounds regardless of diameter, so a pathological
+    // long-chain component degrades to the heavier loop instead of
+    // aborting. (A 2-hop-per-checkpoint propagation variant measured
+    // SLOWER at sf0.1 — the deeper per-round plan outweighed the halved
+    // round count.)
     //
     // Oracle: transitive closure by recursive CTE, component id =
     // min(reachable ∪ self) — tractable at oracle scale, identical
@@ -657,37 +658,8 @@ object TrainingData {
     "t15_dedup_components" -> QueryDef(
       (spark, dir) => {
         val docs = t(spark, dir, "documents").select("doc_id")
-        // edges reused every round: materialize once, symmetric closure
-        val pairs = minhashPairs(spark, dir).localCheckpoint()
-        val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-          .unionByName(
-            pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-        var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
-          .localCheckpoint()
-        var changed = 1L
-        var rounds = 0
-        val maxRounds = 50
-        while (changed > 0 && rounds < maxRounds) {
-          val nbr = edges.join(labels, edges("dst") === labels("doc_id"))
-            .groupBy("src").agg(min("label").as("nbr_label"))
-          val next = labels
-            .join(nbr, labels("doc_id") === nbr("src"), "left")
-            .select(labels("doc_id"), col("label").as("old_label"),
-              least(col("label"), coalesce(col("nbr_label"), col("label")))
-                .as("label"))
-            .localCheckpoint()
-          changed = next.filter(col("label") =!= col("old_label")).count()
-          labels = next.select("doc_id", "label")
-          rounds += 1
-        }
-        // labels move one hop per round, so the cap implies diameter >
-        // maxRounds — wrong clusters must never return silently.
-        // (A 2-hop-per-checkpoint variant measured SLOWER at sf0.1 —
-        // the deeper per-round plan outweighed the halved round count.)
-        if (changed > 0) sys.error(
-          s"t15 components did not converge in $maxRounds rounds " +
-            s"($changed labels still changing); component diameter too " +
-            "large for plain propagation — switch to star contraction")
+        val labels = graft.operators.Components.connected(
+          docs, minhashPairs(spark, dir), propagateRounds = 50)
         labels
           .select(col("doc_id"), col("label").as("cluster_id"))
           .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
