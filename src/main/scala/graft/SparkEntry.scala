@@ -9,7 +9,7 @@ object SparkEntry {
   /** All query definitions, one per implemented operator (SURVEY.md §2). */
   def defs: Map[String, QueryDef] =
     Relational.defs ++ TrainingData.defs ++ DataSelection.defs ++
-      Multimodal.defs ++ Pipelines.defs
+      Curation.defs ++ Multimodal.defs ++ Pipelines.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,359 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data CURATION operators (t26–t30): the pipeline stages that
+  * run between measurement ([[TrainingData]]) and selection
+  * ([[DataSelection]]) in a real pretraining data build — semantic dedup,
+  * deterministic training-order assignment, temperature-flattened mixes,
+  * LSH candidate verification, and the composite filter verdict.
+  *
+  * Oracle-portability rules are [[TrainingData]]'s / [[DataSelection]]'s:
+  * md5 as the portable hash, integer counts + exact IEEE divisions,
+  * sqrt (correctly rounded per IEEE 754) allowed, HUGEINT SUM outputs
+  * CAST to BIGINT.
+  */
+object Curation {
+
+  import Tables.t
+  import TrainingData.{withWords, shingleExpr, shingleSqlDuck, sigSqlDuck,
+    minhashPairs, minhashPairsDuck, planeSql, planeCol, dotCol, dotSql, dotDuck}
+  import DataSelection.tokenShardBuckets
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ----------------------------------------------------------------- t26
+    // SEMANTIC dedup (SemDeDup shape): assign every embedding to its
+    // nearest deterministic centroid (t13's IVF cells), compare pairs
+    // ONLY within a cell by exact cosine, and drop the higher vec_id of
+    // every pair above the similarity threshold. Within-cell pairwise is
+    // the published SemDeDup algorithm; its cost is Σ|cell|², which at
+    // scale is held linear by growing k with N (cells stay ~constant
+    // size — k here is the fixture's 8). The pair join shuffles
+    // (cell, embedding) once per side; verdicts aggregate per dropped id
+    // so the output is a dedup decision, not a candidate list.
+    "t26_semdedup" -> QueryDef(
+      (spark, dir) => {
+        val emb = t(spark, dir, "embeddings")
+        val cdots = array((1 to 8)
+          .map(k => dotCol(col("embedding"), planeCol(k + 100))): _*)
+        val assigned = emb
+          .withColumn("cdots", cdots)
+          .withColumn("cell",
+            expr("array_position(cdots, array_max(cdots))").cast("int"))
+          .select("vec_id", "cell", "embedding")
+        val pairs = assigned.as("a").join(assigned.as("b"),
+            col("a.cell") === col("b.cell") &&
+              col("a.vec_id") < col("b.vec_id"))
+          .withColumn("dot", expr(dotSql("a.embedding", "b.embedding")))
+          .withColumn("na", expr(dotSql("a.embedding", "a.embedding")))
+          .withColumn("nb", expr(dotSql("b.embedding", "b.embedding")))
+          .select(col("a.vec_id").as("keep_id"), col("b.vec_id").as("drop_id"),
+            col("a.cell").as("cell"),
+            (col("dot").cast("double") /
+              (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+              .as("cosine"))
+          .filter(col("cosine") >= 0.3)
+        pairs.groupBy(col("drop_id").as("vec_id"), col("cell"))
+          .agg(min("keep_id").as("dup_of"), count(lit(1)).as("n_near"))
+          .select("vec_id", "cell", "dup_of", "n_near")
+          .orderBy("vec_id")
+      },
+      Some({
+        val cdots = (1 to 8)
+          .map(k => dotDuck("embedding",
+            s"(list_transform(range(1, 65), d -> ${planeSql(k + 100, "d")}))"))
+          .mkString("[", ", ", "]")
+        val cos =
+          s"""${dotDuck("a.embedding", "b.embedding")}
+             |      / (sqrt(${dotDuck("a.embedding", "a.embedding")})
+             |         * sqrt(${dotDuck("b.embedding", "b.embedding")}))""".stripMargin
+        s"""WITH assigned AS (
+           |  SELECT vec_id, embedding,
+           |    CAST(list_position(cdots, list_max(cdots)) AS INTEGER) AS cell
+           |  FROM (SELECT vec_id, embedding, $cdots AS cdots
+           |        FROM embeddings)),
+           |pairs AS (
+           |  SELECT a.vec_id AS keep_id, b.vec_id AS drop_id, a.cell,
+           |    $cos AS cosine
+           |  FROM assigned a JOIN assigned b
+           |    ON a.cell = b.cell AND a.vec_id < b.vec_id)
+           |SELECT drop_id AS vec_id, cell, MIN(keep_id) AS dup_of,
+           |  COUNT(*) AS n_near
+           |FROM pairs WHERE cosine >= 0.3
+           |GROUP BY drop_id, cell
+           |ORDER BY vec_id""".stripMargin
+      })),
+
+    // ----------------------------------------------------------------- t27
+    // Deterministic TRAINING ORDER: a reproducible global shuffle that
+    // assigns every document a position (and a 100-doc training file) by
+    // ranking on (md5(doc_id), doc_id). At scale a global rank must never
+    // be a partition-less window (Spark would run it in ONE task): this
+    // uses t24's two-pass prefix-sum shape — hash-prefix buckets are
+    // MONOTONE in the sort key, so per-bucket counts give exclusive
+    // offsets on the driver (one long per bucket), and one map pass ranks
+    // within each bucket. Bucket count scales with the input partitioning
+    // ([[DataSelection.tokenShardBuckets]]); positions are bucket-count-
+    // invariant by construction.
+    "t27_training_order" -> QueryDef(
+      (spark, dir) => {
+        val docs = t(spark, dir, "documents")
+          .select(col("doc_id"),
+            md5(col("doc_id").cast("string").cast("binary")).as("h"))
+        val buckets = tokenShardBuckets(docs.rdd.getNumPartitions)
+        // first 16 hash bits, scaled to the bucket range: monotone in h
+        val bucketed = docs.withColumn("bucket", expr(
+          s"CAST(CAST(conv(substr(h, 1, 4), 16, 10) AS BIGINT) * $buckets div 65536 AS INT)"))
+        val offsets: Map[Int, Long] = {
+          val counts = bucketed.groupBy("bucket").agg(count(lit(1)).as("n"))
+            .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1).toSeq
+          counts.map(_._1)
+            .zip(counts.scanLeft(0L)((acc, c) => acc + c._2))
+            .toMap
+        }
+        import spark.implicits._
+        bucketed
+          .repartition(col("bucket"))
+          .sortWithinPartitions("bucket", "h", "doc_id")
+          .select(col("doc_id"), col("h"), col("bucket"))
+          .as[(Long, String, Int)]
+          .mapPartitions { it =>
+            var curBucket = Int.MinValue
+            var pos = 0L
+            it.map { case (id, _, bucket) =>
+              if (bucket != curBucket) { curBucket = bucket; pos = offsets(bucket) }
+              val p = pos
+              pos += 1
+              (id, p)
+            }
+          }
+          .toDF("doc_id", "position")
+          .withColumn("file_id", expr("position div 100"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+             |    - 1 AS position,
+             |  (ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+             |    - 1) // 100 AS file_id
+             |FROM documents
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ----------------------------------------------------------------- t28
+    // TEMPERATURE-flattened language mix (α = 0.5): keep each language
+    // with probability ∝ sqrt(min_n / n_lang), so over-represented
+    // languages are damped toward — but not clamped at — the smallest
+    // stratum (the multilingual-training resampling rule; t21 is the
+    // α = 1 equalizing special case). Deterministic md5 hash gate, salted
+    // 't28|' so the kept set is independent of t21's. Thresholds are a
+    // tiny broadcast; the corpus is one filter pass, zero shuffles.
+    // sqrt and the division are correctly-rounded IEEE ops → the
+    // threshold integers are identical in both engines.
+    "t28_temperature_sample" -> QueryDef(
+      (spark, dir) => {
+        val docs = t(spark, dir, "documents")
+        val counts = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+        val minN = counts.agg(min("n").as("min_n"))
+        val thr = counts.crossJoin(broadcast(minN))
+          .select(col("lang"),
+            floor(lit(65536.0) *
+              sqrt(col("min_n").cast("double") / col("n").cast("double")))
+              .as("thr"))
+        docs
+          .withColumn("hash_bucket", expr(
+            "CAST(conv(substr(md5(CAST(concat('t28|', CAST(doc_id AS STRING)) AS BINARY)), 1, 4), 16, 10) AS INT)"))
+          .join(broadcast(thr), "lang")
+          .filter(col("hash_bucket") < col("thr"))
+          .select("doc_id", "lang", "hash_bucket", "thr")
+          .orderBy("doc_id")
+      },
+      Some {
+        val hb = (1 to 4).map { i =>
+          s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1) * ${1 << (4 * (4 - i))}"
+        }.mkString(" + ")
+        s"""WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+           |thr AS (
+           |  SELECT lang,
+           |    CAST(FLOOR(65536.0 * sqrt(
+           |      CAST((SELECT MIN(n) FROM counts) AS DOUBLE) / CAST(n AS DOUBLE)))
+           |      AS BIGINT) AS thr
+           |  FROM counts),
+           |hashed AS (
+           |  SELECT doc_id, lang, CAST($hb AS INTEGER) AS hash_bucket
+           |  FROM (SELECT doc_id, lang,
+           |          md5('t28|' || CAST(doc_id AS VARCHAR)) AS h
+           |        FROM documents))
+           |SELECT d.doc_id, d.lang, d.hash_bucket, t.thr
+           |FROM hashed d JOIN thr t ON d.lang = t.lang
+           |WHERE d.hash_bucket < t.thr
+           |ORDER BY d.doc_id""".stripMargin
+      }),
+
+    // ----------------------------------------------------------------- t29
+    // LSH VERIFICATION: for every MinHash+LSH candidate pair (t02),
+    // compare the signature-estimated Jaccard (matching components / 8)
+    // against the exact shingle-set Jaccard — the post-LSH verify stage
+    // every near-dup pipeline runs before acting on candidates, and the
+    // measurement that calibrates band/row parameters. Candidates are a
+    // vanishing fraction of the corpus, so joining the shingle sets back
+    // by doc id is cheap; signatures are 32 bytes. est and exact are
+    // integer ratios → exact doubles in both engines.
+    "t29_lsh_verify" -> QueryDef(
+      (spark, dir) => {
+        val pairs = minhashPairs(spark, dir)
+        val side = withWords(t(spark, dir, "documents"))
+          .select(col("doc_id"), expr(shingleExpr).as("sh"))
+          .select(col("doc_id"), col("sh"), expr("minhash8(sh)").as("sigs"))
+        val a = side.select(col("doc_id").as("doc_a"),
+          col("sh").as("sha"), col("sigs").as("sa"))
+        val b = side.select(col("doc_id").as("doc_b"),
+          col("sh").as("shb"), col("sigs").as("sb"))
+        val matches = (0 until 8)
+          .map(i => when(element_at(col("sa"), i + 1) ===
+            element_at(col("sb"), i + 1), 1).otherwise(0))
+          .reduce(_ + _)
+        pairs.join(a, "doc_a").join(b, "doc_b")
+          .withColumn("sig_matches", matches.cast("int"))
+          .withColumn("n_inter",
+            size(array_intersect(col("sha"), col("shb"))))
+          .withColumn("est_jaccard",
+            col("sig_matches").cast("double") / 8.0)
+          .withColumn("exact_jaccard",
+            col("n_inter").cast("double") /
+              (size(col("sha")) + size(col("shb")) - col("n_inter")).cast("double"))
+          .withColumn("abs_err", abs(col("est_jaccard") - col("exact_jaccard")))
+          .select("doc_a", "doc_b", "sig_matches", "n_inter",
+            "est_jaccard", "exact_jaccard", "abs_err")
+          .orderBy("doc_a", "doc_b")
+      },
+      Some {
+        val matches = (1 to 8)
+          .map(i => s"CASE WHEN a.sig$i = b.sig$i THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH $minhashPairsDuck,
+           |sh AS (SELECT doc_id, $shingleSqlDuck AS sh FROM documents),
+           |m AS (
+           |  SELECT p.doc_a, p.doc_b,
+           |    CAST($matches AS INTEGER) AS sig_matches,
+           |    CAST(len(list_intersect(xa.sh, xb.sh)) AS INTEGER) AS n_inter,
+           |    len(xa.sh) AS na, len(xb.sh) AS nb
+           |  FROM pairs p
+           |  JOIN sigs a ON a.doc_id = p.doc_a
+           |  JOIN sigs b ON b.doc_id = p.doc_b
+           |  JOIN sh xa ON xa.doc_id = p.doc_a
+           |  JOIN sh xb ON xb.doc_id = p.doc_b)
+           |SELECT doc_a, doc_b, sig_matches, n_inter,
+           |  CAST(sig_matches AS DOUBLE) / 8.0 AS est_jaccard,
+           |  CAST(n_inter AS DOUBLE) / CAST(na + nb - n_inter AS DOUBLE)
+           |    AS exact_jaccard,
+           |  abs(CAST(sig_matches AS DOUBLE) / 8.0
+           |    - CAST(n_inter AS DOUBLE) / CAST(na + nb - n_inter AS DOUBLE))
+           |    AS abs_err
+           |FROM m
+           |ORDER BY doc_a, doc_b""".stripMargin
+      }),
+
+    // ----------------------------------------------------------------- t30
+    // Composite FILTER VERDICT: the Gopher-style accept/reject decision
+    // per document — word-count bounds, mean-word-length bounds,
+    // distinct-word ratio, top-word fraction, duplicate-bigram fraction —
+    // with a failure bitmask so downstream stages can report WHY a doc
+    // was dropped. Reuses t20's tagged-union dataflow restricted to
+    // kinds word/bigram (one wide shuffle), then a narrow doc-keyed join
+    // brings n_chars for the mean-word-length rule. All rule inputs are
+    // integer counts + exact divisions → bit-identical verdicts.
+    "t30_filter_verdict" -> QueryDef(
+      (spark, dir) => {
+        val base = t(spark, dir, "documents")
+        val docs = withWords(base)
+        val toks = docs.select(col("doc_id"), lit(0).as("kind"),
+            explode(col("words")).as("tok"))
+          .unionByName(docs.select(col("doc_id"), lit(1).as("kind"),
+            explode(expr("word_ngrams(words, 2)")).as("tok")))
+        val stats = toks
+          .groupBy("doc_id", "kind", "tok").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id").agg(
+            sum(when(col("kind") === 0, col("c"))).as("n_words"),
+            count(when(col("kind") === 0, lit(1))).as("n_distinct"),
+            max(when(col("kind") === 0, col("c"))).as("top_count"),
+            sum(when(col("kind") === 1, col("c"))).as("n_2grams"),
+            coalesce(sum(when(col("kind") === 1 && col("c") > 1, col("c"))),
+              lit(0L)).as("dup_2grams"))
+        val scored = stats
+          .join(base.select("doc_id", "n_chars"), "doc_id")
+          .withColumn("mean_word_len",
+            (col("n_chars") - col("n_words") + 1).cast("double") /
+              col("n_words").cast("double"))
+          .withColumn("distinct_ratio",
+            col("n_distinct").cast("double") / col("n_words").cast("double"))
+          .withColumn("top_word_frac",
+            col("top_count").cast("double") / col("n_words").cast("double"))
+          .withColumn("dup_2gram_frac",
+            when(coalesce(col("n_2grams"), lit(0L)) === 0, lit(0.0))
+              .otherwise(col("dup_2grams").cast("double") /
+                col("n_2grams").cast("double")))
+        scored
+          .withColumn("fail_mask",
+            (when(col("n_words").between(10, 1000), 0).otherwise(1) +
+             when(col("mean_word_len").between(2.0, 10.0), 0).otherwise(2) +
+             when(col("distinct_ratio") > 0.2, 0).otherwise(4) +
+             when(col("top_word_frac") < 0.3, 0).otherwise(8) +
+             when(col("dup_2gram_frac") < 0.5, 0).otherwise(16)).cast("int"))
+          .withColumn("keep", col("fail_mask") === 0)
+          .select("doc_id", "n_words", "mean_word_len", "distinct_ratio",
+            "top_word_frac", "dup_2gram_frac", "fail_mask", "keep")
+          .orderBy("doc_id")
+      },
+      Some("""WITH ws AS (
+             |  SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+             |tok AS (
+             |  SELECT doc_id, 0 AS kind, unnest(words) AS tok FROM ws
+             |  UNION ALL
+             |  SELECT doc_id, 1 AS kind,
+             |    unnest(list_transform(range(1, len(words)),
+             |      i -> array_to_string(words[i:i+1], ' '))) AS tok
+             |  FROM ws),
+             |wc AS (
+             |  SELECT doc_id, kind, tok, COUNT(*) AS c
+             |  FROM tok GROUP BY doc_id, kind, tok),
+             |stats AS (
+             |  SELECT doc_id,
+             |    CAST(SUM(CASE WHEN kind = 0 THEN c END) AS BIGINT) AS n_words,
+             |    COUNT(CASE WHEN kind = 0 THEN 1 END) AS n_distinct,
+             |    MAX(CASE WHEN kind = 0 THEN c END) AS top_count,
+             |    SUM(CASE WHEN kind = 1 THEN c END) AS n_2grams,
+             |    COALESCE(SUM(CASE WHEN kind = 1 AND c > 1 THEN c END), 0)
+             |      AS dup_2grams
+             |  FROM wc GROUP BY doc_id),
+             |scored AS (
+             |  SELECT s.doc_id, s.n_words,
+             |    CAST(d.n_chars - s.n_words + 1 AS DOUBLE)
+             |      / CAST(s.n_words AS DOUBLE) AS mean_word_len,
+             |    CAST(s.n_distinct AS DOUBLE) / CAST(s.n_words AS DOUBLE)
+             |      AS distinct_ratio,
+             |    CAST(s.top_count AS DOUBLE) / CAST(s.n_words AS DOUBLE)
+             |      AS top_word_frac,
+             |    CASE WHEN COALESCE(s.n_2grams, 0) = 0 THEN 0.0
+             |         ELSE CAST(s.dup_2grams AS DOUBLE)
+             |           / CAST(s.n_2grams AS DOUBLE) END AS dup_2gram_frac
+             |  FROM stats s JOIN documents d ON d.doc_id = s.doc_id)
+             |SELECT doc_id, n_words, mean_word_len, distinct_ratio,
+             |  top_word_frac, dup_2gram_frac,
+             |  CAST((CASE WHEN n_words BETWEEN 10 AND 1000 THEN 0 ELSE 1 END)
+             |    + (CASE WHEN mean_word_len BETWEEN 2.0 AND 10.0 THEN 0 ELSE 2 END)
+             |    + (CASE WHEN distinct_ratio > 0.2 THEN 0 ELSE 4 END)
+             |    + (CASE WHEN top_word_frac < 0.3 THEN 0 ELSE 8 END)
+             |    + (CASE WHEN dup_2gram_frac < 0.5 THEN 0 ELSE 16 END)
+             |    AS INTEGER) AS fail_mask,
+             |  (CASE WHEN n_words BETWEEN 10 AND 1000 THEN 0 ELSE 1 END)
+             |    + (CASE WHEN mean_word_len BETWEEN 2.0 AND 10.0 THEN 0 ELSE 2 END)
+             |    + (CASE WHEN distinct_ratio > 0.2 THEN 0 ELSE 4 END)
+             |    + (CASE WHEN top_word_frac < 0.3 THEN 0 ELSE 8 END)
+             |    + (CASE WHEN dup_2gram_frac < 0.5 THEN 0 ELSE 16 END) = 0
+             |    AS keep
+             |FROM scored
+             |ORDER BY doc_id""".stripMargin))
+  )
+}

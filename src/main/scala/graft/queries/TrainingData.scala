@@ -49,14 +49,14 @@ object TrainingData {
     * components (the classic slice-one-hash trick; 4× less hashing than
     * one md5 per permutation). Hex-string ordering == numeric ordering,
     * and md5 is identical in Spark and DuckDB → portable MinHash. */
-  private def sigSqlDuck: String =
+  private[queries] def sigSqlDuck: String =
     (for (m <- Seq(1, 2); w <- 0 until 4) yield
       s"MIN(substr(md5(concat('$m|', shingle)), ${w * 8 + 1}, 8)) AS sig${(m - 1) * 4 + w + 1}")
       .mkString(", ")
 
   /** Deterministic LCG hyperplane component for LSH over embeddings:
     * h(j,d) ∈ (−0.5, 0.5), identical arithmetic in both engines. */
-  private def planeSql(j: Int, d: String): String =
+  private[queries] def planeSql(j: Int, d: String): String =
     s"(((CAST($j AS BIGINT) * 1103515245 + CAST($d AS BIGINT) * 12345) % 32768) / 32768.0 - 0.5)"
 
   /** The same hyperplane as a literal SQL double array.
@@ -82,7 +82,7 @@ object TrainingData {
     * node tree that cost 0.41 s of Catalyst planning per run (PlanCostLab).
     * `typedlit` emits a single Literal holding the whole array: same
     * values, same ArrayType(double), tree 64× smaller. */
-  private def planeCol(j: Int): Column = typedlit((1 to 64).map { d =>
+  private[queries] def planeCol(j: Int): Column = typedlit((1 to 64).map { d =>
     val m = (j.toLong * 1103515245L + d.toLong * 12345L) % 32768L
     m.toDouble / 32768.0 - 0.5
   })
@@ -110,7 +110,7 @@ object TrainingData {
 
   /** MinHash+LSH candidate pairs (t02's dataflow, shared with t15):
     * shingle → 8 minhash sigs → 4 bands (r=2) → bucket self-join. */
-  private def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
+  private[queries] def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
     // all 8 signature components in one compiled pass per doc (native
     // [[graft.functions.MinHash8]]) — replaces explode → groupBy(doc_id)
@@ -134,7 +134,7 @@ object TrainingData {
   }
 
   /** DuckDB CTE text producing [[minhashPairs]] as relation `pairs`. */
-  private def minhashPairsDuck: String =
+  private[queries] def minhashPairsDuck: String =
     s"""shingled AS (
        |  SELECT doc_id, unnest($shingleSqlDuck) AS shingle FROM documents),
        |sigs AS (

@@ -186,6 +186,46 @@ class PlanSpec extends AnyFunSuite {
       "one shuffle for the digest partition + the final sort at most")
   }
 
+  test("t26: semantic pairs form only inside cells (keyed join, no blow-up)") {
+    val p = plan("t26_semdedup")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "the pair join must be an equi-join on the cell id")
+  }
+
+  test("t27: global rank is two-pass map work, never a partition-less window") {
+    val p = plan("t27_training_order")
+    assert(!p.contains("Window"),
+      "a global-order window would pull all rows into one task")
+    assert(p.contains("MapPartitions"),
+      "within-bucket ranking must run as a seeded map pass")
+  }
+
+  test("t27: bucketed rank equals the single-task global window") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, expr, md5, row_number}
+    val got = SparkEntry.queries("t27_training_order")(spark, sf)
+    val want = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        md5(col("doc_id").cast("string").cast("binary")).as("h"))
+      .withColumn("position",
+        row_number().over(Window.orderBy("h", "doc_id")).cast("long") - 1)
+      .withColumn("file_id", expr("position div 100"))
+      .select("doc_id", "position", "file_id")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("t28: temperature thresholds broadcast back; corpus filter is one pass") {
+    val p = plan("t28_temperature_sample")
+    assert(p.contains("BroadcastHashJoin"),
+      "per-language thresholds are tiny and must broadcast")
+  }
+
+  test("t30: verdict inputs aggregate map-side from one tagged stream") {
+    val p = plan("t30_filter_verdict")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "token counts must partial-aggregate before the shuffle")
+  }
+
   test("no query in the suite plans a CartesianProduct") {
     // the one blanket rule that must hold at any scale; queries that
     // RUN pipelines (p-series) execute side effects, so guard the pure
