@@ -112,6 +112,8 @@ object GraftFunctions {
       "word_bigrams", exprs => WordNGrams(exprs.head,
         org.apache.spark.sql.catalyst.expressions.Literal(2)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "ngram_stats", exprs => NGramStats(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash8", exprs => MinHash8(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash16", exprs => SimHash16(exprs.head), "built-in")

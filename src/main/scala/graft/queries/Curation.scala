@@ -38,21 +38,23 @@ object Curation {
         val emb = t(spark, dir, "embeddings")
         val cdots = array((1 to 8)
           .map(k => dotCol(col("embedding"), planeCol(k + 100))): _*)
+        // self-norms hoisted to the assignment pass: one float_dot per
+        // VECTOR here instead of two per PAIR in the join (the pair side
+        // is quadratic within cells); same doubles, just computed once
         val assigned = emb
           .withColumn("cdots", cdots)
           .withColumn("cell",
             expr("array_position(cdots, array_max(cdots))").cast("int"))
-          .select("vec_id", "cell", "embedding")
+          .withColumn("nrm", expr(dotSql("embedding", "embedding")))
+          .select("vec_id", "cell", "embedding", "nrm")
         val pairs = assigned.as("a").join(assigned.as("b"),
             col("a.cell") === col("b.cell") &&
               col("a.vec_id") < col("b.vec_id"))
           .withColumn("dot", expr(dotSql("a.embedding", "b.embedding")))
-          .withColumn("na", expr(dotSql("a.embedding", "a.embedding")))
-          .withColumn("nb", expr(dotSql("b.embedding", "b.embedding")))
           .select(col("a.vec_id").as("keep_id"), col("b.vec_id").as("drop_id"),
             col("a.cell").as("cell"),
             (col("dot").cast("double") /
-              (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+              (sqrt(col("a.nrm").cast("double")) * sqrt(col("b.nrm").cast("double"))))
               .as("cosine"))
           .filter(col("cosine") >= 0.3)
         pairs.groupBy(col("drop_id").as("vec_id"), col("cell"))
@@ -260,40 +262,29 @@ object Curation {
     // per document — word-count bounds, mean-word-length bounds,
     // distinct-word ratio, top-word fraction, duplicate-bigram fraction —
     // with a failure bitmask so downstream stages can report WHY a doc
-    // was dropped. Reuses t20's tagged-union dataflow restricted to
-    // kinds word/bigram (one wide shuffle), then a narrow doc-keyed join
-    // brings n_chars for the mean-word-length rule. All rule inputs are
-    // integer counts + exact divisions → bit-identical verdicts.
+    // was dropped. Every rule input depends on one document only, so the
+    // whole verdict is a PURE MAP over the corpus — the native
+    // [[graft.functions.NGramStats]] yields word and bigram stats in one
+    // compiled pass each, n_chars rides the same row, and nothing
+    // shuffles at any scale. All rule inputs are integer counts + exact
+    // divisions → bit-identical verdicts.
     "t30_filter_verdict" -> QueryDef(
       (spark, dir) => {
-        val base = t(spark, dir, "documents")
-        val docs = withWords(base)
-        val toks = docs.select(col("doc_id"), lit(0).as("kind"),
-            explode(col("words")).as("tok"))
-          .unionByName(docs.select(col("doc_id"), lit(1).as("kind"),
-            explode(expr("word_ngrams(words, 2)")).as("tok")))
-        val stats = toks
-          .groupBy("doc_id", "kind", "tok").agg(count(lit(1)).as("c"))
-          .groupBy("doc_id").agg(
-            sum(when(col("kind") === 0, col("c"))).as("n_words"),
-            count(when(col("kind") === 0, lit(1))).as("n_distinct"),
-            max(when(col("kind") === 0, col("c"))).as("top_count"),
-            sum(when(col("kind") === 1, col("c"))).as("n_2grams"),
-            coalesce(sum(when(col("kind") === 1 && col("c") > 1, col("c"))),
-              lit(0L)).as("dup_2grams"))
-        val scored = stats
-          .join(base.select("doc_id", "n_chars"), "doc_id")
-          .withColumn("mean_word_len",
-            (col("n_chars") - col("n_words") + 1).cast("double") /
-              col("n_words").cast("double"))
-          .withColumn("distinct_ratio",
-            col("n_distinct").cast("double") / col("n_words").cast("double"))
-          .withColumn("top_word_frac",
-            col("top_count").cast("double") / col("n_words").cast("double"))
-          .withColumn("dup_2gram_frac",
-            when(coalesce(col("n_2grams"), lit(0L)) === 0, lit(0.0))
-              .otherwise(col("dup_2grams").cast("double") /
-                col("n_2grams").cast("double")))
+        val scored = withWords(t(spark, dir, "documents"))
+          .select(col("doc_id"), col("n_chars"),
+            expr("ngram_stats(words, 1)").as("w"),
+            expr("ngram_stats(words, 2)").as("g2"))
+          .select(col("doc_id"),
+            col("w.total").as("n_words"),
+            ((col("n_chars") - col("w.total") + 1).cast("double") /
+              col("w.total").cast("double")).as("mean_word_len"),
+            (col("w.n_distinct").cast("double") / col("w.total").cast("double"))
+              .as("distinct_ratio"),
+            (col("w.top").cast("double") / col("w.total").cast("double"))
+              .as("top_word_frac"),
+            when(col("g2.total") === 0, lit(0.0))
+              .otherwise(col("g2.dup").cast("double") /
+                col("g2.total").cast("double")).as("dup_2gram_frac"))
         scored
           .withColumn("fail_mask",
             (when(col("n_words").between(10, 1000), 0).otherwise(1) +

@@ -103,12 +103,13 @@ class PlanSpec extends AnyFunSuite {
       "benchmark shingles are tiny relative to the corpus and must broadcast")
   }
 
-  test("t20: single-pass tagged union, no join, map-side partial aggs") {
+  test("t20: per-doc repetition stats are a pure map (zero wide shuffles)") {
     val p = plan("t20_quality_repetition")
-    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
-      "word and bigram streams union before the shuffle; no doc_id join")
-    assert("HashAggregate".r.findAllIn(p).size >= 2,
-      "token counts must partial-aggregate map-side")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "per-document stats must never shuffle the corpus (ngram_stats map)")
+    assert(!p.contains("HashAggregate") && !p.contains("SortMergeJoin"),
+      "no aggregation or join belongs in a per-row computation")
+    assert(p.contains("ngramstats"), "the native one-pass expression must be used")
   }
 
   test("t21: sampling thresholds broadcast back; corpus filter is one pass") {
@@ -220,10 +221,13 @@ class PlanSpec extends AnyFunSuite {
       "per-language thresholds are tiny and must broadcast")
   }
 
-  test("t30: verdict inputs aggregate map-side from one tagged stream") {
+  test("t30: the filter verdict is a pure map (zero shuffles, no join)") {
     val p = plan("t30_filter_verdict")
-    assert("HashAggregate".r.findAllIn(p).size >= 2,
-      "token counts must partial-aggregate before the shuffle")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "per-document verdicts must never shuffle the corpus")
+    assert(!p.contains("HashAggregate") && !p.contains("SortMergeJoin") &&
+      !p.contains("BroadcastHashJoin"),
+      "no aggregation or join belongs in a per-row computation")
   }
 
   test("no query in the suite plans a CartesianProduct") {
