@@ -345,6 +345,55 @@ object Curation {
              |    + (CASE WHEN dup_2gram_frac < 0.5 THEN 0 ELSE 16 END) = 0
              |    AS keep
              |FROM scored
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ----------------------------------------------------------------- t31
+    // ANN RECALL measurement: recall@10 of the two approximate
+    // similarity-search paths (t06 hyperplane-LSH, t13 IVF 2-probe)
+    // against the exact brute-force top-10 (t05) for the same query
+    // vector — "measure, don't guess" applied to ANN: the number every
+    // index deployment must report before trading exactness for speed.
+    // All three legs are the existing operators' plans (ground truth
+    // broadcast: 10 ids); the comparison is a 20-row join — the corpus
+    // cost is the legs themselves.
+    "t31_ann_recall" -> QueryDef(
+      (spark, dir) => {
+        import spark.implicits._
+        val exact = TrainingData.defs("t05_cosine_topk")
+          .build(spark, dir).select("vec_id")
+        val lsh = TrainingData.defs("t06_ann_lsh")
+          .build(spark, dir).select("vec_id")
+        val ivf = TrainingData.defs("t13_ann_ivf")
+          .build(spark, dir).select("vec_id")
+        val found = lsh.withColumn("method", lit("lsh_ann"))
+          .unionByName(ivf.withColumn("method", lit("ivf_ann")))
+        val hits = found.join(broadcast(exact), "vec_id")
+          .groupBy("method").agg(count(lit(1)).as("hits"))
+        Seq("ivf_ann", "lsh_ann").toDF("method")
+          .join(hits, Seq("method"), "left")
+          .select(col("method"),
+            coalesce(col("hits"), lit(0L)).as("n_hits"),
+            (coalesce(col("hits"), lit(0L)).cast("double") / 10.0).as("recall"))
+          .orderBy("method")
+      },
+      Some {
+        val exactSql = TrainingData.defs("t05_cosine_topk").oracle.get
+        val lshSql = TrainingData.defs("t06_ann_lsh").oracle.get
+        val ivfSql = TrainingData.defs("t13_ann_ivf").oracle.get
+        s"""WITH methods(method) AS (
+           |  SELECT 'ivf_ann' UNION ALL SELECT 'lsh_ann'),
+           |found AS (
+           |  SELECT 'lsh_ann' AS method, vec_id FROM ($lshSql)
+           |  UNION ALL
+           |  SELECT 'ivf_ann' AS method, vec_id FROM ($ivfSql)),
+           |hits AS (
+           |  SELECT method, COUNT(*) AS hits
+           |  FROM found JOIN ($exactSql) e USING (vec_id)
+           |  GROUP BY method)
+           |SELECT m.method, COALESCE(h.hits, 0) AS n_hits,
+           |  CAST(COALESCE(h.hits, 0) AS DOUBLE) / 10.0 AS recall
+           |FROM methods m LEFT JOIN hits h ON h.method = m.method
+           |ORDER BY m.method""".stripMargin
+      })
   )
 }
