@@ -48,6 +48,7 @@ object Bench {
       catch { case _: Throwable => }
     }
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
+    require(runs >= 1, s"SPARK_GRAFT_RUNS must be >= 1, got $runs")
     // round-robin over the suite (1st run of every query, then 2nd, …)
     // rather than back-to-back repeats, so a multi-second load spike on
     // the host degrades one sample of many queries — which the median

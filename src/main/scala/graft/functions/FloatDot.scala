@@ -97,25 +97,35 @@ case class FloatDot(left: Expression, right: Expression)
 }
 
 object GraftFunctions {
+  /** Fail with a clear message (not an IndexOutOfBounds from exprs(i))
+    * when a SQL call passes the wrong argument count. */
+  private def arity(name: String, n: Int)(
+      f: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    exprs => {
+      require(exprs.length == n,
+        s"$name requires exactly $n argument(s), got ${exprs.length}")
+      f(exprs)
+    }
+
   /** Idempotent per-session registration of the native functions. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "float_dot", exprs => FloatDot(exprs(0), exprs(1)), "built-in")
+      "float_dot", arity("float_dot", 2)(exprs => FloatDot(exprs(0), exprs(1))), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_len", exprs => PolyLen(exprs.head), "built-in")
+      "graft_len", arity("graft_len", 1)(exprs => PolyLen(exprs.head)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "word_shingles", exprs => WordShingles(exprs.head), "built-in")
+      "word_shingles", arity("word_shingles", 1)(exprs => WordShingles(exprs.head)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "word_ngrams", exprs => WordNGrams(exprs(0), exprs(1)), "built-in")
+      "word_ngrams", arity("word_ngrams", 2)(exprs => WordNGrams(exprs(0), exprs(1))), "built-in")
     // legacy alias from when only the bigram case existed
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "word_bigrams", exprs => WordNGrams(exprs.head,
-        org.apache.spark.sql.catalyst.expressions.Literal(2)), "built-in")
+      "word_bigrams", arity("word_bigrams", 1)(exprs => WordNGrams(exprs.head,
+        org.apache.spark.sql.catalyst.expressions.Literal(2))), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "ngram_stats", exprs => NGramStats(exprs(0), exprs(1)), "built-in")
+      "ngram_stats", arity("ngram_stats", 2)(exprs => NGramStats(exprs(0), exprs(1))), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash8", exprs => MinHash8(exprs.head), "built-in")
+      "minhash8", arity("minhash8", 1)(exprs => MinHash8(exprs.head)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash16", exprs => SimHash16(exprs.head), "built-in")
+      "simhash16", arity("simhash16", 1)(exprs => SimHash16(exprs.head)), "built-in")
   }
 }

@@ -133,11 +133,16 @@ object Components {
     * doc). `propagateRounds` bounds only the cheap loop — correctness
     * never depends on it. */
   def connected(docs: DataFrame, pairs: DataFrame,
-      propagateRounds: Int = 50): DataFrame =
-    propagate(docs, pairs, propagateRounds).getOrElse {
+      propagateRounds: Int = 50): DataFrame = {
+    // materialize the candidate pairs ONCE: both fixpoint bodies re-scan
+    // them every round, and the fallback path must not re-execute a
+    // potentially corpus-scale pair pipeline a second time
+    val mat = pairs.localCheckpoint()
+    propagate(docs, mat, propagateRounds).getOrElse {
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"component diameter exceeds $propagateRounds propagation rounds; " +
           "switching to star contraction")
-      starContract(docs, pairs)
+      starContract(docs, mat)
     }
+  }
 }

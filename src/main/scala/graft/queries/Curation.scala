@@ -3,11 +3,12 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Training-data CURATION operators (t26–t30): the pipeline stages that
+/** Training-data CURATION operators (t26–t31): the pipeline stages that
   * run between measurement ([[TrainingData]]) and selection
   * ([[DataSelection]]) in a real pretraining data build — semantic dedup,
   * deterministic training-order assignment, temperature-flattened mixes,
-  * LSH candidate verification, and the composite filter verdict.
+  * LSH candidate verification, the composite filter verdict, and the
+  * ANN recall measurement.
   *
   * Oracle-portability rules are [[TrainingData]]'s / [[DataSelection]]'s:
   * md5 as the portable hash, integer counts + exact IEEE divisions,

@@ -32,7 +32,6 @@ class NGramStatsSpec extends AnyFunSuite {
       Seq("a", "a", "a", "a"),
       Seq("the", "cat", "sat", "on", "the", "cat", "sat"))
     for (n <- 1 to 4; words <- cases) {
-      val got = cases.indices // single-row frame per case
       val row = Seq(words).toDF("words")
         .select(expr(s"ngram_stats(words, $n)").as("s"))
         .select("s.total", "s.n_distinct", "s.top", "s.dup")
