@@ -395,6 +395,53 @@ object Curation {
            |  CAST(COALESCE(h.hits, 0) AS DOUBLE) / 10.0 AS recall
            |FROM methods m LEFT JOIN hits h ON h.method = m.method
            |ORDER BY m.method""".stripMargin
-      })
+      }),
+
+    // ----------------------------------------------------------------- t32
+    // Repeated-SUBSTRING detection (the practical form of exact-substring
+    // dedup à la "Deduplicating Training Data Makes Language Models
+    // Better"): hash fixed 50-char windows at stride 10, mark windows
+    // whose hash occurs in ≥ 2 distinct documents, and report the
+    // duplicated-window fraction per doc. The stride bounds work at
+    // chars/10 windows; both shuffles carry (16-byte digest, doc_id) —
+    // never text — and the window hash join is digest-keyed, so the
+    // dataflow is the t01 exact-dedup shape applied at sub-document
+    // granularity. md5 of the same substring is identical in both
+    // engines (the portable-hash rule).
+    "t32_substring_dup" -> QueryDef(
+      (spark, dir) => {
+        val wins = t(spark, dir, "documents")
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, greatest(length(text) - 49, 1), 10)," +
+              " i -> md5(cast(substr(text, i, 50) as binary)))")).as("h"))
+        val dups = wins.groupBy("h")
+          .agg(count_distinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= 2)
+          .select(col("h"), lit(1L).as("dup"))
+        wins.join(dups, Seq("h"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_windows"),
+            coalesce(sum("dup"), lit(0L)).as("n_dup_windows"))
+          .withColumn("dup_frac",
+            col("n_dup_windows").cast("double") / col("n_windows").cast("double"))
+          .select("doc_id", "n_windows", "n_dup_windows", "dup_frac")
+          .orderBy("doc_id")
+      },
+      Some("""WITH wins AS (
+             |  SELECT doc_id, md5(substr(text, i, 50)) AS h
+             |  FROM (SELECT doc_id, text,
+             |          unnest(generate_series(1, greatest(length(text) - 49, 1), 10)) AS i
+             |        FROM documents)),
+             |dups AS (
+             |  SELECT h FROM wins GROUP BY h
+             |  HAVING COUNT(DISTINCT doc_id) >= 2)
+             |SELECT w.doc_id, COUNT(*) AS n_windows,
+             |  CAST(COALESCE(SUM(CASE WHEN d.h IS NOT NULL THEN 1 END), 0)
+             |    AS BIGINT) AS n_dup_windows,
+             |  CAST(COALESCE(SUM(CASE WHEN d.h IS NOT NULL THEN 1 END), 0)
+             |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS dup_frac
+             |FROM wins w LEFT JOIN dups d ON d.h = w.h
+             |GROUP BY w.doc_id
+             |ORDER BY w.doc_id""".stripMargin))
   )
 }
