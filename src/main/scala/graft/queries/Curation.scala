@@ -442,6 +442,50 @@ object Curation {
              |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS dup_frac
              |FROM wins w LEFT JOIN dups d ON d.h = w.h
              |GROUP BY w.doc_id
-             |ORDER BY w.doc_id""".stripMargin))
+             |ORDER BY w.doc_id""".stripMargin)),
+
+    // ----------------------------------------------------------------- t33
+    // Embedding QUANTIZATION (int8 symmetric): per-vector scale =
+    // max|x|, q_i = floor(x_i · 127 / scale + 0.5) — the compression
+    // step before shipping vectors to an ANN index (4× smaller, dot
+    // products in integer SIMD). Pure map, zero shuffles; the oracle
+    // checks scale plus two integer checksums of the quantized array
+    // (sum and L1) rather than 64 columns. All arithmetic is
+    // exact-or-correctly-rounded IEEE (mul, div, floor, abs, max), so
+    // quantized values are bit-identical across engines.
+    "t33_quantize_int8" -> QueryDef(
+      (spark, dir) =>
+        t(spark, dir, "embeddings")
+          .withColumn("max_abs",
+            expr("array_max(transform(embedding, x -> abs(cast(x as double))))"))
+          .withColumn("q", expr(
+            """CASE WHEN max_abs = 0D THEN transform(embedding, x -> 0L)
+              |ELSE transform(embedding,
+              |  x -> cast(floor(cast(x as double) * 127.0 / max_abs + 0.5)
+              |       as bigint)) END""".stripMargin))
+          .select(col("vec_id"), col("max_abs"),
+            expr("aggregate(q, 0L, (a, x) -> a + x)").as("q_sum"),
+            expr("aggregate(q, 0L, (a, x) -> a + abs(x))").as("q_l1"))
+          .orderBy("vec_id"),
+      Some("""WITH m AS (
+             |  SELECT vec_id, embedding,
+             |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+             |      AS max_abs
+             |  FROM embeddings),
+             |q AS (
+             |  SELECT vec_id, max_abs,
+             |    CASE WHEN max_abs = 0 THEN
+             |      list_transform(embedding, x -> CAST(0 AS BIGINT))
+             |    ELSE list_transform(embedding,
+             |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 / max_abs + 0.5)
+             |           AS BIGINT)) END AS ql
+             |  FROM m)
+             |SELECT vec_id, max_abs,
+             |  CAST(list_reduce(ql, (a, x) -> a + x) AS BIGINT) AS q_sum,
+             |  -- abs must go through list_transform: DuckDB's no-init
+             |  -- list_reduce seeds the fold with ql[1] UNTRANSFORMED
+             |  CAST(list_reduce(list_transform(ql, x -> abs(x)), (a, x) -> a + x)
+             |    AS BIGINT) AS q_l1
+             |FROM q ORDER BY vec_id""".stripMargin))
   )
 }

@@ -501,6 +501,54 @@ object Relational {
              |SELECT o_orderstatus, 'n_orders' AS metric, n_orders AS value FROM agg
              |UNION ALL
              |SELECT o_orderstatus, 'total_price', total_price FROM agg
-             |ORDER BY o_orderstatus, metric""".stripMargin))
+             |ORDER BY o_orderstatus, metric""".stripMargin)),
+
+    // ----------------------------------------------------------------- q21
+    // Batch SESSIONIZATION over the events stream — the batch twin of
+    // graft.streaming.Streams.sessionize (same 30-minute event-time gap
+    // rule): a session boundary is a gap > 30 min since the user's
+    // previous event; session id = running boundary count per user. The
+    // windows partition by user_id (millions of keys at scale — no skew,
+    // no global window), gap math is integer µs, and value sums use the
+    // fixed-point long trick so doubles are partition-order-independent.
+    // session_seq is a windowed SUM reaching the output → CAST BIGINT in
+    // the oracle (HUGEINT rule).
+    "q21_sessionize" -> QueryDef(
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        val run = w.rowsBetween(Window.unboundedPreceding, 0)
+        t(spark, dir, "events")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+            expr("unix_micros(ts)").as("us"))
+          .withColumn("boundary",
+            when(lag("us", 1).over(w).isNull ||
+              col("us") - lag("us", 1).over(w) > 1800L * 1000000L, 1L)
+              .otherwise(0L))
+          .withColumn("session_seq", sum("boundary").over(run))
+          .groupBy("user_id", "session_seq")
+          .agg(count(lit(1)).as("n_events"),
+            min("ts").as("started"), max("ts").as("ended"),
+            (sum(fx(col("value"))).cast("double") / 1e4).as("total_value"))
+          .orderBy("user_id", "session_seq")
+      },
+      Some(s"""WITH e AS (
+              |  SELECT event_id, user_id, ts, value, epoch_us(ts) AS us
+              |  FROM events),
+              |b AS (
+              |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+              |    OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END
+              |    AS boundary
+              |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+              |s AS (
+              |  SELECT *, CAST(SUM(boundary) OVER (
+              |      PARTITION BY user_id ORDER BY us, event_id
+              |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+              |  FROM b)
+              |SELECT user_id, session_seq, COUNT(*) AS n_events,
+              |  MIN(ts) AS started, MAX(ts) AS ended,
+              |  ${fxSql("value")} AS total_value
+              |FROM s GROUP BY user_id, session_seq
+              |ORDER BY user_id, session_seq""".stripMargin))
   )
 }
