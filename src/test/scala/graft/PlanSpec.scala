@@ -230,6 +230,30 @@ class PlanSpec extends AnyFunSuite {
       "no aggregation or join belongs in a per-row computation")
   }
 
+  test("q21: sessionization windows are user-keyed, never global") {
+    val p = plan("q21_sessionize")
+    assert(p.contains("Window"))
+    assert("windowspecdefinition\\(user_id".r.findFirstIn(p).isDefined,
+      "every window must partition by user_id (a partition-less window " +
+        "would serialize the whole corpus through one task)")
+  }
+
+  test("t32: window-hash dedup shuffles digests, not text") {
+    val p = plan("t32_substring_dup")
+    assert(p.contains("Exchange hashpartitioning(h#") ||
+      p.contains("Exchange hashpartitioning(h "),
+      "the duplicate-detection shuffle must key on the 16-byte window hash")
+    assert(!"Exchange [^\\n]*text".r.findFirstIn(p).isDefined,
+      "document text must never enter a shuffle")
+  }
+
+  test("t33: quantization is a pure map (zero wide shuffles)") {
+    val p = plan("t33_quantize_int8")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "per-vector quantization must never shuffle the corpus")
+    assert(!p.contains("HashAggregate") && !p.contains("SortMergeJoin"))
+  }
+
   test("no query in the suite plans a CartesianProduct") {
     // the one blanket rule that must hold at any scale; queries that
     // RUN pipelines (p-series) execute side effects, so guard the pure
