@@ -410,13 +410,22 @@ object Curation {
     // engines (the portable-hash rule).
     "t32_substring_dup" -> QueryDef(
       (spark, dir) => {
+        // positions explode FIRST so md5+substr run as codegen'd
+        // projections on the exploded rows — hashing inside the
+        // transform() lambda would interpret per window (CodegenFallback:
+        // measured 3× slower at sf0.1)
         val wins = t(spark, dir, "documents")
-          .select(col("doc_id"), explode(expr(
-            "transform(sequence(1, greatest(length(text) - 49, 1), 10)," +
-              " i -> md5(cast(substr(text, i, 50) as binary)))")).as("h"))
+          .select(col("doc_id"), col("text"), explode(expr(
+            "sequence(1, greatest(length(text) - 49, 1), 10)")).as("i"))
+          .select(col("doc_id"),
+            md5(expr("substr(text, i, 50)").cast("binary")).as("h"))
+          .cache() // shared by the dup-detection agg and the join-back
+        // "≥ 2 distinct docs" as min != max: map-side-combinable partial
+        // aggs, ONE shuffle on the digest — a COUNT(DISTINCT doc_id)
+        // plans a second (h, doc_id) pre-shuffle for the same answer
         val dups = wins.groupBy("h")
-          .agg(count_distinct(col("doc_id")).as("nd"))
-          .filter(col("nd") >= 2)
+          .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
+          .filter(col("mn") =!= col("mx"))
           .select(col("h"), lit(1L).as("dup"))
         wins.join(dups, Seq("h"), "left")
           .groupBy("doc_id")
