@@ -22,6 +22,91 @@ object Curation {
     minhashPairs, minhashPairsDuck, planeSql, planeCol, dotCol, dotSql, dotDuck}
   import DataSelection.tokenShardBuckets
 
+  /** t30's build, shared with the t35 source-mix report (named members
+    * rather than defs lookups: the oracle strings compose EAGERLY during
+    * `defs` construction, and a self-referential map access there would
+    * hit the half-initialized object). */
+  private def t30Build(spark: SparkSession, dir: String): DataFrame = {
+    val scored = withWords(t(spark, dir, "documents"))
+      .select(col("doc_id"), col("n_chars"),
+        expr("ngram_stats(words, 1)").as("w"),
+        expr("ngram_stats(words, 2)").as("g2"))
+      .select(col("doc_id"),
+        col("w.total").as("n_words"),
+        ((col("n_chars") - col("w.total") + 1).cast("double") /
+          col("w.total").cast("double")).as("mean_word_len"),
+        (col("w.n_distinct").cast("double") / col("w.total").cast("double"))
+          .as("distinct_ratio"),
+        (col("w.top").cast("double") / col("w.total").cast("double"))
+          .as("top_word_frac"),
+        when(col("g2.total") === 0, lit(0.0))
+          .otherwise(col("g2.dup").cast("double") /
+            col("g2.total").cast("double")).as("dup_2gram_frac"))
+    scored
+      .withColumn("fail_mask",
+        (when(col("n_words").between(10, 1000), 0).otherwise(1) +
+         when(col("mean_word_len").between(2.0, 10.0), 0).otherwise(2) +
+         when(col("distinct_ratio") > 0.2, 0).otherwise(4) +
+         when(col("top_word_frac") < 0.3, 0).otherwise(8) +
+         when(col("dup_2gram_frac") < 0.5, 0).otherwise(16)).cast("int"))
+      .withColumn("keep", col("fail_mask") === 0)
+      .select("doc_id", "n_words", "mean_word_len", "distinct_ratio",
+        "top_word_frac", "dup_2gram_frac", "fail_mask", "keep")
+      .orderBy("doc_id")
+  }
+
+  /** t30's DuckDB twin, shared with t35 (see [[t30Build]]). */
+  private val t30Oracle: String =
+    """WITH ws AS (
+    |  SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    |tok AS (
+    |  SELECT doc_id, 0 AS kind, unnest(words) AS tok FROM ws
+    |  UNION ALL
+    |  SELECT doc_id, 1 AS kind,
+    |    unnest(list_transform(range(1, len(words)),
+    |      i -> array_to_string(words[i:i+1], ' '))) AS tok
+    |  FROM ws),
+    |wc AS (
+    |  SELECT doc_id, kind, tok, COUNT(*) AS c
+    |  FROM tok GROUP BY doc_id, kind, tok),
+    |stats AS (
+    |  SELECT doc_id,
+    |    CAST(SUM(CASE WHEN kind = 0 THEN c END) AS BIGINT) AS n_words,
+    |    COUNT(CASE WHEN kind = 0 THEN 1 END) AS n_distinct,
+    |    MAX(CASE WHEN kind = 0 THEN c END) AS top_count,
+    |    SUM(CASE WHEN kind = 1 THEN c END) AS n_2grams,
+    |    COALESCE(SUM(CASE WHEN kind = 1 AND c > 1 THEN c END), 0)
+    |      AS dup_2grams
+    |  FROM wc GROUP BY doc_id),
+    |scored AS (
+    |  SELECT s.doc_id, s.n_words,
+    |    CAST(d.n_chars - s.n_words + 1 AS DOUBLE)
+    |      / CAST(s.n_words AS DOUBLE) AS mean_word_len,
+    |    CAST(s.n_distinct AS DOUBLE) / CAST(s.n_words AS DOUBLE)
+    |      AS distinct_ratio,
+    |    CAST(s.top_count AS DOUBLE) / CAST(s.n_words AS DOUBLE)
+    |      AS top_word_frac,
+    |    CASE WHEN COALESCE(s.n_2grams, 0) = 0 THEN 0.0
+    |         ELSE CAST(s.dup_2grams AS DOUBLE)
+    |           / CAST(s.n_2grams AS DOUBLE) END AS dup_2gram_frac
+    |  FROM stats s JOIN documents d ON d.doc_id = s.doc_id)
+    |SELECT doc_id, n_words, mean_word_len, distinct_ratio,
+    |  top_word_frac, dup_2gram_frac,
+    |  CAST((CASE WHEN n_words BETWEEN 10 AND 1000 THEN 0 ELSE 1 END)
+    |    + (CASE WHEN mean_word_len BETWEEN 2.0 AND 10.0 THEN 0 ELSE 2 END)
+    |    + (CASE WHEN distinct_ratio > 0.2 THEN 0 ELSE 4 END)
+    |    + (CASE WHEN top_word_frac < 0.3 THEN 0 ELSE 8 END)
+    |    + (CASE WHEN dup_2gram_frac < 0.5 THEN 0 ELSE 16 END)
+    |    AS INTEGER) AS fail_mask,
+    |  (CASE WHEN n_words BETWEEN 10 AND 1000 THEN 0 ELSE 1 END)
+    |    + (CASE WHEN mean_word_len BETWEEN 2.0 AND 10.0 THEN 0 ELSE 2 END)
+    |    + (CASE WHEN distinct_ratio > 0.2 THEN 0 ELSE 4 END)
+    |    + (CASE WHEN top_word_frac < 0.3 THEN 0 ELSE 8 END)
+    |    + (CASE WHEN dup_2gram_frac < 0.5 THEN 0 ELSE 16 END) = 0
+    |    AS keep
+    |FROM scored
+    |ORDER BY doc_id""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
 
     // ----------------------------------------------------------------- t26
@@ -270,83 +355,8 @@ object Curation {
     // shuffles at any scale. All rule inputs are integer counts + exact
     // divisions → bit-identical verdicts.
     "t30_filter_verdict" -> QueryDef(
-      (spark, dir) => {
-        val scored = withWords(t(spark, dir, "documents"))
-          .select(col("doc_id"), col("n_chars"),
-            expr("ngram_stats(words, 1)").as("w"),
-            expr("ngram_stats(words, 2)").as("g2"))
-          .select(col("doc_id"),
-            col("w.total").as("n_words"),
-            ((col("n_chars") - col("w.total") + 1).cast("double") /
-              col("w.total").cast("double")).as("mean_word_len"),
-            (col("w.n_distinct").cast("double") / col("w.total").cast("double"))
-              .as("distinct_ratio"),
-            (col("w.top").cast("double") / col("w.total").cast("double"))
-              .as("top_word_frac"),
-            when(col("g2.total") === 0, lit(0.0))
-              .otherwise(col("g2.dup").cast("double") /
-                col("g2.total").cast("double")).as("dup_2gram_frac"))
-        scored
-          .withColumn("fail_mask",
-            (when(col("n_words").between(10, 1000), 0).otherwise(1) +
-             when(col("mean_word_len").between(2.0, 10.0), 0).otherwise(2) +
-             when(col("distinct_ratio") > 0.2, 0).otherwise(4) +
-             when(col("top_word_frac") < 0.3, 0).otherwise(8) +
-             when(col("dup_2gram_frac") < 0.5, 0).otherwise(16)).cast("int"))
-          .withColumn("keep", col("fail_mask") === 0)
-          .select("doc_id", "n_words", "mean_word_len", "distinct_ratio",
-            "top_word_frac", "dup_2gram_frac", "fail_mask", "keep")
-          .orderBy("doc_id")
-      },
-      Some("""WITH ws AS (
-             |  SELECT doc_id, string_split(text, ' ') AS words FROM documents),
-             |tok AS (
-             |  SELECT doc_id, 0 AS kind, unnest(words) AS tok FROM ws
-             |  UNION ALL
-             |  SELECT doc_id, 1 AS kind,
-             |    unnest(list_transform(range(1, len(words)),
-             |      i -> array_to_string(words[i:i+1], ' '))) AS tok
-             |  FROM ws),
-             |wc AS (
-             |  SELECT doc_id, kind, tok, COUNT(*) AS c
-             |  FROM tok GROUP BY doc_id, kind, tok),
-             |stats AS (
-             |  SELECT doc_id,
-             |    CAST(SUM(CASE WHEN kind = 0 THEN c END) AS BIGINT) AS n_words,
-             |    COUNT(CASE WHEN kind = 0 THEN 1 END) AS n_distinct,
-             |    MAX(CASE WHEN kind = 0 THEN c END) AS top_count,
-             |    SUM(CASE WHEN kind = 1 THEN c END) AS n_2grams,
-             |    COALESCE(SUM(CASE WHEN kind = 1 AND c > 1 THEN c END), 0)
-             |      AS dup_2grams
-             |  FROM wc GROUP BY doc_id),
-             |scored AS (
-             |  SELECT s.doc_id, s.n_words,
-             |    CAST(d.n_chars - s.n_words + 1 AS DOUBLE)
-             |      / CAST(s.n_words AS DOUBLE) AS mean_word_len,
-             |    CAST(s.n_distinct AS DOUBLE) / CAST(s.n_words AS DOUBLE)
-             |      AS distinct_ratio,
-             |    CAST(s.top_count AS DOUBLE) / CAST(s.n_words AS DOUBLE)
-             |      AS top_word_frac,
-             |    CASE WHEN COALESCE(s.n_2grams, 0) = 0 THEN 0.0
-             |         ELSE CAST(s.dup_2grams AS DOUBLE)
-             |           / CAST(s.n_2grams AS DOUBLE) END AS dup_2gram_frac
-             |  FROM stats s JOIN documents d ON d.doc_id = s.doc_id)
-             |SELECT doc_id, n_words, mean_word_len, distinct_ratio,
-             |  top_word_frac, dup_2gram_frac,
-             |  CAST((CASE WHEN n_words BETWEEN 10 AND 1000 THEN 0 ELSE 1 END)
-             |    + (CASE WHEN mean_word_len BETWEEN 2.0 AND 10.0 THEN 0 ELSE 2 END)
-             |    + (CASE WHEN distinct_ratio > 0.2 THEN 0 ELSE 4 END)
-             |    + (CASE WHEN top_word_frac < 0.3 THEN 0 ELSE 8 END)
-             |    + (CASE WHEN dup_2gram_frac < 0.5 THEN 0 ELSE 16 END)
-             |    AS INTEGER) AS fail_mask,
-             |  (CASE WHEN n_words BETWEEN 10 AND 1000 THEN 0 ELSE 1 END)
-             |    + (CASE WHEN mean_word_len BETWEEN 2.0 AND 10.0 THEN 0 ELSE 2 END)
-             |    + (CASE WHEN distinct_ratio > 0.2 THEN 0 ELSE 4 END)
-             |    + (CASE WHEN top_word_frac < 0.3 THEN 0 ELSE 8 END)
-             |    + (CASE WHEN dup_2gram_frac < 0.5 THEN 0 ELSE 16 END) = 0
-             |    AS keep
-             |FROM scored
-             |ORDER BY doc_id""".stripMargin)),
+      t30Build,
+      Some(t30Oracle)),
 
     // ----------------------------------------------------------------- t31
     // ANN RECALL measurement: recall@10 of the two approximate
@@ -495,6 +505,127 @@ object Curation {
              |  -- list_reduce seeds the fold with ql[1] UNTRANSFORMED
              |  CAST(list_reduce(list_transform(ql, x -> abs(x)), (a, x) -> a + x)
              |    AS BIGINT) AS q_l1
-             |FROM q ORDER BY vec_id""".stripMargin))
+             |FROM q ORDER BY vec_id""".stripMargin)),
+
+    // ----------------------------------------------------------------- t34
+    // VOCABULARY top-k per language — the corpus report that seeds
+    // stopword lists (t07's langid tables) and tokenizer vocab audits.
+    // Word counts come from one map-side-combinable (lang, word) agg;
+    // the per-language rank then has k ≪ cores partitions (t23's skew),
+    // so each physical partition first keeps a local top-20 per lang —
+    // a bounded no-shuffle pass — and only those survivors reach the
+    // 5-task window. Ties break (count DESC, word ASC) in both engines.
+    "t34_vocab_topk" -> QueryDef(
+      (spark, dir) => {
+        import spark.implicits._
+        val k = 20
+        val counts = t(spark, dir, "documents")
+          .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+          .groupBy("lang", "w").agg(count(lit(1)).as("c"))
+        // partition-local top-k per lang (insertion into a bounded
+        // buffer, same tuple order as the window's ORDER BY)
+        val pre = counts.as[(String, String, Long)]
+          .mapPartitions { it =>
+            val ord = implicitly[Ordering[(Long, String)]]
+            val best = scala.collection.mutable.HashMap
+              .empty[String, scala.collection.mutable.ArrayBuffer[(Long, String)]]
+            it.foreach { case (lang, w, c) =>
+              val key = (-c, w)
+              val buf = best.getOrElseUpdate(lang,
+                new scala.collection.mutable.ArrayBuffer[(Long, String)](k + 1))
+              if (buf.length < k || ord.lt(key, buf.last)) {
+                buf += key
+                var i = buf.length - 1
+                while (i > 0 && ord.lt(buf(i), buf(i - 1))) {
+                  val t = buf(i - 1); buf(i - 1) = buf(i); buf(i) = t; i -= 1
+                }
+                if (buf.length > k) buf.remove(k)
+              }
+            }
+            best.iterator.flatMap { case (lang, buf) =>
+              buf.iterator.map { case (negC, w) => (lang, w, -negC) }
+            }
+          }
+          .toDF("lang", "w", "c")
+        val win = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang").orderBy(col("c").desc, col("w"))
+        pre.withColumn("rnk", row_number().over(win))
+          .filter(col("rnk") <= k)
+          .select("lang", "rnk", "w", "c")
+          .orderBy("lang", "rnk")
+      },
+      Some("""WITH counts AS (
+             |  SELECT lang, unnest(string_split(text, ' ')) AS w
+             |  FROM documents),
+             |c AS (SELECT lang, w, COUNT(*) AS c FROM counts GROUP BY lang, w),
+             |ranked AS (
+             |  SELECT lang, w, c,
+             |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, w) AS rnk
+             |  FROM c)
+             |SELECT lang, rnk, w, c FROM ranked
+             |WHERE rnk <= 20
+             |ORDER BY lang, rnk""".stripMargin)),
+
+    // ----------------------------------------------------------------- t35
+    // Data-MIX REPORT by source: document counts, keep counts and rate
+    // under the t30 filter rules, and mean quality score (t08's formula)
+    // per crawl source — the dashboard table every curation run emits.
+    // Verdict + quality are pure map passes on the same row (ngram_stats
+    // + ratio arithmetic); the report is one tiny map-side-combinable
+    // agg over ~#sources groups. Mean quality aggregates as fixed-point
+    // longs (partition-order-independent), divided once at the end.
+    "t35_source_mix" -> QueryDef(
+      (spark, dir) => {
+        val verdict = t30Build(spark, dir)
+          .select(col("doc_id"), col("keep"))
+        val docs = t(spark, dir, "documents")
+          .withColumn("n_tokens", size(split(col("text"), " ")))
+          .withColumn("stop_hits", expr(
+            "size(filter(split(lower(text), ' '), x -> x IN ('the','a','and','of','to','in','is')))"))
+          .withColumn("punct_chars",
+            length(col("text")) - length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", "")))
+          .withColumn("quality",
+            (col("stop_hits").cast("double") / col("n_tokens").cast("double")) * 0.5 +
+              least(col("n_tokens"), lit(100)).cast("double") / 100.0 * 0.3 +
+              (lit(1.0) - col("punct_chars").cast("double") / col("n_chars").cast("double")) * 0.2)
+          .select(col("doc_id"), col("source"), col("quality"))
+        docs.join(verdict, "doc_id")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+            (sum(floor(col("quality") * 1e6 + 0.5).cast("long")).cast("double") / 1e6)
+              .as("sum_quality"))
+          .withColumn("keep_rate",
+            col("n_keep").cast("double") / col("n_docs").cast("double"))
+          .withColumn("mean_quality",
+            col("sum_quality") / col("n_docs").cast("double"))
+          .select("source", "n_docs", "n_keep", "keep_rate", "mean_quality")
+          .orderBy("source")
+      },
+      Some {
+        val t30 = t30Oracle
+        s"""WITH verdict AS (SELECT doc_id, keep FROM ($t30)),
+           |q AS (
+           |  SELECT doc_id, source,
+           |    CAST(len(list_filter(string_split(lower(text), ' '),
+           |        x -> x IN ('the','a','and','of','to','in','is'))) AS DOUBLE)
+           |      / CAST(len(string_split(text, ' ')) AS DOUBLE) * 0.5
+           |    + CAST(least(len(string_split(text, ' ')), 100) AS DOUBLE)
+           |      / 100.0 * 0.3
+           |    + (1.0 - CAST(length(text)
+           |        - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))
+           |        AS DOUBLE) / CAST(n_chars AS DOUBLE)) * 0.2 AS quality
+           |  FROM documents),
+           |j AS (SELECT q.source, q.quality, v.keep
+           |      FROM q JOIN verdict v ON v.doc_id = q.doc_id)
+           |SELECT source, COUNT(*) AS n_docs,
+           |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+           |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / CAST(COUNT(*) AS DOUBLE) AS keep_rate,
+           |  CAST(SUM(CAST(FLOOR(quality * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+           |    / 1e6 / CAST(COUNT(*) AS DOUBLE) AS mean_quality
+           |FROM j GROUP BY source
+           |ORDER BY source""".stripMargin
+      })
   )
 }
