@@ -254,6 +254,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("HashAggregate") && !p.contains("SortMergeJoin"))
   }
 
+  test("t34: vocabulary rank pre-reduces per partition before the k-task window") {
+    val p = plan("t34_vocab_topk")
+    assert(p.contains("MapPartitions"),
+      "the bounded per-partition top-k must precede the per-language window")
+    assert(p.contains("Window"))
+  }
+
   test("no query in the suite plans a CartesianProduct") {
     // the one blanket rule that must hold at any scale; queries that
     // RUN pipelines (p-series) execute side effects, so guard the pure
