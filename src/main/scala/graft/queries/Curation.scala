@@ -627,6 +627,74 @@ object Curation {
            |    / 1e6 / CAST(COUNT(*) AS DOUBLE) AS mean_quality
            |FROM j GROUP BY source
            |ORDER BY source""".stripMargin
-      })
+      }),
+
+    // ----------------------------------------------------------------- t36
+    // INCREMENTAL cross-corpus dedup: dedup a NEW crawl (sources
+    // src10–src19) against the EXISTING corpus (src0–src9) — the
+    // ingestion-time operation every continuously-fed pipeline runs
+    // instead of re-deduping the world. Exact dups probe the existing
+    // content-hash set; near-dups probe the existing corpus' MinHash
+    // band table (t02's bands, which at scale live as a pre-built index
+    // keyed by (band, bucket) — the probe is a semi-join against it,
+    // shuffling digests only, never text). Output: a verdict per new
+    // doc with exact/near flags and the keep decision.
+    "t36_incremental_dedup" -> QueryDef(
+      (spark, dir) => {
+        val docs = t(spark, dir, "documents")
+          .withColumn("is_new", expr("CAST(substr(source, 4, 10) AS INT) >= 10"))
+        val hashes = docs.select(col("doc_id"), col("is_new"),
+          md5(col("text").cast("binary")).as("h"))
+        val oldHashes = hashes.filter(!col("is_new")).select("h").distinct()
+        val exactIds = hashes.filter(col("is_new"))
+          .join(oldHashes, Seq("h"), "left_semi")
+          .select(col("doc_id"), lit(true).as("exact_dup"))
+        val bands = TrainingData.minhashBands(docs)
+          .join(docs.select("doc_id", "is_new"), "doc_id")
+        val oldBands = bands.filter(!col("is_new"))
+          .select("band", "bucket").distinct()
+        val nearIds = bands.filter(col("is_new"))
+          .join(oldBands, Seq("band", "bucket"), "left_semi")
+          .select("doc_id").distinct()
+          .withColumn("near_dup", lit(true))
+        docs.filter(col("is_new")).select("doc_id")
+          .join(exactIds, Seq("doc_id"), "left")
+          .join(nearIds, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("exact_dup"), lit(false)).as("exact_dup"),
+            coalesce(col("near_dup"), lit(false)).as("near_dup"),
+            (coalesce(col("exact_dup"), lit(false)) ||
+              coalesce(col("near_dup"), lit(false))).unary_!.as("keep"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ${TrainingData.minhashBandsDuck},
+              |flag AS (
+              |  SELECT doc_id, CAST(substr(source, 4) AS INT) >= 10 AS is_new
+              |  FROM documents),
+              |h AS (SELECT doc_id, md5(text) AS h FROM documents),
+              |oldh AS (
+              |  SELECT DISTINCT h.h FROM h JOIN flag USING (doc_id)
+              |  WHERE NOT is_new),
+              |exact AS (
+              |  SELECT DISTINCT h.doc_id FROM h
+              |  JOIN flag USING (doc_id) JOIN oldh ON oldh.h = h.h
+              |  WHERE flag.is_new),
+              |oldb AS (
+              |  SELECT DISTINCT band, bucket FROM bands
+              |  JOIN flag USING (doc_id) WHERE NOT is_new),
+              |near AS (
+              |  SELECT DISTINCT b.doc_id FROM bands b
+              |  JOIN flag USING (doc_id)
+              |  JOIN oldb USING (band, bucket)
+              |  WHERE flag.is_new)
+              |SELECT f.doc_id,
+              |  e.doc_id IS NOT NULL AS exact_dup,
+              |  n.doc_id IS NOT NULL AS near_dup,
+              |  e.doc_id IS NULL AND n.doc_id IS NULL AS keep
+              |FROM flag f
+              |LEFT JOIN exact e ON e.doc_id = f.doc_id
+              |LEFT JOIN near n ON n.doc_id = f.doc_id
+              |WHERE f.is_new
+              |ORDER BY f.doc_id""".stripMargin))
   )
 }

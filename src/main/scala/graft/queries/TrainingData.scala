@@ -108,23 +108,26 @@ object TrainingData {
     * documents are dropped before the pair join (f² candidate bound). */
   private val DfCap = 100
 
-  /** MinHash+LSH candidate pairs (t02's dataflow, shared with t15):
-    * shingle → 8 minhash sigs → 4 bands (r=2) → bucket self-join. */
-  private[queries] def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents")
-    // all 8 signature components in one compiled pass per doc (native
-    // [[graft.functions.MinHash8]]) — replaces explode → groupBy(doc_id)
-    // with a pure map, removing the widest leg of the signature stage;
-    // bit-identical to the relational min-over-md5-slices form the
-    // DuckDB oracle still uses (sigSqlDuck)
+  /** MinHash LSH band table (doc_id, band, bucket) for a documents frame:
+    * shingle → 8 minhash sigs (one compiled pass, native
+    * [[graft.functions.MinHash8]] — replaces explode → groupBy(doc_id)
+    * with a pure map, bit-identical to the relational min-over-md5-slices
+    * form the DuckDB oracle uses) → 4 bands (r=2). Shared by t02/t15's
+    * pair join and t36's cross-corpus band probe. */
+  private[queries] def minhashBands(docs: DataFrame): DataFrame = {
     val sigs = withWords(docs)
       .select(col("doc_id"), expr(s"minhash8($shingleExpr)").as("sigs"))
-    val bands = sigs.select(col("doc_id"), explode(array(
+    sigs.select(col("doc_id"), explode(array(
       (0 until 4).map(b => struct(lit(b + 1).as("band"),
         md5(concat(element_at(col("sigs"), 2 * b + 1),
           element_at(col("sigs"), 2 * b + 2))).as("bucket"))): _*
     )).as("bb")).select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+  }
 
+  /** MinHash+LSH candidate pairs (t02's dataflow, shared with t15):
+    * [[minhashBands]] bucket self-join. */
+  private[queries] def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val bands = minhashBands(t(spark, dir, "documents"))
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") &&
           col("a.bucket") === col("b.bucket") &&
@@ -133,8 +136,8 @@ object TrainingData {
       .distinct()
   }
 
-  /** DuckDB CTE text producing [[minhashPairs]] as relation `pairs`. */
-  private[queries] def minhashPairsDuck: String =
+  /** DuckDB CTE text producing [[minhashBands]] as relation `bands`. */
+  private[queries] def minhashBandsDuck: String =
     s"""shingled AS (
        |  SELECT doc_id, unnest($shingleSqlDuck) AS shingle FROM documents),
        |sigs AS (
@@ -143,7 +146,11 @@ object TrainingData {
        |  SELECT doc_id, 1 AS band, md5(concat(sig1, sig2)) AS bucket FROM sigs
        |  UNION ALL SELECT doc_id, 2, md5(concat(sig3, sig4)) FROM sigs
        |  UNION ALL SELECT doc_id, 3, md5(concat(sig5, sig6)) FROM sigs
-       |  UNION ALL SELECT doc_id, 4, md5(concat(sig7, sig8)) FROM sigs),
+       |  UNION ALL SELECT doc_id, 4, md5(concat(sig7, sig8)) FROM sigs)""".stripMargin
+
+  /** DuckDB CTE text producing [[minhashPairs]] as relation `pairs`. */
+  private[queries] def minhashPairsDuck: String =
+    s"""$minhashBandsDuck,
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
