@@ -10,11 +10,20 @@ import org.apache.spark.sql.SparkSession
   *    count() would let Catalyst prune most of the computed columns);
   *  - one warmup pass at sf0.001 first, so JIT + whole-stage-codegen class
   *    generation isn't billed to the measured run;
-  *  - per-query MEDIAN of 3 measured runs (SPARK_GRAFT_RUNS to override):
+  *  - per-query MEDIAN of 5 measured runs (SPARK_GRAFT_RUNS to override):
   *    the host has multi-hour ±30% speed phases and sub-second queries
   *    occasionally record 3+ s under transient load — a single sample can
   *    read as a false 5× regression (round 4's t07–t14 did exactly that);
-  *    the median discards one-off stalls in either direction;
+  *    the median discards one-off stalls in either direction. Sustained
+  *    contention can still poison ≥3 of 5 interleaved samples (round 5's
+  *    phantom t03/t04/t05 spikes), so the JSON also reports the per-query
+  *    MIN (`queries_min`/`total_min`) — the honest engine-cost statistic
+  *    under external load;
+  *  - the cache is cleared between every execution (warmup included), so
+  *    every billed sample is cold: a query that persists state (or a
+  *    future one that silently starts to) can never time a warm
+  *    InMemoryRelation or squat on executor storage memory while later
+  *    queries are measured;
   *  - AQE on, shuffle partitions = worker threads (local mode).
   */
 object Bench {
@@ -32,9 +41,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    def exec(name: String, dir: String): Unit =
+    def exec(name: String, dir: String): Unit = {
       SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
+      // blanket cold-cache invariant: drop anything the query persisted
+      // so the next sample (of any query) never hits a warm
+      // InMemoryRelation and storage memory is released
+      spark.catalog.clearCache()
+    }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     // warmup (not billed): sf0.001 first (cheap JIT of the interpreter
@@ -47,7 +61,7 @@ object Bench {
       try exec(n, warmSf)
       catch { case _: Throwable => }
     }
-    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "5").toInt
     require(runs >= 1, s"SPARK_GRAFT_RUNS must be >= 1, got $runs")
     // round-robin over the suite (1st run of every query, then 2nd, …)
     // rather than back-to-back repeats, so a multi-second load spike on
@@ -62,15 +76,22 @@ object Bench {
         n -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }.toMap
     }
+    // median AND min per query: the median is the headline, the min is
+    // the contention-proof floor (a spike must poison every sample to
+    // move it)
     val results = names.map { n =>
       val ts = samples.map(_(n)).sorted
       // any failed run marks the query failed (ts is sorted: check head)
-      n -> (if (ts.head < 0) -1.0 else ts(ts.length / 2))
+      n -> (if (ts.head < 0) (-1.0, -1.0) else (ts(ts.length / 2), ts.head))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def obj(f: ((String, (Double, Double))) => Double): String =
+      results.map { case (k, v) => "\"" + k + "\":" + f((k, v)) }
+        .mkString("{", ",", "}")
+    val qs = obj(_._2._1)
+    val qsMin = obj(_._2._2)
+    val total = results.map(_._2._1).filter(_ >= 0).sum
+    val totalMin = results.map(_._2._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"queries":$qs,"queries_min":$qsMin,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -55,6 +55,50 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** t34's partition-local top-k per language: a bounded insertion
+    * buffer ordered by (count DESC, word ASC) whose word comparison is
+    * over UTF-8 BYTES (`java.util.Arrays.compareUnsigned`, shorter
+    * prefix first) — exactly `UTF8String`'s binary order, i.e. what the
+    * downstream window's ORDER BY compares. Java's native String order
+    * (UTF-16 code units) disagrees with it whenever a
+    * supplementary-plane word (stored as surrogates U+D800–DFFF) ties on
+    * count against a BMP word in U+E000–U+FFFF: bytewise the astral word
+    * (lead byte F0+) sorts AFTER, code-unit-wise BEFORE. A prune keyed on
+    * the String order could then drop a word the global window ranks
+    * ≤ k. [[graft.PlanSpec]] pins the disagreement case. */
+  private[graft] def localVocabTopK(
+      counts: org.apache.spark.sql.Dataset[(String, String, Long)],
+      k: Int): DataFrame = {
+    val spark = counts.sparkSession
+    import spark.implicits._
+    counts.mapPartitions { it =>
+      // entries are (negated count, utf8 bytes, word); order on the
+      // first two fields only
+      def lt(a: (Long, Array[Byte], String),
+             b: (Long, Array[Byte], String)): Boolean =
+        if (a._1 != b._1) a._1 < b._1
+        else java.util.Arrays.compareUnsigned(a._2, b._2) < 0
+      val best = scala.collection.mutable.HashMap
+        .empty[String, scala.collection.mutable.ArrayBuffer[(Long, Array[Byte], String)]]
+      it.foreach { case (lang, w, c) =>
+        val key = (-c, w.getBytes(java.nio.charset.StandardCharsets.UTF_8), w)
+        val buf = best.getOrElseUpdate(lang,
+          new scala.collection.mutable.ArrayBuffer[(Long, Array[Byte], String)](k + 1))
+        if (buf.length < k || lt(key, buf.last)) {
+          buf += key
+          var i = buf.length - 1
+          while (i > 0 && lt(buf(i), buf(i - 1))) {
+            val t = buf(i - 1); buf(i - 1) = buf(i); buf(i) = t; i -= 1
+          }
+          if (buf.length > k) buf.remove(k)
+        }
+      }
+      best.iterator.flatMap { case (lang, buf) =>
+        buf.iterator.map { case (negC, _, w) => (lang, w, -negC) }
+      }
+    }.toDF("lang", "w", "c")
+  }
+
   /** t30's DuckDB twin, shared with t35 (see [[t30Build]]). */
   private val t30Oracle: String =
     """WITH ws AS (
@@ -422,26 +466,38 @@ object Curation {
       (spark, dir) => {
         // positions explode FIRST so md5+substr run as codegen'd
         // projections on the exploded rows instead of interpreting
-        // per window inside a transform() lambda (CodegenFallback);
-        // together with the one-shuffle dup test and the cached window
-        // leg below this measured 1.67 s → 0.81 s at sf0.1
+        // per window inside a transform() lambda (CodegenFallback)
         val wins = t(spark, dir, "documents")
           .select(col("doc_id"), col("text"), explode(expr(
             "sequence(1, greatest(length(text) - 49, 1), 10)")).as("i"))
           .select(col("doc_id"),
             md5(expr("substr(text, i, 50)").cast("binary")).as("h"))
-          .cache() // shared by the dup-detection agg and the join-back
-        // "≥ 2 distinct docs" as min != max: map-side-combinable partial
-        // aggs, ONE shuffle on the digest — a COUNT(DISTINCT doc_id)
-        // plans a second (h, doc_id) pre-shuffle for the same answer
-        val dups = wins.groupBy("h")
-          .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
-          .filter(col("mn") =!= col("mx"))
-          .select(col("h"), lit(1L).as("dup"))
-        wins.join(dups, Seq("h"), "left")
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_windows"),
-            coalesce(sum("dup"), lit(0L)).as("n_dup_windows"))
+        // ONE digest-keyed aggregation answers both questions at once:
+        // each hash group carries its doc-id list (partial collect_list
+        // is map-side), the "≥ 2 distinct docs" dup test and the per-doc
+        // window counts both unfold from that list map-side, and the
+        // per-doc totals re-key on doc_id carrying (id, cnt, flag) only.
+        // No cache (round 5 materialized a corpus-multiple of exploded
+        // digests in block storage and leaked it into later bench runs),
+        // no join-back — the exploded windows are shuffled exactly once,
+        // and nothing but 16-byte digests + ids ever enters an exchange.
+        // Group size = the duplication multiplicity of one 50-char
+        // window, so the in-group unfold is bounded by how often one
+        // string literally repeats across the corpus.
+        val per = wins.groupBy("h")
+          .agg(collect_list("doc_id").as("ids"))
+          .select((expr("size(array_distinct(ids))") >= 2).as("is_dup"),
+            explode(expr(
+              """transform(array_distinct(ids),
+                |  d -> struct(d AS doc_id,
+                |    CAST(size(filter(ids, x -> x = d)) AS BIGINT) AS cnt))"""
+                .stripMargin)).as("e"))
+          .select(col("e.doc_id").as("doc_id"), col("e.cnt").as("cnt"),
+            col("is_dup"))
+        per.groupBy("doc_id")
+          .agg(sum("cnt").as("n_windows"),
+            sum(when(col("is_dup"), col("cnt")).otherwise(0L))
+              .as("n_dup_windows"))
           .withColumn("dup_frac",
             col("n_dup_windows").cast("double") / col("n_windows").cast("double"))
           .select("doc_id", "n_windows", "n_dup_windows", "dup_frac")
@@ -524,30 +580,9 @@ object Curation {
           .select(col("lang"), explode(split(col("text"), " ")).as("w"))
           .groupBy("lang", "w").agg(count(lit(1)).as("c"))
         // partition-local top-k per lang (insertion into a bounded
-        // buffer, same tuple order as the window's ORDER BY)
-        val pre = counts.as[(String, String, Long)]
-          .mapPartitions { it =>
-            val ord = implicitly[Ordering[(Long, String)]]
-            val best = scala.collection.mutable.HashMap
-              .empty[String, scala.collection.mutable.ArrayBuffer[(Long, String)]]
-            it.foreach { case (lang, w, c) =>
-              val key = (-c, w)
-              val buf = best.getOrElseUpdate(lang,
-                new scala.collection.mutable.ArrayBuffer[(Long, String)](k + 1))
-              if (buf.length < k || ord.lt(key, buf.last)) {
-                buf += key
-                var i = buf.length - 1
-                while (i > 0 && ord.lt(buf(i), buf(i - 1))) {
-                  val t = buf(i - 1); buf(i - 1) = buf(i); buf(i) = t; i -= 1
-                }
-                if (buf.length > k) buf.remove(k)
-              }
-            }
-            best.iterator.flatMap { case (lang, buf) =>
-              buf.iterator.map { case (negC, w) => (lang, w, -negC) }
-            }
-          }
-          .toDF("lang", "w", "c")
+        // buffer, UTF-8-byte order matching the window's ORDER BY —
+        // see [[localVocabTopK]])
+        val pre = localVocabTopK(counts.as[(String, String, Long)], k)
         val win = org.apache.spark.sql.expressions.Window
           .partitionBy("lang").orderBy(col("c").desc, col("w"))
         pre.withColumn("rnk", row_number().over(win))

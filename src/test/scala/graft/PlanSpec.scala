@@ -245,6 +245,15 @@ class PlanSpec extends AnyFunSuite {
       "the duplicate-detection shuffle must key on the 16-byte window hash")
     assert(!"Exchange [^\\n]*text".r.findFirstIn(p).isDefined,
       "document text must never enter a shuffle")
+    // the round-5 shape cached the exploded windows (a corpus-multiple
+    // in block storage at scale) and joined them back; the rewrite is
+    // ONE digest-keyed aggregation + the per-doc re-key — nothing else
+    assert(!p.contains("InMemoryRelation") && !p.contains("InMemoryTableScan"),
+      "the exploded window leg must not be cached")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "dup flags must unfold from the hash groups, not join back")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      "one exchange on h + the per-doc re-key at most")
   }
 
   test("t33: quantization is a pure map (zero wide shuffles)") {
@@ -252,6 +261,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning"),
       "per-vector quantization must never shuffle the corpus")
     assert(!p.contains("HashAggregate") && !p.contains("SortMergeJoin"))
+  }
+
+  test("t34: pre-top-k prunes in UTF8String binary order, not UTF-16 order") {
+    import org.apache.spark.sql.functions.{col, row_number}
+    import org.apache.spark.sql.expressions.Window
+    val s = spark
+    import s.implicits._
+    // U+1F600 (emoji: UTF-16 D83D DE00, UTF-8 F0 9F 98 80) vs private-use
+    // U+F000 (UTF-8 EF 80 80): code-unit order says emoji < U+F000, byte
+    // order says U+F000 < emoji. At equal counts with k=1 a
+    // UTF-16-ordered prune keeps the emoji — the wrong top-1.
+    val emoji = new String(Character.toChars(0x1F600))
+    val pua = "\uF000"
+    val counts = Seq(("xx", emoji, 5L), ("xx", pua, 5L))
+      .toDS().repartition(1)
+    val pre = graft.queries.Curation.localVocabTopK(counts, 1)
+    val w = Window.partitionBy("lang").orderBy(col("c").desc, col("w"))
+    val got = pre.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1).select("w").as[String].collect()
+    assert(got.toSeq == Seq(pua),
+      "prune order must match the window's UTF8String binary ORDER BY")
   }
 
   test("t34: vocabulary rank pre-reduces per partition before the k-task window") {
