@@ -19,7 +19,7 @@ object Curation {
 
   import Tables.t
   import TrainingData.{withWords, shingleExpr, shingleSqlDuck, sigSqlDuck,
-    minhashPairs, minhashPairsDuck, planeSql, planeCol, dotCol, dotSql, dotDuck}
+    minhashPairs, minhashPairsDuck, dotCol, dotSql, dotDuck}
   import DataSelection.tokenShardBuckets
 
   /** t30's build, shared with the t35 source-mix report (named members
@@ -99,6 +99,13 @@ object Curation {
     }.toDF("lang", "w", "c")
   }
 
+  /** t26's cell count: one learned centroid per ~`targetCellSize`
+    * vectors, so SemDeDup's within-cell pairwise cost (Σ|cell|²) stays
+    * LINEAR in N — the guard round 5 left in prose. [[graft.PlanSpec]]
+    * pins the growth. */
+  private[graft] def semdedupK(n: Long, targetCellSize: Int = 64): Int =
+    math.max(1, math.ceil(n.toDouble / targetCellSize).toInt)
+
   /** t30's DuckDB twin, shared with t35 (see [[t30Build]]). */
   private val t30Oracle: String =
     """WITH ws AS (
@@ -155,26 +162,64 @@ object Curation {
 
     // ----------------------------------------------------------------- t26
     // SEMANTIC dedup (SemDeDup shape): assign every embedding to its
-    // nearest deterministic centroid (t13's IVF cells), compare pairs
-    // ONLY within a cell by exact cosine, and drop the higher vec_id of
-    // every pair above the similarity threshold. Within-cell pairwise is
-    // the published SemDeDup algorithm; its cost is Σ|cell|², which at
-    // scale is held linear by growing k with N (cells stay ~constant
-    // size — k here is the fixture's 8). The pair join shuffles
-    // (cell, embedding) once per side; verdicts aggregate per dropped id
-    // so the output is a dedup decision, not a candidate list.
+    // nearest centroid, compare pairs ONLY within a cell by exact
+    // cosine, and drop the higher vec_id of every pair above the
+    // similarity threshold. Within-cell pairwise is the published
+    // SemDeDup algorithm; its cost is Σ|cell|², held LINEAR in code by
+    // k = ⌈N / targetCellSize⌉ ([[semdedupK]] — round 5 hard-wired the
+    // fixture's 8 literals, so a 100× corpus meant 100× cells and
+    // 10 000× pair work). Centroids are LEARNED: one Lloyd round from k
+    // LCG seeds using t16's fixed-point recipe, so the centroid doubles
+    // — and every distance computed from them — are bit-identical across
+    // engines. The count() and the k×64 fixed-point collect are the only
+    // driver actions; at extreme N raise targetCellSize (or keep the
+    // centroids distributed) so k×64 longs stay driver-sized. The pair
+    // join shuffles (cell, embedding) once per side; verdicts aggregate
+    // per dropped id so the output is a dedup decision, not a candidate
+    // list.
     "t26_semdedup" -> QueryDef(
       (spark, dir) => {
+        import org.apache.spark.sql.Row
         val emb = t(spark, dir, "embeddings")
-        val cdots = array((1 to 8)
-          .map(k => dotCol(col("embedding"), planeCol(k + 100))): _*)
+        val kCells = semdedupK(emb.count())
+        def lcg(j: Int): IndexedSeq[Double] = (1 to 64).map { d =>
+          val m = (j.toLong * 1103515245L + d.toLong * 12345L) % 32768L
+          m.toDouble / 32768.0 - 0.5
+        }
+        def norm(c: Seq[Double]): Double = c.foldLeft(0.0)((a, x) => a + x * x)
+        // min-distance assignment; first-min tie-break == lowest cell,
+        // matching the oracle's ROW_NUMBER ... ORDER BY dist, cell.
+        // Centroids ride as literals so the whole pass stays codegen'd
+        // (beyond k ≈ thousands, switch to a broadcast centroid table +
+        // min_by — same answer, join-shaped plan).
+        def assign(cs: Seq[(Int, IndexedSeq[Double])]): DataFrame = {
+          val dists = array(cs.map { case (_, c) =>
+            lit(norm(c)) - lit(2.0) * dotCol(col("embedding"), typedlit(c))
+          }: _*)
+          val cellIds = typedlit(cs.map(_._1))
+          emb.withColumn("__d", dists)
+            .withColumn("cell", element_at(cellIds,
+              expr("array_position(__d, array_min(__d))").cast("int")))
+            .drop("__d")
+        }
+        val init = (1 to kCells).map(c => c -> lcg(c + 100))
+        val learned = assign(init)
+          .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "v")))
+          .groupBy("cell", "dim")
+          .agg(sum(floor(col("v") * 1e6 + 0.5)).as("s"), count(lit(1)).as("n"))
+          .groupBy("cell")
+          .agg(sort_array(collect_list(struct(col("dim"), col("s"), col("n"))))
+            .as("dims"))
+          .collect()
+          .map { r =>
+            val dims = r.getSeq[Row](1)
+            r.getInt(0) -> dims.map(d =>
+              d.getLong(1) / 1e6 / d.getLong(2)).toIndexedSeq
+          }.sortBy(_._1).toSeq
         // self-norms hoisted to the assignment pass: one float_dot per
         // VECTOR here instead of two per PAIR in the join (the pair side
         // is quadratic within cells); same doubles, just computed once
-        val assigned = emb
-          .withColumn("cdots", cdots)
-          .withColumn("cell",
-            expr("array_position(cdots, array_max(cdots))").cast("int"))
+        val assigned = assign(learned)
           .withColumn("nrm", expr(dotSql("embedding", "embedding")))
           .select("vec_id", "cell", "embedding", "nrm")
         val pairs = assigned.as("a").join(assigned.as("b"),
@@ -193,24 +238,65 @@ object Curation {
           .orderBy("vec_id")
       },
       Some({
-        val cdots = (1 to 8)
-          .map(k => dotDuck("embedding",
-            s"(list_transform(range(1, 65), d -> ${planeSql(k + 100, "d")}))"))
-          .mkString("[", ", ", "]")
-        val cos =
-          s"""${dotDuck("a.embedding", "b.embedding")}
-             |      / (sqrt(${dotDuck("a.embedding", "a.embedding")})
-             |         * sqrt(${dotDuck("b.embedding", "b.embedding")}))""".stripMargin
-        s"""WITH assigned AS (
-           |  SELECT vec_id, embedding,
-           |    CAST(list_position(cdots, list_max(cdots)) AS INTEGER) AS cell
-           |  FROM (SELECT vec_id, embedding, $cdots AS cdots
-           |        FROM embeddings)),
+        s"""WITH nk AS (
+           |  SELECT CAST(CEIL(COUNT(*) / 64.0) AS INT) AS k FROM embeddings),
+           |cent0 AS (
+           |  SELECT cell,
+           |    list(CAST(((CAST(cell AS BIGINT) + 100) * 1103515245
+           |              + d * 12345) % 32768
+           |              AS DOUBLE) / 32768.0 - 0.5 ORDER BY d) AS c
+           |  FROM (SELECT CAST(cell0 AS INTEGER) AS cell
+           |        FROM (SELECT unnest(generate_series(1, k)) AS cell0
+           |              FROM nk)),
+           |       generate_series(1, 64) AS g(d)
+           |  GROUP BY cell),
+           |cn0 AS (
+           |  SELECT cell, c,
+           |    list_reduce(list_transform(c, x -> x*x), (a, b) -> a + b)
+           |      AS nrm
+           |  FROM cent0),
+           |d0 AS (
+           |  SELECT e.vec_id, e.embedding, cn.cell,
+           |    cn.nrm - 2*${dotDuck("e.embedding", "cn.c")} AS dist
+           |  FROM embeddings e, cn0 cn),
+           |a0 AS (
+           |  SELECT vec_id, embedding, cell FROM (
+           |    SELECT vec_id, embedding, cell,
+           |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell)
+           |        AS rn
+           |    FROM d0) WHERE rn = 1),
+           |u1 AS (
+           |  SELECT cell, g.dim AS dim,
+           |    SUM(CAST(FLOOR(CAST(embedding[g.dim] AS DOUBLE)*1e6 + 0.5)
+           |      AS BIGINT)) AS s,
+           |    COUNT(*) AS n
+           |  FROM a0, generate_series(1, 64) AS g(dim)
+           |  GROUP BY cell, g.dim),
+           |c1 AS (
+           |  SELECT cell, list(CAST(s AS DOUBLE)/1e6/n ORDER BY dim) AS c
+           |  FROM u1 GROUP BY cell),
+           |cn1 AS (
+           |  SELECT cell, c,
+           |    list_reduce(list_transform(c, x -> x*x), (a, b) -> a + b)
+           |      AS nrm
+           |  FROM c1),
+           |d1 AS (
+           |  SELECT e.vec_id, e.embedding, cn.cell,
+           |    cn.nrm - 2*${dotDuck("e.embedding", "cn.c")} AS dist
+           |  FROM embeddings e, cn1 cn),
+           |asg AS (
+           |  SELECT vec_id, embedding, cell,
+           |    ${dotDuck("embedding", "embedding")} AS nrm_v
+           |  FROM (
+           |    SELECT vec_id, embedding, cell,
+           |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell)
+           |        AS rn
+           |    FROM d1) WHERE rn = 1),
            |pairs AS (
            |  SELECT a.vec_id AS keep_id, b.vec_id AS drop_id, a.cell,
-           |    $cos AS cosine
-           |  FROM assigned a JOIN assigned b
-           |    ON a.cell = b.cell AND a.vec_id < b.vec_id)
+           |    ${dotDuck("a.embedding", "b.embedding")}
+           |      / (sqrt(a.nrm_v) * sqrt(b.nrm_v)) AS cosine
+           |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id)
            |SELECT drop_id AS vec_id, cell, MIN(keep_id) AS dup_of,
            |  COUNT(*) AS n_near
            |FROM pairs WHERE cosine >= 0.3

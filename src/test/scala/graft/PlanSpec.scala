@@ -193,6 +193,17 @@ class PlanSpec extends AnyFunSuite {
       "the pair join must be an equi-join on the cell id")
   }
 
+  test("t26: cell count grows with N (Σ|cell|² stays linear)") {
+    // the SemDeDup quadratic guard must live in code, not prose: k
+    // tracks ⌈N / targetCellSize⌉ so cells hold ~constant membership
+    // and a 100× corpus gets 100× cells, not 100× cell size
+    import graft.queries.Curation.semdedupK
+    assert(semdedupK(1) == 1)
+    assert(semdedupK(500) == 8)
+    assert(semdedupK(2000) == 32)
+    assert(semdedupK(100 * 6400) == 100 * semdedupK(6400))
+  }
+
   test("t27: global rank is two-pass map work, never a partition-less window") {
     val p = plan("t27_training_order")
     assert(!p.contains("Window"),
