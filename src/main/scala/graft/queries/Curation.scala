@@ -816,6 +816,69 @@ object Curation {
               |LEFT JOIN exact e ON e.doc_id = f.doc_id
               |LEFT JOIN near n ON n.doc_id = f.doc_id
               |WHERE f.is_new
-              |ORDER BY f.doc_id""".stripMargin))
+              |ORDER BY f.doc_id""".stripMargin)),
+
+    // ----------------------------------------------------------------- t37
+    // PARAGRAPH-level near-dup (the CCNet / RefinedWeb preprocessing
+    // step): hash each normalized paragraph and drop paragraphs whose
+    // digest appears in ≥ 3 distinct documents — boilerplate removal at
+    // sub-document granularity, the one dedup level between t01's whole
+    // doc and t32's 50-char window. This corpus has no newline
+    // structure, so a "paragraph" is a non-overlapping 20-word segment
+    // of the lowercased text (the normalization in CCNet is likewise
+    // lowercase + punctuation-strip before hashing). Dataflow is t32's
+    // ONE digest-keyed aggregation: hash groups carry doc-id lists, the
+    // ≥3-docs test and per-doc paragraph counts unfold map-side, and
+    // only 16-byte digests + ids ever enter an exchange — never text.
+    "t37_paragraph_dedup" -> QueryDef(
+      (spark, dir) => {
+        val paras = t(spark, dir, "documents")
+          .select(col("doc_id"), expr("split(lower(text), ' ')").as("words"))
+          .select(col("doc_id"), col("words"),
+            explode(expr("sequence(0, (size(words) - 1) div 20)")).as("s"))
+          .select(col("doc_id"),
+            md5(expr("array_join(slice(words, s * 20 + 1, 20), ' ')")
+              .cast("binary")).as("h"))
+        val per = paras.groupBy("h")
+          .agg(collect_list("doc_id").as("ids"))
+          .select((expr("size(array_distinct(ids))") >= 3).as("is_dup"),
+            explode(expr(
+              """transform(array_distinct(ids),
+                |  d -> struct(d AS doc_id,
+                |    CAST(size(filter(ids, x -> x = d)) AS BIGINT) AS cnt))"""
+                .stripMargin)).as("e"))
+          .select(col("e.doc_id").as("doc_id"), col("e.cnt").as("cnt"),
+            col("is_dup"))
+        per.groupBy("doc_id")
+          .agg(sum("cnt").as("n_paras"),
+            sum(when(col("is_dup"), col("cnt")).otherwise(0L))
+              .as("n_dropped"))
+          .withColumn("kept_frac",
+            (col("n_paras") - col("n_dropped")).cast("double") /
+              col("n_paras").cast("double"))
+          .select("doc_id", "n_paras", "n_dropped", "kept_frac")
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id, string_split(lower(text), ' ') AS words
+             |  FROM documents),
+             |paras AS (
+             |  SELECT doc_id,
+             |    md5(array_to_string(words[(s*20+1):(s*20+20)], ' ')) AS h
+             |  FROM (SELECT doc_id, words,
+             |          unnest(generate_series(0, CAST((len(words)-1)//20 AS BIGINT)))
+             |            AS s
+             |        FROM w)),
+             |dups AS (
+             |  SELECT h FROM paras GROUP BY h
+             |  HAVING COUNT(DISTINCT doc_id) >= 3)
+             |SELECT p.doc_id, COUNT(*) AS n_paras,
+             |  CAST(COALESCE(SUM(CASE WHEN d.h IS NOT NULL THEN 1 END), 0)
+             |    AS BIGINT) AS n_dropped,
+             |  CAST(COUNT(*) - COALESCE(SUM(CASE WHEN d.h IS NOT NULL THEN 1 END), 0)
+             |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS kept_frac
+             |FROM paras p LEFT JOIN dups d ON d.h = p.h
+             |GROUP BY p.doc_id
+             |ORDER BY p.doc_id""".stripMargin))
   )
 }

@@ -267,6 +267,20 @@ class PlanSpec extends AnyFunSuite {
       "one exchange on h + the per-doc re-key at most")
   }
 
+  test("t37: paragraph dedup shuffles digests only, one h-keyed agg, no join-back") {
+    val p = plan("t37_paragraph_dedup")
+    assert(p.contains("Exchange hashpartitioning(h#") ||
+      p.contains("Exchange hashpartitioning(h "),
+      "the dup-detection shuffle must key on the 16-byte paragraph hash")
+    assert(!"Exchange [^\\n]*text".r.findFirstIn(p).isDefined &&
+      !"Exchange [^\\n]*words".r.findFirstIn(p).isDefined,
+      "paragraph text must never enter a shuffle")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "dup flags must unfold from the hash groups, not join back")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      "one exchange on h + the per-doc re-key at most")
+  }
+
   test("t33: quantization is a pure map (zero wide shuffles)") {
     val p = plan("t33_quantize_int8")
     assert(!p.contains("Exchange hashpartitioning"),
