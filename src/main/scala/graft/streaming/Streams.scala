@@ -43,9 +43,26 @@ object Streams {
       .agg(count(lit(1)).as("n"))
 
   /** Session state held per user between micro-batches (public: the state
-    * store encoder codegen needs accessible accessors). */
-  final case class SessionState(nEvents: Int, totalValue: Double,
-      startedMs: Long, lastMs: Long)
+    * store encoder codegen needs accessible accessors). Value totals
+    * accumulate as fixed-point 1e-4 longs (the q21 batch twin's recipe),
+    * so the emitted double is independent of arrival/batch order. */
+  final case class SessionState(nEvents: Int, totalFp: Long,
+      startedUs: Long, lastUs: Long)
+
+  /** Timestamp → epoch MICROseconds (getTime alone is ms-truncated; the
+    * events fixture carries sub-ms precision and the batch twin compares
+    * gaps in µs — ms math would merge sessions split by a gap of
+    * 30 min + sub-ms). */
+  private def micros(t: java.sql.Timestamp): Long =
+    // getNanos covers the full sub-second part (incl. the ms getTime
+    // already counts), so rebuild from whole seconds + nanos
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  private def toTs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
 
   /** Custom stateful sessionization via flatMapGroupsWithState: a session
     * closes when a later EVENT-TIME arrival is more than `gapMs` after the
@@ -54,6 +71,10 @@ object Streams {
     * with the cluster. This is the §2.10 "custom state" surface the
     * reference cannot express at all.
     *
+    * Semantically the twin of the batch `q21_sessionize` (same µs gap
+    * math, same (ts, event_id) tie-break, same fixed-point value sum) —
+    * StreamingSpec pins the equivalence on the events fixture.
+    *
     * Event-time gap detection (not wall-clock timeouts) keeps replays
     * deterministic; an idle key's open session stays in state until its
     * next event — production deployments bound that with a TTL config on
@@ -61,24 +82,27 @@ object Streams {
   def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L)(
       implicit spark: SparkSession): Dataset[Session] = {
     import spark.implicits._
+    val gapUs = gapMs * 1000L
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) => {
-          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          def fp(v: Double): Long = math.floor(v * 1e4 + 0.5).toLong
+          val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
           var cur = state.getOption
           val out = Seq.newBuilder[Session]
           sorted.foreach { e =>
+            val us = micros(e.ts)
             cur match {
-              case Some(s) if e.ts.getTime - s.lastMs <= gapMs =>
+              case Some(s) if us - s.lastUs <= gapUs =>
                 cur = Some(s.copy(nEvents = s.nEvents + 1,
-                  totalValue = s.totalValue + e.value, lastMs = e.ts.getTime))
+                  totalFp = s.totalFp + fp(e.value), lastUs = us))
               case Some(s) =>
-                out += Session(userId, s.nEvents, s.totalValue,
-                  new java.sql.Timestamp(s.startedMs), new java.sql.Timestamp(s.lastMs))
-                cur = Some(SessionState(1, e.value, e.ts.getTime, e.ts.getTime))
+                out += Session(userId, s.nEvents, s.totalFp / 1e4,
+                  toTs(s.startedUs), toTs(s.lastUs))
+                cur = Some(SessionState(1, fp(e.value), us, us))
               case None =>
-                cur = Some(SessionState(1, e.value, e.ts.getTime, e.ts.getTime))
+                cur = Some(SessionState(1, fp(e.value), us, us))
             }
           }
           cur.foreach(state.update)

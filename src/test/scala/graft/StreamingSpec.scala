@@ -82,6 +82,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sessionize equals batch q21 on the events fixture") {
+    // the two sessionizers implement the same 30-min event-time gap rule
+    // (µs math, (ts, event_id) tie-break, fixed-point value sums); this
+    // pins them together so neither drifts. Sentinel far-future events
+    // force every user's trailing open session to close, since the
+    // event-time rule only emits a session when a later arrival proves
+    // the gap.
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.queries.Tables.t(spark, dir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect().toSeq
+    val maxMs = ev.map(_.ts.getTime).max
+    val input = MemoryStream[Event]
+    val q = Streams.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sessions_eq")
+      .outputMode(OutputMode.Append).start()
+    val got = try {
+      input.addData(ev)
+      q.processAllAvailable()
+      val sentinels = ev.map(_.user_id).distinct.zipWithIndex.map {
+        case (u, i) =>
+          Event(-1L - i, new Timestamp(maxMs + 24L * 3600 * 1000), u, "flush", 0.0)
+      }
+      input.addData(sentinels)
+      q.processAllAvailable()
+      spark.table("sessions_eq").as[Session].collect()
+        .map(x => (x.user_id, x.n_events.toLong, x.total_value,
+          x.started.toString, x.ended.toString)).toSeq.sorted
+    } finally q.stop()
+    val want = SparkEntry.queries("q21_sessionize")(spark, dir)
+      .select("user_id", "n_events", "total_value", "started", "ended")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getTimestamp(3).toString, r.getTimestamp(4).toString)).toSeq.sorted
+    assert(got.size == want.size)
+    assert(got == want)
+  }
+
   test("file-source stream over the events fixture directory") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
     val batch = graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
