@@ -489,52 +489,157 @@ object Curation {
       Some(t30Oracle)),
 
     // ----------------------------------------------------------------- t31
-    // ANN RECALL measurement: recall@10 of the two approximate
-    // similarity-search paths (t06 hyperplane-LSH, t13 IVF 2-probe)
-    // against the exact brute-force top-10 (t05) for the same query
-    // vector — "measure, don't guess" applied to ANN: the number every
-    // index deployment must report before trading exactness for speed.
-    // All three legs are the existing operators' plans (ground truth
-    // broadcast: 10 ids); the comparison is a 20-row join — the corpus
-    // cost is the legs themselves.
+    // ANN RECALL over a PARAMETER SWEEP: recall@10 of the two
+    // approximate similarity-search families against the exact
+    // brute-force top-10 (t05's leg) for the same query vector, as a
+    // (method, param) grid — hyperplane-LSH with the 8-bit signature
+    // split into 2/4/8 OR-amplified bands, and IVF probing the query's
+    // top 1/2/4 of 8 cells. This is the tuning table a real index
+    // deployment reads before trading exactness for speed ("measure,
+    // don't guess"): more bands / more probes → more candidates → higher
+    // recall. Every leg keeps the audit shape: the single query row
+    // broadcasts (1-row BNLJ, t05's own pattern), candidate re-ranking
+    // is exact cosine with hoisted norms, and the ground-truth join is
+    // 10 broadcast ids — the corpus cost is one signature/assignment map
+    // pass per leg.
     "t31_ann_recall" -> QueryDef(
       (spark, dir) => {
         import spark.implicits._
+        import TrainingData.planeCol
+        val emb = t(spark, dir, "embeddings")
         val exact = TrainingData.defs("t05_cosine_topk")
           .build(spark, dir).select("vec_id")
-        val lsh = TrainingData.defs("t06_ann_lsh")
-          .build(spark, dir).select("vec_id")
-        val ivf = TrainingData.defs("t13_ann_ivf")
-          .build(spark, dir).select("vec_id")
-        val found = lsh.withColumn("method", lit("lsh_ann"))
-          .unionByName(ivf.withColumn("method", lit("ivf_ann")))
-        val hits = found.join(broadcast(exact), "vec_id")
-          .groupBy("method").agg(count(lit(1)).as("hits"))
-        Seq("ivf_ann", "lsh_ann").toDF("method")
-          .join(hits, Seq("method"), "left")
-          .select(col("method"),
+        def cosTop10(cands: DataFrame): DataFrame = cands
+          .withColumn("dot", expr(dotSql("embedding", "q_emb")))
+          .withColumn("na", expr(dotSql("embedding", "embedding")))
+          .withColumn("nq", expr(dotSql("q_emb", "q_emb")))
+          .select(col("vec_id"),
+            (col("dot").cast("double") /
+              (sqrt(col("na").cast("double")) * sqrt(col("nq").cast("double"))))
+              .as("cosine"))
+          .orderBy(col("cosine").desc, col("vec_id"))
+          .limit(10)
+          .select("vec_id")
+        // t06's 8-plane signature; bands of 8/b bits, match on ANY band
+        val planeDots = (1 to 8).map { j =>
+          when(dotCol(col("embedding"), planeCol(j)) > 0, 1 << (j - 1))
+            .otherwise(0)
+        }
+        val sigged = emb.withColumn("sig",
+          planeDots.reduce(_ + _).cast("int"))
+        def lshLeg(bands: Int): DataFrame = {
+          val w = 8 / bands
+          val q = sigged.filter(col("vec_id") === 0)
+            .select(col("embedding").as("q_emb"), col("sig").as("q_sig"))
+          val cond = (0 until bands).map { b =>
+            expr(s"(sig div ${1 << (b * w)}) % ${1 << w}") ===
+              expr(s"(q_sig div ${1 << (b * w)}) % ${1 << w}")
+          }.reduce(_ || _)
+          cosTop10(sigged.crossJoin(broadcast(q))
+            .filter(cond && col("vec_id") =!= 0))
+        }
+        // t13's 8 LCG centroids; the query probes its top-p cells
+        def ivfLeg(probe: Int): DataFrame = {
+          val cdots = array((1 to 8)
+            .map(k => dotCol(col("embedding"), planeCol(k + 100))): _*)
+          val assigned = emb.withColumn("cdots", cdots)
+            .withColumn("cell",
+              expr("array_position(cdots, array_max(cdots))").cast("int"))
+          val probes = (1 to probe).map(i =>
+            expr(s"array_position(cdots, element_at(array_sort(cdots), ${9 - i}))")
+              .cast("int").as(s"p$i"))
+          val q = assigned.filter(col("vec_id") === 0)
+            .select(col("embedding").as("q_emb") +: probes: _*)
+          val cond = (1 to probe).map(i => col("cell") === col(s"p$i"))
+            .reduce(_ || _)
+          cosTop10(assigned.join(broadcast(q), cond)
+            .filter(col("vec_id") =!= 0))
+        }
+        val legs =
+          Seq(2, 4, 8).map(b => lshLeg(b)
+            .withColumn("method", lit("lsh_ann")).withColumn("param", lit(b))) ++
+          Seq(1, 2, 4).map(p => ivfLeg(p)
+            .withColumn("method", lit("ivf_ann")).withColumn("param", lit(p)))
+        val hits = legs.reduce(_ unionByName _)
+          .join(broadcast(exact), "vec_id")
+          .groupBy("method", "param").agg(count(lit(1)).as("hits"))
+        Seq(("ivf_ann", 1), ("ivf_ann", 2), ("ivf_ann", 4),
+            ("lsh_ann", 2), ("lsh_ann", 4), ("lsh_ann", 8))
+          .toDF("method", "param")
+          .join(hits, Seq("method", "param"), "left")
+          .select(col("method"), col("param"),
             coalesce(col("hits"), lit(0L)).as("n_hits"),
             (coalesce(col("hits"), lit(0L)).cast("double") / 10.0).as("recall"))
-          .orderBy("method")
+          .orderBy("method", "param")
       },
       Some {
+        import TrainingData.planeSql
         val exactSql = TrainingData.defs("t05_cosine_topk").oracle.get
-        val lshSql = TrainingData.defs("t06_ann_lsh").oracle.get
-        val ivfSql = TrainingData.defs("t13_ann_ivf").oracle.get
-        s"""WITH methods(method) AS (
-           |  SELECT 'ivf_ann' UNION ALL SELECT 'lsh_ann'),
+        val planeList = (j: Int) =>
+          s"list_transform(range(1, 65), d -> ${planeSql(j, "d")})"
+        val sigExpr = (1 to 8).map(j =>
+          s"CASE WHEN ${dotDuck("embedding", s"(${planeList(j)})")} > 0" +
+            s" THEN ${1 << (j - 1)} ELSE 0 END").mkString(" + ")
+        def lshSql(bands: Int): String = {
+          val w = 8 / bands
+          val cond = (0 until bands).map(b =>
+            s"(b.sig // ${1 << (b * w)}) % ${1 << w} = " +
+              s"(q.sig // ${1 << (b * w)}) % ${1 << w}").mkString(" OR ")
+          s"""WITH sig AS (
+             |    SELECT vec_id, embedding, CAST($sigExpr AS INTEGER) AS sig
+             |    FROM embeddings)
+             |  SELECT vec_id FROM (
+             |    SELECT b.vec_id,
+             |      ${dotDuck("b.embedding", "q.embedding")}
+             |      / (sqrt(${dotDuck("b.embedding", "b.embedding")})
+             |         * sqrt(${dotDuck("q.embedding", "q.embedding")})) AS cosine
+             |    FROM sig b, (SELECT embedding, sig FROM sig WHERE vec_id = 0) q
+             |    WHERE b.vec_id <> 0 AND ($cond)
+             |    ORDER BY cosine DESC, vec_id LIMIT 10)""".stripMargin
+        }
+        val cdots = (1 to 8)
+          .map(k => dotDuck("embedding", s"(${planeList(k + 100)})"))
+          .mkString("[", ", ", "]")
+        def ivfSql(probe: Int): String = {
+          val ps = (1 to probe).map(i =>
+            s"CAST(list_position(cdots, list_sort(cdots)[${9 - i}]) AS INTEGER) AS p$i")
+            .mkString(", ")
+          val cond = (1 to probe).map(i => s"a.cell = q.p$i").mkString(" OR ")
+          s"""WITH assigned AS (
+             |    SELECT vec_id, embedding, cdots,
+             |      CAST(list_position(cdots, list_max(cdots)) AS INTEGER) AS cell
+             |    FROM (SELECT vec_id, embedding, $cdots AS cdots
+             |          FROM embeddings)),
+             |  q AS (SELECT embedding AS q_emb, $ps FROM assigned WHERE vec_id = 0)
+             |  SELECT vec_id FROM (
+             |    SELECT a.vec_id,
+             |      ${dotDuck("a.embedding", "q.q_emb")}
+             |      / (sqrt(${dotDuck("a.embedding", "a.embedding")})
+             |         * sqrt(${dotDuck("q.q_emb", "q.q_emb")})) AS cosine
+             |    FROM assigned a JOIN q ON ($cond)
+             |    WHERE a.vec_id <> 0
+             |    ORDER BY cosine DESC, vec_id LIMIT 10)""".stripMargin
+        }
+        val found =
+          (Seq(2, 4, 8).map(b =>
+            s"SELECT 'lsh_ann' AS method, $b AS param, vec_id FROM (${lshSql(b)})") ++
+           Seq(1, 2, 4).map(p =>
+            s"SELECT 'ivf_ann' AS method, $p AS param, vec_id FROM (${ivfSql(p)})"))
+            .mkString("\n  UNION ALL\n  ")
+        s"""WITH methods(method, param) AS (
+           |  VALUES ('ivf_ann', 1), ('ivf_ann', 2), ('ivf_ann', 4),
+           |         ('lsh_ann', 2), ('lsh_ann', 4), ('lsh_ann', 8)),
            |found AS (
-           |  SELECT 'lsh_ann' AS method, vec_id FROM ($lshSql)
-           |  UNION ALL
-           |  SELECT 'ivf_ann' AS method, vec_id FROM ($ivfSql)),
+           |  $found),
            |hits AS (
-           |  SELECT method, COUNT(*) AS hits
+           |  SELECT method, param, COUNT(*) AS hits
            |  FROM found JOIN ($exactSql) e USING (vec_id)
-           |  GROUP BY method)
-           |SELECT m.method, COALESCE(h.hits, 0) AS n_hits,
+           |  GROUP BY method, param)
+           |SELECT m.method, m.param, CAST(COALESCE(h.hits, 0) AS BIGINT) AS n_hits,
            |  CAST(COALESCE(h.hits, 0) AS DOUBLE) / 10.0 AS recall
-           |FROM methods m LEFT JOIN hits h ON h.method = m.method
-           |ORDER BY m.method""".stripMargin
+           |FROM methods m LEFT JOIN hits h
+           |  ON h.method = m.method AND h.param = m.param
+           |ORDER BY m.method, m.param""".stripMargin
       }),
 
     // ----------------------------------------------------------------- t32
