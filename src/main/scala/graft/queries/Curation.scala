@@ -664,30 +664,30 @@ object Curation {
           .select(col("doc_id"),
             md5(expr("substr(text, i, 50)").cast("binary")).as("h"))
         // ONE digest-keyed aggregation answers both questions at once:
-        // each hash group carries its doc-id list (partial collect_list
-        // is map-side), the "≥ 2 distinct docs" dup test and the per-doc
-        // window counts both unfold from that list map-side, and the
-        // per-doc totals re-key on doc_id carrying (id, cnt, flag) only.
-        // No cache (round 5 materialized a corpus-multiple of exploded
-        // digests in block storage and leaked it into later bench runs),
-        // no join-back — the exploded windows are shuffled exactly once,
+        // each hash group carries min/max doc (the "≥ 2 distinct docs"
+        // dup test) plus its doc-id list, the per-window rows unfold
+        // from that list with a plain codegen'd explode (a
+        // transform/filter per-doc pre-count measured SLOWER — the
+        // higher-order lambdas are interpreted), and the per-doc agg
+        // pre-combines map-side before the tiny doc_id re-key. No cache
+        // (round 5 materialized a corpus-multiple of exploded digests in
+        // block storage and leaked it into later bench runs), no
+        // join-back — the exploded windows are shuffled exactly once,
         // and nothing but 16-byte digests + ids ever enters an exchange.
         // Group size = the duplication multiplicity of one 50-char
-        // window, so the in-group unfold is bounded by how often one
-        // string literally repeats across the corpus.
+        // window, so state is bounded by how often one string literally
+        // repeats across the corpus. Measured COLD at sf0.1 (T32Lab,
+        // cache cleared between runs): 0.73 s vs the round-5
+        // cache+join-back shape's 0.84 s — its previously reported
+        // 0.65 s timed warm InMemoryRelation hits, not engine cost.
         val per = wins.groupBy("h")
-          .agg(collect_list("doc_id").as("ids"))
-          .select((expr("size(array_distinct(ids))") >= 2).as("is_dup"),
-            explode(expr(
-              """transform(array_distinct(ids),
-                |  d -> struct(d AS doc_id,
-                |    CAST(size(filter(ids, x -> x = d)) AS BIGINT) AS cnt))"""
-                .stripMargin)).as("e"))
-          .select(col("e.doc_id").as("doc_id"), col("e.cnt").as("cnt"),
-            col("is_dup"))
+          .agg(min("doc_id").as("mn"), max("doc_id").as("mx"),
+            collect_list("doc_id").as("ids"))
+          .select((col("mn") =!= col("mx")).as("is_dup"),
+            explode(col("ids")).as("doc_id"))
         per.groupBy("doc_id")
-          .agg(sum("cnt").as("n_windows"),
-            sum(when(col("is_dup"), col("cnt")).otherwise(0L))
+          .agg(count(lit(1)).as("n_windows"),
+            sum(when(col("is_dup"), 1L).otherwise(0L))
               .as("n_dup_windows"))
           .withColumn("dup_frac",
             col("n_dup_windows").cast("double") / col("n_windows").cast("double"))
