@@ -944,19 +944,17 @@ object Curation {
           .select(col("doc_id"),
             md5(expr("array_join(slice(words, s * 20 + 1, 20), ' ')")
               .cast("binary")).as("h"))
+        // is_dup costs one linear array_distinct per group; the unfold is
+        // a plain codegen'd explode (t32's lesson: per-doc pre-counting
+        // with transform/filter lambdas runs interpreted and slower),
+        // and the per-doc agg pre-combines map-side before the re-key
         val per = paras.groupBy("h")
           .agg(collect_list("doc_id").as("ids"))
           .select((expr("size(array_distinct(ids))") >= 3).as("is_dup"),
-            explode(expr(
-              """transform(array_distinct(ids),
-                |  d -> struct(d AS doc_id,
-                |    CAST(size(filter(ids, x -> x = d)) AS BIGINT) AS cnt))"""
-                .stripMargin)).as("e"))
-          .select(col("e.doc_id").as("doc_id"), col("e.cnt").as("cnt"),
-            col("is_dup"))
+            explode(col("ids")).as("doc_id"))
         per.groupBy("doc_id")
-          .agg(sum("cnt").as("n_paras"),
-            sum(when(col("is_dup"), col("cnt")).otherwise(0L))
+          .agg(count(lit(1)).as("n_paras"),
+            sum(when(col("is_dup"), 1L).otherwise(0L))
               .as("n_dropped"))
           .withColumn("kept_frac",
             (col("n_paras") - col("n_dropped")).cast("double") /
