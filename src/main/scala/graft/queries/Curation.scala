@@ -106,6 +106,54 @@ object Curation {
   private[graft] def semdedupK(n: Long, targetCellSize: Int = 64): Int =
     math.max(1, math.ceil(n.toDouble / targetCellSize).toInt)
 
+  /** t26's LCG centroid seed family (t16's, salted +100). */
+  private[graft] def lcgCentroid(j: Int): IndexedSeq[Double] =
+    (1 to 64).map { d =>
+      val m = (j.toLong * 1103515245L + d.toLong * 12345L) % 32768L
+      m.toDouble / 32768.0 - 0.5
+    }
+
+  private def centroidNorm(c: Seq[Double]): Double =
+    c.foldLeft(0.0)((a, x) => a + x * x)
+
+  /** Nearest-centroid assignment (squared-distance argmin, first-min
+    * tie-break == lowest cell id): appends `cell` to `df`.
+    *
+    * While k ≤ `literalCap` the centroids ride as literals, so the whole
+    * pass is ONE codegen'd shuffle-free projection (k float_dots per
+    * row). Past the cap — where a k-wide literal expression tree would
+    * blow up plan compilation — they become a broadcast table probed
+    * row-by-row, with the per-vector argmin as a map-side-combinable
+    * min(struct(dist, cid)) agg keyed on `key`: same doubles, same
+    * tie-break, join-shaped plan. PlanSpec pins the equality of the two
+    * forms, so the switch is a cost decision, not a semantics one. */
+  private[graft] def assignCells(df: DataFrame, key: String,
+      cs: Seq[(Int, IndexedSeq[Double])], literalCap: Int = 256): DataFrame =
+    if (cs.size <= literalCap) {
+      val dists = array(cs.map { case (_, c) =>
+        lit(centroidNorm(c)) - lit(2.0) * dotCol(col("embedding"), typedlit(c))
+      }: _*)
+      val cellIds = typedlit(cs.map(_._1))
+      df.withColumn("__d", dists)
+        .withColumn("cell", element_at(cellIds,
+          expr("array_position(__d, array_min(__d))").cast("int")))
+        .drop("__d")
+    } else {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val cents = cs.map { case (id, c) => (id, c.toSeq, centroidNorm(c)) }
+        .toDF("__cid", "__cvec", "__cnrm")
+      val best = df.select(col(key), col("embedding"))
+        .crossJoin(broadcast(cents))
+        .select(col(key), struct(
+          (col("__cnrm") - lit(2.0) * dotCol(col("embedding"), col("__cvec")))
+            .as("d"),
+          col("__cid").as("cid")).as("dc"))
+        .groupBy(key).agg(min("dc").as("dc"))
+        .select(col(key), col("dc.cid").as("cell"))
+      df.join(best, key)
+    }
+
   /** t30's DuckDB twin, shared with t35 (see [[t30Build]]). */
   private val t30Oracle: String =
     """WITH ws AS (
@@ -182,27 +230,13 @@ object Curation {
         import org.apache.spark.sql.Row
         val emb = t(spark, dir, "embeddings")
         val kCells = semdedupK(emb.count())
-        def lcg(j: Int): IndexedSeq[Double] = (1 to 64).map { d =>
-          val m = (j.toLong * 1103515245L + d.toLong * 12345L) % 32768L
-          m.toDouble / 32768.0 - 0.5
-        }
-        def norm(c: Seq[Double]): Double = c.foldLeft(0.0)((a, x) => a + x * x)
         // min-distance assignment; first-min tie-break == lowest cell,
         // matching the oracle's ROW_NUMBER ... ORDER BY dist, cell.
-        // Centroids ride as literals so the whole pass stays codegen'd
-        // (beyond k ≈ thousands, switch to a broadcast centroid table +
-        // min_by — same answer, join-shaped plan).
-        def assign(cs: Seq[(Int, IndexedSeq[Double])]): DataFrame = {
-          val dists = array(cs.map { case (_, c) =>
-            lit(norm(c)) - lit(2.0) * dotCol(col("embedding"), typedlit(c))
-          }: _*)
-          val cellIds = typedlit(cs.map(_._1))
-          emb.withColumn("__d", dists)
-            .withColumn("cell", element_at(cellIds,
-              expr("array_position(__d, array_min(__d))").cast("int")))
-            .drop("__d")
-        }
-        val init = (1 to kCells).map(c => c -> lcg(c + 100))
+        // assignCells picks literal-expression vs broadcast-table form
+        // by k; both are pinned equal in PlanSpec.
+        def assign(cs: Seq[(Int, IndexedSeq[Double])]): DataFrame =
+          assignCells(emb, "vec_id", cs)
+        val init = (1 to kCells).map(c => c -> lcgCentroid(c + 100))
         val learned = assign(init)
           .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "v")))
           .groupBy("cell", "dim")

@@ -193,6 +193,22 @@ class PlanSpec extends AnyFunSuite {
       "the pair join must be an equi-join on the cell id")
   }
 
+  test("t26: broadcast-table assignment equals the literal-expression form") {
+    // past ~256 centroids a k-wide literal tree would blow up plan
+    // compilation, so assignCells switches to a broadcast centroid
+    // table + min(struct(dist, cid)); the switch must be a pure cost
+    // decision — same dists, same lowest-cell tie-break
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cs = (1 to 8).map(c => c -> graft.queries.Curation.lcgCentroid(c + 100))
+    val viaLiterals = graft.queries.Curation.assignCells(emb, "vec_id", cs)
+      .select("vec_id", "cell")
+    val viaJoin = graft.queries.Curation
+      .assignCells(emb, "vec_id", cs, literalCap = 0)
+      .select("vec_id", "cell")
+    assert(viaLiterals.exceptAll(viaJoin).isEmpty &&
+      viaJoin.exceptAll(viaLiterals).isEmpty)
+  }
+
   test("t26: cell count grows with N (Σ|cell|² stays linear)") {
     // the SemDeDup quadratic guard must live in code, not prose: k
     // tracks ⌈N / targetCellSize⌉ so cells hold ~constant membership
