@@ -154,6 +154,35 @@ object Curation {
       df.join(best, key)
     }
 
+  /** t08's quality score per document — shared by the t35 source-mix
+    * report and t38's per-source quota cap: (doc_id, source, quality).
+    * All inputs are integer counts + exact IEEE arithmetic, so the
+    * doubles are engine-identical. */
+  private def withQuality(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+      .withColumn("stop_hits", expr(
+        "size(filter(split(lower(text), ' '), x -> x IN ('the','a','and','of','to','in','is')))"))
+      .withColumn("punct_chars",
+        length(col("text")) - length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", "")))
+      .withColumn("quality",
+        (col("stop_hits").cast("double") / col("n_tokens").cast("double")) * 0.5 +
+          least(col("n_tokens"), lit(100)).cast("double") / 100.0 * 0.3 +
+          (lit(1.0) - col("punct_chars").cast("double") / col("n_chars").cast("double")) * 0.2)
+      .select(col("doc_id"), col("source"), col("quality"))
+
+  /** DuckDB twin of [[withQuality]]'s quality expression (over a
+    * `documents` row). */
+  private val qualityDuck: String =
+    """CAST(len(list_filter(string_split(lower(text), ' '),
+      |        x -> x IN ('the','a','and','of','to','in','is'))) AS DOUBLE)
+      |      / CAST(len(string_split(text, ' ')) AS DOUBLE) * 0.5
+      |    + CAST(least(len(string_split(text, ' ')), 100) AS DOUBLE)
+      |      / 100.0 * 0.3
+      |    + (1.0 - CAST(length(text)
+      |        - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))
+      |        AS DOUBLE) / CAST(n_chars AS DOUBLE)) * 0.2""".stripMargin
+
   /** t30's DuckDB twin, shared with t35 (see [[t30Build]]). */
   private val t30Oracle: String =
     """WITH ws AS (
@@ -839,17 +868,7 @@ object Curation {
       (spark, dir) => {
         val verdict = t30Build(spark, dir)
           .select(col("doc_id"), col("keep"))
-        val docs = t(spark, dir, "documents")
-          .withColumn("n_tokens", size(split(col("text"), " ")))
-          .withColumn("stop_hits", expr(
-            "size(filter(split(lower(text), ' '), x -> x IN ('the','a','and','of','to','in','is')))"))
-          .withColumn("punct_chars",
-            length(col("text")) - length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", "")))
-          .withColumn("quality",
-            (col("stop_hits").cast("double") / col("n_tokens").cast("double")) * 0.5 +
-              least(col("n_tokens"), lit(100)).cast("double") / 100.0 * 0.3 +
-              (lit(1.0) - col("punct_chars").cast("double") / col("n_chars").cast("double")) * 0.2)
-          .select(col("doc_id"), col("source"), col("quality"))
+        val docs = withQuality(spark, dir)
         docs.join(verdict, "doc_id")
           .groupBy("source")
           .agg(count(lit(1)).as("n_docs"),
@@ -868,14 +887,7 @@ object Curation {
         s"""WITH verdict AS (SELECT doc_id, keep FROM ($t30)),
            |q AS (
            |  SELECT doc_id, source,
-           |    CAST(len(list_filter(string_split(lower(text), ' '),
-           |        x -> x IN ('the','a','and','of','to','in','is'))) AS DOUBLE)
-           |      / CAST(len(string_split(text, ' ')) AS DOUBLE) * 0.5
-           |    + CAST(least(len(string_split(text, ' ')), 100) AS DOUBLE)
-           |      / 100.0 * 0.3
-           |    + (1.0 - CAST(length(text)
-           |        - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))
-           |        AS DOUBLE) / CAST(n_chars AS DOUBLE)) * 0.2 AS quality
+           |    $qualityDuck AS quality
            |  FROM documents),
            |j AS (SELECT q.source, q.quality, v.keep
            |      FROM q JOIN verdict v ON v.doc_id = q.doc_id)
@@ -1016,6 +1028,66 @@ object Curation {
              |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS kept_frac
              |FROM paras p LEFT JOIN dups d ON d.h = p.h
              |GROUP BY p.doc_id
-             |ORDER BY p.doc_id""".stripMargin))
+             |ORDER BY p.doc_id""".stripMargin)),
+
+    // ----------------------------------------------------------------- t38
+    // Per-SOURCE QUOTA cap (the RefinedWeb/C4 "domain cap" step): keep at
+    // most Q of the highest-quality documents per crawl source, so no
+    // single domain dominates the training mix regardless of its crawl
+    // volume. Quality is t08's score as a fixed-point 1e-6 long (exact
+    // integer ordering — no float-comparison ambiguity between engines);
+    // the per-source rank has #sources ≪ cores partitions, so each
+    // physical partition first reduces to a local top-Q per source — a
+    // bounded no-shuffle pass (t23/t34's skew guard) — and only those
+    // survivors reach the #sources-task window.
+    "t38_source_quota" -> QueryDef(
+      (spark, dir) => {
+        import spark.implicits._
+        val quota = 20
+        val scored = withQuality(spark, dir)
+          .withColumn("qfp", floor(col("quality") * 1e6 + 0.5).cast("long"))
+          .select("source", "doc_id", "qfp")
+        val pre = scored.as[(String, Long, Long)].mapPartitions { it =>
+          // entries are (negated qfp, doc_id): plain tuple order ==
+          // the window's (qfp DESC, doc_id ASC)
+          val ord = implicitly[Ordering[(Long, Long)]]
+          val best = scala.collection.mutable.HashMap
+            .empty[String, scala.collection.mutable.ArrayBuffer[(Long, Long)]]
+          it.foreach { case (src, id, qfp) =>
+            val key = (-qfp, id)
+            val buf = best.getOrElseUpdate(src,
+              new scala.collection.mutable.ArrayBuffer[(Long, Long)](quota + 1))
+            if (buf.length < quota || ord.lt(key, buf.last)) {
+              buf += key
+              var i = buf.length - 1
+              while (i > 0 && ord.lt(buf(i), buf(i - 1))) {
+                val t = buf(i - 1); buf(i - 1) = buf(i); buf(i) = t; i -= 1
+              }
+              if (buf.length > quota) buf.remove(quota)
+            }
+          }
+          best.iterator.flatMap { case (src, buf) =>
+            buf.iterator.map { case (negQ, id) => (src, id, -negQ) }
+          }
+        }.toDF("source", "doc_id", "qfp")
+        val win = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy(col("qfp").desc, col("doc_id"))
+        pre.withColumn("rnk", row_number().over(win))
+          .filter(col("rnk") <= quota)
+          .select("source", "rnk", "doc_id", "qfp")
+          .orderBy("source", "rnk")
+      },
+      Some(s"""WITH q AS (
+              |  SELECT doc_id, source,
+              |    CAST(FLOOR(($qualityDuck) * 1e6 + 0.5) AS BIGINT) AS qfp
+              |  FROM documents),
+              |ranked AS (
+              |  SELECT source, doc_id, qfp,
+              |    ROW_NUMBER() OVER (PARTITION BY source
+              |                       ORDER BY qfp DESC, doc_id) AS rnk
+              |  FROM q)
+              |SELECT source, rnk, doc_id, qfp FROM ranked
+              |WHERE rnk <= 20
+              |ORDER BY source, rnk""".stripMargin))
   )
 }

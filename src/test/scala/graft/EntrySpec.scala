@@ -23,8 +23,8 @@ class EntrySpec extends AnyFunSuite {
       assert(k.matches("[a-z][a-z0-9_]+"), s"bad query name: $k"))
   }
 
-  test("all 69 declared operators are present") {
-    assert(SparkEntry.queries.size == 69)
+  test("all 70 declared operators are present") {
+    assert(SparkEntry.queries.size == 70)
   }
 
   test("t15 components: labels are canonical minima consistent with t02 pairs") {

@@ -332,6 +332,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window"))
   }
 
+  test("t38: quota rank pre-reduces per partition before the per-source window") {
+    val p = plan("t38_source_quota")
+    assert(p.contains("MapPartitions"),
+      "the bounded per-partition top-Q must precede the per-source window")
+    assert(p.contains("Window"))
+    assert("windowspecdefinition\\(source".r.findFirstIn(p).isDefined,
+      "the rank must partition by source")
+  }
+
   test("no query in the suite plans a CartesianProduct") {
     // the one blanket rule that must hold at any scale; queries that
     // RUN pipelines (p-series) execute side effects, so guard the pure
