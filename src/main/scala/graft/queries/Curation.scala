@@ -154,6 +154,43 @@ object Curation {
       df.join(best, key)
     }
 
+  /** t38/t39's partition-local top-Q per source: (source, doc_id, qfp)
+    * rows reduced to ≤ Q per (source, input partition) with a bounded
+    * insertion buffer — no shuffle — ordered by (qfp DESC, doc_id ASC),
+    * the same tuple order the downstream window uses, so the global
+    * top-Q is contained in the survivors (t23/t34's skew guard:
+    * #sources ≪ cores, so the window alone would rank the whole corpus
+    * in #sources tasks). */
+  private[graft] def localSourceTopQ(
+      scored: org.apache.spark.sql.Dataset[(String, Long, Long)],
+      q: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    scored.mapPartitions { it =>
+      // entries are (negated qfp, doc_id): plain tuple order ==
+      // the window's (qfp DESC, doc_id ASC)
+      val ord = implicitly[Ordering[(Long, Long)]]
+      val best = scala.collection.mutable.HashMap
+        .empty[String, scala.collection.mutable.ArrayBuffer[(Long, Long)]]
+      it.foreach { case (src, id, qfp) =>
+        val key = (-qfp, id)
+        val buf = best.getOrElseUpdate(src,
+          new scala.collection.mutable.ArrayBuffer[(Long, Long)](q + 1))
+        if (buf.length < q || ord.lt(key, buf.last)) {
+          buf += key
+          var i = buf.length - 1
+          while (i > 0 && ord.lt(buf(i), buf(i - 1))) {
+            val t = buf(i - 1); buf(i - 1) = buf(i); buf(i) = t; i -= 1
+          }
+          if (buf.length > q) buf.remove(q)
+        }
+      }
+      best.iterator.flatMap { case (src, buf) =>
+        buf.iterator.map { case (negQ, id) => (src, id, -negQ) }
+      }
+    }.toDF("source", "doc_id", "qfp")
+  }
+
   /** t08's quality score per document — shared by the t35 source-mix
     * report and t38's per-source quota cap: (doc_id, source, quality).
     * All inputs are integer counts + exact IEEE arithmetic, so the
@@ -1047,29 +1084,7 @@ object Curation {
         val scored = withQuality(spark, dir)
           .withColumn("qfp", floor(col("quality") * 1e6 + 0.5).cast("long"))
           .select("source", "doc_id", "qfp")
-        val pre = scored.as[(String, Long, Long)].mapPartitions { it =>
-          // entries are (negated qfp, doc_id): plain tuple order ==
-          // the window's (qfp DESC, doc_id ASC)
-          val ord = implicitly[Ordering[(Long, Long)]]
-          val best = scala.collection.mutable.HashMap
-            .empty[String, scala.collection.mutable.ArrayBuffer[(Long, Long)]]
-          it.foreach { case (src, id, qfp) =>
-            val key = (-qfp, id)
-            val buf = best.getOrElseUpdate(src,
-              new scala.collection.mutable.ArrayBuffer[(Long, Long)](quota + 1))
-            if (buf.length < quota || ord.lt(key, buf.last)) {
-              buf += key
-              var i = buf.length - 1
-              while (i > 0 && ord.lt(buf(i), buf(i - 1))) {
-                val t = buf(i - 1); buf(i - 1) = buf(i); buf(i) = t; i -= 1
-              }
-              if (buf.length > quota) buf.remove(quota)
-            }
-          }
-          best.iterator.flatMap { case (src, buf) =>
-            buf.iterator.map { case (negQ, id) => (src, id, -negQ) }
-          }
-        }.toDF("source", "doc_id", "qfp")
+        val pre = localSourceTopQ(scored.as[(String, Long, Long)], quota)
         val win = org.apache.spark.sql.expressions.Window
           .partitionBy("source").orderBy(col("qfp").desc, col("doc_id"))
         pre.withColumn("rnk", row_number().over(win))
@@ -1088,6 +1103,90 @@ object Curation {
               |  FROM q)
               |SELECT source, rnk, doc_id, qfp FROM ranked
               |WHERE rnk <= 20
-              |ORDER BY source, rnk""".stripMargin))
+              |ORDER BY source, rnk""".stripMargin)),
+
+    // ----------------------------------------------------------------- t39
+    // COMPOSED curation funnel — the proof that the operators chain into
+    // the pipeline a real pretraining build runs: Gopher filter verdict
+    // (t30) → exact content dedup among survivors (t01's md5 rule, keep
+    // lowest doc_id) → per-source quality quota (t38) — reported as a
+    // per-source FUNNEL (n_docs → n_filtered → n_deduped → n_final),
+    // the attrition table every curation run publishes. Stage dataflow
+    // keeps each operator's scale shape: the verdict is a pure map, the
+    // dedup window partitions by the 16-byte digest (high cardinality),
+    // and the quota rank pre-reduces per partition before its
+    // #sources-task window ([[localSourceTopQ]]).
+    "t39_curation_funnel" -> QueryDef(
+      (spark, dir) => {
+        import spark.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val quota = 20
+        val verdict = t30Build(spark, dir).select(col("doc_id"), col("keep"))
+        val scored = withQuality(spark, dir)
+          .withColumn("qfp", floor(col("quality") * 1e6 + 0.5).cast("long"))
+          .select("doc_id", "source", "qfp")
+        val hashed = t(spark, dir, "documents")
+          .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+        val filtered = scored.join(verdict, "doc_id").filter(col("keep"))
+          .join(hashed, "doc_id")
+          .select("doc_id", "source", "qfp", "h")
+        val deduped = filtered
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("h").orderBy("doc_id")))
+          .filter(col("rn") === 1)
+          .select("source", "doc_id", "qfp")
+        val fin = localSourceTopQ(deduped.as[(String, Long, Long)], quota)
+          .withColumn("qrnk", row_number().over(
+            Window.partitionBy("source").orderBy(col("qfp").desc, col("doc_id"))))
+          .filter(col("qrnk") <= quota)
+        t(spark, dir, "documents")
+          .groupBy("source").agg(count(lit(1)).as("n_docs"))
+          .join(filtered.groupBy("source")
+            .agg(count(lit(1)).as("n_filtered")), Seq("source"), "left")
+          .join(deduped.groupBy("source")
+            .agg(count(lit(1)).as("n_deduped")), Seq("source"), "left")
+          .join(fin.groupBy("source")
+            .agg(count(lit(1)).as("n_final")), Seq("source"), "left")
+          .select(col("source"), col("n_docs"),
+            coalesce(col("n_filtered"), lit(0L)).as("n_filtered"),
+            coalesce(col("n_deduped"), lit(0L)).as("n_deduped"),
+            coalesce(col("n_final"), lit(0L)).as("n_final"))
+          .orderBy("source")
+      },
+      Some(s"""WITH verdict AS (SELECT doc_id, keep FROM ($t30Oracle)),
+              |q AS (
+              |  SELECT doc_id, source,
+              |    CAST(FLOOR(($qualityDuck) * 1e6 + 0.5) AS BIGINT) AS qfp
+              |  FROM documents),
+              |hsh AS (SELECT doc_id, md5(text) AS h FROM documents),
+              |filtered AS (
+              |  SELECT q.doc_id, q.source, q.qfp, hsh.h
+              |  FROM q JOIN verdict v USING (doc_id) JOIN hsh USING (doc_id)
+              |  WHERE v.keep),
+              |ded AS (
+              |  SELECT source, doc_id, qfp FROM (
+              |    SELECT *, ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id)
+              |      AS rn
+              |    FROM filtered) WHERE rn = 1),
+              |fin AS (
+              |  SELECT source, doc_id FROM (
+              |    SELECT source, doc_id,
+              |      ROW_NUMBER() OVER (PARTITION BY source
+              |                         ORDER BY qfp DESC, doc_id) AS qrnk
+              |    FROM ded) WHERE qrnk <= 20),
+              |base AS (SELECT source, COUNT(*) AS n_docs FROM documents
+              |         GROUP BY source)
+              |SELECT b.source, b.n_docs,
+              |  CAST(COALESCE(f.c, 0) AS BIGINT) AS n_filtered,
+              |  CAST(COALESCE(d.c, 0) AS BIGINT) AS n_deduped,
+              |  CAST(COALESCE(x.c, 0) AS BIGINT) AS n_final
+              |FROM base b
+              |LEFT JOIN (SELECT source, COUNT(*) AS c FROM filtered
+              |           GROUP BY source) f USING (source)
+              |LEFT JOIN (SELECT source, COUNT(*) AS c FROM ded
+              |           GROUP BY source) d USING (source)
+              |LEFT JOIN (SELECT source, COUNT(*) AS c FROM fin
+              |           GROUP BY source) x USING (source)
+              |ORDER BY b.source""".stripMargin))
   )
 }
