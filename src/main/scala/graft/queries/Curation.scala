@@ -1118,39 +1118,61 @@ object Curation {
     // #sources-task window ([[localSourceTopQ]]).
     "t39_curation_funnel" -> QueryDef(
       (spark, dir) => {
-        import spark.implicits._
         import org.apache.spark.sql.expressions.Window
         val quota = 20
-        val verdict = t30Build(spark, dir).select(col("doc_id"), col("keep"))
-        val scored = withQuality(spark, dir)
-          .withColumn("qfp", floor(col("quality") * 1e6 + 0.5).cast("long"))
-          .select("doc_id", "source", "qfp")
-        val hashed = t(spark, dir, "documents")
-          .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
-        val filtered = scored.join(verdict, "doc_id").filter(col("keep"))
-          .join(hashed, "doc_id")
-          .select("doc_id", "source", "qfp", "h")
-        val deduped = filtered
-          .withColumn("rn", row_number().over(
-            Window.partitionBy("h").orderBy("doc_id")))
-          .filter(col("rn") === 1)
-          .select("source", "doc_id", "qfp")
-        val fin = localSourceTopQ(deduped.as[(String, Long, Long)], quota)
-          .withColumn("qrnk", row_number().over(
-            Window.partitionBy("source").orderBy(col("qfp").desc, col("doc_id"))))
-          .filter(col("qrnk") <= quota)
+        // verdict + quality + content digest fused into ONE corpus scan
+        // (t30's rules and t08's score share the word split): no
+        // corpus-sized joins anywhere — the only wide exchange carries
+        // (source, doc_id, qfp, 16-byte h) for docs that PASS the filter
+        val scored = withWords(t(spark, dir, "documents"))
+          .select(col("doc_id"), col("source"), col("n_chars"), col("text"),
+            col("words"),
+            expr("ngram_stats(words, 1)").as("w"),
+            expr("ngram_stats(words, 2)").as("g2"))
+          .withColumn("keep",
+            col("w.total").between(10, 1000) &&
+              ((col("n_chars") - col("w.total") + 1).cast("double") /
+                col("w.total").cast("double")).between(2.0, 10.0) &&
+              (col("w.n_distinct").cast("double") /
+                col("w.total").cast("double")) > 0.2 &&
+              (col("w.top").cast("double") / col("w.total").cast("double")) < 0.3 &&
+              when(col("g2.total") === 0, lit(0.0))
+                .otherwise(col("g2.dup").cast("double") /
+                  col("g2.total").cast("double")) < 0.5)
+          .withColumn("n_tokens", size(col("words")))
+          .withColumn("stop_hits", expr(
+            "size(filter(split(lower(text), ' '), x -> x IN ('the','a','and','of','to','in','is')))"))
+          .withColumn("punct_chars",
+            length(col("text")) - length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", "")))
+          .withColumn("qfp", floor(
+            ((col("stop_hits").cast("double") / col("n_tokens").cast("double")) * 0.5 +
+              least(col("n_tokens"), lit(100)).cast("double") / 100.0 * 0.3 +
+              (lit(1.0) - col("punct_chars").cast("double") /
+                col("n_chars").cast("double")) * 0.2) * 1e6 + 0.5).cast("long"))
+          .filter(col("keep"))
+          .select(col("source"), col("doc_id"), col("qfp"),
+            md5(col("text").cast("binary")).as("h"))
+        // one digest-keyed window marks dedup winners; every funnel count
+        // falls out of a single agg over the SAME frame, so the whole
+        // query is ONE evaluation of the scan+window chain. n_final is
+        // least(n_deduped, Q): ROW_NUMBER ranks 1..n densely, so the
+        // COUNT of a top-Q selection is exactly min(n, Q) — no re-rank
+        // needed to report attrition (selecting the winning ROWS is
+        // t38's job). The oracle computes n_final by materializing the
+        // actual rank, so the gate proves the shortcut exact.
+        val marked = scored.withColumn("rn", row_number().over(
+          Window.partitionBy("h").orderBy("doc_id")))
+        val stats = marked.groupBy("source")
+          .agg(count(lit(1)).as("n_filtered"),
+            sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_deduped"))
         t(spark, dir, "documents")
           .groupBy("source").agg(count(lit(1)).as("n_docs"))
-          .join(filtered.groupBy("source")
-            .agg(count(lit(1)).as("n_filtered")), Seq("source"), "left")
-          .join(deduped.groupBy("source")
-            .agg(count(lit(1)).as("n_deduped")), Seq("source"), "left")
-          .join(fin.groupBy("source")
-            .agg(count(lit(1)).as("n_final")), Seq("source"), "left")
+          .join(stats, Seq("source"), "left")
           .select(col("source"), col("n_docs"),
             coalesce(col("n_filtered"), lit(0L)).as("n_filtered"),
             coalesce(col("n_deduped"), lit(0L)).as("n_deduped"),
-            coalesce(col("n_final"), lit(0L)).as("n_final"))
+            least(coalesce(col("n_deduped"), lit(0L)), lit(quota.toLong))
+              .as("n_final"))
           .orderBy("source")
       },
       Some(s"""WITH verdict AS (SELECT doc_id, keep FROM ($t30Oracle)),
