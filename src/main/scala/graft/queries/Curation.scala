@@ -1209,6 +1209,51 @@ object Curation {
               |           GROUP BY source) d USING (source)
               |LEFT JOIN (SELECT source, COUNT(*) AS c FROM fin
               |           GROUP BY source) x USING (source)
-              |ORDER BY b.source""".stripMargin))
+              |ORDER BY b.source""".stripMargin)),
+
+    // ----------------------------------------------------------------- t40
+    // Dedup-METHOD AGREEMENT: how much do the two near-dup candidate
+    // generators — MinHash-LSH over shingle Jaccard (t02) and SimHash
+    // banding over Hamming distance (t18) — agree on this corpus?
+    // Reported as candidate-set sizes + overlap + Jaccard agreement:
+    // the audit a pipeline runs before trusting one (cheaper) method as
+    // a proxy for the other, t31's "measure, don't guess" applied to
+    // dedup. Both legs are the existing operators' plans (id pairs
+    // only); the comparison is a full outer join of two candidate lists,
+    // each a vanishing fraction of the corpus.
+    "t40_dedup_agreement" -> QueryDef(
+      (spark, dir) => {
+        val mh = minhashPairs(spark, dir)
+          .select(col("doc_a"), col("doc_b"), lit(1L).as("in_m"))
+        val sh = TrainingData.defs("t18_simhash_neardup").build(spark, dir)
+          .select(col("doc_a"), col("doc_b"), lit(1L).as("in_s"))
+        mh.join(sh, Seq("doc_a", "doc_b"), "full")
+          .select(coalesce(col("in_m"), lit(0L)).as("in_m"),
+            coalesce(col("in_s"), lit(0L)).as("in_s"))
+          .agg(sum("in_m").as("n_minhash"), sum("in_s").as("n_simhash"),
+            sum(expr("in_m * in_s")).as("n_both"))
+          .withColumn("agreement",
+            col("n_both").cast("double") /
+              (col("n_minhash") + col("n_simhash") - col("n_both")).cast("double"))
+          .select("n_minhash", "n_simhash", "n_both", "agreement")
+      },
+      Some {
+        val shSql = TrainingData.defs("t18_simhash_neardup").oracle.get
+        s"""WITH $minhashPairsDuck,
+           |s AS (SELECT doc_a, doc_b FROM ($shSql)),
+           |u AS (
+           |  SELECT
+           |    CASE WHEN m.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_m,
+           |    CASE WHEN s.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_s
+           |  FROM pairs m FULL OUTER JOIN s
+           |    ON m.doc_a = s.doc_a AND m.doc_b = s.doc_b)
+           |SELECT CAST(SUM(in_m) AS BIGINT) AS n_minhash,
+           |  CAST(SUM(in_s) AS BIGINT) AS n_simhash,
+           |  CAST(SUM(in_m * in_s) AS BIGINT) AS n_both,
+           |  CAST(SUM(in_m * in_s) AS DOUBLE)
+           |    / CAST(SUM(in_m) + SUM(in_s) - SUM(in_m * in_s) AS DOUBLE)
+           |    AS agreement
+           |FROM u""".stripMargin
+      })
   )
 }

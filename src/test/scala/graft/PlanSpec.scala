@@ -332,6 +332,29 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window"))
   }
 
+  test("t38: partition-local pre-top-Q contains the global per-source top-Q") {
+    import org.apache.spark.sql.functions.{col, concat, lit, row_number}
+    import org.apache.spark.sql.expressions.Window
+    val s = spark
+    import s.implicits._
+    // 4 sources × 5k rows over 8 partitions with heavy qfp ties
+    val scored = spark.range(0, 5000).repartition(8).select(
+      concat(lit("src"), (col("id") % 4).cast("string")).as("source"),
+      col("id").as("doc_id"),
+      (col("id") % 37).as("qfp"))
+      .as[(String, Long, Long)]
+    val pre = graft.queries.Curation.localSourceTopQ(scored, 5)
+    assert(pre.count() <= 5L * 4 * 8)
+    val w = Window.partitionBy("source").orderBy(col("qfp").desc, col("doc_id"))
+    def top5(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+        .select("source", "rnk", "doc_id", "qfp")
+    val got = top5(pre)
+    val want = top5(scored.toDF("source", "doc_id", "qfp"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    assert(got.count() == 20)
+  }
+
   test("t38: quota rank pre-reduces per partition before the per-source window") {
     val p = plan("t38_source_quota")
     assert(p.contains("MapPartitions"),
