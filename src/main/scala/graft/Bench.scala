@@ -41,14 +41,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    def exec(name: String, dir: String): Unit = {
-      SparkEntry.queries(name)(spark, dir)
+    def exec(name: String, dir: String): Unit =
+      try SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
-      // blanket cold-cache invariant: drop anything the query persisted
-      // so the next sample (of any query) never hits a warm
-      // InMemoryRelation and storage memory is released
-      spark.catalog.clearCache()
-    }
+      // blanket cold-cache invariant (finally: a FAILED caching query
+      // must not leave its InMemoryRelation resident either): drop
+      // anything the query persisted so the next sample (of any query)
+      // never hits a warm cache and storage memory is released
+      finally spark.catalog.clearCache()
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     // warmup (not billed): sf0.001 first (cheap JIT of the interpreter

@@ -66,36 +66,51 @@ object Curation {
     * (lead byte F0+) sorts AFTER, code-unit-wise BEFORE. A prune keyed on
     * the String order could then drop a word the global window ranks
     * ≤ k. [[graft.PlanSpec]] pins the disagreement case. */
+  /** Bounded-insertion top-k core shared by [[localVocabTopK]] and
+    * [[localSourceTopQ]]: per group, keep the k `ord`-smallest entries
+    * from a stream of (group, entry) pairs — O(k) state per (group,
+    * partition), no shuffle. One implementation so a fix to the
+    * insertion/trim logic can never apply to one caller and not the
+    * other. */
+  private def boundedTopK[E](it: Iterator[(String, E)], k: Int)(
+      implicit ord: Ordering[E]): Iterator[(String, E)] = {
+    val best = scala.collection.mutable.HashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[E]]
+    it.foreach { case (g, e) =>
+      val buf = best.getOrElseUpdate(g,
+        new scala.collection.mutable.ArrayBuffer[E](k + 1))
+      if (buf.length < k || ord.lt(e, buf.last)) {
+        buf += e
+        var i = buf.length - 1
+        while (i > 0 && ord.lt(buf(i), buf(i - 1))) {
+          val t = buf(i - 1); buf(i - 1) = buf(i); buf(i) = t; i -= 1
+        }
+        if (buf.length > k) buf.remove(k)
+      }
+    }
+    best.iterator.flatMap { case (g, buf) => buf.iterator.map(g -> _) }
+  }
+
+  /** t34's entry: UTF-8 bytes materialize LAZILY — most rows are
+    * rejected on the count comparison alone, so their words are never
+    * encoded. */
+  private final class VocabEntry(val negC: Long, val w: String) {
+    lazy val bytes: Array[Byte] =
+      w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  }
+
   private[graft] def localVocabTopK(
       counts: org.apache.spark.sql.Dataset[(String, String, Long)],
       k: Int): DataFrame = {
     val spark = counts.sparkSession
     import spark.implicits._
+    implicit val ord: Ordering[VocabEntry] = (a: VocabEntry, b: VocabEntry) =>
+      if (a.negC != b.negC) java.lang.Long.compare(a.negC, b.negC)
+      else java.util.Arrays.compareUnsigned(a.bytes, b.bytes)
     counts.mapPartitions { it =>
-      // entries are (negated count, utf8 bytes, word); order on the
-      // first two fields only
-      def lt(a: (Long, Array[Byte], String),
-             b: (Long, Array[Byte], String)): Boolean =
-        if (a._1 != b._1) a._1 < b._1
-        else java.util.Arrays.compareUnsigned(a._2, b._2) < 0
-      val best = scala.collection.mutable.HashMap
-        .empty[String, scala.collection.mutable.ArrayBuffer[(Long, Array[Byte], String)]]
-      it.foreach { case (lang, w, c) =>
-        val key = (-c, w.getBytes(java.nio.charset.StandardCharsets.UTF_8), w)
-        val buf = best.getOrElseUpdate(lang,
-          new scala.collection.mutable.ArrayBuffer[(Long, Array[Byte], String)](k + 1))
-        if (buf.length < k || lt(key, buf.last)) {
-          buf += key
-          var i = buf.length - 1
-          while (i > 0 && lt(buf(i), buf(i - 1))) {
-            val t = buf(i - 1); buf(i - 1) = buf(i); buf(i) = t; i -= 1
-          }
-          if (buf.length > k) buf.remove(k)
-        }
-      }
-      best.iterator.flatMap { case (lang, buf) =>
-        buf.iterator.map { case (negC, _, w) => (lang, w, -negC) }
-      }
+      boundedTopK(it.map { case (lang, w, c) =>
+        (lang, new VocabEntry(-c, w))
+      }, k).map { case (lang, e) => (lang, e.w, -e.negC) }
     }.toDF("lang", "w", "c")
   }
 
@@ -169,25 +184,8 @@ object Curation {
     scored.mapPartitions { it =>
       // entries are (negated qfp, doc_id): plain tuple order ==
       // the window's (qfp DESC, doc_id ASC)
-      val ord = implicitly[Ordering[(Long, Long)]]
-      val best = scala.collection.mutable.HashMap
-        .empty[String, scala.collection.mutable.ArrayBuffer[(Long, Long)]]
-      it.foreach { case (src, id, qfp) =>
-        val key = (-qfp, id)
-        val buf = best.getOrElseUpdate(src,
-          new scala.collection.mutable.ArrayBuffer[(Long, Long)](q + 1))
-        if (buf.length < q || ord.lt(key, buf.last)) {
-          buf += key
-          var i = buf.length - 1
-          while (i > 0 && ord.lt(buf(i), buf(i - 1))) {
-            val t = buf(i - 1); buf(i - 1) = buf(i); buf(i) = t; i -= 1
-          }
-          if (buf.length > q) buf.remove(q)
-        }
-      }
-      best.iterator.flatMap { case (src, buf) =>
-        buf.iterator.map { case (negQ, id) => (src, id, -negQ) }
-      }
+      boundedTopK(it.map { case (src, id, qfp) => (src, (-qfp, id)) }, q)
+        .map { case (src, (negQ, id)) => (src, id, -negQ) }
     }.toDF("source", "doc_id", "qfp")
   }
 
@@ -609,10 +607,13 @@ object Curation {
         val emb = t(spark, dir, "embeddings")
         val exact = TrainingData.defs("t05_cosine_topk")
           .build(spark, dir).select("vec_id")
+        // the query self-norm nq rides the 1-row broadcast (computed
+        // once), not the candidate side — lshLeg(8)'s 1-bit bands pass
+        // nearly the whole corpus, so a per-candidate nq would re-run a
+        // 64-dim dot corpus-many times for a constant
         def cosTop10(cands: DataFrame): DataFrame = cands
           .withColumn("dot", expr(dotSql("embedding", "q_emb")))
           .withColumn("na", expr(dotSql("embedding", "embedding")))
-          .withColumn("nq", expr(dotSql("q_emb", "q_emb")))
           .select(col("vec_id"),
             (col("dot").cast("double") /
               (sqrt(col("na").cast("double")) * sqrt(col("nq").cast("double"))))
@@ -630,7 +631,8 @@ object Curation {
         def lshLeg(bands: Int): DataFrame = {
           val w = 8 / bands
           val q = sigged.filter(col("vec_id") === 0)
-            .select(col("embedding").as("q_emb"), col("sig").as("q_sig"))
+            .select(col("embedding").as("q_emb"), col("sig").as("q_sig"),
+              expr(dotSql("embedding", "embedding")).as("nq"))
           val cond = (0 until bands).map { b =>
             expr(s"(sig div ${1 << (b * w)}) % ${1 << w}") ===
               expr(s"(q_sig div ${1 << (b * w)}) % ${1 << w}")
@@ -649,7 +651,8 @@ object Curation {
             expr(s"array_position(cdots, element_at(array_sort(cdots), ${9 - i}))")
               .cast("int").as(s"p$i"))
           val q = assigned.filter(col("vec_id") === 0)
-            .select(col("embedding").as("q_emb") +: probes: _*)
+            .select(col("embedding").as("q_emb") +:
+              expr(dotSql("embedding", "embedding")).as("nq") +: probes: _*)
           val cond = (1 to probe).map(i => col("cell") === col(s"p$i"))
             .reduce(_ || _)
           cosTop10(assigned.join(broadcast(q), cond)
@@ -763,31 +766,28 @@ object Curation {
             "sequence(1, greatest(length(text) - 49, 1), 10)")).as("i"))
           .select(col("doc_id"),
             md5(expr("substr(text, i, 50)").cast("binary")).as("h"))
-        // ONE digest-keyed aggregation answers both questions at once:
-        // each hash group carries min/max doc (the "≥ 2 distinct docs"
-        // dup test) plus its doc-id list, the per-window rows unfold
-        // from that list with a plain codegen'd explode (a
-        // transform/filter per-doc pre-count measured SLOWER — the
-        // higher-order lambdas are interpreted), and the per-doc agg
-        // pre-combines map-side before the tiny doc_id re-key. No cache
-        // (round 5 materialized a corpus-multiple of exploded digests in
-        // block storage and leaked it into later bench runs), no
-        // join-back — the exploded windows are shuffled exactly once,
-        // and nothing but 16-byte digests + ids ever enters an exchange.
-        // Group size = the duplication multiplicity of one 50-char
-        // window, so state is bounded by how often one string literally
-        // repeats across the corpus. Measured COLD at sf0.1 (T32Lab,
-        // cache cleared between runs): 0.73 s vs the round-5
-        // cache+join-back shape's 0.84 s — its previously reported
-        // 0.65 s timed warm InMemoryRelation hits, not engine cost.
-        val per = wins.groupBy("h")
-          .agg(min("doc_id").as("mn"), max("doc_id").as("mx"),
-            collect_list("doc_id").as("ids"))
-          .select((col("mn") =!= col("mx")).as("is_dup"),
-            explode(col("ids")).as("doc_id"))
+        // Bounded-state dup detection, no cache, no join-back: (1) a
+        // map-side-combinable (h, doc_id) count — O(1) agg state per
+        // pair; (2) the "≥ 2 distinct docs" test as a COUNT over the
+        // h-partitioned window, whose buffer is SPILL-SAFE — a
+        // boilerplate window shared by millions of documents streams
+        // through the window's external buffer instead of materializing
+        // an in-memory doc-id list inside one aggregation row (the
+        // collect_list shape OOMs exactly on the high-duplication
+        // content this operator exists to find); (3) the per-doc totals
+        // pre-combine map-side before the tiny doc_id re-key. Nothing
+        // but 16-byte digests + ids ever enters an exchange. Measured
+        // COLD at sf0.1 (T32Lab, cache cleared between runs): 0.59 s vs
+        // 0.71 s (single-agg collect_list unfold) vs 0.84 s (round 5's
+        // cache+join-back — its reported 0.65 s timed warm
+        // InMemoryRelation hits, not engine cost).
+        val per = wins.groupBy("h", "doc_id")
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("ndocs", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("h")))
         per.groupBy("doc_id")
-          .agg(count(lit(1)).as("n_windows"),
-            sum(when(col("is_dup"), 1L).otherwise(0L))
+          .agg(sum("cnt").as("n_windows"),
+            sum(when(col("ndocs") >= 2, col("cnt")).otherwise(0L))
               .as("n_dup_windows"))
           .withColumn("dup_frac",
             col("n_dup_windows").cast("double") / col("n_windows").cast("double"))
@@ -1027,17 +1027,18 @@ object Curation {
           .select(col("doc_id"),
             md5(expr("array_join(slice(words, s * 20 + 1, 20), ' ')")
               .cast("binary")).as("h"))
-        // is_dup costs one linear array_distinct per group; the unfold is
-        // a plain codegen'd explode (t32's lesson: per-doc pre-counting
-        // with transform/filter lambdas runs interpreted and slower),
-        // and the per-doc agg pre-combines map-side before the re-key
-        val per = paras.groupBy("h")
-          .agg(collect_list("doc_id").as("ids"))
-          .select((expr("size(array_distinct(ids))") >= 3).as("is_dup"),
-            explode(col("ids")).as("doc_id"))
+        // t32's bounded-state shape: (h, doc_id) counts (O(1) agg state)
+        // → spill-safe h-window counting distinct docs (boilerplate
+        // paragraphs shared by a large corpus fraction are this
+        // operator's PREMISE, so a per-group in-memory id list would OOM
+        // exactly on the hot groups) → per-doc totals
+        val per = paras.groupBy("h", "doc_id")
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("ndocs", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("h")))
         per.groupBy("doc_id")
-          .agg(count(lit(1)).as("n_paras"),
-            sum(when(col("is_dup"), 1L).otherwise(0L))
+          .agg(sum("cnt").as("n_paras"),
+            sum(when(col("ndocs") >= 3, col("cnt")).otherwise(0L))
               .as("n_dropped"))
           .withColumn("kept_frac",
             (col("n_paras") - col("n_dropped")).cast("double") /

@@ -73,7 +73,17 @@ object Streams {
     *
     * Semantically the twin of the batch `q21_sessionize` (same µs gap
     * math, same (ts, event_id) tie-break, same fixed-point value sum) —
-    * StreamingSpec pins the equivalence on the events fixture.
+    * StreamingSpec pins the equivalence on the events fixture. The
+    * equivalence claim is scoped to per-key IN-ORDER delivery across
+    * micro-batches (what watermark-ordered replay provides): a late
+    * cross-batch arrival still lands in the open session when it is
+    * within the gap of the frontier, and the frontier/start only ever
+    * widen (max/min below, so a stale timestamp cannot rewind the
+    * frontier and split the session spuriously) — but an arrival so late
+    * it should have re-split or merged ALREADY-EMITTED sessions cannot
+    * be honored without retracting output, which append-mode streaming
+    * cannot express. Batch q21 re-sorts history and is the authority
+    * for such replays.
     *
     * Event-time gap detection (not wall-clock timeouts) keeps replays
     * deterministic; an idle key's open session stays in state until its
@@ -95,8 +105,9 @@ object Streams {
             val us = micros(e.ts)
             cur match {
               case Some(s) if us - s.lastUs <= gapUs =>
-                cur = Some(s.copy(nEvents = s.nEvents + 1,
-                  totalFp = s.totalFp + fp(e.value), lastUs = us))
+                cur = Some(SessionState(s.nEvents + 1,
+                  s.totalFp + fp(e.value),
+                  math.min(s.startedUs, us), math.max(s.lastUs, us)))
               case Some(s) =>
                 out += Session(userId, s.nEvents, s.totalFp / 1e4,
                   toTs(s.startedUs), toTs(s.lastUs))

@@ -21,9 +21,9 @@ object QueryLab {
     spark.sparkContext.setLogLevel("ERROR")
     def exec(n: String): Double = {
       val t0 = System.nanoTime()
-      graft.SparkEntry.queries(n)(spark, dir)
+      try graft.SparkEntry.queries(n)(spark, dir)
         .write.format("noop").mode("overwrite").save()
-      spark.catalog.clearCache()
+      finally spark.catalog.clearCache()
       (System.nanoTime() - t0) / 1e9
     }
     names.foreach { n =>

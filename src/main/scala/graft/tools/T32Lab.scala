@@ -46,6 +46,21 @@ object T32Lab {
           sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_windows"))
     }
 
+    // bounded-state candidate: per-(h,doc) counts first (tiny agg
+    // state), then a spill-safe window over h for the distinct-doc
+    // test — no group ever materializes an in-memory id list
+    def boundedShape(): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val pairCounts = wins.groupBy("h", "doc_id")
+        .agg(count(lit(1)).as("cnt"))
+      val flagged = pairCounts.withColumn("ndocs",
+        count(lit(1)).over(Window.partitionBy("h")))
+      flagged.groupBy("doc_id")
+        .agg(sum("cnt").as("n_windows"),
+          sum(when(col("ndocs") >= 2, col("cnt")).otherwise(0L))
+            .as("n_dup_windows"))
+    }
+
     def time(label: String, f: () => DataFrame): Unit = {
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -59,6 +74,7 @@ object T32Lab {
     }
     time("old", oldShape)
     time("new", newShape)
+    time("bounded", boundedShape)
     spark.stop()
   }
 }

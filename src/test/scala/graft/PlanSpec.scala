@@ -274,13 +274,18 @@ class PlanSpec extends AnyFunSuite {
       "document text must never enter a shuffle")
     // the round-5 shape cached the exploded windows (a corpus-multiple
     // in block storage at scale) and joined them back; the rewrite is
-    // ONE digest-keyed aggregation + the per-doc re-key — nothing else
+    // (h, doc_id) counts → spill-safe h-window → per-doc re-key, with
+    // O(1) aggregation state everywhere (no collect_list: a boilerplate
+    // window's doc list must never materialize inside one agg row)
     assert(!p.contains("InMemoryRelation") && !p.contains("InMemoryTableScan"),
       "the exploded window leg must not be cached")
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
-      "dup flags must unfold from the hash groups, not join back")
-    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
-      "one exchange on h + the per-doc re-key at most")
+      "dup flags must come from the h-window, not a join back")
+    assert(!p.contains("collect_list"),
+      "no hash group may materialize an in-memory doc-id list")
+    assert(p.contains("Window"), "the distinct-doc test is a spill-safe window")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3,
+      "pair agg + h window + per-doc re-key at most")
   }
 
   test("t37: paragraph dedup shuffles digests only, one h-keyed agg, no join-back") {
@@ -292,9 +297,11 @@ class PlanSpec extends AnyFunSuite {
       !"Exchange [^\\n]*words".r.findFirstIn(p).isDefined,
       "paragraph text must never enter a shuffle")
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
-      "dup flags must unfold from the hash groups, not join back")
-    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
-      "one exchange on h + the per-doc re-key at most")
+      "dup flags must come from the h-window, not a join back")
+    assert(!p.contains("collect_list"),
+      "no hash group may materialize an in-memory doc-id list")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3,
+      "pair agg + h window + per-doc re-key at most")
   }
 
   test("t33: quantization is a pure map (zero wide shuffles)") {

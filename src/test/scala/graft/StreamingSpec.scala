@@ -82,6 +82,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionize: a late in-gap arrival cannot rewind the frontier and split") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = Streams.sessionize(input.toDS(), gapMs = 15 * 60 * 1000L)
+      .writeStream.format("memory").queryName("late_sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(Event(1, ts(0), 1, "click", 1.0), Event(2, ts(10), 1, "click", 2.0))
+      q.processAllAvailable()
+      // late arrival at 10:05 (in gap, merged) must NOT move the
+      // frontier back from 10:10 — otherwise the 10:22 event (12 min
+      // after the true frontier) would spuriously open a new session
+      input.addData(Event(3, ts(5), 1, "view", 4.0), Event(4, ts(22), 1, "click", 8.0))
+      q.processAllAvailable()
+      input.addData(Event(5, ts(50), 1, "click", 0.0)) // > gap: closes it
+      q.processAllAvailable()
+      val closed = spark.table("late_sessions").as[Session].collect()
+      assert(closed.length == 1)
+      assert(closed.head.n_events == 4)
+      assert(closed.head.total_value == 15.0)
+      assert(closed.head.started == ts(0) && closed.head.ended == ts(22))
+    } finally q.stop()
+  }
+
   test("streaming sessionize equals batch q21 on the events fixture") {
     // the two sessionizers implement the same 30-min event-time gap rule
     // (µs math, (ts, event_id) tie-break, fixed-point value sums); this
