@@ -72,7 +72,7 @@ object Curation {
     * partition), no shuffle. One implementation so a fix to the
     * insertion/trim logic can never apply to one caller and not the
     * other. */
-  private def boundedTopK[E](it: Iterator[(String, E)], k: Int)(
+  private[graft] def boundedTopK[E](it: Iterator[(String, E)], k: Int)(
       implicit ord: Ordering[E]): Iterator[(String, E)] = {
     val best = scala.collection.mutable.HashMap
       .empty[String, scala.collection.mutable.ArrayBuffer[E]]
@@ -1255,6 +1255,46 @@ object Curation {
            |    / CAST(SUM(in_m) + SUM(in_s) - SUM(in_m * in_s) AS DOUBLE)
            |    AS agreement
            |FROM u""".stripMargin
-      })
+      }),
+
+    // ----------------------------------------------------------------- t41
+    // Multi-EPOCH UPSAMPLING: the complement of t28's temperature
+    // DOWNsampling — low-resource languages repeat for
+    // round(sqrt(max_n / n_lang)) epochs (the sqrt-upsampling rule
+    // multilingual training runs so minority languages aren't drowned),
+    // emitting per doc its repeat count and effective token
+    // contribution to the training budget. Per-language repeats are a
+    // tiny broadcast; the corpus pass is a pure map — zero wide
+    // shuffles at any scale. sqrt and the division are correctly
+    // rounded IEEE ops on identical operands → identical repeat
+    // integers in both engines.
+    "t41_epoch_upsample" -> QueryDef(
+      (spark, dir) => {
+        val docs = t(spark, dir, "documents")
+          .withColumn("n_tokens", expr("(n_chars + 3) div 4"))
+        val counts = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+        val maxN = counts.agg(max("n").as("max_n"))
+        val reps = counts.crossJoin(broadcast(maxN))
+          .select(col("lang"),
+            greatest(lit(1L), floor(
+              sqrt(col("max_n").cast("double") / col("n").cast("double"))
+                + 0.5)).as("n_repeats"))
+        docs.join(broadcast(reps), "lang")
+          .select(col("doc_id"), col("lang"), col("n_repeats"),
+            (col("n_tokens") * col("n_repeats")).as("eff_tokens"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH c AS (
+             |  SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+             |r AS (
+             |  SELECT lang,
+             |    GREATEST(CAST(1 AS BIGINT), CAST(FLOOR(
+             |      sqrt(CAST((SELECT MAX(n) FROM c) AS DOUBLE)
+             |           / CAST(n AS DOUBLE)) + 0.5) AS BIGINT)) AS n_repeats
+             |  FROM c)
+             |SELECT d.doc_id, d.lang, r.n_repeats,
+             |  ((d.n_chars + 3) // 4) * r.n_repeats AS eff_tokens
+             |FROM documents d JOIN r USING (lang)
+             |ORDER BY d.doc_id""".stripMargin))
   )
 }

@@ -88,6 +88,21 @@ object EnginePropsSpec extends Properties("engine") {
       out.contains(s"(($a) + ($b))")
     }
 
+  // ---- bounded top-k core (t34/t38/t39's partition-local prune) ----
+
+  property("boundedTopK: equals groupBy+sort+take(k) for any input and k") =
+    forAll(
+      Gen.listOf(Gen.zip(Gen.oneOf("a", "b", "c"),
+        Gen.zip(Gen.chooseNum(-50L, 50L), Gen.chooseNum(0L, 20L)))),
+      Gen.chooseNum(1, 6)) { (rows, k) =>
+      val got = graft.queries.Curation.boundedTopK(rows.iterator, k)
+        .toSeq.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val want = rows.groupBy(_._1).view
+        .mapValues(_.map(_._2).sorted.take(k)).toMap
+      // per group: same entries, already in sorted order
+      got.keySet == want.keySet && want.forall { case (g, w) => got(g) == w }
+    }
+
   // ---- ranked-query builder ----
 
   property("rankedQuery: always filters __rank__ = 1 and partitions by all keys") =
