@@ -1015,9 +1015,9 @@ object Curation {
     // structure, so a "paragraph" is a non-overlapping 20-word segment
     // of the lowercased text (the normalization in CCNet is likewise
     // lowercase + punctuation-strip before hashing). Dataflow is t32's
-    // ONE digest-keyed aggregation: hash groups carry doc-id lists, the
-    // ≥3-docs test and per-doc paragraph counts unfold map-side, and
-    // only 16-byte digests + ids ever enter an exchange — never text.
+    // bounded-state shape: (h, doc_id) counts, a spill-safe h-window for
+    // the ≥3-distinct-docs test, then per-doc totals — and only 16-byte
+    // digests + ids ever enter an exchange, never text.
     "t37_paragraph_dedup" -> QueryDef(
       (spark, dir) => {
         val paras = t(spark, dir, "documents")
@@ -1271,10 +1271,15 @@ object Curation {
     "t41_epoch_upsample" -> QueryDef(
       (spark, dir) => {
         val docs = t(spark, dir, "documents")
-          .withColumn("n_tokens", expr("(n_chars + 3) div 4"))
-        val counts = docs.groupBy("lang").agg(count(lit(1)).as("n"))
-        val maxN = counts.agg(max("n").as("max_n"))
-        val reps = counts.crossJoin(broadcast(maxN))
+          .withColumn("n_tokens", expr(DataSelection.tokenEstExpr))
+        // max_n as a window over the ALREADY-aggregated counts (a
+        // #langs-row frame — the partition-less window is bounded by
+        // construction): one corpus aggregation subtree, not two (a
+        // counts.agg(max) crossJoin would re-scan + re-aggregate the
+        // corpus for a value derivable from the counts relation)
+        val reps = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+          .withColumn("max_n", max("n").over(
+            org.apache.spark.sql.expressions.Window.partitionBy()))
           .select(col("lang"),
             greatest(lit(1L), floor(
               sqrt(col("max_n").cast("double") / col("n").cast("double"))

@@ -27,6 +27,15 @@ object DataSelection {
   import Tables.t
   import TrainingData.{shingleExpr, shingleSqlDuck, withWords, dotCol, dotSql, dotDuck}
 
+  /** t09's BPE token estimate over a `documents` row — one definition
+    * shared by t24's shards and t41's epoch budget (plus its DuckDB
+    * twin below), so the estimate can never silently diverge between
+    * operators. */
+  private[queries] val tokenEstExpr = "(n_chars + 3) div 4"
+
+  /** DuckDB twin of [[tokenEstExpr]]. */
+  private[queries] val tokenEstDuck = "(n_chars + 3) // 4"
+
   /** t24's bucket count for the distributed prefix sum: grows with the
     * input's partitioning so the second (accumulate) pass never caps at a
     * constant task count when the data scales — a hard-coded 32 would make
@@ -407,7 +416,7 @@ object DataSelection {
         val budget = 20000L
         val docs = t(spark, dir, "documents")
           .select(col("doc_id"),
-            expr("(n_chars + 3) div 4").as("tok")) // t09's BPE estimate
+            expr(tokenEstExpr).as("tok")) // t09's BPE estimate
         val n = docs.count()
         val buckets = tokenShardBuckets(docs.rdd.getNumPartitions)
         val bucketWidth = math.max(1L, (n + buckets - 1) / buckets)
@@ -442,8 +451,8 @@ object DataSelection {
           .withColumn("shard", expr(s"(cum - tok) div $budget"))
           .orderBy("doc_id")
       },
-      Some("""WITH toks AS (
-             |  SELECT doc_id, (n_chars + 3) // 4 AS tok FROM documents),
+      Some(s"""WITH toks AS (
+             |  SELECT doc_id, $tokenEstDuck AS tok FROM documents),
              |c AS (
              |  SELECT doc_id, tok,
              |    CAST(SUM(tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)

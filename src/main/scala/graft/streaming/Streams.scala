@@ -75,15 +75,18 @@ object Streams {
     * math, same (ts, event_id) tie-break, same fixed-point value sum) —
     * StreamingSpec pins the equivalence on the events fixture. The
     * equivalence claim is scoped to per-key IN-ORDER delivery across
-    * micro-batches (what watermark-ordered replay provides): a late
-    * cross-batch arrival still lands in the open session when it is
-    * within the gap of the frontier, and the frontier/start only ever
-    * widen (max/min below, so a stale timestamp cannot rewind the
-    * frontier and split the session spuriously) — but an arrival so late
-    * it should have re-split or merged ALREADY-EMITTED sessions cannot
-    * be honored without retracting output, which append-mode streaming
-    * cannot express. Batch q21 re-sorts history and is the authority
-    * for such replays.
+    * micro-batches (what watermark-ordered replay provides). Bounded
+    * out-of-order grace: a late cross-batch arrival inside
+    * [started − gap, frontier + gap] merges into the open session, and
+    * the frontier/start only ever widen (max/min below — a stale
+    * timestamp cannot rewind the frontier and split the session
+    * spuriously); an arrival older than started − gap provably cannot
+    * belong to the open session and is emitted as an immediately-closed
+    * singleton (a run of such stale events emits one singleton each
+    * rather than re-sorting history, and an arrival that should re-split
+    * or merge ALREADY-EMITTED sessions cannot be honored without
+    * retracting output, which append mode cannot express). Batch q21
+    * re-sorts history and is the authority for such replays.
     *
     * Event-time gap detection (not wall-clock timeouts) keeps replays
     * deterministic; an idle key's open session stays in state until its
@@ -104,14 +107,27 @@ object Streams {
           sorted.foreach { e =>
             val us = micros(e.ts)
             cur match {
-              case Some(s) if us - s.lastUs <= gapUs =>
-                cur = Some(SessionState(s.nEvents + 1,
-                  s.totalFp + fp(e.value),
-                  math.min(s.startedUs, us), math.max(s.lastUs, us)))
-              case Some(s) =>
+              case Some(s) if us > s.lastUs + gapUs =>
+                // beyond the frontier's gap: the open session is proven
+                // closed — emit it, open a new one
                 out += Session(userId, s.nEvents, s.totalFp / 1e4,
                   toTs(s.startedUs), toTs(s.lastUs))
                 cur = Some(SessionState(1, fp(e.value), us, us))
+              case Some(s) if us < s.startedUs - gapUs =>
+                // stale arrival older than the open session's own gap
+                // window: it can never belong to it (batch would have
+                // closed it before the session started) — emit it as an
+                // immediately-closed singleton; a RUN of such stale
+                // events emits one singleton each (see scaladoc scope)
+                out += Session(userId, 1, fp(e.value) / 1e4,
+                  toTs(us), toTs(us))
+              case Some(s) =>
+                // within [started - gap, last + gap]: merge; frontier
+                // and start only widen, so a late in-gap arrival cannot
+                // rewind the frontier and split the session
+                cur = Some(SessionState(s.nEvents + 1,
+                  s.totalFp + fp(e.value),
+                  math.min(s.startedUs, us), math.max(s.lastUs, us)))
               case None =>
                 cur = Some(SessionState(1, fp(e.value), us, us))
             }

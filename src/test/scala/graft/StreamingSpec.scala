@@ -108,6 +108,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionize: an arrival older than started - gap becomes a stale singleton") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = Streams.sessionize(input.toDS(), gapMs = 15 * 60 * 1000L)
+      .writeStream.format("memory").queryName("stale_sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(Event(1, ts(40), 1, "click", 1.0), Event(2, ts(50), 1, "click", 2.0))
+      q.processAllAvailable()
+      // 10:00 is 40 min before the open session's start (gap 15 min):
+      // it can never belong to it — emitted as its own closed session,
+      // NOT merged (merging would rewind started by 40 min)
+      input.addData(Event(3, ts(0), 1, "view", 7.0))
+      q.processAllAvailable()
+      val sessions = spark.table("stale_sessions").as[Session].collect()
+      assert(sessions.length == 1)
+      assert(sessions.head.n_events == 1 && sessions.head.total_value == 7.0)
+      assert(sessions.head.started == ts(0) && sessions.head.ended == ts(0))
+    } finally q.stop()
+  }
+
   test("streaming sessionize equals batch q21 on the events fixture") {
     // the two sessionizers implement the same 30-min event-time gap rule
     // (µs math, (ts, event_id) tie-break, fixed-point value sums); this
