@@ -22,38 +22,51 @@ object Curation {
     minhashPairs, minhashPairsDuck, dotCol, dotSql, dotDuck}
   import DataSelection.tokenShardBuckets
 
+  /** Appends the five Gopher stat columns (n_words, mean_word_len,
+    * distinct_ratio, top_word_frac, dup_2gram_frac) to a
+    * [[TrainingData.withWords]] frame, keeping every existing column —
+    * the ONE definition of the repetition stats, shared by t30's
+    * verdict and t39's fused funnel scan. */
+  private def gopherStats(df: DataFrame): DataFrame = df
+    .withColumn("__w", expr("ngram_stats(words, 1)"))
+    .withColumn("__g2", expr("ngram_stats(words, 2)"))
+    .withColumn("n_words", col("__w.total"))
+    .withColumn("mean_word_len",
+      (col("n_chars") - col("__w.total") + 1).cast("double") /
+        col("__w.total").cast("double"))
+    .withColumn("distinct_ratio",
+      col("__w.n_distinct").cast("double") / col("__w.total").cast("double"))
+    .withColumn("top_word_frac",
+      col("__w.top").cast("double") / col("__w.total").cast("double"))
+    .withColumn("dup_2gram_frac",
+      when(col("__g2.total") === 0, lit(0.0))
+        .otherwise(col("__g2.dup").cast("double") /
+          col("__g2.total").cast("double")))
+    .drop("__w", "__g2")
+
+  /** The five Gopher accept rules over [[gopherStats]]' columns, in
+    * fail_mask bit order — shared by t30 (bitmask) and t39 (keep). */
+  private val gopherRules: Seq[Column] = Seq(
+    col("n_words").between(10, 1000),
+    col("mean_word_len").between(2.0, 10.0),
+    col("distinct_ratio") > 0.2,
+    col("top_word_frac") < 0.3,
+    col("dup_2gram_frac") < 0.5)
+
   /** t30's build, shared with the t35 source-mix report (named members
     * rather than defs lookups: the oracle strings compose EAGERLY during
     * `defs` construction, and a self-referential map access there would
     * hit the half-initialized object). */
-  private def t30Build(spark: SparkSession, dir: String): DataFrame = {
-    val scored = withWords(t(spark, dir, "documents"))
-      .select(col("doc_id"), col("n_chars"),
-        expr("ngram_stats(words, 1)").as("w"),
-        expr("ngram_stats(words, 2)").as("g2"))
-      .select(col("doc_id"),
-        col("w.total").as("n_words"),
-        ((col("n_chars") - col("w.total") + 1).cast("double") /
-          col("w.total").cast("double")).as("mean_word_len"),
-        (col("w.n_distinct").cast("double") / col("w.total").cast("double"))
-          .as("distinct_ratio"),
-        (col("w.top").cast("double") / col("w.total").cast("double"))
-          .as("top_word_frac"),
-        when(col("g2.total") === 0, lit(0.0))
-          .otherwise(col("g2.dup").cast("double") /
-            col("g2.total").cast("double")).as("dup_2gram_frac"))
-    scored
+  private def t30Build(spark: SparkSession, dir: String): DataFrame =
+    gopherStats(withWords(t(spark, dir, "documents")))
       .withColumn("fail_mask",
-        (when(col("n_words").between(10, 1000), 0).otherwise(1) +
-         when(col("mean_word_len").between(2.0, 10.0), 0).otherwise(2) +
-         when(col("distinct_ratio") > 0.2, 0).otherwise(4) +
-         when(col("top_word_frac") < 0.3, 0).otherwise(8) +
-         when(col("dup_2gram_frac") < 0.5, 0).otherwise(16)).cast("int"))
+        gopherRules.zipWithIndex
+          .map { case (r, i) => when(r, 0).otherwise(1 << i) }
+          .reduce(_ + _).cast("int"))
       .withColumn("keep", col("fail_mask") === 0)
       .select("doc_id", "n_words", "mean_word_len", "distinct_ratio",
         "top_word_frac", "dup_2gram_frac", "fail_mask", "keep")
       .orderBy("doc_id")
-  }
 
   /** t34's partition-local top-k per language: a bounded insertion
     * buffer ordered by (count DESC, word ASC) whose word comparison is
@@ -74,6 +87,7 @@ object Curation {
     * other. */
   private[graft] def boundedTopK[E](it: Iterator[(String, E)], k: Int)(
       implicit ord: Ordering[E]): Iterator[(String, E)] = {
+    require(k >= 1, s"boundedTopK needs k >= 1, got $k")
     val best = scala.collection.mutable.HashMap
       .empty[String, scala.collection.mutable.ArrayBuffer[E]]
     it.foreach { case (g, e) =>
@@ -114,12 +128,45 @@ object Curation {
     }.toDF("lang", "w", "c")
   }
 
+  /** t32/t37's bounded-state duplicate-span counter over exploded
+    * (doc_id, h) span rows: per-(h, doc_id) counts (O(1) aggregation
+    * state), then a SPILL-SAFE h-window counting each digest's distinct
+    * docs (a boilerplate span shared by millions of documents streams
+    * through the window's external buffer instead of materializing a
+    * doc-id list inside one agg row), then per-doc totals
+    * (n_total spans, n_dup spans whose digest is in ≥ `minDocs` docs).
+    * ONE definition so the spill-safe shape can never drift between the
+    * two granularities. Measured COLD at sf0.1 (T32Lab): 0.59 s vs
+    * 0.71 s (single-agg collect_list unfold) vs 0.84 s (round 5's
+    * cache+join-back — its reported 0.65 s timed warm InMemoryRelation
+    * hits, not engine cost). */
+  private def dupSpanCounts(spans: DataFrame, minDocs: Int): DataFrame =
+    spans.groupBy("h", "doc_id")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("ndocs", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("h")))
+      .groupBy("doc_id")
+      .agg(sum("cnt").as("n_total"),
+        sum(when(col("ndocs") >= minDocs, col("cnt")).otherwise(0L))
+          .as("n_dup"))
+
   /** t26's cell count: one learned centroid per ~`targetCellSize`
     * vectors, so SemDeDup's within-cell pairwise cost (Σ|cell|²) stays
     * LINEAR in N — the guard round 5 left in prose. [[graft.PlanSpec]]
     * pins the growth. */
-  private[graft] def semdedupK(n: Long, targetCellSize: Int = 64): Int =
+  /** t26's target vectors-per-cell (its oracle interpolates the SAME
+    * constant, so an edit cannot diverge the two sides). */
+  private[graft] val semdedupCellSize = 64
+
+  private[graft] def semdedupK(n: Long,
+      targetCellSize: Int = semdedupCellSize): Int =
     math.max(1, math.ceil(n.toDouble / targetCellSize).toInt)
+
+  /** t34's per-language vocabulary size and t38/t39's per-source doc
+    * quota — interpolated into BOTH the Spark builds and the oracle SQL
+    * (a constant edit cannot diverge the paired sides). */
+  private val vocabK = 20
+  private val sourceQuota = 20
 
   /** t26's LCG centroid seed family (t16's, salted +100). */
   private[graft] def lcgCentroid(j: Int): IndexedSeq[Double] =
@@ -189,21 +236,31 @@ object Curation {
     }.toDF("source", "doc_id", "qfp")
   }
 
-  /** t08's quality score per document — shared by the t35 source-mix
-    * report and t38's per-source quota cap: (doc_id, source, quality).
+  /** Appends t08's quality-score INPUT columns (n_tokens, stop_hits,
+    * punct_chars) to a documents frame, keeping existing columns —
+    * shared by [[withQuality]] and t39's fused scan. */
+  private def qualityInputs(df: DataFrame): DataFrame = df
+    .withColumn("n_tokens", size(split(col("text"), " ")))
+    .withColumn("stop_hits", expr(
+      "size(filter(split(lower(text), ' '), x -> x IN ('the','a','and','of','to','in','is')))"))
+    .withColumn("punct_chars",
+      length(col("text")) - length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", "")))
+
+  /** t08's quality combination over [[qualityInputs]]' columns — the
+    * ONE definition of the weights (its DuckDB twin is [[qualityDuck]]).
     * All inputs are integer counts + exact IEEE arithmetic, so the
     * doubles are engine-identical. */
+  private val qualityCol: Column =
+    (col("stop_hits").cast("double") / col("n_tokens").cast("double")) * 0.5 +
+      least(col("n_tokens"), lit(100)).cast("double") / 100.0 * 0.3 +
+      (lit(1.0) - col("punct_chars").cast("double") /
+        col("n_chars").cast("double")) * 0.2
+
+  /** t08's quality score per document — shared by the t35 source-mix
+    * report and t38's per-source quota cap: (doc_id, source, quality). */
   private def withQuality(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
-      .withColumn("n_tokens", size(split(col("text"), " ")))
-      .withColumn("stop_hits", expr(
-        "size(filter(split(lower(text), ' '), x -> x IN ('the','a','and','of','to','in','is')))"))
-      .withColumn("punct_chars",
-        length(col("text")) - length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", "")))
-      .withColumn("quality",
-        (col("stop_hits").cast("double") / col("n_tokens").cast("double")) * 0.5 +
-          least(col("n_tokens"), lit(100)).cast("double") / 100.0 * 0.3 +
-          (lit(1.0) - col("punct_chars").cast("double") / col("n_chars").cast("double")) * 0.2)
+    qualityInputs(t(spark, dir, "documents"))
+      .withColumn("quality", qualityCol)
       .select(col("doc_id"), col("source"), col("quality"))
 
   /** DuckDB twin of [[withQuality]]'s quality expression (over a
@@ -337,7 +394,8 @@ object Curation {
       },
       Some({
         s"""WITH nk AS (
-           |  SELECT CAST(CEIL(COUNT(*) / 64.0) AS INT) AS k FROM embeddings),
+           |  SELECT CAST(CEIL(COUNT(*) / $semdedupCellSize.0) AS INT) AS k
+           |  FROM embeddings),
            |cent0 AS (
            |  SELECT cell,
            |    list(CAST(((CAST(cell AS BIGINT) + 100) * 1103515245
@@ -766,29 +824,11 @@ object Curation {
             "sequence(1, greatest(length(text) - 49, 1), 10)")).as("i"))
           .select(col("doc_id"),
             md5(expr("substr(text, i, 50)").cast("binary")).as("h"))
-        // Bounded-state dup detection, no cache, no join-back: (1) a
-        // map-side-combinable (h, doc_id) count — O(1) agg state per
-        // pair; (2) the "≥ 2 distinct docs" test as a COUNT over the
-        // h-partitioned window, whose buffer is SPILL-SAFE — a
-        // boilerplate window shared by millions of documents streams
-        // through the window's external buffer instead of materializing
-        // an in-memory doc-id list inside one aggregation row (the
-        // collect_list shape OOMs exactly on the high-duplication
-        // content this operator exists to find); (3) the per-doc totals
-        // pre-combine map-side before the tiny doc_id re-key. Nothing
-        // but 16-byte digests + ids ever enters an exchange. Measured
-        // COLD at sf0.1 (T32Lab, cache cleared between runs): 0.59 s vs
-        // 0.71 s (single-agg collect_list unfold) vs 0.84 s (round 5's
-        // cache+join-back — its reported 0.65 s timed warm
-        // InMemoryRelation hits, not engine cost).
-        val per = wins.groupBy("h", "doc_id")
-          .agg(count(lit(1)).as("cnt"))
-          .withColumn("ndocs", count(lit(1)).over(
-            org.apache.spark.sql.expressions.Window.partitionBy("h")))
-        per.groupBy("doc_id")
-          .agg(sum("cnt").as("n_windows"),
-            sum(when(col("ndocs") >= 2, col("cnt")).otherwise(0L))
-              .as("n_dup_windows"))
+        // bounded-state dup detection — see [[dupSpanCounts]]: no cache,
+        // no join-back, nothing but 16-byte digests + ids in an exchange
+        dupSpanCounts(wins, minDocs = 2)
+          .select(col("doc_id"), col("n_total").as("n_windows"),
+            col("n_dup").as("n_dup_windows"))
           .withColumn("dup_frac",
             col("n_dup_windows").cast("double") / col("n_windows").cast("double"))
           .select("doc_id", "n_windows", "n_dup_windows", "dup_frac")
@@ -866,7 +906,7 @@ object Curation {
     "t34_vocab_topk" -> QueryDef(
       (spark, dir) => {
         import spark.implicits._
-        val k = 20
+        val k = vocabK
         val counts = t(spark, dir, "documents")
           .select(col("lang"), explode(split(col("text"), " ")).as("w"))
           .groupBy("lang", "w").agg(count(lit(1)).as("c"))
@@ -881,7 +921,7 @@ object Curation {
           .select("lang", "rnk", "w", "c")
           .orderBy("lang", "rnk")
       },
-      Some("""WITH counts AS (
+      Some(s"""WITH counts AS (
              |  SELECT lang, unnest(string_split(text, ' ')) AS w
              |  FROM documents),
              |c AS (SELECT lang, w, COUNT(*) AS c FROM counts GROUP BY lang, w),
@@ -890,7 +930,7 @@ object Curation {
              |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, w) AS rnk
              |  FROM c)
              |SELECT lang, rnk, w, c FROM ranked
-             |WHERE rnk <= 20
+             |WHERE rnk <= $vocabK
              |ORDER BY lang, rnk""".stripMargin)),
 
     // ----------------------------------------------------------------- t35
@@ -958,11 +998,12 @@ object Curation {
         val exactIds = hashes.filter(col("is_new"))
           .join(oldHashes, Seq("h"), "left_semi")
           .select(col("doc_id"), lit(true).as("exact_dup"))
-        val bands = TrainingData.minhashBands(docs)
-          .join(docs.select("doc_id", "is_new"), "doc_id")
-        val oldBands = bands.filter(!col("is_new"))
+        // band each side separately: the is_new flag rides the banding
+        // scan itself instead of re-attaching via a corpus-wide doc_id
+        // shuffle join of 4 band rows per document
+        val oldBands = TrainingData.minhashBands(docs.filter(!col("is_new")))
           .select("band", "bucket").distinct()
-        val nearIds = bands.filter(col("is_new"))
+        val nearIds = TrainingData.minhashBands(docs.filter(col("is_new")))
           .join(oldBands, Seq("band", "bucket"), "left_semi")
           .select("doc_id").distinct()
           .withColumn("near_dup", lit(true))
@@ -1027,19 +1068,13 @@ object Curation {
           .select(col("doc_id"),
             md5(expr("array_join(slice(words, s * 20 + 1, 20), ' ')")
               .cast("binary")).as("h"))
-        // t32's bounded-state shape: (h, doc_id) counts (O(1) agg state)
-        // → spill-safe h-window counting distinct docs (boilerplate
-        // paragraphs shared by a large corpus fraction are this
-        // operator's PREMISE, so a per-group in-memory id list would OOM
-        // exactly on the hot groups) → per-doc totals
-        val per = paras.groupBy("h", "doc_id")
-          .agg(count(lit(1)).as("cnt"))
-          .withColumn("ndocs", count(lit(1)).over(
-            org.apache.spark.sql.expressions.Window.partitionBy("h")))
-        per.groupBy("doc_id")
-          .agg(sum("cnt").as("n_paras"),
-            sum(when(col("ndocs") >= 3, col("cnt")).otherwise(0L))
-              .as("n_dropped"))
+        // t32's bounded-state shape via the shared [[dupSpanCounts]]
+        // (boilerplate paragraphs shared by a large corpus fraction are
+        // this operator's PREMISE, so the spill-safe window matters
+        // here most of all)
+        dupSpanCounts(paras, minDocs = 3)
+          .select(col("doc_id"), col("n_total").as("n_paras"),
+            col("n_dup").as("n_dropped"))
           .withColumn("kept_frac",
             (col("n_paras") - col("n_dropped")).cast("double") /
               col("n_paras").cast("double"))
@@ -1081,7 +1116,7 @@ object Curation {
     "t38_source_quota" -> QueryDef(
       (spark, dir) => {
         import spark.implicits._
-        val quota = 20
+        val quota = sourceQuota
         val scored = withQuality(spark, dir)
           .withColumn("qfp", floor(col("quality") * 1e6 + 0.5).cast("long"))
           .select("source", "doc_id", "qfp")
@@ -1103,7 +1138,7 @@ object Curation {
               |                       ORDER BY qfp DESC, doc_id) AS rnk
               |  FROM q)
               |SELECT source, rnk, doc_id, qfp FROM ranked
-              |WHERE rnk <= 20
+              |WHERE rnk <= $sourceQuota
               |ORDER BY source, rnk""".stripMargin)),
 
     // ----------------------------------------------------------------- t39
@@ -1120,39 +1155,22 @@ object Curation {
     "t39_curation_funnel" -> QueryDef(
       (spark, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val quota = 20
-        // verdict + quality + content digest fused into ONE corpus scan
-        // (t30's rules and t08's score share the word split): no
-        // corpus-sized joins anywhere — the only wide exchange carries
-        // (source, doc_id, qfp, 16-byte h) for docs that PASS the filter
-        val scored = withWords(t(spark, dir, "documents"))
-          .select(col("doc_id"), col("source"), col("n_chars"), col("text"),
-            col("words"),
-            expr("ngram_stats(words, 1)").as("w"),
-            expr("ngram_stats(words, 2)").as("g2"))
-          .withColumn("keep",
-            col("w.total").between(10, 1000) &&
-              ((col("n_chars") - col("w.total") + 1).cast("double") /
-                col("w.total").cast("double")).between(2.0, 10.0) &&
-              (col("w.n_distinct").cast("double") /
-                col("w.total").cast("double")) > 0.2 &&
-              (col("w.top").cast("double") / col("w.total").cast("double")) < 0.3 &&
-              when(col("g2.total") === 0, lit(0.0))
-                .otherwise(col("g2.dup").cast("double") /
-                  col("g2.total").cast("double")) < 0.5)
-          .withColumn("n_tokens", size(col("words")))
-          .withColumn("stop_hits", expr(
-            "size(filter(split(lower(text), ' '), x -> x IN ('the','a','and','of','to','in','is')))"))
-          .withColumn("punct_chars",
-            length(col("text")) - length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", "")))
-          .withColumn("qfp", floor(
-            ((col("stop_hits").cast("double") / col("n_tokens").cast("double")) * 0.5 +
-              least(col("n_tokens"), lit(100)).cast("double") / 100.0 * 0.3 +
-              (lit(1.0) - col("punct_chars").cast("double") /
-                col("n_chars").cast("double")) * 0.2) * 1e6 + 0.5).cast("long"))
-          .filter(col("keep"))
-          .select(col("source"), col("doc_id"), col("qfp"),
-            md5(col("text").cast("binary")).as("h"))
+        val quota = sourceQuota
+        // verdict + quality + content digest fused into ONE corpus scan,
+        // assembled from the SAME column builders t30/t35/t38 use
+        // (gopherStats/gopherRules/qualityInputs/qualityCol — a
+        // threshold or weight edit cannot diverge t39 from the
+        // operators it composes): no corpus-sized joins anywhere — the
+        // only wide exchange carries (source, doc_id, qfp, 16-byte h)
+        // for docs that PASS the filter
+        val scored =
+          qualityInputs(gopherStats(withWords(t(spark, dir, "documents"))))
+            .withColumn("keep", gopherRules.reduce(_ && _))
+            .withColumn("qfp",
+              floor(qualityCol * 1e6 + 0.5).cast("long"))
+            .filter(col("keep"))
+            .select(col("source"), col("doc_id"), col("qfp"),
+              md5(col("text").cast("binary")).as("h"))
         // one digest-keyed window marks dedup winners; every funnel count
         // falls out of a single agg over the SAME frame, so the whole
         // query is ONE evaluation of the scan+window chain. n_final is
@@ -1196,7 +1214,7 @@ object Curation {
               |    SELECT source, doc_id,
               |      ROW_NUMBER() OVER (PARTITION BY source
               |                         ORDER BY qfp DESC, doc_id) AS qrnk
-              |    FROM ded) WHERE qrnk <= 20),
+              |    FROM ded) WHERE qrnk <= $sourceQuota),
               |base AS (SELECT source, COUNT(*) AS n_docs FROM documents
               |         GROUP BY source)
               |SELECT b.source, b.n_docs,
