@@ -371,6 +371,28 @@ class PlanSpec extends AnyFunSuite {
       "the rank must partition by source")
   }
 
+  test("t39: funnel windows are digest-keyed and text never enters an exchange") {
+    val p = plan("t39_curation_funnel")
+    assert("windowspecdefinition\\(h#".r.findFirstIn(p).isDefined,
+      "the dedup window must partition by the 16-byte content digest")
+    assert(!"windowspecdefinition\\(source".r.findFirstIn(p).isDefined &&
+      !"windowspecdefinition\\(\\)".r.findFirstIn(p).isDefined,
+      "no few-task or partition-less window may see the corpus " +
+        "(n_final is the min(n, Q) identity, not a re-rank)")
+    assert(!"Exchange [^\\n]*text".r.findFirstIn(p).isDefined,
+      "document text must never enter a shuffle")
+  }
+
+  test("t41: repeats broadcast back; the corpus pass has no wide shuffle") {
+    val p = plan("t41_epoch_upsample")
+    assert(p.contains("BroadcastHashJoin"),
+      "per-language repeats are tiny and must broadcast")
+    // the only exchanges allowed feed the #langs-row counts aggregation
+    // and the final sort — the doc-level pass itself is map-only
+    assert(!"Exchange [^\\n]*text".r.findFirstIn(p).isDefined,
+      "document text must never enter a shuffle")
+  }
+
   test("no query in the suite plans a CartesianProduct") {
     // the one blanket rule that must hold at any scale; queries that
     // RUN pipelines (p-series) execute side effects, so guard the pure
