@@ -42,13 +42,15 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
 
     def exec(name: String, dir: String): Unit =
-      try SparkEntry.queries(name)(spark, dir)
+      SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
-      // blanket cold-cache invariant (finally: a FAILED caching query
-      // must not leave its InMemoryRelation resident either): drop
-      // anything the query persisted so the next sample (of any query)
-      // never hits a warm cache and storage memory is released
-      finally spark.catalog.clearCache()
+    // blanket cold-cache invariant, run AFTER each sample's timer stops
+    // (teardown cost must not be billed to the measured query) and also
+    // after a FAILED execution (finally: a failed caching query must not
+    // leave its InMemoryRelation resident either): drop anything the
+    // query persisted so the next sample (of any query) never hits a
+    // warm cache and storage memory is released
+    def coldCache(): Unit = spark.catalog.clearCache()
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     // warmup (not billed): sf0.001 first (cheap JIT of the interpreter
@@ -60,6 +62,7 @@ object Bench {
          n <- names) {
       try exec(n, warmSf)
       catch { case _: Throwable => }
+      finally coldCache()
     }
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "5").toInt
     require(runs >= 1, s"SPARK_GRAFT_RUNS must be >= 1, got $runs")
@@ -73,7 +76,9 @@ object Bench {
         val ok = try { exec(n, sfDir); true }
         catch { case _: Throwable => false }
         // -1 marks a failed query; a silent fast timing would read as a win
-        n -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+        val dt = (System.nanoTime() - t0) / 1e9
+        coldCache() // outside the timed window: only engine cost is billed
+        n -> (if (ok) dt else -1.0)
       }.toMap
     }
     // median AND min per query: the median is the headline, the min is

@@ -394,7 +394,8 @@ object Curation {
       },
       Some({
         s"""WITH nk AS (
-           |  SELECT CAST(CEIL(COUNT(*) / $semdedupCellSize.0) AS INT) AS k
+           |  SELECT GREATEST(1, CAST(CEIL(COUNT(*) / $semdedupCellSize.0)
+           |    AS INT)) AS k
            |  FROM embeddings),
            |cent0 AS (
            |  SELECT cell,

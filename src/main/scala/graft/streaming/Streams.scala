@@ -82,11 +82,14 @@ object Streams {
     * timestamp cannot rewind the frontier and split the session
     * spuriously); an arrival older than started − gap provably cannot
     * belong to the open session and is emitted as an immediately-closed
-    * singleton (a run of such stale events emits one singleton each
-    * rather than re-sorting history, and an arrival that should re-split
-    * or merge ALREADY-EMITTED sessions cannot be honored without
-    * retracting output, which append mode cannot express). Batch q21
-    * re-sorts history and is the authority for such replays.
+    * session. A RUN of such stale arrivals in one micro-batch is grouped
+    * by the SAME gap rule (the batch is already sorted here, so the
+    * grouping needs no retraction): stale events within `gap` of each
+    * other merge into one closed session, exactly as batch q21 would
+    * group that region. What append mode still cannot express is a stale
+    * run that batch would merge INTO the open or an already-emitted
+    * session (that requires retracting output) — batch q21 re-sorts
+    * history and is the authority for such replays.
     *
     * Event-time gap detection (not wall-clock timeouts) keeps replays
     * deterministic; an idle key's open session stays in state until its
@@ -101,26 +104,41 @@ object Streams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) => {
           def fp(v: Double): Long = math.floor(v * 1e4 + 0.5).toLong
+          def close(s: SessionState): Session =
+            Session(userId, s.nEvents, s.totalFp / 1e4,
+              toTs(s.startedUs), toTs(s.lastUs))
           val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
           var cur = state.getOption
+          // accumulator for the current run of STALE arrivals (older than
+          // started - gap): the batch is sorted, so stale events form a
+          // contiguous prefix relative to the carried state and can be
+          // grouped by the same gap rule without re-sorting history
+          var stale: Option[SessionState] = None
           val out = Seq.newBuilder[Session]
           sorted.foreach { e =>
             val us = micros(e.ts)
             cur match {
-              case Some(s) if us > s.lastUs + gapUs =>
-                // beyond the frontier's gap: the open session is proven
-                // closed — emit it, open a new one
-                out += Session(userId, s.nEvents, s.totalFp / 1e4,
-                  toTs(s.startedUs), toTs(s.lastUs))
-                cur = Some(SessionState(1, fp(e.value), us, us))
               case Some(s) if us < s.startedUs - gapUs =>
                 // stale arrival older than the open session's own gap
                 // window: it can never belong to it (batch would have
-                // closed it before the session started) — emit it as an
-                // immediately-closed singleton; a RUN of such stale
-                // events emits one singleton each (see scaladoc scope)
-                out += Session(userId, 1, fp(e.value) / 1e4,
-                  toTs(us), toTs(us))
+                // closed it before the session started). Group the run:
+                // stale events within gap of EACH OTHER merge into one
+                // closed session — batch q21's grouping of that region —
+                // and a gap inside the run closes one and opens the next
+                stale match {
+                  case Some(st) if us <= st.lastUs + gapUs =>
+                    stale = Some(SessionState(st.nEvents + 1,
+                      st.totalFp + fp(e.value),
+                      st.startedUs, math.max(st.lastUs, us)))
+                  case _ =>
+                    stale.foreach(out += close(_))
+                    stale = Some(SessionState(1, fp(e.value), us, us))
+                }
+              case Some(s) if us > s.lastUs + gapUs =>
+                // beyond the frontier's gap: the open session is proven
+                // closed — emit it, open a new one
+                out += close(s)
+                cur = Some(SessionState(1, fp(e.value), us, us))
               case Some(s) =>
                 // within [started - gap, last + gap]: merge; frontier
                 // and start only widen, so a late in-gap arrival cannot
@@ -132,6 +150,10 @@ object Streams {
                 cur = Some(SessionState(1, fp(e.value), us, us))
             }
           }
+          // a stale run is proven closed within its own batch (every
+          // member is older than started - gap, and later batches only
+          // carry newer events under the in-order scope)
+          stale.foreach(out += close(_))
           cur.foreach(state.update)
           out.result().iterator
         })

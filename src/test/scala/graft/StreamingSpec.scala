@@ -131,6 +131,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionize: a stale run groups by the gap rule, not one singleton each") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = Streams.sessionize(input.toDS(), gapMs = 15 * 60 * 1000L)
+      .writeStream.format("memory").queryName("stale_run_sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(Event(1, ts(50), 1, "click", 1.0))
+      q.processAllAvailable()
+      // one late batch with three stale events (all older than
+      // started - gap = 10:35): 10:00 and 10:05 are within gap of each
+      // other → ONE merged closed session, exactly as batch q21 groups
+      // them; 10:25 is beyond gap of 10:05 → its own closed session
+      input.addData(
+        Event(2, ts(0), 1, "view", 2.0),
+        Event(3, ts(5), 1, "view", 3.0),
+        Event(4, ts(25), 1, "view", 4.0))
+      q.processAllAvailable()
+      val sessions = spark.table("stale_run_sessions").as[Session].collect()
+        .sortBy(_.started.getTime)
+      assert(sessions.length == 2)
+      assert(sessions(0).n_events == 2 && sessions(0).total_value == 5.0)
+      assert(sessions(0).started == ts(0) && sessions(0).ended == ts(5))
+      assert(sessions(1).n_events == 1 && sessions(1).total_value == 4.0)
+      assert(sessions(1).started == ts(25) && sessions(1).ended == ts(25))
+    } finally q.stop()
+  }
+
   test("streaming sessionize equals batch q21 on the events fixture") {
     // the two sessionizers implement the same 30-min event-time gap rule
     // (µs math, (ts, event_id) tie-break, fixed-point value sums); this
