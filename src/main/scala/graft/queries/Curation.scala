@@ -158,9 +158,25 @@ object Curation {
     * constant, so an edit cannot diverge the two sides). */
   private[graft] val semdedupCellSize = 64
 
+  /** t26's centroid-count CAP: k = ⌈N/cellSize⌉ grows with the corpus
+    * until this ceiling, past which cells grow instead. The cap is what
+    * keeps the two driver-sized artifacts BOUNDED at extreme N — the
+    * k×64 fixed-point centroid collect and the broadcast centroid table
+    * are each ≤ 4096×64 values (≈2 MB) no matter how large N gets
+    * (uncapped, k = N/64 made both O(N): a 10⁹-vector corpus collected
+    * 10⁷ centroids to the driver). Published SemDeDup runs the same
+    * trade — a FIXED cluster count (50k for LAION) with cell size
+    * growing as the corpus does; within-cell pair cost transitions from
+    * linear (below the cap) to Σ|cell|² with k pinned, which is the
+    * algorithm's own behavior, not an implementation artifact. The
+    * oracle interpolates the same constant. */
+  private[graft] val semdedupMaxCells = 4096
+
   private[graft] def semdedupK(n: Long,
-      targetCellSize: Int = semdedupCellSize): Int =
-    math.max(1, math.ceil(n.toDouble / targetCellSize).toInt)
+      targetCellSize: Int = semdedupCellSize,
+      maxCells: Int = semdedupMaxCells): Int =
+    math.max(1, math.min(maxCells.toDouble,
+      math.ceil(n.toDouble / targetCellSize)).toInt)
 
   /** t34's per-language vocabulary size and t38/t39's per-source doc
     * quota — interpolated into BOTH the Spark builds and the oracle SQL
@@ -341,8 +357,10 @@ object Curation {
     // LCG seeds using t16's fixed-point recipe, so the centroid doubles
     // — and every distance computed from them — are bit-identical across
     // engines. The count() and the k×64 fixed-point collect are the only
-    // driver actions; at extreme N raise targetCellSize (or keep the
-    // centroids distributed) so k×64 longs stay driver-sized. The pair
+    // driver actions, and both are BOUNDED at extreme N: k caps at
+    // [[semdedupMaxCells]] (4096 → ≤2 MB collected/broadcast, the
+    // published-SemDeDup fixed-cluster-count regime; PlanSpec pins
+    // growth below the cap and the ceiling above it). The pair
     // join shuffles (cell, embedding) once per side; verdicts aggregate
     // per dropped id so the output is a dedup decision, not a candidate
     // list.
@@ -394,8 +412,8 @@ object Curation {
       },
       Some({
         s"""WITH nk AS (
-           |  SELECT GREATEST(1, CAST(CEIL(COUNT(*) / $semdedupCellSize.0)
-           |    AS INT)) AS k
+           |  SELECT GREATEST(1, LEAST($semdedupMaxCells,
+           |    CAST(CEIL(COUNT(*) / $semdedupCellSize.0) AS INT))) AS k
            |  FROM embeddings),
            |cent0 AS (
            |  SELECT cell,

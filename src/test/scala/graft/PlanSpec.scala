@@ -213,11 +213,18 @@ class PlanSpec extends AnyFunSuite {
     // the SemDeDup quadratic guard must live in code, not prose: k
     // tracks ⌈N / targetCellSize⌉ so cells hold ~constant membership
     // and a 100× corpus gets 100× cells, not 100× cell size
-    import graft.queries.Curation.semdedupK
+    import graft.queries.Curation.{semdedupK, semdedupMaxCells}
     assert(semdedupK(1) == 1)
     assert(semdedupK(500) == 8)
     assert(semdedupK(2000) == 32)
-    assert(semdedupK(100 * 6400) == 100 * semdedupK(6400))
+    assert(semdedupK(40 * 6400) == 40 * semdedupK(6400))
+    // ... until the cap: past it the driver-collected / broadcast
+    // centroid count is CONSTANT no matter how large the corpus gets
+    // (k×64 values ≈ 2 MB — the round-6 extreme-N watch item), which is
+    // published SemDeDup's own fixed-cluster-count regime
+    assert(semdedupK(4096L * 64) == semdedupMaxCells)
+    assert(semdedupK(1000L * 1000 * 1000) == semdedupMaxCells)
+    assert(semdedupK(Long.MaxValue / 4) == semdedupMaxCells)
   }
 
   test("t27: global rank is two-pass map work, never a partition-less window") {
