@@ -127,5 +127,18 @@ object GraftFunctions {
       "minhash8", arity("minhash8", 1)(exprs => MinHash8(exprs.head)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash16", arity("simhash16", 1)(exprs => SimHash16(exprs.head)), "built-in")
+    // Spark ships these two (the runtime-filter machinery's Bloom build
+    // and probe, spark-catalyst aggregate/BloomFilterAggregate.scala)
+    // but gives them no SQL name in 4.1 — surface them for t43's
+    // Bloom-pruned decontamination. Analyzer wraps the returned
+    // AggregateFunction in an AggregateExpression as for any builtin.
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_filter_agg", arity("bloom_filter_agg", 3)(exprs =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(exprs(0), exprs(1), exprs(2))), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "might_contain", arity("might_contain", 2)(exprs =>
+        org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain(exprs(0), exprs(1))), "built-in")
   }
 }

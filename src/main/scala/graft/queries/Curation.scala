@@ -184,6 +184,11 @@ object Curation {
   private val vocabK = 20
   private val sourceQuota = 20
 
+  /** t42's exact-Jaccard verification threshold (interpolated into both
+    * sides; the fixture's candidate pairs split cleanly — true near-dups
+    * sit ≥ 0.9, LSH false positives < 0.05). */
+  private val neardupJaccard = 0.5
+
   /** t26's LCG centroid seed family (t16's, salted +100). */
   private[graft] def lcgCentroid(j: Int): IndexedSeq[Double] =
     (1 to 64).map { d =>
@@ -1337,6 +1342,102 @@ object Curation {
              |SELECT d.doc_id, d.lang, r.n_repeats,
              |  ((d.n_chars + 3) // 4) * r.n_repeats AS eff_tokens
              |FROM documents d JOIN r USING (lang)
-             |ORDER BY d.doc_id""".stripMargin))
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // ----------------------------------------------------------------- t42
+    // NEAR-dup funnel — t39's composition question answered for the
+    // FUZZY granularity: MinHash+LSH candidates (t02) → exact shingle-
+    // Jaccard verification at [[neardupJaccard]] (t29's verify stage as
+    // a filter) → connected components over the verified edges (t15's
+    // clustering) → keep-best-per-cluster (t25's retention rule: longest
+    // doc, ties to lowest id) — reported per source as the attrition
+    // table (n_docs → n_matched → n_kept). This is the GPT-3/Gopher-
+    // style fuzzy-dedup stage every pretraining build runs; each leg is
+    // an already-oracle-proven operator, chained end-to-end. Scale
+    // shape: text leaves the dataflow after the one signature/shingle
+    // pass — candidates, verified edges, and component labels are id
+    // pairs; the verify join touches only the candidate pairs (a
+    // vanishing fraction of the corpus); the keep-best window partitions
+    // by component label (near-clique-sized groups); the report agg is
+    // map-side combinable. The Jaccard test multiplies instead of
+    // dividing (n_inter ≥ thr·union), so an empty-shingle pair (union
+    // 0) is rejected without a NaN entering either engine.
+    "t42_neardup_funnel" -> QueryDef(
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val sh = withWords(t(spark, dir, "documents"))
+          .select(col("doc_id"), expr(shingleExpr).as("sh"))
+        val verified = minhashPairs(spark, dir)
+          .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")),
+            "doc_a")
+          .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")),
+            "doc_b")
+          .withColumn("n_inter",
+            size(array_intersect(col("sha"), col("shb"))))
+          .withColumn("n_union",
+            size(col("sha")) + size(col("shb")) - col("n_inter"))
+          .filter(col("n_union") > 0 &&
+            col("n_inter").cast("double") >=
+              lit(neardupJaccard) * col("n_union").cast("double"))
+          .select("doc_a", "doc_b")
+        val docs = t(spark, dir, "documents")
+          .select("doc_id", "source", "n_chars")
+        val labels = graft.operators.Components.connected(
+          docs.select("doc_id"), verified, propagateRounds = 50)
+        val ranked = docs.join(labels, "doc_id")
+          .withColumn("csize",
+            count(lit(1)).over(Window.partitionBy("label")))
+          .withColumn("rn", row_number().over(Window.partitionBy("label")
+            .orderBy(col("n_chars").desc, col("doc_id"))))
+        ranked.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("csize") > 1, 1L).otherwise(0L)).as("n_matched"),
+            sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"))
+          .withColumn("kept_frac",
+            col("n_kept").cast("double") / col("n_docs").cast("double"))
+          .select("source", "n_docs", "n_matched", "n_kept", "kept_frac")
+          .orderBy("source")
+      },
+      Some(s"""WITH RECURSIVE $minhashPairsDuck,
+              |sh2 AS (SELECT doc_id, $shingleSqlDuck AS sh FROM documents),
+              |jac AS (
+              |  SELECT p.doc_a, p.doc_b,
+              |    len(list_intersect(a.sh, b.sh)) AS n_inter,
+              |    len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
+              |      AS n_union
+              |  FROM pairs p
+              |  JOIN sh2 a ON a.doc_id = p.doc_a
+              |  JOIN sh2 b ON b.doc_id = p.doc_b),
+              |ver AS (
+              |  SELECT doc_a, doc_b FROM jac
+              |  WHERE n_union > 0 AND CAST(n_inter AS DOUBLE)
+              |    >= $neardupJaccard * CAST(n_union AS DOUBLE)),
+              |edges AS (
+              |  SELECT doc_a AS src, doc_b AS dst FROM ver
+              |  UNION ALL SELECT doc_b, doc_a FROM ver),
+              |reach(src, dst) AS (
+              |  SELECT src, dst FROM edges
+              |  UNION
+              |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+              |comp AS (SELECT src AS doc_id, MIN(dst) AS min_reach
+              |         FROM reach GROUP BY src),
+              |lab AS (
+              |  SELECT d.doc_id, d.source, d.n_chars,
+              |    LEAST(d.doc_id, COALESCE(c.min_reach, d.doc_id)) AS label
+              |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+              |ranked AS (
+              |  SELECT source,
+              |    COUNT(*) OVER (PARTITION BY label) AS csize,
+              |    ROW_NUMBER() OVER (PARTITION BY label
+              |                       ORDER BY n_chars DESC, doc_id) AS rn
+              |  FROM lab)
+              |SELECT source, COUNT(*) AS n_docs,
+              |  CAST(SUM(CASE WHEN csize > 1 THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS n_matched,
+              |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS n_kept,
+              |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+              |    / CAST(COUNT(*) AS DOUBLE) AS kept_frac
+              |FROM ranked GROUP BY source ORDER BY source""".stripMargin))
   )
 }

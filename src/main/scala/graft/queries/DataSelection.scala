@@ -84,6 +84,30 @@ object DataSelection {
       .toDF("label", "vec_id", "dist")
   }
 
+  /** The ONE decontamination definition (exact n-gram overlap vs the
+    * eval set), shared verbatim by t19 and t43: t43's Bloom stage only
+    * PRUNES candidates (false positives are removed by exact
+    * verification, false negatives are impossible), so the two queries
+    * are the same function computed by different dataflows — one oracle
+    * string makes that claim structural. */
+  private val decontaminateOracle: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, unnest($shingleSqlDuck) AS shingle FROM documents),
+       |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+       |tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh
+       |        WHERE doc_id % 50 <> 0 GROUP BY doc_id),
+       |ov AS (SELECT s.doc_id, COUNT(*) AS ov
+       |       FROM sh s JOIN ev USING (shingle)
+       |       WHERE s.doc_id % 50 <> 0 GROUP BY s.doc_id)
+       |SELECT t.doc_id, t.n_shingles,
+       |  COALESCE(o.ov, 0) AS n_overlap,
+       |  CAST(COALESCE(o.ov, 0) AS DOUBLE) / CAST(t.n_shingles AS DOUBLE)
+       |    AS contamination,
+       |  CAST(COALESCE(o.ov, 0) AS DOUBLE) / CAST(t.n_shingles AS DOUBLE)
+       |    >= 0.5 AS contaminated
+       |FROM tot t LEFT JOIN ov o ON o.doc_id = t.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
 
     // ----------------------------------------------------------------- t19
@@ -118,22 +142,65 @@ object DataSelection {
             "contaminated")
           .orderBy("doc_id")
       },
-      Some(s"""WITH sh AS (
-              |  SELECT doc_id, unnest($shingleSqlDuck) AS shingle FROM documents),
-              |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
-              |tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh
-              |        WHERE doc_id % 50 <> 0 GROUP BY doc_id),
-              |ov AS (SELECT s.doc_id, COUNT(*) AS ov
-              |       FROM sh s JOIN ev USING (shingle)
-              |       WHERE s.doc_id % 50 <> 0 GROUP BY s.doc_id)
-              |SELECT t.doc_id, t.n_shingles,
-              |  COALESCE(o.ov, 0) AS n_overlap,
-              |  CAST(COALESCE(o.ov, 0) AS DOUBLE) / CAST(t.n_shingles AS DOUBLE)
-              |    AS contamination,
-              |  CAST(COALESCE(o.ov, 0) AS DOUBLE) / CAST(t.n_shingles AS DOUBLE)
-              |    >= 0.5 AS contaminated
-              |FROM tot t LEFT JOIN ov o ON o.doc_id = t.doc_id
-              |ORDER BY t.doc_id""".stripMargin)),
+      Some(decontaminateOracle)),
+
+    // ----------------------------------------------------------------- t43
+    // BLOOM-scale decontamination — t19's answer for when the eval suite
+    // is too big to broadcast as strings (a 10⁶-document benchmark's
+    // distinct shingles are GBs): aggregate the eval shingles into a
+    // Bloom filter (Spark's built-in bloom_filter_agg — ~1 MB at the
+    // sized capacity, vs GBs of strings), probe it MAP-SIDE over the
+    // train corpus (might_contain on xxhash64 — a pure filter, no
+    // shuffle, no text leaves the scan), then exact-verify only the
+    // tiny positive set against the real eval shingles in a shuffle
+    // join. The Bloom stage only prunes: false positives die in the
+    // verify join, false negatives are impossible, so the result is
+    // IDENTICAL to t19's — the two entries share one oracle string
+    // (decontaminateOracle), making the equivalence a structural fact
+    // the driver gate re-proves every round. Totals per doc come from
+    // the un-probed train leg (a plain count), so the overlap join
+    // carries only bloom-positive (doc_id, shingle) rows.
+    "t43_decontaminate_bloom" -> QueryDef(
+      (spark, dir) => {
+        val sh = withWords(t(spark, dir, "documents"))
+          .select(col("doc_id"), explode(expr(shingleExpr)).as("shingle"))
+        // the Bloom build rides a SCALAR SUBQUERY (might_contain's
+        // required shape): computed once, its ~100 KB binary reaches
+        // every probe task like a broadcast variable — never GBs of
+        // eval strings. Capacity is sized for the eval side's distinct
+        // shingles at 8 bits per item (~2% FP rate); an FP costs a few
+        // extra rows in the verify join, never a wrong answer.
+        sh.filter(col("doc_id") % 50 === 0).select("shingle").distinct()
+          .createOrReplaceTempView("t43_eval")
+        sh.filter(col("doc_id") % 50 =!= 0)
+          .createOrReplaceTempView("t43_train")
+        spark.sql(
+          """WITH pos AS (
+            |  SELECT doc_id, shingle FROM t43_train
+            |  WHERE might_contain(
+            |    (SELECT bloom_filter_agg(xxhash64(shingle), 100000L, 800000L)
+            |     FROM t43_eval),
+            |    xxhash64(shingle))),
+            |hits AS (
+            |  -- exact verify: deliberately NOT a broadcast of the eval
+            |  -- strings (the scale this query exists for); both sides
+            |  -- are small — positives = true overlaps + ~2% FPs
+            |  SELECT p.doc_id, COUNT(*) AS n_overlap
+            |  FROM pos p JOIN t43_eval e ON e.shingle = p.shingle
+            |  GROUP BY p.doc_id),
+            |tot AS (
+            |  SELECT doc_id, COUNT(*) AS n_shingles FROM t43_train
+            |  GROUP BY doc_id)
+            |SELECT t.doc_id, t.n_shingles,
+            |  COALESCE(h.n_overlap, CAST(0 AS BIGINT)) AS n_overlap,
+            |  CAST(COALESCE(h.n_overlap, 0) AS DOUBLE)
+            |    / CAST(t.n_shingles AS DOUBLE) AS contamination,
+            |  CAST(COALESCE(h.n_overlap, 0) AS DOUBLE)
+            |    / CAST(t.n_shingles AS DOUBLE) >= 0.5 AS contaminated
+            |FROM tot t LEFT JOIN hits h ON h.doc_id = t.doc_id
+            |ORDER BY t.doc_id""".stripMargin)
+      },
+      Some(decontaminateOracle)),
 
     // ----------------------------------------------------------------- t20
     // REPETITION quality filters (the full Gopher-rules family):

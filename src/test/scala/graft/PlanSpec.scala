@@ -103,6 +103,30 @@ class PlanSpec extends AnyFunSuite {
       "benchmark shingles are tiny relative to the corpus and must broadcast")
   }
 
+  test("t43: the corpus side probes the Bloom filter in a map-side Filter") {
+    val p = plan("t43_decontaminate_bloom")
+    assert(p.contains("Filter might_contain(Subquery"),
+      "the probe must be a pure filter over the once-computed scalar " +
+        "subquery Bloom build — not a join against the eval strings")
+    assert(p.contains("partial_bloom_filter_agg"),
+      "the Bloom build must combine map-side before the single-reducer merge")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("t42: funnel windows are component-keyed; candidate joins stay keyed") {
+    val p = plan("t42_neardup_funnel")
+    assert("windowspecdefinition\\(label#".r.findFirstIn(p).isDefined,
+      "keep-best must rank within a component label partition")
+    assert(!"windowspecdefinition\\(\\)".r.findFirstIn(p).isDefined &&
+      !"windowspecdefinition\\(source".r.findFirstIn(p).isDefined,
+      "no partition-less or few-task window may see the corpus")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    assert(!"Exchange [^\\n]*text".r.findFirstIn(p).isDefined,
+      "document text must never enter a shuffle")
+  }
+
   test("t20: per-doc repetition stats are a pure map (zero wide shuffles)") {
     val p = plan("t20_quality_repetition")
     assert(!p.contains("Exchange hashpartitioning"),
