@@ -10,10 +10,15 @@ import org.apache.spark.sql.functions._
   * decode UDFs: one iterator per partition, decoder state amortized
   * across the batch).
   *
-  * The actual image/audio decode is STUBBED (no media libraries in this
-  * container) with a deterministic fake — but everything Spark-side is
-  * real and tested: binary column handling, typed Encoders, partition
-  * iterators, schema of the decoded output, and oracle comparison.
+  * t11's decode is a REAL format parse: payloads are well-formed 24-bit
+  * BMP files (synthesized from the text fixture — this container ships
+  * no images, but BMP needs no library) and the decoder reads the actual
+  * header fields (magic, little-endian size/offset/width/height/bpp) and
+  * hashes pixel bytes at the parsed data offset, exactly as it would on
+  * crawled images. The frame sampler (t14) and feature extractor (t17)
+  * remain deterministic stubs standing in for codec/model calls; their
+  * Spark-side plumbing — binary columns, typed Encoders, partition
+  * iterators, output schemas, oracle comparison — is real and tested.
   */
 object Multimodal {
 
@@ -24,31 +29,58 @@ object Multimodal {
   final case class MediaMeta(doc_id: Long, n_bytes: Long, width: Int,
       height: Int, fmt: String, frame_hash: String)
 
-  /** STUB decoder — stands in for an image/audio decode library call.
-    * Deterministic arithmetic over the payload so the DuckDB oracle can
-    * reproduce it; a real build would decode width/height/format from the
-    * codec and hash a sampled frame. */
-  def decodeStub(r: MediaRow): MediaMeta = {
-    val n = r.content.length.toLong
-    val digest = MessageDigest.getInstance("MD5")
-      .digest(r.content.take(32))
+  /** Fixture generator: a well-formed 24-bit BMP (54-byte
+    * BITMAPFILEHEADER + BITMAPINFOHEADER, rows padded to 4 bytes)
+    * whose pixel data starts with the payload bytes. Dimensions are
+    * derived from the payload length; width ≥ 11 keeps the pixel array
+    * ≥ 36 bytes so the frame hash below never reads padding. Any BMP
+    * reader opens the result. */
+  def syntheticBmp(content: Array[Byte]): Array[Byte] = {
+    val c = if (content == null) Array.empty[Byte] else content
+    val w = c.length % 64 + 11
+    val h = c.length % 48 + 2
+    val rowBytes = (w * 3 + 3) / 4 * 4
+    val dataSize = rowBytes * h
+    val buf = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+      .putInt(54 + dataSize).putInt(0).putInt(54) // size, reserved, offset
+      .putInt(40).putInt(w).putInt(h)             // DIB size, dims
+      .putShort(1).putShort(24)                   // planes, bpp
+      .putInt(0).putInt(dataSize)                 // compression, image size
+      .putInt(2835).putInt(2835).putInt(0).putInt(0) // ppm, palette
+    buf.put(c, 0, math.min(c.length, dataSize))   // pixels: payload + zeros
+    buf.array()
+  }
+
+  /** REAL BMP header decode — the parse a crawled-image pipeline runs:
+    * validate the magic, read the little-endian header fields, and hash
+    * the first 32 pixel bytes AT THE PARSED DATA OFFSET (not a fixed
+    * position). Works on any 24-bit BMP, not just [[syntheticBmp]]'s. */
+  def decodeBmp(r: MediaRow): MediaMeta = {
+    val bb = java.nio.ByteBuffer.wrap(r.content)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(bb.get(0) == 'B'.toByte && bb.get(1) == 'M'.toByte,
+      s"doc ${r.doc_id}: not a BMP payload")
+    val fileSize = bb.getInt(2)
+    val dataOffset = bb.getInt(10)
+    val width = bb.getInt(18)
+    val height = bb.getInt(22)
+    val bpp = bb.getShort(28).toInt
+    val frame = java.util.Arrays.copyOfRange(r.content, dataOffset,
+      math.min(dataOffset + 32, r.content.length))
+    val digest = MessageDigest.getInstance("MD5").digest(frame)
       .map("%02x".format(_)).mkString
-    MediaMeta(
-      doc_id = r.doc_id,
-      n_bytes = n,
-      width = (n % 640).toInt,
-      height = ((n * 7) % 480).toInt,
-      fmt = (n % 3) match {
-        case 0 => "jpeg"
-        case 1 => "png"
-        case _ => "webp"
-      },
-      frame_hash = digest)
+    MediaMeta(r.doc_id, fileSize.toLong, width, height, s"bmp$bpp", digest)
   }
 
   val defs: Map[String, QueryDef] = Map(
-    // documents.text stands in for a media payload (cast to binary); the
-    // decode runs once per partition batch via mapPartitions.
+    // documents.text wrapped into well-formed BMPs stands in for a
+    // crawled-image column; the decode is a REAL header parse running
+    // once per partition batch via mapPartitions. The oracle recomputes
+    // the header fields arithmetically from the text length (BMP's
+    // layout is deterministic), so the gate proves the parser extracted
+    // every field — offset, dims, bpp, pixel hash — correctly.
     "t11_multimodal_decode" -> QueryDef(
       (spark, dir) => {
         import spark.implicits._
@@ -57,18 +89,25 @@ object Multimodal {
           .as[MediaRow]
         media.mapPartitions { batch =>
           // per-partition setup would initialize the decoder once here
-          batch.map(decodeStub)
+          batch.map(r => decodeBmp(MediaRow(r.doc_id, syntheticBmp(r.content))))
         }.toDF()
           .orderBy("doc_id")
       },
-      Some("""SELECT doc_id,
-             |  CAST(length(text) AS BIGINT) AS n_bytes,
-             |  CAST(length(text) % 640 AS INTEGER) AS width,
-             |  CAST((length(text) * 7) % 480 AS INTEGER) AS height,
-             |  CASE length(text) % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
-             |       ELSE 'webp' END AS fmt,
+      // fixture texts are ASCII and ≥ 44 bytes (checked at all SFs), so
+      // the first 32 pixel bytes are exactly substr(text, 1, 32) and
+      // length(text) == payload byte length
+      Some("""WITH dims AS (
+             |  SELECT doc_id, text,
+             |    length(text) % 64 + 11 AS w,
+             |    length(text) % 48 + 2 AS h
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(54 + ((w * 3 + 3) // 4) * 4 * h AS BIGINT) AS n_bytes,
+             |  CAST(w AS INTEGER) AS width,
+             |  CAST(h AS INTEGER) AS height,
+             |  'bmp24' AS fmt,
              |  md5(substr(text, 1, 32)) AS frame_hash
-             |FROM documents ORDER BY doc_id""".stripMargin)),
+             |FROM dims ORDER BY doc_id""".stripMargin)),
 
     // Frame sampling + resize: 4 evenly-spaced 16-byte "frames" per
     // payload, each signed, plus halved (resized) dimensions. One input

@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.Multimodal
+import graft.queries.Multimodal.{MediaRow, syntheticBmp, decodeBmp}
+
+/** The BMP decoder must be a real parser, not the generator's inverse:
+  * it is pinned against a hand-assembled canonical file laid out from
+  * the published BMP spec (independent byte-by-byte construction), and
+  * against the generator for the field arithmetic the oracle mirrors. */
+class MultimodalSpec extends AnyFunSuite {
+
+  test("decodeBmp parses a hand-assembled canonical 24-bit BMP") {
+    // 2x2 image, 24 bpp: rowBytes = (2*3+3)/4*4 = 8, pixel array = 16
+    // bytes, file = 54 + 16 = 70. Assembled little-endian by hand.
+    def le32(v: Int): Seq[Byte] =
+      Seq(v, v >> 8, v >> 16, v >> 24).map(_.toByte)
+    def le16(v: Int): Seq[Byte] = Seq(v, v >> 8).map(_.toByte)
+    val pixels = (1 to 16).map(_.toByte)
+    val bytes = (Seq('B'.toByte, 'M'.toByte) ++
+      le32(70) ++ le32(0) ++ le32(54) ++            // size, reserved, offset
+      le32(40) ++ le32(2) ++ le32(2) ++             // DIB size, width, height
+      le16(1) ++ le16(24) ++                        // planes, bpp
+      le32(0) ++ le32(16) ++                        // compression, image size
+      le32(2835) ++ le32(2835) ++ le32(0) ++ le32(0) ++ // ppm, palette
+      pixels).toArray
+    val m = decodeBmp(MediaRow(7L, bytes))
+    assert(m.doc_id == 7L)
+    assert(m.n_bytes == 70L, "file size must come from the header field")
+    assert(m.width == 2 && m.height == 2)
+    assert(m.fmt == "bmp24")
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest(pixels.toArray).map("%02x".format(_)).mkString
+    assert(m.frame_hash == expected,
+      "frame hash must cover pixel bytes at the PARSED data offset")
+  }
+
+  test("decodeBmp rejects a non-BMP payload") {
+    val e = intercept[IllegalArgumentException] {
+      decodeBmp(MediaRow(1L, "not an image".getBytes("UTF-8")))
+    }
+    assert(e.getMessage.contains("not a BMP"))
+  }
+
+  test("syntheticBmp round-trips through the parser with oracle arithmetic") {
+    for (len <- Seq(44, 64, 100, 577)) {
+      val content = Array.tabulate[Byte](len)(i => (32 + i % 90).toByte)
+      val m = decodeBmp(MediaRow(len.toLong, syntheticBmp(content)))
+      val w = len % 64 + 11
+      val h = len % 48 + 2
+      assert(m.width == w && m.height == h)
+      assert(m.n_bytes == 54L + (w * 3 + 3) / 4 * 4 * h)
+      val expected = java.security.MessageDigest.getInstance("MD5")
+        .digest(content.take(32)).map("%02x".format(_)).mkString
+      assert(m.frame_hash == expected,
+        "first 32 pixel bytes must be the payload's first 32 bytes")
+    }
+  }
+}
