@@ -184,10 +184,20 @@ object Curation {
   private val vocabK = 20
   private val sourceQuota = 20
 
-  /** t42's exact-Jaccard verification threshold (interpolated into both
-    * sides; the fixture's candidate pairs split cleanly — true near-dups
-    * sit ≥ 0.9, LSH false positives < 0.05). */
+  /** t42/t45's exact-Jaccard verification threshold (interpolated into
+    * both sides; the fixture's candidate pairs split cleanly — true
+    * near-dups sit ≥ 0.9, LSH false positives < 0.05). */
   private val neardupJaccard = 0.5
+
+  /** t44's PII patterns — the REGEX SUBSET shared exactly by Java
+    * (Spark) and RE2 (DuckDB): character classes, bounded repeats,
+    * grouping; no backreferences or lookaround, `[0-9]` over `\d`. The
+    * Scala constants are passed verbatim to both engines (DataFrame-API
+    * literals on the Spark side, interpolation on the DuckDB side), so
+    * there is no double-escaping layer to diverge. */
+  private val emailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  private val phoneRe = """[0-9]{3}-[0-9]{3}-[0-9]{4}"""
+  private val ipRe = """([0-9]{1,3}\.){3}[0-9]{1,3}"""
 
   /** t26's LCG centroid seed family (t16's, salted +100). */
   private[graft] def lcgCentroid(j: Int): IndexedSeq[Double] =
@@ -1438,6 +1448,172 @@ object Curation {
               |    AS n_kept,
               |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE)
               |    / CAST(COUNT(*) AS DOUBLE) AS kept_frac
-              |FROM ranked GROUP BY source ORDER BY source""".stripMargin))
+              |FROM ranked GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ----------------------------------------------------------------- t44
+    // PII SCRUB: detect and redact emails / phone numbers / IPv4
+    // addresses per document — the privacy pass every pretraining
+    // pipeline runs before text leaves curation. The whole operator is
+    // a PURE MAP (count + replace per row, zero shuffles at any scale);
+    // patterns live in the Java∩RE2 regex subset ([[emailRe]]) so both
+    // engines match identically, and redaction replaces email → IP →
+    // phone in a fixed order so the output hash is deterministic. The
+    // fixture corpus carries no PII, so a deterministic id-derived
+    // contact line is appended first (same SQL both sides) — the gate
+    // then proves detection AND redaction against known ground truth,
+    // including the ~3/4 of documents that must pass through untouched.
+    "t44_pii_scrub" -> QueryDef(
+      (spark, dir) => {
+        val seeded = t(spark, dir, "documents").withColumn("scan",
+          concat(col("text"), expr(
+            """CASE CAST(doc_id % 4 AS INT)
+              | WHEN 0 THEN concat(' contact user', CAST(doc_id AS STRING),
+              |   '@example.com for details')
+              | WHEN 1 THEN concat(' call 555-',
+              |   lpad(CAST(doc_id % 1000 AS STRING), 3, '0'), '-',
+              |   lpad(CAST(doc_id % 10000 AS STRING), 4, '0'))
+              | WHEN 2 THEN concat(' server 10.0.',
+              |   CAST(doc_id % 256 AS STRING), '.',
+              |   CAST((doc_id * 7) % 256 AS STRING))
+              | ELSE '' END""".stripMargin)))
+        seeded.select(col("doc_id"),
+            regexp_count(col("scan"), lit(emailRe)).as("n_emails"),
+            regexp_count(col("scan"), lit(phoneRe)).as("n_phones"),
+            regexp_count(col("scan"), lit(ipRe)).as("n_ips"),
+            md5(regexp_replace(regexp_replace(regexp_replace(col("scan"),
+              emailRe, "<EMAIL>"), ipRe, "<IP>"), phoneRe, "<PHONE>")
+              .cast("binary")).as("redacted_hash"))
+          .withColumn("has_pii",
+            (col("n_emails") + col("n_phones") + col("n_ips")) > 0)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH seeded AS (
+              |  SELECT doc_id, text ||
+              |    CASE CAST(doc_id % 4 AS INT)
+              |      WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+              |        || '@example.com for details'
+              |      WHEN 1 THEN ' call 555-'
+              |        || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+              |        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              |      WHEN 2 THEN ' server 10.0.'
+              |        || CAST(doc_id % 256 AS VARCHAR) || '.'
+              |        || CAST((doc_id * 7) % 256 AS VARCHAR)
+              |      ELSE '' END AS scan
+              |  FROM documents)
+              |SELECT doc_id,
+              |  CAST(len(regexp_extract_all(scan, '$emailRe')) AS INTEGER)
+              |    AS n_emails,
+              |  CAST(len(regexp_extract_all(scan, '$phoneRe')) AS INTEGER)
+              |    AS n_phones,
+              |  CAST(len(regexp_extract_all(scan, '$ipRe')) AS INTEGER)
+              |    AS n_ips,
+              |  md5(regexp_replace(regexp_replace(regexp_replace(scan,
+              |    '$emailRe', '<EMAIL>', 'g'), '$ipRe', '<IP>', 'g'),
+              |    '$phoneRe', '<PHONE>', 'g')) AS redacted_hash,
+              |  len(regexp_extract_all(scan, '$emailRe'))
+              |    + len(regexp_extract_all(scan, '$phoneRe'))
+              |    + len(regexp_extract_all(scan, '$ipRe')) > 0 AS has_pii
+              |FROM seeded ORDER BY doc_id""".stripMargin)),
+
+    // ----------------------------------------------------------------- t45
+    // MinHash BAND-table tuning — t31's "measure, don't guess" applied
+    // to TEXT dedup: for each (bands, rows-per-band) split of the same
+    // 8 MinHash signatures — (1,8) strictest, (2,4), (4,2) = t02's
+    // production config — report how many candidate pairs the banding
+    // emits and how many survive exact-Jaccard verification at
+    // [[neardupJaccard]]: the candidate-volume vs precision table an
+    // operator reads before picking b×r for a corpus. Fewer bands of
+    // more rows ⇒ fewer, higher-precision candidates, so every config's
+    // candidate set is at most t02's (already a vanishing corpus
+    // fraction) and the verify joins stay candidate-sized; each leg's
+    // corpus cost is the one signature map pass, inherent to a sweep.
+    "t45_band_sweep" -> QueryDef(
+      (spark, dir) => {
+        val docs = withWords(t(spark, dir, "documents"))
+          .select(col("doc_id"), expr(shingleExpr).as("sh"))
+          .select(col("doc_id"), col("sh"), expr("minhash8(sh)").as("sigs"))
+        val legs = Seq((1, 8), (2, 4), (4, 2)).map { case (b, r) =>
+          val bands = docs.select(col("doc_id"), explode(array(
+            (0 until b).map(i => struct(lit(i + 1).as("band"),
+              md5(concat((0 until r).map(j =>
+                element_at(col("sigs"), i * r + j + 1)): _*)).as("bucket"))): _*
+          )).as("bb")).select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+          val cand = bands.as("a").join(bands.as("b"),
+              col("a.band") === col("b.band") &&
+                col("a.bucket") === col("b.bucket") &&
+                col("a.doc_id") < col("b.doc_id"))
+            .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+            .distinct()
+          val verified = cand
+            .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sha")),
+              "doc_a")
+            .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("shb")),
+              "doc_b")
+            .withColumn("n_inter",
+              size(array_intersect(col("sha"), col("shb"))))
+            .withColumn("n_union",
+              size(col("sha")) + size(col("shb")) - col("n_inter"))
+            .filter(col("n_union") > 0 &&
+              col("n_inter").cast("double") >=
+                lit(neardupJaccard) * col("n_union").cast("double"))
+          // two 1-row aggregates; the crossJoin is a 1-row broadcast
+          cand.agg(count(lit(1)).as("n_candidates"))
+            .crossJoin(broadcast(verified.agg(count(lit(1)).as("n_verified"))))
+            .select(lit(b).as("n_bands"), lit(r).as("rows_per_band"),
+              col("n_candidates"), col("n_verified"))
+        }
+        legs.reduce(_ unionByName _)
+          .withColumn("verified_frac",
+            when(col("n_candidates") === 0, lit(0.0))
+              .otherwise(col("n_verified").cast("double") /
+                col("n_candidates").cast("double")))
+          .orderBy("n_bands")
+      },
+      Some {
+        val jaccTest = (a: String, b: String) =>
+          s"""(len($a.sh) + len($b.sh) - len(list_intersect($a.sh, $b.sh))) > 0
+             |    AND CAST(len(list_intersect($a.sh, $b.sh)) AS DOUBLE)
+             |      >= $neardupJaccard * CAST(len($a.sh) + len($b.sh)
+             |        - len(list_intersect($a.sh, $b.sh)) AS DOUBLE)""".stripMargin
+        def leg(b: Int, r: Int): String = {
+          val bands = (0 until b).map { i =>
+            val cc = (1 to r).map(j => s"sig${i * r + j}").mkString(", ")
+            s"SELECT doc_id, ${i + 1} AS band, md5(concat($cc)) AS bucket FROM sigs"
+          }.mkString(" UNION ALL ")
+          s"""bands$b AS ($bands),
+             |cand$b AS (
+             |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             |  FROM bands$b a JOIN bands$b b
+             |    ON a.band = b.band AND a.bucket = b.bucket
+             |    AND a.doc_id < b.doc_id),
+             |ver$b AS (
+             |  SELECT COUNT(*) AS n FROM cand$b c
+             |  JOIN sh2 a ON a.doc_id = c.doc_a
+             |  JOIN sh2 b ON b.doc_id = c.doc_b
+             |  WHERE ${jaccTest("a", "b")})""".stripMargin
+        }
+        s"""WITH shingled AS (
+           |  SELECT doc_id, unnest($shingleSqlDuck) AS shingle FROM documents),
+           |sigs AS (SELECT doc_id, $sigSqlDuck FROM shingled GROUP BY doc_id),
+           |sh2 AS (SELECT doc_id, $shingleSqlDuck AS sh FROM documents),
+           |${leg(1, 8)},
+           |${leg(2, 4)},
+           |${leg(4, 2)},
+           |legs AS (
+           |  SELECT 1 AS n_bands, 8 AS rows_per_band,
+           |    (SELECT COUNT(*) FROM cand1) AS n_candidates,
+           |    (SELECT n FROM ver1) AS n_verified
+           |  UNION ALL SELECT 2, 4, (SELECT COUNT(*) FROM cand2),
+           |    (SELECT n FROM ver2)
+           |  UNION ALL SELECT 4, 2, (SELECT COUNT(*) FROM cand4),
+           |    (SELECT n FROM ver4))
+           |SELECT n_bands, rows_per_band,
+           |  CAST(n_candidates AS BIGINT) AS n_candidates,
+           |  CAST(n_verified AS BIGINT) AS n_verified,
+           |  CASE WHEN n_candidates = 0 THEN 0.0
+           |       ELSE CAST(n_verified AS DOUBLE)
+           |         / CAST(n_candidates AS DOUBLE) END AS verified_frac
+           |FROM legs ORDER BY n_bands""".stripMargin
+      })
   )
 }

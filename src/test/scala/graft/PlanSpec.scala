@@ -288,6 +288,22 @@ class PlanSpec extends AnyFunSuite {
       "no aggregation or join belongs in a per-row computation")
   }
 
+  test("t44: the PII scrub is a pure map (zero shuffles, no join)") {
+    val p = plan("t44_pii_scrub")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "detect + redact are per-row; the corpus must never shuffle")
+    assert(!p.contains("HashAggregate") && !p.contains("SortMergeJoin") &&
+      !p.contains("BroadcastHashJoin"),
+      "no aggregation or join belongs in a per-row computation")
+  }
+
+  test("t45: band-sweep candidate joins are bucket-keyed, never cartesian") {
+    val p = plan("t45_band_sweep")
+    assert(!p.contains("CartesianProduct"),
+      "candidate pairs must form only inside (band, bucket) groups; " +
+        "the only nested-loop join allowed is the 1-row count broadcast")
+  }
+
   test("q21: sessionization windows are user-keyed, never global") {
     val p = plan("q21_sessionize")
     assert(p.contains("Window"))
