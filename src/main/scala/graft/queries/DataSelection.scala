@@ -294,6 +294,55 @@ object DataSelection {
            |ORDER BY doc_id""".stripMargin
       }),
 
+    // ----------------------------------------------------------------- t46
+    // Deterministic TRAIN/VALIDATION/TEST split — the held-out split cut
+    // before every training run (C4/Pile style): each document lands in
+    // exactly one of three DISJOINT splits by an md5 gate on its id
+    // (98/1/1), salted 't46|' so membership is independent of t21/t28's
+    // gates, stable across runs, engines, and repartitioning, and
+    // requiring no coordination — any worker can recompute any doc's
+    // split. Reported per (lang, split) with within-language fractions
+    // so mix drift between splits is visible per stratum. One corpus
+    // agg; the language total is a window over the already-aggregated
+    // 3×#langs frame (t41's bounded-by-construction shape).
+    "t46_eval_split" -> QueryDef(
+      (spark, dir) => {
+        val docs = t(spark, dir, "documents")
+          .withColumn("bucket", expr(
+            "CAST(conv(substr(md5(CAST(concat('t46|', CAST(doc_id AS STRING)) AS BINARY)), 1, 4), 16, 10) AS INT) % 100"))
+          .withColumn("split",
+            when(col("bucket") < 98, "train")
+              .when(col("bucket") === 98, "validation")
+              .otherwise("test"))
+        docs.groupBy("lang", "split").agg(count(lit(1)).as("n"))
+          .withColumn("n_lang", sum("n").over(
+            org.apache.spark.sql.expressions.Window.partitionBy("lang")))
+          .select(col("lang"), col("split"), col("n"),
+            (col("n").cast("double") / col("n_lang").cast("double"))
+              .as("frac"))
+          .orderBy("lang", "split")
+      },
+      Some {
+        val hb = (1 to 4).map { i =>
+          s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1) * ${1 << (4 * (4 - i))}"
+        }.mkString(" + ")
+        s"""WITH hashed AS (
+           |  SELECT doc_id, lang, CAST($hb AS INTEGER) % 100 AS bucket
+           |  FROM (SELECT doc_id, lang,
+           |          md5('t46|' || CAST(doc_id AS VARCHAR)) AS h
+           |        FROM documents)),
+           |s AS (
+           |  SELECT lang, CASE WHEN bucket < 98 THEN 'train'
+           |                    WHEN bucket = 98 THEN 'validation'
+           |                    ELSE 'test' END AS split
+           |  FROM hashed),
+           |c AS (SELECT lang, split, COUNT(*) AS n FROM s GROUP BY lang, split)
+           |SELECT lang, split, n,
+           |  CAST(n AS DOUBLE)
+           |    / CAST(SUM(n) OVER (PARTITION BY lang) AS DOUBLE) AS frac
+           |FROM c ORDER BY lang, split""".stripMargin
+      }),
+
     // ----------------------------------------------------------------- t21
     // Deterministic STRATIFIED SAMPLING (mix balancing): downsample every
     // language stratum to the smallest language's size with an md5 hash
