@@ -189,6 +189,34 @@ object Curation {
     * near-dups sit ≥ 0.9, LSH false positives < 0.05). */
   private val neardupJaccard = 0.5
 
+  /** Appends the exact shingle-Jaccard verdict `jacc_ok` to a
+    * (doc_a, doc_b) candidate-pair frame, joining each side's shingle
+    * set from `sh` = (doc_id, sh). The threshold test multiplies
+    * instead of dividing (n_inter ≥ thr·union), so an empty-shingle
+    * pair (union 0) rejects without a NaN entering either engine. ONE
+    * definition shared by t42's funnel and t45's sweep; DuckDB twin:
+    * [[jaccardOkDuck]]. */
+  private def jaccardVerify(pairs: DataFrame, sh: DataFrame): DataFrame =
+    pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")),
+        "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")),
+        "doc_b")
+      .withColumn("n_inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("n_union",
+        size(col("sha")) + size(col("shb")) - col("n_inter"))
+      .withColumn("jacc_ok", col("n_union") > 0 &&
+        col("n_inter").cast("double") >=
+          lit(neardupJaccard) * col("n_union").cast("double"))
+
+  /** DuckDB twin of [[jaccardVerify]]'s `jacc_ok` over shingle-list
+    * relations aliased `a` / `b` (each with an `sh` column). */
+  private def jaccardOkDuck(a: String, b: String): String =
+    s"""(len($a.sh) + len($b.sh) - len(list_intersect($a.sh, $b.sh))) > 0
+       |    AND CAST(len(list_intersect($a.sh, $b.sh)) AS DOUBLE)
+       |      >= $neardupJaccard * CAST(len($a.sh) + len($b.sh)
+       |        - len(list_intersect($a.sh, $b.sh)) AS DOUBLE)""".stripMargin
+
   /** t44's PII patterns — the REGEX SUBSET shared exactly by Java
     * (Spark) and RE2 (DuckDB): character classes, bounded repeats,
     * grouping; no backreferences or lookaround, `[0-9]` over `\d`. The
@@ -1377,18 +1405,8 @@ object Curation {
         import org.apache.spark.sql.expressions.Window
         val sh = withWords(t(spark, dir, "documents"))
           .select(col("doc_id"), expr(shingleExpr).as("sh"))
-        val verified = minhashPairs(spark, dir)
-          .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")),
-            "doc_a")
-          .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")),
-            "doc_b")
-          .withColumn("n_inter",
-            size(array_intersect(col("sha"), col("shb"))))
-          .withColumn("n_union",
-            size(col("sha")) + size(col("shb")) - col("n_inter"))
-          .filter(col("n_union") > 0 &&
-            col("n_inter").cast("double") >=
-              lit(neardupJaccard) * col("n_union").cast("double"))
+        val verified = jaccardVerify(minhashPairs(spark, dir), sh)
+          .filter(col("jacc_ok"))
           .select("doc_a", "doc_b")
         val docs = t(spark, dir, "documents")
           .select("doc_id", "source", "n_chars")
@@ -1410,18 +1428,12 @@ object Curation {
       },
       Some(s"""WITH RECURSIVE $minhashPairsDuck,
               |sh2 AS (SELECT doc_id, $shingleSqlDuck AS sh FROM documents),
-              |jac AS (
-              |  SELECT p.doc_a, p.doc_b,
-              |    len(list_intersect(a.sh, b.sh)) AS n_inter,
-              |    len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
-              |      AS n_union
+              |ver AS (
+              |  SELECT p.doc_a, p.doc_b
               |  FROM pairs p
               |  JOIN sh2 a ON a.doc_id = p.doc_a
-              |  JOIN sh2 b ON b.doc_id = p.doc_b),
-              |ver AS (
-              |  SELECT doc_a, doc_b FROM jac
-              |  WHERE n_union > 0 AND CAST(n_inter AS DOUBLE)
-              |    >= $neardupJaccard * CAST(n_union AS DOUBLE)),
+              |  JOIN sh2 b ON b.doc_id = p.doc_b
+              |  WHERE ${jaccardOkDuck("a", "b")}),
               |edges AS (
               |  SELECT doc_a AS src, doc_b AS dst FROM ver
               |  UNION ALL SELECT doc_b, doc_a FROM ver),
@@ -1522,47 +1534,49 @@ object Curation {
     // production config — report how many candidate pairs the banding
     // emits and how many survive exact-Jaccard verification at
     // [[neardupJaccard]]: the candidate-volume vs precision table an
-    // operator reads before picking b×r for a corpus. Fewer bands of
-    // more rows ⇒ fewer, higher-precision candidates, so every config's
-    // candidate set is at most t02's (already a vanishing corpus
-    // fraction) and the verify joins stay candidate-sized; each leg's
-    // corpus cost is the one signature map pass, inherent to a sweep.
+    // operator reads before picking b×r for a corpus. Membership
+    // NESTING does the whole sweep in ONE candidate pass: all-8-sigs
+    // equal ((1,8)) implies both 4-sig halves equal ((2,4)) implies the
+    // matching half's two 2-sig bands equal ((4,2)) — so every config's
+    // candidate set is CONTAINED in t02's production pairs, and
+    // per-config membership is a per-PAIR signature comparison, not a
+    // separate corpus band-join per leg. Corpus cost: the t02 candidate
+    // pass + one signature map + one shingle map; everything downstream
+    // is candidate-sized, and the Jaccard verify runs ONCE per pair.
+    // The oracle keeps the independent per-config band-join spelling,
+    // so the gate PROVES the nesting identity rather than assuming it.
     "t45_band_sweep" -> QueryDef(
       (spark, dir) => {
         val docs = withWords(t(spark, dir, "documents"))
-          .select(col("doc_id"), expr(shingleExpr).as("sh"))
-          .select(col("doc_id"), col("sh"), expr("minhash8(sh)").as("sigs"))
-        val legs = Seq((1, 8), (2, 4), (4, 2)).map { case (b, r) =>
-          val bands = docs.select(col("doc_id"), explode(array(
-            (0 until b).map(i => struct(lit(i + 1).as("band"),
-              md5(concat((0 until r).map(j =>
-                element_at(col("sigs"), i * r + j + 1)): _*)).as("bucket"))): _*
-          )).as("bb")).select(col("doc_id"), col("bb.band"), col("bb.bucket"))
-          val cand = bands.as("a").join(bands.as("b"),
-              col("a.band") === col("b.band") &&
-                col("a.bucket") === col("b.bucket") &&
-                col("a.doc_id") < col("b.doc_id"))
-            .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-            .distinct()
-          val verified = cand
-            .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sha")),
-              "doc_a")
-            .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("shb")),
-              "doc_b")
-            .withColumn("n_inter",
-              size(array_intersect(col("sha"), col("shb"))))
-            .withColumn("n_union",
-              size(col("sha")) + size(col("shb")) - col("n_inter"))
-            .filter(col("n_union") > 0 &&
-              col("n_inter").cast("double") >=
-                lit(neardupJaccard) * col("n_union").cast("double"))
-          // two 1-row aggregates; the crossJoin is a 1-row broadcast
-          cand.agg(count(lit(1)).as("n_candidates"))
-            .crossJoin(broadcast(verified.agg(count(lit(1)).as("n_verified"))))
-            .select(lit(b).as("n_bands"), lit(r).as("rows_per_band"),
-              col("n_candidates"), col("n_verified"))
-        }
-        legs.reduce(_ unionByName _)
+        val sh = docs.select(col("doc_id"), expr(shingleExpr).as("sh"))
+        val sigs = docs.select(col("doc_id"),
+          expr(s"minhash8($shingleExpr)").as("sigs"))
+        val base = jaccardVerify(minhashPairs(spark, dir), sh)
+          .join(sigs.select(col("doc_id").as("doc_a"),
+            col("sigs").as("siga")), "doc_a")
+          .join(sigs.select(col("doc_id").as("doc_b"),
+            col("sigs").as("sigb")), "doc_b")
+        def eq(i: Int): Column =
+          element_at(col("siga"), i) === element_at(col("sigb"), i)
+        def allEq(r: Range): Column = r.map(eq).reduce(_ && _)
+        val flags = base.select(col("jacc_ok"),
+          allEq(1 to 8).as("m1"),
+          (allEq(1 to 4) || allEq(5 to 8)).as("m2"))
+        def cnt(c: Column): Column =
+          coalesce(sum(when(c, 1L).otherwise(0L)), lit(0L))
+        flags.agg(
+            cnt(col("m1")).as("c1"), cnt(col("m1") && col("jacc_ok")).as("v1"),
+            cnt(col("m2")).as("c2"), cnt(col("m2") && col("jacc_ok")).as("v2"),
+            count(lit(1)).as("c4"), cnt(col("jacc_ok")).as("v4"))
+          .select(explode(array(
+            struct(lit(1).as("n_bands"), lit(8).as("rows_per_band"),
+              col("c1").as("n_candidates"), col("v1").as("n_verified")),
+            struct(lit(2).as("n_bands"), lit(4).as("rows_per_band"),
+              col("c2").as("n_candidates"), col("v2").as("n_verified")),
+            struct(lit(4).as("n_bands"), lit(2).as("rows_per_band"),
+              col("c4").as("n_candidates"), col("v4").as("n_verified"))))
+            .as("leg"))
+          .select("leg.*")
           .withColumn("verified_frac",
             when(col("n_candidates") === 0, lit(0.0))
               .otherwise(col("n_verified").cast("double") /
@@ -1570,11 +1584,6 @@ object Curation {
           .orderBy("n_bands")
       },
       Some {
-        val jaccTest = (a: String, b: String) =>
-          s"""(len($a.sh) + len($b.sh) - len(list_intersect($a.sh, $b.sh))) > 0
-             |    AND CAST(len(list_intersect($a.sh, $b.sh)) AS DOUBLE)
-             |      >= $neardupJaccard * CAST(len($a.sh) + len($b.sh)
-             |        - len(list_intersect($a.sh, $b.sh)) AS DOUBLE)""".stripMargin
         def leg(b: Int, r: Int): String = {
           val bands = (0 until b).map { i =>
             val cc = (1 to r).map(j => s"sig${i * r + j}").mkString(", ")
@@ -1590,7 +1599,7 @@ object Curation {
              |  SELECT COUNT(*) AS n FROM cand$b c
              |  JOIN sh2 a ON a.doc_id = c.doc_a
              |  JOIN sh2 b ON b.doc_id = c.doc_b
-             |  WHERE ${jaccTest("a", "b")})""".stripMargin
+             |  WHERE ${jaccardOkDuck("a", "b")})""".stripMargin
         }
         s"""WITH shingled AS (
            |  SELECT doc_id, unnest($shingleSqlDuck) AS shingle FROM documents),

@@ -54,21 +54,31 @@ object Multimodal {
   }
 
   /** REAL BMP header decode — the parse a crawled-image pipeline runs:
-    * validate the magic, read the little-endian header fields, and hash
-    * the first 32 pixel bytes AT THE PARSED DATA OFFSET (not a fixed
-    * position). Works on any 24-bit BMP, not just [[syntheticBmp]]'s. */
+    * validate magic + length, read the little-endian header fields, and
+    * hash the first 32 pixel bytes AT THE PARSED DATA OFFSET (not a
+    * fixed position). Works on any uncompressed BMP, not just
+    * [[syntheticBmp]]'s; malformed payloads (truncated header, data
+    * offset outside the file) fail with a doc-id-tagged message instead
+    * of an index exception from deep inside a task. A top-down BMP
+    * stores height negative (row order flag) — the magnitude is the
+    * image height, so that's what's reported. */
   def decodeBmp(r: MediaRow): MediaMeta = {
-    val bb = java.nio.ByteBuffer.wrap(r.content)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    require(bb.get(0) == 'B'.toByte && bb.get(1) == 'M'.toByte,
+    val c = r.content
+    require(c != null && c.length >= 54 &&
+      c(0) == 'B'.toByte && c(1) == 'M'.toByte,
       s"doc ${r.doc_id}: not a BMP payload")
+    val bb = java.nio.ByteBuffer.wrap(c)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     val fileSize = bb.getInt(2)
     val dataOffset = bb.getInt(10)
+    require(dataOffset >= 54 && dataOffset <= c.length,
+      s"doc ${r.doc_id}: BMP data offset $dataOffset outside payload " +
+        s"(${c.length} bytes)")
     val width = bb.getInt(18)
-    val height = bb.getInt(22)
+    val height = math.abs(bb.getInt(22))
     val bpp = bb.getShort(28).toInt
-    val frame = java.util.Arrays.copyOfRange(r.content, dataOffset,
-      math.min(dataOffset + 32, r.content.length))
+    val frame = java.util.Arrays.copyOfRange(c, dataOffset,
+      math.min(dataOffset + 32, c.length))
     val digest = MessageDigest.getInstance("MD5").digest(frame)
       .map("%02x".format(_)).mkString
     MediaMeta(r.doc_id, fileSize.toLong, width, height, s"bmp$bpp", digest)

@@ -80,16 +80,18 @@ object Streams {
     * [started − gap, frontier + gap] merges into the open session, and
     * the frontier/start only ever widen (max/min below — a stale
     * timestamp cannot rewind the frontier and split the session
-    * spuriously); an arrival older than started − gap provably cannot
-    * belong to the open session and is emitted as an immediately-closed
-    * session. A RUN of such stale arrivals in one micro-batch is grouped
-    * by the SAME gap rule (the batch is already sorted here, so the
-    * grouping needs no retraction): stale events within `gap` of each
-    * other merge into one closed session, exactly as batch q21 would
-    * group that region. What append mode still cannot express is a stale
-    * run that batch would merge INTO the open or an already-emitted
-    * session (that requires retracting output) — batch q21 re-sorts
-    * history and is the authority for such replays.
+    * spuriously); an arrival older than started − gap (as known so far)
+    * starts a STALE run. Stale runs are grouped by the SAME gap rule
+    * (the batch is already sorted here, so the grouping needs no
+    * retraction) and resolved against the open session once its start is
+    * final for the batch: a run whose end reaches within `gap` of the
+    * (possibly in-batch-widened) session start FOLDS INTO the session —
+    * exactly batch q21's grouping, and still retraction-free because the
+    * session hasn't been emitted — while a non-bridging run closes on
+    * its own. What append mode cannot express is a stale run that batch
+    * would merge into an ALREADY-EMITTED session (that requires
+    * retracting output) — batch q21 re-sorts history and is the
+    * authority for such replays.
     *
     * Event-time gap detection (not wall-clock timeouts) keeps replays
     * deterministic; an idle key's open session stays in state until its
@@ -115,16 +117,36 @@ object Streams {
           // grouped by the same gap rule without re-sorting history
           var stale: Option[SessionState] = None
           val out = Seq.newBuilder[Session]
+          // resolve the pending stale run against the open session the
+          // moment the session's start is FINAL (its emission, or batch
+          // end): in-gap batch events may have widened started downward
+          // (math.min below) into gap-range of the run — then the run
+          // BELONGS to the session (batch q21 would merge them) and
+          // nothing has been emitted yet, so merging needs no
+          // retraction. Otherwise the run is provably separate: earlier
+          // runs were flushed only when the NEXT run sat > gap beyond
+          // them, and started never drops below (original started - gap),
+          // so no flushed run can bridge.
+          def resolveStale(s: SessionState): SessionState = {
+            val merged = stale match {
+              case Some(st) if st.lastUs + gapUs >= s.startedUs =>
+                SessionState(s.nEvents + st.nEvents,
+                  s.totalFp + st.totalFp, st.startedUs, s.lastUs)
+              case Some(st) => out += close(st); s
+              case None => s
+            }
+            stale = None
+            merged
+          }
           sorted.foreach { e =>
             val us = micros(e.ts)
             cur match {
               case Some(s) if us < s.startedUs - gapUs =>
                 // stale arrival older than the open session's own gap
-                // window: it can never belong to it (batch would have
-                // closed it before the session started). Group the run:
-                // stale events within gap of EACH OTHER merge into one
-                // closed session — batch q21's grouping of that region —
-                // and a gap inside the run closes one and opens the next
+                // window so far: group the run — stale events within gap
+                // of EACH OTHER merge into one closed session (batch
+                // q21's grouping of that region) and a gap inside the
+                // run closes one and opens the next
                 stale match {
                   case Some(st) if us <= st.lastUs + gapUs =>
                     stale = Some(SessionState(st.nEvents + 1,
@@ -136,8 +158,9 @@ object Streams {
                 }
               case Some(s) if us > s.lastUs + gapUs =>
                 // beyond the frontier's gap: the open session is proven
-                // closed — emit it, open a new one
-                out += close(s)
+                // closed — resolve any stale run against its final
+                // start, emit, open a new one
+                out += close(resolveStale(s))
                 cur = Some(SessionState(1, fp(e.value), us, us))
               case Some(s) =>
                 // within [started - gap, last + gap]: merge; frontier
@@ -150,10 +173,11 @@ object Streams {
                 cur = Some(SessionState(1, fp(e.value), us, us))
             }
           }
-          // a stale run is proven closed within its own batch (every
-          // member is older than started - gap, and later batches only
-          // carry newer events under the in-order scope)
-          stale.foreach(out += close(_))
+          // batch end: the open session's start is final for this batch —
+          // a bridging stale run folds into the still-open session (state
+          // only, no emission); a non-bridging one is emitted closed by
+          // resolveStale. (stale requires cur, so cur=None ⇒ stale=None.)
+          cur = cur.map(resolveStale)
           cur.foreach(state.update)
           out.result().iterator
         })

@@ -35,11 +35,33 @@ class MultimodalSpec extends AnyFunSuite {
       "frame hash must cover pixel bytes at the PARSED data offset")
   }
 
-  test("decodeBmp rejects a non-BMP payload") {
+  test("decodeBmp rejects malformed payloads with doc-tagged errors") {
     val e = intercept[IllegalArgumentException] {
       decodeBmp(MediaRow(1L, "not an image".getBytes("UTF-8")))
     }
     assert(e.getMessage.contains("not a BMP"))
+    // 1-byte payload: length guard, not an IndexOutOfBounds
+    val e2 = intercept[IllegalArgumentException] {
+      decodeBmp(MediaRow(2L, Array[Byte]('B')))
+    }
+    assert(e2.getMessage.contains("not a BMP"))
+    // valid magic + header size but data offset beyond the payload
+    val truncated = syntheticBmp(Array.tabulate[Byte](44)(_.toByte)).take(54)
+    val patched = truncated.clone()
+    patched(10) = 100.toByte // data offset 100 > 54-byte payload
+    val e3 = intercept[IllegalArgumentException] {
+      decodeBmp(MediaRow(3L, patched))
+    }
+    assert(e3.getMessage.contains("outside payload"))
+  }
+
+  test("decodeBmp reports a top-down BMP's height by magnitude") {
+    val b = syntheticBmp(Array.tabulate[Byte](44)(_.toByte))
+    val h = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .getInt(22)
+    val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(22, -h) // top-down row-order flag
+    assert(decodeBmp(MediaRow(4L, b)).height == h)
   }
 
   test("syntheticBmp round-trips through the parser with oracle arithmetic") {

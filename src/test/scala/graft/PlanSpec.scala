@@ -297,11 +297,15 @@ class PlanSpec extends AnyFunSuite {
       "no aggregation or join belongs in a per-row computation")
   }
 
-  test("t45: band-sweep candidate joins are bucket-keyed, never cartesian") {
+  test("t45: band-sweep derives all configs from ONE candidate pass") {
     val p = plan("t45_band_sweep")
-    assert(!p.contains("CartesianProduct"),
-      "candidate pairs must form only inside (band, bucket) groups; " +
-        "the only nested-loop join allowed is the 1-row count broadcast")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "candidate pairs must form only inside (band, bucket) groups")
+    // membership nesting: one aggregate over the flagged pair frame +
+    // a 3-row explode replaces three per-config band-join legs
+    assert(!p.contains("Union"),
+      "the sweep must not union three independently-joined legs")
   }
 
   test("q21: sessionization windows are user-keyed, never global") {

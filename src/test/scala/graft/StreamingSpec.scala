@@ -161,6 +161,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionize: a stale run bridged by an in-gap widening folds into the session") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = Streams.sessionize(input.toDS(), gapMs = 15 * 60 * 1000L)
+      .writeStream.format("memory").queryName("bridge_sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(Event(1, ts(50), 1, "click", 1.0))
+      q.processAllAvailable()
+      // one late batch: 10:30 is stale vs started 10:50 (gap 15), but
+      // 10:36 merges and WIDENS started to 10:36, bringing 10:30 within
+      // gap of it — batch q21 makes ONE session [10:30, 10:50]; nothing
+      // was emitted yet, so streaming must fold the run in, not emit a
+      // split singleton
+      input.addData(
+        Event(2, ts(30), 1, "view", 2.0),
+        Event(3, ts(36), 1, "view", 3.0))
+      q.processAllAvailable()
+      assert(spark.table("bridge_sessions").as[Session].collect().isEmpty,
+        "the bridged run must stay in the still-open session")
+      // a later gap closes the whole merged session
+      input.addData(Event(4, Timestamp.valueOf("2026-01-01 11:30:00"), 1, "click", 4.0))
+      q.processAllAvailable()
+      val sessions = spark.table("bridge_sessions").as[Session].collect()
+      assert(sessions.length == 1)
+      assert(sessions.head.n_events == 3 && sessions.head.total_value == 6.0)
+      assert(sessions.head.started == ts(30) && sessions.head.ended == ts(50))
+    } finally q.stop()
+  }
+
   test("streaming sessionize equals batch q21 on the events fixture") {
     // the two sessionizers implement the same 30-min event-time gap rule
     // (µs math, (ts, event_id) tie-break, fixed-point value sums); this

@@ -39,11 +39,22 @@ def load(path):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    tol = 1.5
-    for a in sys.argv[1:]:
-        if a.startswith("--tol"):
-            tol = float(a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1])
+    argv = sys.argv[1:]
+    args, tol, i = [], 1.5, 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "--tol":
+            i += 1
+            if i >= len(argv):
+                raise SystemExit("--tol requires a value")
+            tol = float(argv[i])
+        elif a.startswith("--tol="):
+            tol = float(a.split("=", 1)[1])
+        elif a.startswith("--"):
+            raise SystemExit(f"unknown flag {a}\n\n" + __doc__.strip())
+        else:
+            args.append(a)
+        i += 1
     if len(args) != 2:
         raise SystemExit(__doc__.strip())
     a, b = load(args[0]), load(args[1])
