@@ -202,6 +202,58 @@ object DataSelection {
       },
       Some(decontaminateOracle)),
 
+    // ----------------------------------------------------------------- t47
+    // Shingle NOVELTY scoring: per document, the fraction of its 3-gram
+    // shingle occurrences whose shingle appears for the FIRST time in
+    // the corpus at this document (arrival order = doc_id) — the
+    // diversity signal data-pruning work ranks corpora by: documents
+    // rehashing earlier content score near 0, genuinely new text near
+    // 1. At-scale shape mirrors t22's rarity join: both sides of the
+    // vocabulary join pre-reduce map-side before any exchange — the
+    // probe side to per-(doc, shingle) counts, the first-occurrence
+    // side to a partial MIN per shingle (Catalyst's
+    // RemoveRedundantAggregates elides the inner count there) — so no
+    // exchange ever carries raw duplicate occurrences. The join
+    // strategy is left to the planner: a tiny fixture vocabulary
+    // broadcasts, a corpus-scale vocabulary falls back to a shuffle
+    // join with AQE skew handling (never a FORCED broadcast of a
+    // corpus-sized frame). Integer counts + one exact IEEE division.
+    "t47_shingle_novelty" -> QueryDef(
+      (spark, dir) => {
+        val occ = withWords(t(spark, dir, "documents"))
+          .select(col("doc_id"), explode(expr(shingleExpr)).as("shingle"))
+          .groupBy("doc_id", "shingle")
+          .agg(count(lit(1)).as("cnt"))
+        val firsts = occ.groupBy("shingle")
+          .agg(min("doc_id").as("first_doc"))
+        occ.join(firsts, "shingle")
+          .groupBy("doc_id")
+          .agg(sum("cnt").as("n_shingles"),
+            sum(when(col("first_doc") === col("doc_id"), col("cnt"))
+              .otherwise(0L)).as("n_novel"))
+          .withColumn("novelty",
+            col("n_novel").cast("double") / col("n_shingles").cast("double"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH occ AS (
+              |  SELECT doc_id, shingle, COUNT(*) AS cnt
+              |  FROM (SELECT doc_id, unnest($shingleSqlDuck) AS shingle
+              |        FROM documents)
+              |  GROUP BY doc_id, shingle),
+              |firsts AS (
+              |  SELECT shingle, MIN(doc_id) AS first_doc FROM occ
+              |  GROUP BY shingle)
+              |SELECT o.doc_id,
+              |  CAST(SUM(o.cnt) AS BIGINT) AS n_shingles,
+              |  CAST(SUM(CASE WHEN f.first_doc = o.doc_id THEN o.cnt
+              |    ELSE 0 END) AS BIGINT) AS n_novel,
+              |  CAST(SUM(CASE WHEN f.first_doc = o.doc_id THEN o.cnt
+              |    ELSE 0 END) AS DOUBLE)
+              |    / CAST(SUM(o.cnt) AS DOUBLE) AS novelty
+              |FROM occ o JOIN firsts f USING (shingle)
+              |GROUP BY o.doc_id
+              |ORDER BY o.doc_id""".stripMargin)),
+
     // ----------------------------------------------------------------- t20
     // REPETITION quality filters (the full Gopher-rules family):
     // distinct-word ratio, top-word fraction, duplicate 2/3/4-gram

@@ -308,6 +308,25 @@ class PlanSpec extends AnyFunSuite {
       "the sweep must not union three independently-joined legs")
   }
 
+  test("t47: novelty exchanges carry pre-reduced rows, never raw occurrences") {
+    val p = plan("t47_shingle_novelty")
+    assert(!"Exchange [^\\n]*text#".r.findFirstIn(p).isDefined &&
+      !"Exchange [^\\n]*words#".r.findFirstIn(p).isDefined,
+      "document text must never enter a shuffle")
+    // every shingle-/doc-keyed exchange must sit directly above a
+    // map-side partial aggregate: the shuffle carries (key, partial
+    // state) rows, never one row per raw shingle occurrence
+    val lines = p.linesIterator.toVector
+    val ex = lines.indices.filter(i =>
+      lines(i).contains("Exchange hashpartitioning"))
+    assert(ex.nonEmpty, "the vocabulary aggregation needs a hash exchange")
+    ex.foreach { i =>
+      assert(i + 1 < lines.size && lines(i + 1).contains("HashAggregate") &&
+        lines(i + 1).contains("partial_"),
+        s"exchange must be fed by a partial aggregate:\n${lines(i)}\n${lines(i + 1)}")
+    }
+  }
+
   test("q21: sessionization windows are user-keyed, never global") {
     val p = plan("q21_sessionize")
     assert(p.contains("Window"))
