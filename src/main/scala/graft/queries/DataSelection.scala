@@ -254,6 +254,67 @@ object DataSelection {
               |GROUP BY o.doc_id
               |ORDER BY o.doc_id""".stripMargin)),
 
+    // ----------------------------------------------------------------- t48
+    // CORPUS CARD: the per-(lang, source) summary a dataset release
+    // ships — document count, total token budget, and EXACT p50/p90
+    // document lengths. The percentile shape is the 100 TB-safe one:
+    // lengths first collapse to a per-(lang, source, n_chars) HISTOGRAM
+    // (map-side combinable; the frame is bounded by #distinct lengths
+    // per stratum, not #docs), then a cumulative window over that small
+    // frame picks the smallest length whose cumulative count reaches
+    // ceil(q·n) — never a per-group sort of raw documents, never an
+    // approximate sketch. All-integer arithmetic: ceil(q·n) as
+    // (n+1) div 2 / (9n+9) div 10, so both engines agree bit-for-bit.
+    "t48_corpus_card" -> QueryDef(
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = t(spark, dir, "documents")
+        val hist = docs.groupBy("lang", "source", "n_chars")
+          .agg(count(lit(1)).as("cnt"))
+        val byLen = Window.partitionBy("lang", "source").orderBy("n_chars")
+        val grp = Window.partitionBy("lang", "source")
+        val picks = hist
+          .withColumn("cum", sum("cnt").over(byLen))
+          .withColumn("n", sum("cnt").over(grp))
+          .groupBy("lang", "source")
+          .agg(max("n").as("n_docs"),
+            min(when(col("cum") >= expr("(n + 1) div 2"), col("n_chars")))
+              .as("p50_chars"),
+            min(when(col("cum") >= expr("(9 * n + 9) div 10"), col("n_chars")))
+              .as("p90_chars"))
+        val toks = docs.groupBy("lang", "source")
+          .agg(sum(expr(tokenEstExpr)).as("total_tokens"))
+        picks.join(toks, Seq("lang", "source"))
+          .select(col("lang"), col("source"), col("n_docs"),
+            col("total_tokens"), col("p50_chars"), col("p90_chars"))
+          .orderBy("lang", "source")
+      },
+      Some(s"""WITH hist AS (
+              |  SELECT lang, source, n_chars, COUNT(*) AS cnt
+              |  FROM documents GROUP BY lang, source, n_chars),
+              |cum AS (
+              |  SELECT lang, source, n_chars,
+              |    SUM(cnt) OVER (PARTITION BY lang, source
+              |      ORDER BY n_chars) AS cum,
+              |    SUM(cnt) OVER (PARTITION BY lang, source) AS n
+              |  FROM hist),
+              |picks AS (
+              |  SELECT lang, source,
+              |    CAST(MAX(n) AS BIGINT) AS n_docs,
+              |    MIN(CASE WHEN cum >= (n + 1) // 2 THEN n_chars END)
+              |      AS p50_chars,
+              |    MIN(CASE WHEN cum >= (9 * n + 9) // 10 THEN n_chars END)
+              |      AS p90_chars
+              |  FROM cum GROUP BY lang, source),
+              |toks AS (
+              |  SELECT lang, source,
+              |    CAST(SUM($tokenEstDuck) AS BIGINT) AS total_tokens
+              |  FROM documents GROUP BY lang, source)
+              |SELECT p.lang, p.source, p.n_docs, t.total_tokens,
+              |  p.p50_chars, p.p90_chars
+              |FROM picks p JOIN toks t USING (lang, source)
+              |ORDER BY p.lang, p.source""".stripMargin)),
+
     // ----------------------------------------------------------------- t20
     // REPETITION quality filters (the full Gopher-rules family):
     // distinct-word ratio, top-word fraction, duplicate 2/3/4-gram

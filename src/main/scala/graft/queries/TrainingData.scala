@@ -794,6 +794,69 @@ object TrainingData {
            |ORDER BY a2.cell""".stripMargin
       }),
 
+    // ----------------------------------------------------------------- t49
+    // Embedding OUTLIER detection: flag vectors whose squared distance
+    // to the corpus centroid exceeds 2× the mean squared distance —
+    // the sanity filter a pipeline runs before clustering/ANN to drop
+    // corrupt or degenerate embeddings. Three bounded passes, all
+    // broadcast-shaped for 100 TB: (1) per-dimension fixed-point sums →
+    // exactly 64 rows collected to the driver (t16's centroid recipe);
+    // (2) dist² per vector as |m|² − 2·e·m + |e|² with the codegen'd
+    // float_dot against the 64-double centroid LITERAL (pure map), and
+    // the mean dist² as one fixed-point agg row; (3) flags via a
+    // broadcast 1-row cross join. Doubles stay bit-identical across
+    // engines: identical expression trees, ascending-index folds,
+    // fixed-point sums wherever values aggregate across partitions.
+    "t49_embedding_outliers" -> QueryDef(
+      (spark, dir) => {
+        val emb = t(spark, dir, "embeddings")
+        val mean = emb
+          .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+          .groupBy("dim")
+          .agg(sum(floor(col("v") * 1e6 + 0.5)).as("s"), count(lit(1)).as("n"))
+          .collect()
+          .map(r => (r.getInt(0), r.getLong(1) / 1e6 / r.getLong(2)))
+          .sortBy(_._1).map(_._2).toIndexedSeq
+        val normM = mean.foldLeft(0.0)((a, x) => a + x * x)
+        val scored = emb.select(col("vec_id"),
+          (lit(normM) - lit(2.0) * dotCol(col("embedding"), typedlit(mean)) +
+            dotCol(col("embedding"), col("embedding"))).as("dist2"))
+        val thr = scored.agg((lit(2.0) *
+          (sum(floor(col("dist2") * 1e6 + 0.5)).cast("double") / 1e6 /
+            count(lit(1)))).as("thr"))
+        scored.crossJoin(broadcast(thr))
+          .select(col("vec_id"), col("dist2"),
+            (col("dist2") > col("thr")).as("is_outlier"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH m0 AS (
+              |  SELECT g.dim AS dim,
+              |    SUM(CAST(FLOOR(CAST(embedding[g.dim] AS DOUBLE)*1e6 + 0.5)
+              |      AS BIGINT)) AS s,
+              |    COUNT(*) AS n
+              |  FROM embeddings, generate_series(1, 64) AS g(dim)
+              |  GROUP BY g.dim),
+              |mv AS (
+              |  SELECT list(CAST(s AS DOUBLE)/1e6/n ORDER BY dim) AS m
+              |  FROM m0),
+              |mn AS (
+              |  SELECT m,
+              |    list_reduce(list_transform(m, x -> x*x), (a,b) -> a+b)
+              |      AS nrm
+              |  FROM mv),
+              |d AS (
+              |  SELECT e.vec_id,
+              |    mn.nrm - 2.0*${dotDuck("e.embedding", "mn.m")}
+              |      + ${dotDuck("e.embedding", "e.embedding")} AS dist2
+              |  FROM embeddings e, mn),
+              |t AS (
+              |  SELECT 2.0 * (CAST(SUM(CAST(FLOOR(dist2*1e6 + 0.5) AS BIGINT))
+              |    AS DOUBLE)/1e6/COUNT(*)) AS thr
+              |  FROM d)
+              |SELECT d.vec_id, d.dist2, d.dist2 > t.thr AS is_outlier
+              |FROM d, t
+              |ORDER BY d.vec_id""".stripMargin)),
+
     // ----------------------------------------------------------------- t18
     // SimHash near-dup pairs by EXACT pigeonhole banding: the 16-bit
     // fingerprint splits into 2 bands of 8 bits; a pair within hamming

@@ -327,6 +327,35 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("t48: percentiles run over the length histogram, never raw docs") {
+    val p = plan("t48_corpus_card")
+    assert(p.contains("Window"), "exact percentile pick is a cumulative window")
+    // the window's input is the per-(lang, source, n_chars) histogram:
+    // the only corpus-sized exchange keys on the histogram triple, and
+    // the scan reads exactly the three columns the card needs (a card
+    // that drags `text` through the plan is wrong at 100 TB)
+    assert(p.contains("Exchange hashpartitioning(lang") ||
+      p.contains("Exchange hashpartitioning(source"),
+      "histogram aggregation must shuffle on the stratum keys")
+    assert(!p.contains("text#"), "document text must never be read")
+    assert(p.contains("BroadcastHashJoin"),
+      "two aggregated per-stratum frames must join via broadcast")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3,
+      "histogram agg + window re-key + token agg at most")
+  }
+
+  test("t49: outlier scoring is a pure map against a centroid literal") {
+    val p = plan("t49_embedding_outliers")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "the corpus pass must never hash-shuffle embeddings")
+    assert(p.contains("floatdot"),
+      "distance must use the codegen'd native dot, not an interpreted fold")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the mean-dist² threshold joins back as a broadcast 1-row frame")
+    assert(!p.contains("label"),
+      "unused embedding columns must be pruned from the scan")
+  }
+
   test("q21: sessionization windows are user-keyed, never global") {
     val p = plan("q21_sessionize")
     assert(p.contains("Window"))
