@@ -315,6 +315,51 @@ object DataSelection {
               |FROM picks p JOIN toks t USING (lang, source)
               |ORDER BY p.lang, p.source""".stripMargin)),
 
+    // ----------------------------------------------------------------- t50
+    // Document CHUNKING: split every document into fixed 200-char windows
+    // with a 150-char stride (50-char overlap) — the RAG/embedding prep
+    // step that turns a raw corpus into model-sized passages. Each chunk
+    // carries its position and an md5-prefix content fingerprint, the key
+    // downstream chunk-level dedup and embedding joins use. At-scale
+    // shape: a PURE MAP with a bounded explode (≤ len/stride chunks per
+    // document, each derived from that row alone) — zero shuffles at any
+    // corpus size, and only (ids, 8-char fp) ever need to enter a later
+    // exchange, never chunk text. All-integer arithmetic; both `div`
+    // operands are non-negative so Spark's truncating div ≡ DuckDB's
+    // floor //; GREATEST(len,1) pins the two engines to the same single
+    // empty chunk on a zero-length document (negative-operand div would
+    // otherwise diverge: trunc vs floor).
+    "t50_doc_chunks" -> QueryDef(
+      (spark, dir) => {
+        val w = 200; val s = 150
+        t(spark, dir, "documents")
+          .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+          .select(col("doc_id"), col("text"), col("len"),
+            explode(expr(s"sequence(0, int((greatest(len, 1) - 1) div $s))"))
+              .as("k"))
+          .select(col("doc_id"),
+            col("k").cast("long").as("chunk_idx"),
+            (col("k") * s + 1).cast("long").as("chunk_start"),
+            least(lit(w), col("len") - (col("k") * s + 1) + 1).cast("long")
+              .as("chunk_len"),
+            expr(s"substr(md5(substr(text, k * $s + 1, $w)), 1, 8)")
+              .as("chunk_fp"))
+          .orderBy("doc_id", "chunk_idx")
+      },
+      Some("""WITH c AS (
+             |  SELECT doc_id, text, len(text) AS l,
+             |    unnest(generate_series(0, (GREATEST(len(text), 1) - 1) // 150))
+             |      AS k
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(k AS BIGINT) AS chunk_idx,
+             |  CAST(k * 150 + 1 AS BIGINT) AS chunk_start,
+             |  CAST(LEAST(200, l - (k * 150 + 1) + 1) AS BIGINT) AS chunk_len,
+             |  substr(md5(substr(text, CAST(k * 150 + 1 AS INT), 200)), 1, 8)
+             |    AS chunk_fp
+             |FROM c
+             |ORDER BY doc_id, chunk_idx""".stripMargin)),
+
     // ----------------------------------------------------------------- t20
     // REPETITION quality filters (the full Gopher-rules family):
     // distinct-word ratio, top-word fraction, duplicate 2/3/4-gram

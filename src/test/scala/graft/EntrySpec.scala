@@ -24,7 +24,7 @@ class EntrySpec extends AnyFunSuite {
   }
 
   test("all 81 declared operators are present") {
-    assert(SparkEntry.queries.size == 81)
+    assert(SparkEntry.queries.size == 82)
   }
 
   test("t15 components: labels are canonical minima consistent with t02 pairs") {

@@ -297,6 +297,17 @@ class PlanSpec extends AnyFunSuite {
       "no aggregation or join belongs in a per-row computation")
   }
 
+  test("t50: chunking is a pure map + bounded explode (zero wide shuffles)") {
+    val p = plan("t50_doc_chunks")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "chunk derivation is per-row; the corpus must never hash-shuffle")
+    assert(p.contains("Generate explode"),
+      "chunks must come from a bounded per-row explode, not a join")
+    assert(!p.contains("HashAggregate") && !p.contains("SortMergeJoin") &&
+      !p.contains("BroadcastHashJoin"),
+      "no aggregation or join belongs in a per-row computation")
+  }
+
   test("t45: band-sweep derives all configs from ONE candidate pass") {
     val p = plan("t45_band_sweep")
     assert(!p.contains("CartesianProduct") &&
