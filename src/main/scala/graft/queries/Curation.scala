@@ -128,7 +128,7 @@ object Curation {
     }.toDF("lang", "w", "c")
   }
 
-  /** t32/t37's bounded-state duplicate-span counter over exploded
+  /** t32/t37/t51's bounded-state duplicate-span counter over exploded
     * (doc_id, h) span rows: per-(h, doc_id) counts (O(1) aggregation
     * state), then a SPILL-SAFE h-window counting each digest's distinct
     * docs (a boilerplate span shared by millions of documents streams
@@ -136,11 +136,11 @@ object Curation {
     * doc-id list inside one agg row), then per-doc totals
     * (n_total spans, n_dup spans whose digest is in ≥ `minDocs` docs).
     * ONE definition so the spill-safe shape can never drift between the
-    * two granularities. Measured COLD at sf0.1 (T32Lab): 0.59 s vs
+    * granularities (50-char substrings, paragraphs, t51's chunks). Measured COLD at sf0.1 (T32Lab): 0.59 s vs
     * 0.71 s (single-agg collect_list unfold) vs 0.84 s (round 5's
     * cache+join-back — its reported 0.65 s timed warm InMemoryRelation
     * hits, not engine cost). */
-  private def dupSpanCounts(spans: DataFrame, minDocs: Int): DataFrame =
+  private[queries] def dupSpanCounts(spans: DataFrame, minDocs: Int): DataFrame =
     spans.groupBy("h", "doc_id")
       .agg(count(lit(1)).as("cnt"))
       .withColumn("ndocs", count(lit(1)).over(
@@ -216,6 +216,37 @@ object Curation {
        |    AND CAST(len(list_intersect($a.sh, $b.sh)) AS DOUBLE)
        |      >= $neardupJaccard * CAST(len($a.sh) + len($b.sh)
        |        - len(list_intersect($a.sh, $b.sh)) AS DOUBLE)""".stripMargin
+
+  /** t33/t52's symmetric int8 quantization, ONE definition per engine so
+    * the compression step (t33) and the quantized index scan that
+    * consumes it (t52) can never drift: per-vector scale = max|x|,
+    * q_i = floor(x_i · 127 / scale + 0.5). All arithmetic is
+    * exact-or-correctly-rounded IEEE (mul, div, floor, abs, max), so
+    * quantized values are bit-identical across engines. */
+  private def maxAbsExpr(v: String): String =
+    s"array_max(transform($v, x -> abs(cast(x as double))))"
+
+  private def quantExpr(v: String, m: String): String =
+    s"""CASE WHEN $m = 0D THEN transform($v, x -> 0L)
+       |ELSE transform($v,
+       |  x -> cast(floor(cast(x as double) * 127.0 / $m + 0.5)
+       |       as bigint)) END""".stripMargin
+
+  /** DuckDB twin of [[maxAbsExpr]]. */
+  private def maxAbsDuck(v: String): String =
+    s"list_max(list_transform($v, x -> abs(CAST(x AS DOUBLE))))"
+
+  /** DuckDB twin of [[quantExpr]]. */
+  private def quantDuck(v: String, m: String): String =
+    s"""CASE WHEN $m = 0 THEN
+       |      list_transform($v, x -> CAST(0 AS BIGINT))
+       |    ELSE list_transform($v,
+       |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 / $m + 0.5)
+       |           AS BIGINT)) END""".stripMargin
+
+  /** t52's re-rank pool: the int8 pre-score keeps this many candidates
+    * for exact re-ranking (interpolated into both sides). */
+  private val rerankCand = 40
 
   /** t44's PII patterns — the REGEX SUBSET shared exactly by Java
     * (Spark) and RE2 (DuckDB): character classes, bounded repeats,
@@ -919,35 +950,24 @@ object Curation {
     // step before shipping vectors to an ANN index (4× smaller, dot
     // products in integer SIMD). Pure map, zero shuffles; the oracle
     // checks scale plus two integer checksums of the quantized array
-    // (sum and L1) rather than 64 columns. All arithmetic is
-    // exact-or-correctly-rounded IEEE (mul, div, floor, abs, max), so
-    // quantized values are bit-identical across engines.
+    // (sum and L1) rather than 64 columns. Quantization rule shared
+    // with t52's quantized index scan via [[quantExpr]]/[[quantDuck]].
     "t33_quantize_int8" -> QueryDef(
       (spark, dir) =>
         t(spark, dir, "embeddings")
-          .withColumn("max_abs",
-            expr("array_max(transform(embedding, x -> abs(cast(x as double))))"))
-          .withColumn("q", expr(
-            """CASE WHEN max_abs = 0D THEN transform(embedding, x -> 0L)
-              |ELSE transform(embedding,
-              |  x -> cast(floor(cast(x as double) * 127.0 / max_abs + 0.5)
-              |       as bigint)) END""".stripMargin))
+          .withColumn("max_abs", expr(maxAbsExpr("embedding")))
+          .withColumn("q", expr(quantExpr("embedding", "max_abs")))
           .select(col("vec_id"), col("max_abs"),
             expr("aggregate(q, 0L, (a, x) -> a + x)").as("q_sum"),
             expr("aggregate(q, 0L, (a, x) -> a + abs(x))").as("q_l1"))
           .orderBy("vec_id"),
-      Some("""WITH m AS (
+      Some(s"""WITH m AS (
              |  SELECT vec_id, embedding,
-             |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
-             |      AS max_abs
+             |    ${maxAbsDuck("embedding")} AS max_abs
              |  FROM embeddings),
              |q AS (
              |  SELECT vec_id, max_abs,
-             |    CASE WHEN max_abs = 0 THEN
-             |      list_transform(embedding, x -> CAST(0 AS BIGINT))
-             |    ELSE list_transform(embedding,
-             |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 / max_abs + 0.5)
-             |           AS BIGINT)) END AS ql
+             |    ${quantDuck("embedding", "max_abs")} AS ql
              |  FROM m)
              |SELECT vec_id, max_abs,
              |  CAST(list_reduce(ql, (a, x) -> a + x) AS BIGINT) AS q_sum,
@@ -956,6 +976,87 @@ object Curation {
              |  CAST(list_reduce(list_transform(ql, x -> abs(x)), (a, x) -> a + x)
              |    AS BIGINT) AS q_l1
              |FROM q ORDER BY vec_id""".stripMargin)),
+
+    // ----------------------------------------------------------------- t52
+    // QUANTIZED ANN with exact re-rank — the production two-stage shape
+    // (scalar-quantized index scan, then full-precision re-ranking) that
+    // t33's compression exists for: score EVERY vector against the query
+    // in int8 (4× less memory bandwidth than the float scan, integer
+    // SIMD dots), keep the top `rerankCand` by approximate cosine, then
+    // re-rank only that pool with t05's exact float cosine. At-scale
+    // shape: the corpus pass is a pure map against a broadcast 1-row
+    // query frame, and orderBy+limit plans as TakeOrderedAndProject —
+    // partition-local top-k merged on the driver, NO global sort, NO
+    // hash shuffle at any N; the exact re-rank touches `rerankCand` rows
+    // total. Portability: quantized values are bit-identical (t33),
+    // integer dots are exact, and the approximate cosine is one
+    // correctly-rounded division of exact ints (qna/qnq > 0 guards the
+    // all-zero vector edge identically in both engines); candidate-pool
+    // ties break on vec_id so both engines keep the same pool.
+    "t52_ann_rerank" -> QueryDef(
+      (spark, dir) => {
+        val emb = t(spark, dir, "embeddings")
+        val qv = emb.filter(col("vec_id") === 0)
+          .select(col("embedding").as("q_emb"))
+        val cand = emb.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(qv))
+          .withColumn("ma", expr(maxAbsExpr("embedding")))
+          .withColumn("mq", expr(maxAbsExpr("q_emb")))
+          .withColumn("qa", expr(quantExpr("embedding", "ma")))
+          .withColumn("qq", expr(quantExpr("q_emb", "mq")))
+          .withColumn("qdot", expr(
+            "aggregate(zip_with(qa, qq, (x, y) -> x * y), 0L, (a, x) -> a + x)"))
+          .withColumn("qna", expr("aggregate(qa, 0L, (a, x) -> a + x * x)"))
+          .withColumn("qnq", expr("aggregate(qq, 0L, (a, x) -> a + x * x)"))
+          .filter(col("qna") > 0 && col("qnq") > 0)
+          .withColumn("cos_int8", col("qdot").cast("double") /
+            (sqrt(col("qna").cast("double")) * sqrt(col("qnq").cast("double"))))
+          .orderBy(col("cos_int8").desc, col("vec_id"))
+          .limit(rerankCand)
+        cand
+          .withColumn("dot", expr(dotSql("embedding", "q_emb")))
+          .withColumn("na", expr(dotSql("embedding", "embedding")))
+          .withColumn("nq", expr(dotSql("q_emb", "q_emb")))
+          .select(col("vec_id"), col("label"), col("cos_int8"),
+            (col("dot").cast("double") /
+              (sqrt(col("na").cast("double")) * sqrt(col("nq").cast("double"))))
+              .as("cosine"))
+          .orderBy(col("cosine").desc, col("vec_id"))
+          .limit(10)
+      },
+      Some(s"""WITH q0 AS (
+             |  SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+             |s AS (
+             |  SELECT e.vec_id, e.label, e.embedding, q0.q_emb,
+             |    ${maxAbsDuck("e.embedding")} AS ma,
+             |    ${maxAbsDuck("q0.q_emb")} AS mq
+             |  FROM embeddings e, q0 WHERE e.vec_id <> 0),
+             |z AS (
+             |  SELECT vec_id, label, embedding, q_emb,
+             |    ${quantDuck("embedding", "ma")} AS qa,
+             |    ${quantDuck("q_emb", "mq")} AS qq
+             |  FROM s),
+             |sc AS (
+             |  SELECT vec_id, label, embedding, q_emb,
+             |    list_reduce(list_transform(range(1, 65), i -> qa[i] * qq[i]),
+             |      (a, x) -> a + x) AS qdot,
+             |    list_reduce(list_transform(qa, x -> x * x),
+             |      (a, x) -> a + x) AS qna,
+             |    list_reduce(list_transform(qq, x -> x * x),
+             |      (a, x) -> a + x) AS qnq
+             |  FROM z),
+             |cand AS (
+             |  SELECT vec_id, label, embedding, q_emb,
+             |    CAST(qdot AS DOUBLE)
+             |      / (sqrt(CAST(qna AS DOUBLE)) * sqrt(CAST(qnq AS DOUBLE)))
+             |      AS cos_int8
+             |  FROM sc WHERE qna > 0 AND qnq > 0
+             |  ORDER BY cos_int8 DESC, vec_id LIMIT $rerankCand)
+             |SELECT vec_id, label, cos_int8,
+             |  ${dotDuck("embedding", "q_emb")}
+             |  / (sqrt(${dotDuck("embedding", "embedding")})
+             |     * sqrt(${dotDuck("q_emb", "q_emb")})) AS cosine
+             |FROM cand ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin)),
 
     // ----------------------------------------------------------------- t34
     // VOCABULARY top-k per language — the corpus report that seeds

@@ -36,6 +36,41 @@ object DataSelection {
   /** DuckDB twin of [[tokenEstExpr]]. */
   private[queries] val tokenEstDuck = "(n_chars + 3) // 4"
 
+  /** t50/t51's chunk geometry: fixed `chunkW`-char windows every
+    * `chunkS` chars (`chunkW - chunkS` overlap) — the RAG/embedding prep
+    * split. Interpolated into BOTH engines' definitions so an edit
+    * cannot diverge the pair. */
+  private val chunkW = 200
+  private val chunkS = 150
+
+  /** The shared chunk frame: one row per (document, window index `k`)
+    * with the window's text as `chunk`. A PURE MAP with a bounded
+    * explode (≤ len/stride chunks per document, each derived from that
+    * row alone) — zero shuffles at any corpus size. All-integer
+    * arithmetic; both `div` operands are non-negative so Spark's
+    * truncating div ≡ DuckDB's floor `//`; GREATEST(len,1) pins the two
+    * engines to the same single empty chunk on a zero-length document
+    * (negative-operand div would otherwise diverge: trunc vs floor). */
+  private def docChunks(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"),
+        length(col("text")).as("len"))
+      .select(col("doc_id"), col("source"), col("text"), col("len"),
+        explode(expr(s"sequence(0, int((greatest(len, 1) - 1) div $chunkS))"))
+          .as("k"))
+      .withColumn("chunk", expr(s"substr(text, k * $chunkS + 1, $chunkW)"))
+
+  /** DuckDB twin of [[docChunks]] (a CTE body; `chunk` left to callers
+    * since DuckDB needs the explicit INT cast on the start offset). */
+  private val chunkCteDuck =
+    s"""SELECT doc_id, source, text, len(text) AS len,
+       |    unnest(generate_series(0, (GREATEST(len(text), 1) - 1) // $chunkS))
+       |      AS k
+       |  FROM documents""".stripMargin
+
+  /** DuckDB twin of the `chunk` column over [[chunkCteDuck]]. */
+  private val chunkDuck = s"substr(text, CAST(k * $chunkS + 1 AS INT), $chunkW)"
+
   /** t24's bucket count for the distributed prefix sum: grows with the
     * input's partitioning so the second (accumulate) pass never caps at a
     * constant task count when the data scales — a hard-coded 32 would make
@@ -321,44 +356,94 @@ object DataSelection {
     // step that turns a raw corpus into model-sized passages. Each chunk
     // carries its position and an md5-prefix content fingerprint, the key
     // downstream chunk-level dedup and embedding joins use. At-scale
-    // shape: a PURE MAP with a bounded explode (≤ len/stride chunks per
-    // document, each derived from that row alone) — zero shuffles at any
-    // corpus size, and only (ids, 8-char fp) ever need to enter a later
-    // exchange, never chunk text. All-integer arithmetic; both `div`
-    // operands are non-negative so Spark's truncating div ≡ DuckDB's
-    // floor //; GREATEST(len,1) pins the two engines to the same single
-    // empty chunk on a zero-length document (negative-operand div would
-    // otherwise diverge: trunc vs floor).
+    // shape: [[docChunks]]'s pure map + bounded explode — zero shuffles
+    // at any corpus size, and only (ids, 8-char fp) ever need to enter a
+    // later exchange, never chunk text.
     "t50_doc_chunks" -> QueryDef(
-      (spark, dir) => {
-        val w = 200; val s = 150
-        t(spark, dir, "documents")
-          .select(col("doc_id"), col("text"), length(col("text")).as("len"))
-          .select(col("doc_id"), col("text"), col("len"),
-            explode(expr(s"sequence(0, int((greatest(len, 1) - 1) div $s))"))
-              .as("k"))
+      (spark, dir) =>
+        docChunks(spark, dir)
           .select(col("doc_id"),
             col("k").cast("long").as("chunk_idx"),
-            (col("k") * s + 1).cast("long").as("chunk_start"),
-            least(lit(w), col("len") - (col("k") * s + 1) + 1).cast("long")
-              .as("chunk_len"),
-            expr(s"substr(md5(substr(text, k * $s + 1, $w)), 1, 8)")
-              .as("chunk_fp"))
-          .orderBy("doc_id", "chunk_idx")
-      },
-      Some("""WITH c AS (
-             |  SELECT doc_id, text, len(text) AS l,
-             |    unnest(generate_series(0, (GREATEST(len(text), 1) - 1) // 150))
-             |      AS k
-             |  FROM documents)
+            (col("k") * chunkS + 1).cast("long").as("chunk_start"),
+            least(lit(chunkW), col("len") - (col("k") * chunkS + 1) + 1)
+              .cast("long").as("chunk_len"),
+            expr("substr(md5(chunk), 1, 8)").as("chunk_fp"))
+          .orderBy("doc_id", "chunk_idx"),
+      Some(s"""WITH c AS (
+             |  $chunkCteDuck)
              |SELECT doc_id,
              |  CAST(k AS BIGINT) AS chunk_idx,
-             |  CAST(k * 150 + 1 AS BIGINT) AS chunk_start,
-             |  CAST(LEAST(200, l - (k * 150 + 1) + 1) AS BIGINT) AS chunk_len,
-             |  substr(md5(substr(text, CAST(k * 150 + 1 AS INT), 200)), 1, 8)
-             |    AS chunk_fp
+             |  CAST(k * $chunkS + 1 AS BIGINT) AS chunk_start,
+             |  CAST(LEAST($chunkW, len - (k * $chunkS + 1) + 1) AS BIGINT)
+             |    AS chunk_len,
+             |  substr(md5($chunkDuck), 1, 8) AS chunk_fp
              |FROM c
              |ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // ----------------------------------------------------------------- t51
+    // Chunk-store DEDUP AUDIT: before embedding t50's chunks into a RAG /
+    // retrieval index, how much of the store is redundant? Per source:
+    // documents, chunk instances, DISTINCT chunk contents (what the store
+    // actually holds), and boilerplate documents (≥ half their chunks
+    // appear verbatim in some OTHER document — headers, licences,
+    // templated pages). The sixth dedup granularity next to exact-doc
+    // (t01), near-dup doc (t02/t42), paragraph (t37), 50-char substring
+    // (t32) and cross-corpus (t36). At-scale shape: chunks stay a pure
+    // map; the FULL 16-byte md5 (an 8-hex prefix collides at corpus
+    // scale: 32 bits ≈ certain collision past ~10⁵ chunks) is the only
+    // thing that enters an exchange — [[Curation.dupSpanCounts]]'s
+    // spill-safe (h, doc) agg + h-window, plus one digest-keyed distinct
+    // per source. Sharing ≥2 docs means cross-document boilerplate;
+    // within-doc repeats still collapse in n_distinct_chunks.
+    "t51_chunk_dedup" -> QueryDef(
+      (spark, dir) => {
+        val ch = docChunks(spark, dir)
+          .select(col("doc_id"), col("source"), expr("md5(chunk)").as("h"))
+        val perDoc = Curation.dupSpanCounts(ch.select("h", "doc_id"),
+          minDocs = 2)
+        val docSrc = t(spark, dir, "documents").select("doc_id", "source")
+        val bySrc = perDoc.join(docSrc, "doc_id")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_total").as("n_chunks"),
+            sum(when(col("n_dup") * 2 >= col("n_total"), 1L).otherwise(0L))
+              .as("n_boiler_docs"))
+        val dist = ch.groupBy("source")
+          .agg(countDistinct("h").as("n_distinct_chunks"))
+        bySrc.join(dist, "source")
+          .select(col("source"), col("n_docs"), col("n_chunks"),
+            col("n_distinct_chunks"), col("n_boiler_docs"))
+          .orderBy("source")
+      },
+      Some(s"""WITH c AS (
+             |  $chunkCteDuck),
+             |ch AS (
+             |  SELECT doc_id, source, md5($chunkDuck) AS h FROM c),
+             |pd AS (
+             |  SELECT h, doc_id, source, COUNT(*) AS cnt
+             |  FROM ch GROUP BY h, doc_id, source),
+             |w AS (
+             |  SELECT doc_id, source, cnt,
+             |    COUNT(*) OVER (PARTITION BY h) AS ndocs
+             |  FROM pd),
+             |doc AS (
+             |  SELECT doc_id, source, SUM(cnt) AS n_total,
+             |    SUM(CASE WHEN ndocs >= 2 THEN cnt ELSE 0 END) AS n_dup
+             |  FROM w GROUP BY doc_id, source),
+             |s AS (
+             |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |    CAST(SUM(n_total) AS BIGINT) AS n_chunks,
+             |    CAST(SUM(CASE WHEN 2 * n_dup >= n_total THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_boiler_docs
+             |  FROM doc GROUP BY source),
+             |d AS (
+             |  SELECT source, CAST(COUNT(DISTINCT h) AS BIGINT)
+             |    AS n_distinct_chunks
+             |  FROM ch GROUP BY source)
+             |SELECT s.source, s.n_docs, s.n_chunks, d.n_distinct_chunks,
+             |  s.n_boiler_docs
+             |FROM s JOIN d USING (source)
+             |ORDER BY source""".stripMargin)),
 
     // ----------------------------------------------------------------- t20
     // REPETITION quality filters (the full Gopher-rules family):

@@ -308,6 +308,32 @@ class PlanSpec extends AnyFunSuite {
       "no aggregation or join belongs in a per-row computation")
   }
 
+  test("t51: chunk dedup shuffles digests only, text never enters an exchange") {
+    val p = plan("t51_chunk_dedup")
+    assert(p.contains("Generate explode"),
+      "chunks must come from the bounded per-row explode")
+    assert(!"Exchange [^\\n]*text".r.findFirstIn(p).isDefined &&
+      !"Exchange [^\\n]*chunk".r.findFirstIn(p).isDefined,
+      "chunk text must never enter a shuffle — only the 16-byte md5")
+    assert(!p.contains("collect_list"),
+      "no hash group may materialize an in-memory doc-id list")
+    assert(!p.contains("SortMergeJoin"),
+      "doc→source and the per-source distinct frame must broadcast")
+  }
+
+  test("t52: quantized scan is map-only; top-k never global-sorts or shuffles") {
+    val p = plan("t52_ann_rerank")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "the int8 pre-score is a pure map; the corpus must never hash-shuffle")
+    assert("TakeOrderedAndProject".r.findAllIn(p).size == 2,
+      "both top-k stages must plan as partition-local top-k merged on the " +
+        "driver, not sort+limit")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the 1-row query frame must broadcast")
+    assert(p.contains("Not(EqualTo(vec_id,0))"),
+      "the query-id filter must reach the parquet scan")
+  }
+
   test("t45: band-sweep derives all configs from ONE candidate pass") {
     val p = plan("t45_band_sweep")
     assert(!p.contains("CartesianProduct") &&
