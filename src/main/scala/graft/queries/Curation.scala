@@ -985,30 +985,37 @@ object Curation {
     // SIMD dots), keep the top `rerankCand` by approximate cosine, then
     // re-rank only that pool with t05's exact float cosine. At-scale
     // shape: the corpus pass is a pure map against a broadcast 1-row
-    // query frame, and orderBy+limit plans as TakeOrderedAndProject —
-    // partition-local top-k merged on the driver, NO global sort, NO
-    // hash shuffle at any N; the exact re-rank touches `rerankCand` rows
-    // total. Portability: quantized values are bit-identical (t33),
-    // integer dots are exact, and the approximate cosine is one
-    // correctly-rounded division of exact ints (qna/qnq > 0 guards the
-    // all-zero vector edge identically in both engines); candidate-pool
-    // ties break on vec_id so both engines keep the same pool.
+    // query frame — the query's OWN quantization (qq, its norm qnq) is
+    // computed inside that 1-row frame, so the broadcast carries it
+    // precomputed instead of every corpus row re-quantizing a constant —
+    // and orderBy+limit plans as TakeOrderedAndProject: partition-local
+    // top-k merged on the driver, NO global sort, NO hash shuffle at any
+    // N; the exact re-rank touches `rerankCand` rows total. Portability:
+    // quantized values are bit-identical (t33), integer dots are exact,
+    // and the approximate cosine is one correctly-rounded division of
+    // exact ints. The all-zero vector edge is guarded by max|x| > 0,
+    // which is EQUIVALENT to quantized-norm > 0 (the max-|x| element
+    // quantizes to exactly floor(127.5) = ±127, so ma > 0 ⇒ qna ≥ 127²)
+    // but costs one array_max in the pushed filter instead of
+    // duplicating the whole quantize+fold chain; candidate-pool ties
+    // break on vec_id so both engines keep the same pool.
     "t52_ann_rerank" -> QueryDef(
       (spark, dir) => {
         val emb = t(spark, dir, "embeddings")
         val qv = emb.filter(col("vec_id") === 0)
           .select(col("embedding").as("q_emb"))
-        val cand = emb.filter(col("vec_id") =!= 0)
-          .crossJoin(broadcast(qv))
-          .withColumn("ma", expr(maxAbsExpr("embedding")))
           .withColumn("mq", expr(maxAbsExpr("q_emb")))
-          .withColumn("qa", expr(quantExpr("embedding", "ma")))
+          .filter(col("mq") > 0)
           .withColumn("qq", expr(quantExpr("q_emb", "mq")))
+          .withColumn("qnq", expr("aggregate(qq, 0L, (a, x) -> a + x * x)"))
+        val cand = emb.filter(col("vec_id") =!= 0)
+          .withColumn("ma", expr(maxAbsExpr("embedding")))
+          .filter(col("ma") > 0)
+          .crossJoin(broadcast(qv))
+          .withColumn("qa", expr(quantExpr("embedding", "ma")))
           .withColumn("qdot", expr(
             "aggregate(zip_with(qa, qq, (x, y) -> x * y), 0L, (a, x) -> a + x)"))
           .withColumn("qna", expr("aggregate(qa, 0L, (a, x) -> a + x * x)"))
-          .withColumn("qnq", expr("aggregate(qq, 0L, (a, x) -> a + x * x)"))
-          .filter(col("qna") > 0 && col("qnq") > 0)
           .withColumn("cos_int8", col("qdot").cast("double") /
             (sqrt(col("qna").cast("double")) * sqrt(col("qnq").cast("double"))))
           .orderBy(col("cos_int8").desc, col("vec_id"))
@@ -1025,32 +1032,38 @@ object Curation {
           .limit(10)
       },
       Some(s"""WITH q0 AS (
-             |  SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+             |  SELECT q_emb, ${quantDuck("q_emb", "mq")} AS qq
+             |  FROM (SELECT embedding AS q_emb, ${maxAbsDuck("embedding")} AS mq
+             |        FROM embeddings WHERE vec_id = 0)
+             |  WHERE mq > 0),
+             |q1 AS (
+             |  SELECT q_emb, qq,
+             |    list_reduce(list_transform(qq, x -> x * x),
+             |      (a, x) -> a + x) AS qnq
+             |  FROM q0),
              |s AS (
-             |  SELECT e.vec_id, e.label, e.embedding, q0.q_emb,
-             |    ${maxAbsDuck("e.embedding")} AS ma,
-             |    ${maxAbsDuck("q0.q_emb")} AS mq
-             |  FROM embeddings e, q0 WHERE e.vec_id <> 0),
+             |  SELECT vec_id, label, embedding, q_emb, qq, qnq, ma
+             |  FROM (SELECT e.vec_id, e.label, e.embedding, q1.q_emb, q1.qq,
+             |          q1.qnq, ${maxAbsDuck("e.embedding")} AS ma
+             |        FROM embeddings e, q1 WHERE e.vec_id <> 0)
+             |  WHERE ma > 0),
              |z AS (
-             |  SELECT vec_id, label, embedding, q_emb,
-             |    ${quantDuck("embedding", "ma")} AS qa,
-             |    ${quantDuck("q_emb", "mq")} AS qq
+             |  SELECT vec_id, label, embedding, q_emb, qq, qnq,
+             |    ${quantDuck("embedding", "ma")} AS qa
              |  FROM s),
              |sc AS (
-             |  SELECT vec_id, label, embedding, q_emb,
+             |  SELECT vec_id, label, embedding, q_emb, qnq,
              |    list_reduce(list_transform(range(1, 65), i -> qa[i] * qq[i]),
              |      (a, x) -> a + x) AS qdot,
              |    list_reduce(list_transform(qa, x -> x * x),
-             |      (a, x) -> a + x) AS qna,
-             |    list_reduce(list_transform(qq, x -> x * x),
-             |      (a, x) -> a + x) AS qnq
+             |      (a, x) -> a + x) AS qna
              |  FROM z),
              |cand AS (
              |  SELECT vec_id, label, embedding, q_emb,
              |    CAST(qdot AS DOUBLE)
              |      / (sqrt(CAST(qna AS DOUBLE)) * sqrt(CAST(qnq AS DOUBLE)))
              |      AS cos_int8
-             |  FROM sc WHERE qna > 0 AND qnq > 0
+             |  FROM sc
              |  ORDER BY cos_int8 DESC, vec_id LIMIT $rerankCand)
              |SELECT vec_id, label, cos_int8,
              |  ${dotDuck("embedding", "q_emb")}
