@@ -46,17 +46,23 @@ object DataSelection {
   /** The shared chunk frame: one row per (document, window index `k`)
     * with the window's text as `chunk`. A PURE MAP with a bounded
     * explode (≤ len/stride chunks per document, each derived from that
-    * row alone) — zero shuffles at any corpus size. All-integer
-    * arithmetic; both `div` operands are non-negative so Spark's
-    * truncating div ≡ DuckDB's floor `//`; GREATEST(len,1) pins the two
-    * engines to the same single empty chunk on a zero-length document
-    * (negative-operand div would otherwise diverge: trunc vs floor). */
+    * row alone) — zero shuffles at any corpus size.
+    *
+    * k runs 0..⌈(len − chunkW)/chunkS⌉ = (len − (chunkW − chunkS + 1))
+    * div chunkS: the last window is emitted only when it reaches PAST
+    * the previous one (a tail shorter than the overlap would be a
+    * strict sub-span of the prior chunk — pure redundancy in the chunk
+    * store), while coverage to the final character stays guaranteed.
+    * GREATEST(…, 0) keeps both `div` operands non-negative — Spark's
+    * truncating div ≡ DuckDB's floor `//` only then — and gives a
+    * zero-length document the same single empty chunk in both
+    * engines. */
   private def docChunks(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
       .select(col("doc_id"), col("source"), col("text"),
         length(col("text")).as("len"))
       .select(col("doc_id"), col("source"), col("text"), col("len"),
-        explode(expr(s"sequence(0, int((greatest(len, 1) - 1) div $chunkS))"))
+        explode(expr(s"sequence(0, int(greatest(len - ${chunkW - chunkS + 1}, 0) div $chunkS))"))
           .as("k"))
       .withColumn("chunk", expr(s"substr(text, k * $chunkS + 1, $chunkW)"))
 
@@ -64,12 +70,17 @@ object DataSelection {
     * since DuckDB needs the explicit INT cast on the start offset). */
   private val chunkCteDuck =
     s"""SELECT doc_id, source, text, len(text) AS len,
-       |    unnest(generate_series(0, (GREATEST(len(text), 1) - 1) // $chunkS))
-       |      AS k
+       |    unnest(generate_series(0,
+       |      GREATEST(len(text) - ${chunkW - chunkS + 1}, 0) // $chunkS)) AS k
        |  FROM documents""".stripMargin
 
   /** DuckDB twin of the `chunk` column over [[chunkCteDuck]]. */
   private val chunkDuck = s"substr(text, CAST(k * $chunkS + 1 AS INT), $chunkW)"
+
+  /** t51's cross-document threshold: a chunk digest counts as
+    * boilerplate when it appears in at least this many distinct
+    * documents (interpolated into both sides). */
+  private val chunkMinDocs = 2
 
   /** t24's bucket count for the distributed prefix sum: grows with the
     * input's partitioning so the second (accumulate) pass never caps at a
@@ -238,53 +249,49 @@ object DataSelection {
       Some(decontaminateOracle)),
 
     // ----------------------------------------------------------------- t47
-    // Shingle NOVELTY scoring: per document, the fraction of its 3-gram
-    // shingle occurrences whose shingle appears for the FIRST time in
-    // the corpus at this document (arrival order = doc_id) — the
-    // diversity signal data-pruning work ranks corpora by: documents
-    // rehashing earlier content score near 0, genuinely new text near
-    // 1. At-scale shape mirrors t22's rarity join: both sides of the
-    // vocabulary join pre-reduce map-side before any exchange — the
-    // probe side to per-(doc, shingle) counts, the first-occurrence
-    // side to a partial MIN per shingle (Catalyst's
-    // RemoveRedundantAggregates elides the inner count there) — so no
-    // exchange ever carries raw duplicate occurrences. The join
-    // strategy is left to the planner: a tiny fixture vocabulary
-    // broadcasts, a corpus-scale vocabulary falls back to a shuffle
-    // join with AQE skew handling (never a FORCED broadcast of a
-    // corpus-sized frame). Integer counts + one exact IEEE division.
+    // Shingle NOVELTY scoring: per document, the fraction of its
+    // DISTINCT 3-gram shingles that appear for the FIRST time in the
+    // corpus at this document (arrival order = doc_id) — the diversity
+    // signal data-pruning work ranks corpora by: documents rehashing
+    // earlier content score near 0, genuinely new text near 1.
+    // word_shingles is first-occurrence-distinct per document (and the
+    // DuckDB twin wraps list_distinct), so the exploded (doc, shingle)
+    // pairs are UNIQUE by construction — within-doc repetition is t20's
+    // signal, not this one's. At-scale shape mirrors t22's rarity join:
+    // the first-occurrence side pre-reduces map-side to a partial MIN
+    // per shingle before its exchange, and the join strategy is left to
+    // the planner: a tiny fixture vocabulary broadcasts, a corpus-scale
+    // vocabulary falls back to a shuffle join with AQE skew handling
+    // (never a FORCED broadcast of a corpus-sized frame). Integer
+    // counts + one exact IEEE division.
     "t47_shingle_novelty" -> QueryDef(
       (spark, dir) => {
         val occ = withWords(t(spark, dir, "documents"))
           .select(col("doc_id"), explode(expr(shingleExpr)).as("shingle"))
-          .groupBy("doc_id", "shingle")
-          .agg(count(lit(1)).as("cnt"))
         val firsts = occ.groupBy("shingle")
           .agg(min("doc_id").as("first_doc"))
         occ.join(firsts, "shingle")
           .groupBy("doc_id")
-          .agg(sum("cnt").as("n_shingles"),
-            sum(when(col("first_doc") === col("doc_id"), col("cnt"))
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when(col("first_doc") === col("doc_id"), 1L)
               .otherwise(0L)).as("n_novel"))
           .withColumn("novelty",
             col("n_novel").cast("double") / col("n_shingles").cast("double"))
           .orderBy("doc_id")
       },
       Some(s"""WITH occ AS (
-              |  SELECT doc_id, shingle, COUNT(*) AS cnt
-              |  FROM (SELECT doc_id, unnest($shingleSqlDuck) AS shingle
-              |        FROM documents)
-              |  GROUP BY doc_id, shingle),
+              |  SELECT doc_id, unnest($shingleSqlDuck) AS shingle
+              |  FROM documents),
               |firsts AS (
               |  SELECT shingle, MIN(doc_id) AS first_doc FROM occ
               |  GROUP BY shingle)
               |SELECT o.doc_id,
-              |  CAST(SUM(o.cnt) AS BIGINT) AS n_shingles,
-              |  CAST(SUM(CASE WHEN f.first_doc = o.doc_id THEN o.cnt
+              |  CAST(COUNT(*) AS BIGINT) AS n_shingles,
+              |  CAST(SUM(CASE WHEN f.first_doc = o.doc_id THEN 1
               |    ELSE 0 END) AS BIGINT) AS n_novel,
-              |  CAST(SUM(CASE WHEN f.first_doc = o.doc_id THEN o.cnt
+              |  CAST(SUM(CASE WHEN f.first_doc = o.doc_id THEN 1
               |    ELSE 0 END) AS DOUBLE)
-              |    / CAST(SUM(o.cnt) AS DOUBLE) AS novelty
+              |    / CAST(COUNT(*) AS DOUBLE) AS novelty
               |FROM occ o JOIN firsts f USING (shingle)
               |GROUP BY o.doc_id
               |ORDER BY o.doc_id""".stripMargin)),
@@ -298,28 +305,29 @@ object DataSelection {
     // per stratum, not #docs), then a cumulative window over that small
     // frame picks the smallest length whose cumulative count reaches
     // ceil(q·n) — never a per-group sort of raw documents, never an
-    // approximate sketch. All-integer arithmetic: ceil(q·n) as
-    // (n+1) div 2 / (9n+9) div 10, so both engines agree bit-for-bit.
+    // approximate sketch. The token budget is derived from the SAME
+    // histogram (the estimate depends only on n_chars, so
+    // Σ cnt·tok(n_chars) ≡ the per-document sum) — ONE corpus scan
+    // total. All-integer arithmetic: ceil(q·n) as (n+1) div 2 /
+    // (9n+9) div 10, so both engines agree bit-for-bit.
     "t48_corpus_card" -> QueryDef(
       (spark, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val docs = t(spark, dir, "documents")
-        val hist = docs.groupBy("lang", "source", "n_chars")
+        val hist = t(spark, dir, "documents")
+          .groupBy("lang", "source", "n_chars")
           .agg(count(lit(1)).as("cnt"))
         val byLen = Window.partitionBy("lang", "source").orderBy("n_chars")
         val grp = Window.partitionBy("lang", "source")
-        val picks = hist
+        hist
           .withColumn("cum", sum("cnt").over(byLen))
           .withColumn("n", sum("cnt").over(grp))
           .groupBy("lang", "source")
           .agg(max("n").as("n_docs"),
+            sum(expr(s"cnt * ($tokenEstExpr)")).as("total_tokens"),
             min(when(col("cum") >= expr("(n + 1) div 2"), col("n_chars")))
               .as("p50_chars"),
             min(when(col("cum") >= expr("(9 * n + 9) div 10"), col("n_chars")))
               .as("p90_chars"))
-        val toks = docs.groupBy("lang", "source")
-          .agg(sum(expr(tokenEstExpr)).as("total_tokens"))
-        picks.join(toks, Seq("lang", "source"))
           .select(col("lang"), col("source"), col("n_docs"),
             col("total_tokens"), col("p50_chars"), col("p90_chars"))
           .orderBy("lang", "source")
@@ -328,27 +336,20 @@ object DataSelection {
               |  SELECT lang, source, n_chars, COUNT(*) AS cnt
               |  FROM documents GROUP BY lang, source, n_chars),
               |cum AS (
-              |  SELECT lang, source, n_chars,
+              |  SELECT lang, source, n_chars, cnt,
               |    SUM(cnt) OVER (PARTITION BY lang, source
               |      ORDER BY n_chars) AS cum,
               |    SUM(cnt) OVER (PARTITION BY lang, source) AS n
-              |  FROM hist),
-              |picks AS (
-              |  SELECT lang, source,
-              |    CAST(MAX(n) AS BIGINT) AS n_docs,
-              |    MIN(CASE WHEN cum >= (n + 1) // 2 THEN n_chars END)
-              |      AS p50_chars,
-              |    MIN(CASE WHEN cum >= (9 * n + 9) // 10 THEN n_chars END)
-              |      AS p90_chars
-              |  FROM cum GROUP BY lang, source),
-              |toks AS (
-              |  SELECT lang, source,
-              |    CAST(SUM($tokenEstDuck) AS BIGINT) AS total_tokens
-              |  FROM documents GROUP BY lang, source)
-              |SELECT p.lang, p.source, p.n_docs, t.total_tokens,
-              |  p.p50_chars, p.p90_chars
-              |FROM picks p JOIN toks t USING (lang, source)
-              |ORDER BY p.lang, p.source""".stripMargin)),
+              |  FROM hist)
+              |SELECT lang, source,
+              |  CAST(MAX(n) AS BIGINT) AS n_docs,
+              |  CAST(SUM(cnt * ($tokenEstDuck)) AS BIGINT) AS total_tokens,
+              |  MIN(CASE WHEN cum >= (n + 1) // 2 THEN n_chars END)
+              |    AS p50_chars,
+              |  MIN(CASE WHEN cum >= (9 * n + 9) // 10 THEN n_chars END)
+              |    AS p90_chars
+              |FROM cum GROUP BY lang, source
+              |ORDER BY lang, source""".stripMargin)),
 
     // ----------------------------------------------------------------- t50
     // Document CHUNKING: split every document into fixed 200-char windows
@@ -400,7 +401,7 @@ object DataSelection {
         val ch = docChunks(spark, dir)
           .select(col("doc_id"), col("source"), expr("md5(chunk)").as("h"))
         val perDoc = Curation.dupSpanCounts(ch.select("h", "doc_id"),
-          minDocs = 2)
+          minDocs = chunkMinDocs)
         val docSrc = t(spark, dir, "documents").select("doc_id", "source")
         val bySrc = perDoc.join(docSrc, "doc_id")
           .groupBy("source")
@@ -428,7 +429,8 @@ object DataSelection {
              |  FROM pd),
              |doc AS (
              |  SELECT doc_id, source, SUM(cnt) AS n_total,
-             |    SUM(CASE WHEN ndocs >= 2 THEN cnt ELSE 0 END) AS n_dup
+             |    SUM(CASE WHEN ndocs >= $chunkMinDocs THEN cnt ELSE 0 END)
+             |      AS n_dup
              |  FROM w GROUP BY doc_id, source),
              |s AS (
              |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,

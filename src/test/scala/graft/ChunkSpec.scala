@@ -5,9 +5,10 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Boundary math for t50/t51's chunk geometry (window 200, stride 150) on
   * crafted document lengths at the exact window/stride edges — lengths the
   * driver fixture does not necessarily contain. Pins the defined scheme:
-  * chunks k = 0..⌊(max(len,1)−1)/150⌋, start = 150k+1,
+  * chunks k = 0..⌊max(len−51, 0)/150⌋ (the last window is emitted only
+  * when it reaches past the previous one), start = 150k+1,
   * len = min(200, doclen − start + 1); an empty document yields ONE empty
-  * chunk (the GREATEST(len,1) guard both engines share). */
+  * chunk (the GREATEST(…, 0) guard both engines share). */
 class ChunkSpec extends AnyFunSuite {
   private lazy val spark = SparkSuite.spark
 
@@ -27,7 +28,7 @@ class ChunkSpec extends AnyFunSuite {
   }
 
   test("t50: chunk starts/lengths at exact window and stride boundaries") {
-    val lens = Seq(0, 1, 150, 151, 200, 350, 351, 450, 451)
+    val lens = Seq(0, 1, 150, 151, 200, 201, 350, 351, 450, 451, 500, 501)
     val dir = writeDocs(lens.zipWithIndex.map { case (n, i) =>
       (i.toLong, "s", text(n, i))
     })
@@ -36,7 +37,7 @@ class ChunkSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toSeq
     val want = lens.zipWithIndex.flatMap { case (n, i) =>
-      val ks = 0 to (math.max(n, 1) - 1) / 150
+      val ks = 0 to math.max(n - 51, 0) / 150
       ks.map { k =>
         val start = 150L * k + 1
         (i.toLong, k.toLong, start, math.min(200L, n - start + 1))
@@ -45,6 +46,14 @@ class ChunkSpec extends AnyFunSuite {
     assert(got == want)
     // the empty document's single chunk has length 0, not a missing row
     assert(got.count(_._1 == 0L) == 1 && got.find(_._1 == 0L).get._4 == 0L)
+    // no chunk is a strict sub-span of its predecessor: every non-first
+    // chunk extends past the previous window's end (len > overlap)
+    assert(got.filter(_._2 > 0).forall(_._4 > 50))
+    // coverage: the last chunk of every doc reaches the final character
+    lens.zipWithIndex.filter(_._1 > 0).foreach { case (n, i) =>
+      val last = got.filter(_._1 == i.toLong).maxBy(_._2)
+      assert(last._3 + last._4 - 1 == n)
+    }
   }
 
   test("t51: cross-document boilerplate flags and distinct-chunk counts") {

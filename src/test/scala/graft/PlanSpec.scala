@@ -375,10 +375,10 @@ class PlanSpec extends AnyFunSuite {
       p.contains("Exchange hashpartitioning(source"),
       "histogram aggregation must shuffle on the stratum keys")
     assert(!p.contains("text#"), "document text must never be read")
-    assert(p.contains("BroadcastHashJoin"),
-      "two aggregated per-stratum frames must join via broadcast")
-    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3,
-      "histogram agg + window re-key + token agg at most")
+    assert(!p.contains("Join"),
+      "tokens derive from the histogram itself — ONE corpus scan, no join")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      "histogram agg + window re-key at most")
   }
 
   test("t49: outlier scoring is a pure map against a centroid literal") {

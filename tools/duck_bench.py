@@ -23,8 +23,7 @@ import time
 
 import duckdb
 
-TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings"]
+from check_oracle import TABLES
 
 
 def main():
@@ -37,13 +36,25 @@ def main():
     oracles = json.load(open(oracle_json))
     names = sorted(oracles)
     samples = {n: [] for n in names}
+    failed = set()
     for _ in range(passes):
         for n in names:
+            if n in failed:
+                continue
             t0 = time.perf_counter()
-            con.execute(oracles[n]).fetchall()
+            try:
+                con.execute(oracles[n]).fetchall()
+            except Exception as e:
+                # -1 marks a failed query (graft.Bench's convention, which
+                # bench_compare.py's v >= 0 filter drops) — a silent fast
+                # "timing" would read as a win
+                print(f"-- FAIL {n}: {e}", file=sys.stderr)
+                failed.add(n)
+                continue
             samples[n].append(time.perf_counter() - t0)
-    med = {n: statistics.median(s) for n, s in samples.items()}
-    mn = {n: min(s) for n, s in samples.items()}
+    med = {n: (-1.0 if n in failed else statistics.median(s))
+           for n, s in samples.items()}
+    mn = {n: (-1.0 if n in failed else min(s)) for n, s in samples.items()}
     qs = ",".join(f'"{n}":{med[n]:.6f}' for n in names)
     qsm = ",".join(f'"{n}":{mn[n]:.6f}' for n in names)
     print(f'{{"metric":"total","value":{sum(med.values()):.6f},"unit":"sec",'
