@@ -248,6 +248,49 @@ object DataSelection {
       },
       Some(decontaminateOracle)),
 
+    // ----------------------------------------------------------------- t53
+    // BPE PAIR COUNTS — the count step of a byte-pair-encoding
+    // tokenizer's first merge round: for every adjacent character pair
+    // inside a word, the total number of corpus occurrences; the top
+    // pair is the first merge a BPE trainer would learn. At-scale shape
+    // is the one real tokenizer trainers use: collapse the corpus to
+    // its word VOCABULARY first (a map-side-combinable word count — the
+    // only corpus-sized exchange, carrying bare words), then explode
+    // character pairs over the DISTINCT vocabulary weighted by word
+    // frequency — the explode touches |vocab| · avg_word_len rows, not
+    // corpus characters, and the final aggregation keys on ≤ |Σ|²
+    // two-char strings. Pair positions count with multiplicity ("aaa"
+    // contributes "aa" twice per occurrence), exactly as BPE does.
+    // Integer counts only; ties break (count DESC, pair ASC) — binary
+    // string order in both engines.
+    "t53_bpe_pairs" -> QueryDef(
+      (spark, dir) => {
+        val vocab = withWords(t(spark, dir, "documents"))
+          .select(explode(col("words")).as("word"))
+          .filter(length(col("word")) >= 2)
+          .groupBy("word").agg(count(lit(1)).as("wcnt"))
+        vocab
+          .select(col("wcnt"), explode(expr(
+            "transform(sequence(1, length(word) - 1), i -> substr(word, i, 2))"))
+            .as("pair"))
+          .groupBy("pair").agg(sum("wcnt").as("n_occ"))
+          .orderBy(col("n_occ").desc, col("pair"))
+          .limit(20)
+      },
+      Some("""WITH w AS (
+             |  SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+             |v AS (
+             |  SELECT word, COUNT(*) AS wcnt FROM w
+             |  WHERE len(word) >= 2 GROUP BY word),
+             |p AS (
+             |  SELECT wcnt,
+             |    unnest(list_transform(range(1, len(word)),
+             |      i -> substr(word, CAST(i AS INT), 2))) AS pair
+             |  FROM v)
+             |SELECT pair, CAST(SUM(wcnt) AS BIGINT) AS n_occ
+             |FROM p GROUP BY pair
+             |ORDER BY n_occ DESC, pair LIMIT 20""".stripMargin)),
+
     // ----------------------------------------------------------------- t47
     // Shingle NOVELTY scoring: per document, the fraction of its
     // DISTINCT 3-gram shingles that appear for the FIRST time in the
