@@ -97,6 +97,20 @@ object Bench {
     val total = results.map(_._2._1).filter(_ >= 0).sum
     val totalMin = results.map(_._2._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"queries":$qs,"queries_min":$qsMin,"sf":"$sfDir"}""")
+    // The driver snapshots only the LAST 2000 chars of stdout (measured:
+    // BENCH_r07.json "tail" is exactly 2000, and sbt's trailing
+    // "[success] Total time: …" footer eats ~100 of them). The detailed
+    // line above is ~6 KB at 85+ queries, so its head — p01 through ~q13 —
+    // fell outside the window every round. This LAST line is the one the
+    // tail is guaranteed to capture whole: per-query MIN floors (the
+    // contention-proof statistic, same choice as bench_compare.py), keys
+    // shortened to the unique pNN/qNN/tNN prefix, 3-decimal values —
+    // ~1.2 KB for 88 queries, far under the window even with the footer.
+    def r3(d: Double): String = if (d < 0) "-1" else f"$d%.3f"
+    val qsShort = results
+      .map { case (k, (_, mn)) => "\"" + k.takeWhile(_ != '_') + "\":" + r3(mn) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","total_min":${r3(totalMin)},"stat":"min","sf":"$sfDir","queries":$qsShort}""")
     spark.stop()
   }
 }

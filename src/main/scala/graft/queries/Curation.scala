@@ -1053,7 +1053,8 @@ object Curation {
              |  FROM s),
              |sc AS (
              |  SELECT vec_id, label, embedding, q_emb, qnq,
-             |    list_reduce(list_transform(range(1, 65), i -> qa[i] * qq[i]),
+             |    list_reduce(list_transform(range(1, len(qa) + 1),
+             |        i -> qa[i] * qq[i]),
              |      (a, x) -> a + x) AS qdot,
              |    list_reduce(list_transform(qa, x -> x * x),
              |      (a, x) -> a + x) AS qna
@@ -1509,14 +1510,19 @@ object Curation {
     // shape: text leaves the dataflow after the one signature/shingle
     // pass — candidates, verified edges, and component labels are id
     // pairs; the verify join touches only the candidate pairs (a
-    // vanishing fraction of the corpus); the keep-best window partitions
-    // by component label (near-clique-sized groups); the report agg is
-    // map-side combinable. The Jaccard test multiplies instead of
-    // dividing (n_inter ≥ thr·union), so an empty-shingle pair (union
+    // vanishing fraction of the corpus); keep-best + component size are
+    // pure AGGREGATES, never windows: docs first collapse to one row per
+    // (label, source) — map-side combinable, so a boilerplate mega-
+    // component reduces inside every input partition — then per-label
+    // totals (csize, keeper's source via max_by over per-source bests)
+    // join back against the collapsed frame, which holds ≤ #sources rows
+    // per label however large the component. The per-source best struct
+    // (n_chars, -doc_id) is unique corpus-wide (doc_id unique), so the
+    // keeper pick is deterministic. The Jaccard test multiplies instead
+    // of dividing (n_inter ≥ thr·union), so an empty-shingle pair (union
     // 0) is rejected without a NaN entering either engine.
     "t42_neardup_funnel" -> QueryDef(
       (spark, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val sh = withWords(t(spark, dir, "documents"))
           .select(col("doc_id"), expr(shingleExpr).as("sh"))
         val verified = jaccardVerify(minhashPairs(spark, dir), sh)
@@ -1526,15 +1532,21 @@ object Curation {
           .select("doc_id", "source", "n_chars")
         val labels = graft.operators.Components.connected(
           docs.select("doc_id"), verified, propagateRounds = 50)
-        val ranked = docs.join(labels, "doc_id")
-          .withColumn("csize",
-            count(lit(1)).over(Window.partitionBy("label")))
-          .withColumn("rn", row_number().over(Window.partitionBy("label")
-            .orderBy(col("n_chars").desc, col("doc_id"))))
-        ranked.groupBy("source")
-          .agg(count(lit(1)).as("n_docs"),
-            sum(when(col("csize") > 1, 1L).otherwise(0L)).as("n_matched"),
-            sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"))
+        val bySrc = docs.join(labels, "doc_id")
+          .groupBy("label", "source")
+          .agg(count(lit(1)).as("n_src"),
+            max(struct(col("n_chars"), (-col("doc_id")).as("neg_id")))
+              .as("best"))
+        val byLabel = bySrc.groupBy("label")
+          .agg(sum("n_src").as("csize"),
+            max_by(col("source"), col("best")).as("keep_source"))
+        bySrc.join(byLabel, "label")
+          .groupBy("source")
+          .agg(sum("n_src").as("n_docs"),
+            sum(when(col("csize") > 1, col("n_src")).otherwise(0L))
+              .as("n_matched"),
+            sum(when(col("source") === col("keep_source"), 1L).otherwise(0L))
+              .as("n_kept"))
           .withColumn("kept_frac",
             col("n_kept").cast("double") / col("n_docs").cast("double"))
           .select("source", "n_docs", "n_matched", "n_kept", "kept_frac")

@@ -216,26 +216,35 @@ object DataSelection {
         // eval strings. Capacity is sized for the eval side's distinct
         // shingles at 8 bits per item (~2% FP rate); an FP costs a few
         // extra rows in the verify join, never a wrong answer.
+        // might_contain's scalar-subquery shape needs SQL text, which
+        // needs catalog views — but the builder must stay side-effect-
+        // free on the shared session: view names are per-invocation
+        // unique, and both are dropped before returning (spark.sql
+        // analyzes eagerly, so the returned frame's plan has already
+        // inlined the view definitions and survives the drop)
+        val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+        val evalV = s"t43_eval_$tag"
+        val trainV = s"t43_train_$tag"
         sh.filter(col("doc_id") % 50 === 0).select("shingle").distinct()
-          .createOrReplaceTempView("t43_eval")
+          .createOrReplaceTempView(evalV)
         sh.filter(col("doc_id") % 50 =!= 0)
-          .createOrReplaceTempView("t43_train")
-        spark.sql(
-          """WITH pos AS (
-            |  SELECT doc_id, shingle FROM t43_train
+          .createOrReplaceTempView(trainV)
+        val out = spark.sql(
+          s"""WITH pos AS (
+            |  SELECT doc_id, shingle FROM $trainV
             |  WHERE might_contain(
             |    (SELECT bloom_filter_agg(xxhash64(shingle), 100000L, 800000L)
-            |     FROM t43_eval),
+            |     FROM $evalV),
             |    xxhash64(shingle))),
             |hits AS (
             |  -- exact verify: deliberately NOT a broadcast of the eval
             |  -- strings (the scale this query exists for); both sides
             |  -- are small — positives = true overlaps + ~2% FPs
             |  SELECT p.doc_id, COUNT(*) AS n_overlap
-            |  FROM pos p JOIN t43_eval e ON e.shingle = p.shingle
+            |  FROM pos p JOIN $evalV e ON e.shingle = p.shingle
             |  GROUP BY p.doc_id),
             |tot AS (
-            |  SELECT doc_id, COUNT(*) AS n_shingles FROM t43_train
+            |  SELECT doc_id, COUNT(*) AS n_shingles FROM $trainV
             |  GROUP BY doc_id)
             |SELECT t.doc_id, t.n_shingles,
             |  COALESCE(h.n_overlap, CAST(0 AS BIGINT)) AS n_overlap,
@@ -245,6 +254,9 @@ object DataSelection {
             |    / CAST(t.n_shingles AS DOUBLE) >= 0.5 AS contaminated
             |FROM tot t LEFT JOIN hits h ON h.doc_id = t.doc_id
             |ORDER BY t.doc_id""".stripMargin)
+        spark.catalog.dropTempView(evalV)
+        spark.catalog.dropTempView(trainV)
+        out
       },
       Some(decontaminateOracle)),
 
@@ -301,9 +313,13 @@ object DataSelection {
     // DuckDB twin wraps list_distinct), so the exploded (doc, shingle)
     // pairs are UNIQUE by construction — within-doc repetition is t20's
     // signal, not this one's. At-scale shape mirrors t22's rarity join:
-    // the first-occurrence side pre-reduces map-side to a partial MIN
-    // per shingle before its exchange, and the join strategy is left to
-    // the planner: a tiny fixture vocabulary broadcasts, a corpus-scale
+    // shingle STRINGS collapse to xxhash64 digests before anything
+    // shuffles (corpus-text-scale bytes would otherwise cross two
+    // exchanges; 64-bit collision odds at corpus vocabulary size are
+    // ~n²/2⁶⁵ — negligible next to t51's own 32-bit analysis), the
+    // first-occurrence side pre-reduces map-side to a partial MIN per
+    // digest before its exchange, and the join strategy is left to the
+    // planner: a tiny fixture vocabulary broadcasts, a corpus-scale
     // vocabulary falls back to a shuffle join with AQE skew handling
     // (never a FORCED broadcast of a corpus-sized frame). Integer
     // counts + one exact IEEE division.
@@ -311,9 +327,10 @@ object DataSelection {
       (spark, dir) => {
         val occ = withWords(t(spark, dir, "documents"))
           .select(col("doc_id"), explode(expr(shingleExpr)).as("shingle"))
-        val firsts = occ.groupBy("shingle")
+          .select(col("doc_id"), xxhash64(col("shingle")).as("sh64"))
+        val firsts = occ.groupBy("sh64")
           .agg(min("doc_id").as("first_doc"))
-        occ.join(firsts, "shingle")
+        occ.join(firsts, "sh64")
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_shingles"),
             sum(when(col("first_doc") === col("doc_id"), 1L)
@@ -681,19 +698,23 @@ object DataSelection {
 
     // ----------------------------------------------------------------- t22
     // WORD RARITY scoring via corpus document frequency: build the df
-    // table (one shuffle on word — the vocabulary), join it back to each
-    // doc's distinct words (second shuffle on word), and aggregate mean /
-    // min df per doc. At 100 TB the vocabulary is far too large to
-    // broadcast — the word-keyed shuffle join IS the scale path, and both
-    // shuffles carry (word, count) pairs, never text. mean_df is one
-    // exact division of two exactly-summed bigints.
+    // table (one shuffle on the word digest — the vocabulary), join it
+    // back to each doc's distinct words (second shuffle, same key), and
+    // aggregate mean / min df per doc. At 100 TB the vocabulary is far
+    // too large to broadcast — the digest-keyed shuffle join IS the
+    // scale path. Words collapse to xxhash64 before either exchange, so
+    // the shuffles carry (int64, count) pairs, never strings (64-bit
+    // collision odds at vocabulary size are negligible — same analysis
+    // as t47). mean_df is one exact division of two exactly-summed
+    // bigints.
     "t22_word_rarity" -> QueryDef(
       (spark, dir) => {
         val dw = t(spark, dir, "documents")
           .select(col("doc_id"),
             explode(array_distinct(split(col("text"), " "))).as("w"))
-        val df = dw.groupBy("w").agg(count(lit(1)).as("df"))
-        dw.join(df, "w")
+          .select(col("doc_id"), xxhash64(col("w")).as("w64"))
+        val df = dw.groupBy("w64").agg(count(lit(1)).as("df"))
+        dw.join(df, "w64")
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_distinct"),
             sum("df").as("sum_df"),
@@ -869,23 +890,26 @@ object DataSelection {
     // Keep-BEST dedup: within each exact-content group keep the longest
     // document (ties → lowest doc_id) instead of t01's first-seen — the
     // practical retention rule when near-identical crawls differ in
-    // truncation. Window partitions are dup groups keyed by a 16-byte
-    // digest: millions of tiny partitions, no skew, shuffles digests
-    // and two ints per doc, never text.
+    // truncation. The keeper and the dup count are ONE map-side-
+    // combinable aggregate per digest — max_by(struct, (n_chars,
+    // -doc_id)) + count — so a boilerplate mega-group (10⁸ copies of one
+    // page at web scale) reduces inside every input partition before a
+    // single (digest, best, count) row per group crosses the exchange:
+    // skew-immune where the earlier row_number+count window form funneled
+    // the whole group into one task. Shuffles digests and two ints,
+    // never text.
     "t25_dedup_keep_best" -> QueryDef(
       (spark, dir) => {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("content_hash")
-          .orderBy(col("n_chars").desc, col("doc_id"))
         t(spark, dir, "documents")
           .withColumn("content_hash", md5(col("text").cast("binary")))
-          .withColumn("rn", row_number().over(w))
-          .withColumn("dup_count",
-            count(lit(1)).over(
-              org.apache.spark.sql.expressions.Window.partitionBy("content_hash")))
-          .filter(col("rn") === 1)
-          .select(col("content_hash"), col("doc_id").as("keep_doc_id"),
-            col("n_chars"), col("dup_count"))
+          .groupBy("content_hash")
+          .agg(
+            max_by(struct(col("doc_id").as("keep_doc_id"),
+                col("n_chars")),
+              struct(col("n_chars"), (-col("doc_id")).as("neg_id"))).as("best"),
+            count(lit(1)).as("dup_count"))
+          .select(col("content_hash"), col("best.keep_doc_id"),
+            col("best.n_chars"), col("dup_count"))
           .orderBy("keep_doc_id")
       },
       Some("""SELECT content_hash, doc_id AS keep_doc_id, n_chars, dup_count

@@ -37,6 +37,17 @@ object Multimodal {
     * reader opens the result. */
   def syntheticBmp(content: Array[Byte]): Array[Byte] = {
     val c = if (content == null) Array.empty[Byte] else content
+    // t11's oracle hashes substr(text, 1, 32) and equates length(text)
+    // with the payload byte count — both only hold for ≥32-byte pure-
+    // ASCII payloads (shorter ones would make the decoder hash zero-
+    // padded pixel bytes the oracle never sees; non-ASCII would break
+    // the char-count ≡ byte-count identity). The fixture corpus
+    // satisfies this at every SF; a fixture change must fail HERE,
+    // loudly, not as a frame_hash gate mismatch to debug.
+    require(c.length >= 32,
+      s"syntheticBmp payload must be >= 32 bytes (got ${c.length})")
+    require(c.forall(b => b > 0x00 && b < 0x80),
+      "syntheticBmp payload must be NUL-free ASCII")
     val w = c.length % 64 + 11
     val h = c.length % 48 + 2
     val rowBytes = (w * 3 + 3) / 4 * 4

@@ -114,13 +114,15 @@ class PlanSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"))
   }
 
-  test("t42: funnel windows are component-keyed; candidate joins stay keyed") {
+  test("t42: keep-best/csize are aggregates (no window); candidate joins stay keyed") {
     val p = plan("t42_neardup_funnel")
-    assert("windowspecdefinition\\(label#".r.findFirstIn(p).isDefined,
-      "keep-best must rank within a component label partition")
-    assert(!"windowspecdefinition\\(\\)".r.findFirstIn(p).isDefined &&
-      !"windowspecdefinition\\(source".r.findFirstIn(p).isDefined,
-      "no partition-less or few-task window may see the corpus")
+    // the attrition report must be computed by map-side-combinable
+    // aggregates over the (label, source) collapse — a per-label window
+    // would funnel a boilerplate mega-component into one task
+    assert(!p.contains("windowspecdefinition"),
+      "no window may see the per-doc frame; use groupBy(label, source)")
+    assert(p.contains("max_by") || p.contains("maxby"),
+      "the keeper's source must come from max_by over per-source bests")
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"))
     assert(!"Exchange [^\\n]*text".r.findFirstIn(p).isDefined,
@@ -204,11 +206,18 @@ class PlanSpec extends AnyFunSuite {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
-  test("t25: keep-best dedup is one window over digest groups") {
+  test("t25: keep-best dedup is one skew-immune aggregate over digest groups") {
     val p = plan("t25_dedup_keep_best")
-    assert(p.contains("Window"))
-    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
-      "one shuffle for the digest partition + the final sort at most")
+    // max_by + count per digest: partial-aggregates map-side, so a
+    // mega-group of identical pages reduces before the exchange — the
+    // earlier window form sorted the whole group in one task
+    assert(!p.contains("Window"),
+      "keep-best must be a groupBy aggregate, not a window")
+    assert(p.contains("partial_max_by") || p.contains("partial_maxby") ||
+      "HashAggregate[^\\n]*partial".r.findFirstIn(p).isDefined,
+      "the digest aggregate must combine map-side")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      "one shuffle for the digest groups at most")
   }
 
   test("t26: semantic pairs form only inside cells (keyed join, no blow-up)") {
@@ -350,6 +359,10 @@ class PlanSpec extends AnyFunSuite {
     assert(!"Exchange [^\\n]*text#".r.findFirstIn(p).isDefined &&
       !"Exchange [^\\n]*words#".r.findFirstIn(p).isDefined,
       "document text must never enter a shuffle")
+    // shingle strings collapse to xxhash64 digests before anything
+    // shuffles: corpus-text-scale bytes must never cross an exchange
+    assert(!"Exchange [^\\n]*shingle#".r.findFirstIn(p).isDefined,
+      "exchanges must key on the 64-bit shingle digest, not the string")
     // every shingle-/doc-keyed exchange must sit directly above a
     // map-side partial aggregate: the shuffle carries (key, partial
     // state) rows, never one row per raw shingle occurrence
@@ -362,6 +375,15 @@ class PlanSpec extends AnyFunSuite {
         lines(i + 1).contains("partial_"),
         s"exchange must be fed by a partial aggregate:\n${lines(i)}\n${lines(i + 1)}")
     }
+  }
+
+  test("t22: rarity exchanges key on word digests, never raw strings") {
+    val p = plan("t22_word_rarity")
+    // the df build and the join-back both shuffle on xxhash64(word):
+    // (int64, count) pairs cross the exchanges, not vocabulary strings
+    assert(!"Exchange [^\\n]*text#".r.findFirstIn(p).isDefined &&
+      !"Exchange hashpartitioning\\(w#".r.findFirstIn(p).isDefined,
+      "exchanges must key on the 64-bit word digest, not the string")
   }
 
   test("t48: percentiles run over the length histogram, never raw docs") {

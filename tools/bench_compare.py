@@ -26,12 +26,16 @@ import sys
 def load(path):
     # regex over the raw text handles every shape that actually occurs:
     # the one-line Bench JSON, the driver wrapper's "tail" fragment
-    # (escaped quotes), and hand-trimmed copies. Query names are
-    # [pqt]NN_*; the LAST occurrence of a name wins (queries_min is
-    # printed after queries, so the min floor is preferred when present).
+    # (escaped quotes), and hand-trimmed copies. Names are normalized to
+    # their unique pNN/qNN/tNN prefix so the round-8+ compact final line
+    # (prefix keys, min floors) and the older full-name maps compare
+    # uniformly. The LAST occurrence of a name wins: in old files that is
+    # the queries_min map (printed after queries); in new files it is the
+    # compact min line (printed last). Either way the min floor is
+    # preferred when present.
     text = open(path).read()
     out = {}
-    for m in re.finditer(r'\\?"([pqt]\d+_[a-z0-9_]+)\\?":(-?[0-9.eE+]+)', text):
+    for m in re.finditer(r'\\?"([pqt]\d+)(?:_[a-z0-9_]+)?\\?":(-?[0-9.eE+]+)', text):
         out[m.group(1)] = float(m.group(2))
     if not out:
         raise SystemExit(f"{path}: no Bench query timings found")
