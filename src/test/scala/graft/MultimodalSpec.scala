@@ -46,7 +46,8 @@ class MultimodalSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("not a BMP"))
     // valid magic + header size but data offset beyond the payload
-    val truncated = syntheticBmp(Array.tabulate[Byte](44)(_.toByte)).take(54)
+    val truncated =
+      syntheticBmp(Array.tabulate[Byte](44)(i => (32 + i % 90).toByte)).take(54)
     val patched = truncated.clone()
     patched(10) = 100.toByte // data offset 100 > 54-byte payload
     val e3 = intercept[IllegalArgumentException] {
@@ -56,7 +57,7 @@ class MultimodalSpec extends AnyFunSuite {
   }
 
   test("decodeBmp reports a top-down BMP's height by magnitude") {
-    val b = syntheticBmp(Array.tabulate[Byte](44)(_.toByte))
+    val b = syntheticBmp(Array.tabulate[Byte](44)(i => (32 + i % 90).toByte))
     val h = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
       .getInt(22)
     val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
