@@ -170,7 +170,7 @@ object Pipelines {
     // Versioned-dedup tap (version/key) through the engine.
     "p06_pipeline_dedup" -> QueryDef(
       (spark, dir) => {
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        Tables.ensureEventsReadable(spark)
         run(spark,
           s"""
              |- name: LatestEvents

@@ -40,16 +40,43 @@ object Tables {
     })
   }
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects. Read it as a long (legacy conf) and truncate ns→µs exactly as
-    * DuckDB does on scan, so oracle comparisons line up. Integer division
-    * (`div`) is required: a double roundtrip would lose precision above
-    * 2^53 ns. */
-  def events(spark: SparkSession, dir: String): DataFrame = {
+  /** Schema-adaptive events reader. The fixture generator has emitted
+    * `ts` as parquet TIMESTAMP(NANOS) in some rounds and timestamp[us]
+    * (no tz → TIMESTAMP_NTZ in Spark) in others, so we branch on the
+    * physical type actually read instead of hard-coding one shim:
+    *
+    *  - TIMESTAMP(NANOS): Spark's vectorized reader rejects it outright,
+    *    so the `nanosAsLong` legacy conf (set before the read) surfaces it
+    *    as LongType; truncate ns→µs exactly as DuckDB does on scan so
+    *    oracle comparisons line up. Integer division (`div`) is required:
+    *    a double roundtrip would lose precision above 2^53 ns.
+    *  - TIMESTAMP_NTZ (µs, no tz): cast to session-local TIMESTAMP — the
+    *    session timezone is pinned to UTC, so the cast is value-preserving
+    *    and matches DuckDB's naive-timestamp semantics.
+    *  - TIMESTAMP: already what every query expects; pass through.
+    *
+    * All events reads (queries, pipelines, tests) must go through here so
+    * any future fixture drift has exactly one blast radius. */
+  /** Session conf needed so an events fixture with TIMESTAMP(NANOS) still
+    * reads (as LongType) instead of failing the scan. A µs/NTZ fixture is
+    * unaffected. Every events read outside [[events]] (engine taps in
+    * pipelines/tests) must delegate here rather than setting the conf
+    * itself, so fixture-drift handling lives in exactly one file. */
+  def ensureEventsReadable(spark: SparkSession): Unit =
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts div 1000)"))
+
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    ensureEventsReadable(spark)
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => raw
+      case other => throw new IllegalStateException(
+        s"events.ts read as unsupported type $other; extend Tables.events")
+    }
   }
 
   /** Register every fixture table as a temp view so spark.sql queries can

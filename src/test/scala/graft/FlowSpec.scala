@@ -66,9 +66,9 @@ class FlowSpec extends AnyFunSuite {
          |    version: event_id
          |    key: [user_id, event_type]
          |""".stripMargin
-    // events.parquet has ns timestamps — Spark cannot read them without the
-    // legacy conf; set it like graft.queries.Tables.events does.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The events fixture's ts physical type has drifted across rounds
+    // (ns vs µs); delegate to the one adaptive helper.
+    graft.queries.Tables.ensureEventsReadable(spark)
     val flow = Flow.runYaml(spark, yaml)
     val df = flow.df()
     assert(df.groupBy("user_id", "event_type").count()

@@ -555,11 +555,21 @@ class PlanSpec extends AnyFunSuite {
     // the one blanket rule that must hold at any scale; queries that
     // RUN pipelines (p-series) execute side effects, so guard the pure
     // q/t series only
-    SparkEntry.queries.keys.filterNot(_.startsWith("p")).toSeq.sorted
-      .foreach { name =>
-        val p = plan(name)
-        assert(!p.contains("CartesianProduct"), s"$name plans a cartesian")
+    // Failure-isolated: a query that fails to ANALYZE (e.g. a fixture
+    // drift bricking one table) must fail its own per-query tests, not
+    // mask the plan invariant for the other 80+ queries. Collect both
+    // kinds of failure and report them together.
+    val names = SparkEntry.queries.keys.filterNot(_.startsWith("p")).toSeq.sorted
+    val failures = names.flatMap { name =>
+      scala.util.Try(plan(name)) match {
+        case scala.util.Success(p) =>
+          if (p.contains("CartesianProduct")) Some(s"$name plans a cartesian")
+          else None
+        case scala.util.Failure(e) =>
+          Some(s"$name failed to plan: ${e.getMessage.linesIterator.next()}")
       }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
   }
 
   test("partitioned delta-style table prunes partitions on read") {
