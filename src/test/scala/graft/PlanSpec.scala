@@ -415,6 +415,22 @@ class PlanSpec extends AnyFunSuite {
       "unused embedding columns must be pruned from the scan")
   }
 
+  test("q16: as-of join is a union + user-keyed window, never a range join") {
+    // AsOf.join composes ASOF semantics as ONE window pass over the
+    // unioned sides (AsOf.scala scaladoc): a range/theta join here would
+    // materialize |clicks| × |prior purchases| candidate pairs — the
+    // shape that dies first at 100 TB.
+    val p = plan("q16_asof_join")
+    assert(p.contains("Window"))
+    assert("windowspecdefinition\\(user_id".r.findFirstIn(p).isDefined,
+      "the as-of carry-forward window must partition by the join key")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoopJoin")
+        && !p.contains("CartesianProduct"),
+      "as-of must not plan a join at all — the union+window pass replaces it")
+    assert(p.contains("Union"),
+      "both sides must enter the single window pass via a union")
+  }
+
   test("q21: sessionization windows are user-keyed, never global") {
     val p = plan("q21_sessionize")
     assert(p.contains("Window"))
