@@ -303,6 +303,137 @@ object DataSelection {
              |FROM p GROUP BY pair
              |ORDER BY n_occ DESC, pair LIMIT 20""".stripMargin)),
 
+    // ----------------------------------------------------------------- t54
+    // 13-GRAM DECONTAMINATION with redaction planning — the GPT-3-style
+    // long-n-gram rule, complementary to t19/t43's 3-gram overlap RATIO:
+    // a 13-word collision with the eval set is (statistically) never
+    // chance, so ANY hit marks contamination, and the remedy is
+    // positional — redact the colliding spans and keep the clean
+    // remainder, unless the document fragments too badly. Per training
+    // doc: collision positions → merged dirty word-intervals
+    // (overlapping or ADJACENT [p, p+12] ranges coalesce — adjacency
+    // leaves no clean gap) → dirty word count, surviving clean pieces,
+    // clean fraction → verdict: 'keep' (no hits) / 'drop' (clean_frac
+    // < 0.8 or pieces > 3 — the fragmentation cutoffs GPT-3's appendix-C
+    // procedure shapes) / 'redact'. At-scale shape = t19's: the eval
+    // 13-gram set is benchmark-sized → broadcast, the corpus is scanned
+    // once and its n-gram strings never shuffle; only (doc_id, p) int
+    // pairs of the HIT rows enter the interval-merge window, which
+    // partitions by doc_id — never global. Integer arithmetic
+    // throughout; one exact IEEE division for clean_frac. Spark gotcha
+    // pinned by the n_words >= 13 filter: sequence(1, stop) DESCENDS
+    // for stop < 1 (silent corruption, not an error).
+    "t54_decontaminate_13gram" -> QueryDef(
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = withWords(t(spark, dir, "documents"))
+          .select(col("doc_id"), col("words"), size(col("words")).as("n_words"))
+        val ng = docs.filter(col("n_words") >= 13)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, n_words - 12), i -> named_struct(" +
+              "'p', i, 'g', array_join(slice(words, i, 13), ' ')))")).as("x"))
+          .select(col("doc_id"), col("x.p").as("p"), col("x.g").as("g"))
+        val evalNg = ng.filter(col("doc_id") % 50 === 0).select("g").distinct()
+        val hits = ng.filter(col("doc_id") % 50 =!= 0)
+          .join(broadcast(evalNg), Seq("g"))
+          .select(col("doc_id"), col("p"))
+        // classic interval merge: ranges [p, p+12] ordered by p; a range
+        // opens a NEW island iff it starts past (running max end) + 1
+        val byP = Window.partitionBy("doc_id").orderBy("p")
+        val prevEnd = max(col("p") + 12)
+          .over(byP.rowsBetween(Window.unboundedPreceding, -1))
+        val islands = hits
+          .withColumn("new_island",
+            when(prevEnd.isNull || col("p") > prevEnd + 1, 1).otherwise(0))
+          .withColumn("island", sum(col("new_island"))
+            .over(byP.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("doc_id", "island").agg(
+            min(col("p")).as("s"), (max(col("p")) + 12).as("e"),
+            count(lit(1)).as("cnt"))
+        val perDoc = islands.groupBy("doc_id").agg(
+          sum("cnt").as("h"), count(lit(1)).as("n_islands"),
+          sum(col("e") - col("s") + 1).as("dw"),
+          min("s").as("first_s"), max("e").as("last_e"))
+        docs.filter(col("doc_id") % 50 =!= 0)
+          .select(col("doc_id"), col("n_words"),
+            greatest(col("n_words") - 12, lit(0)).cast("long").as("n_ngrams"))
+          .join(perDoc, Seq("doc_id"), "left")
+          .select(
+            col("doc_id"), col("n_ngrams"),
+            coalesce(col("h"), lit(0L)).as("n_hits"),
+            coalesce(col("dw"), lit(0L)).as("dirty_words"),
+            coalesce(col("n_islands") - 1
+              + when(col("first_s") > 1, 1).otherwise(0)
+              + when(col("last_e") < col("n_words"), 1).otherwise(0),
+              lit(1L)).as("pieces"),
+            ((col("n_words") - coalesce(col("dw"), lit(0L))).cast("double")
+              / col("n_words").cast("double")).as("clean_frac"))
+          .withColumn("action",
+            when(col("n_hits") === 0, "keep")
+              .when(col("clean_frac") < 0.8 || col("pieces") > 3, "drop")
+              .otherwise("redact"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, string_split(text, ' ') AS words,
+             |         len(string_split(text, ' ')) AS n_words
+             |  FROM documents),
+             |pos AS (
+             |  SELECT doc_id, words, unnest(range(1, n_words - 11)) AS p
+             |  FROM d WHERE n_words >= 13),
+             |ng AS (
+             |  SELECT doc_id, p, array_to_string(words[p:p+12], ' ') AS g
+             |  FROM pos),
+             |ev AS (SELECT DISTINCT g FROM ng WHERE doc_id % 50 = 0),
+             |hits AS (
+             |  SELECT n.doc_id, n.p FROM ng n JOIN ev USING (g)
+             |  WHERE n.doc_id % 50 <> 0),
+             |flags AS (
+             |  SELECT doc_id, p,
+             |    CASE WHEN MAX(p + 12) OVER (PARTITION BY doc_id ORDER BY p
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |           IS NULL
+             |      OR p > MAX(p + 12) OVER (PARTITION BY doc_id ORDER BY p
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+             |      THEN 1 ELSE 0 END AS new_island
+             |  FROM hits),
+             |isl AS (
+             |  SELECT doc_id, p,
+             |    SUM(new_island) OVER (PARTITION BY doc_id ORDER BY p
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+             |  FROM flags),
+             |merged AS (
+             |  SELECT doc_id, island, MIN(p) AS s, MAX(p) + 12 AS e,
+             |         COUNT(*) AS cnt
+             |  FROM isl GROUP BY doc_id, island),
+             |perdoc AS (
+             |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS h,
+             |    COUNT(*) AS n_islands,
+             |    CAST(SUM(e - s + 1) AS BIGINT) AS dw,
+             |    MIN(s) AS first_s, MAX(e) AS last_e
+             |  FROM merged GROUP BY doc_id)
+             |SELECT d.doc_id,
+             |  CAST(GREATEST(d.n_words - 12, 0) AS BIGINT) AS n_ngrams,
+             |  COALESCE(p.h, 0) AS n_hits,
+             |  COALESCE(p.dw, 0) AS dirty_words,
+             |  COALESCE(p.n_islands - 1
+             |    + CASE WHEN p.first_s > 1 THEN 1 ELSE 0 END
+             |    + CASE WHEN p.last_e < d.n_words THEN 1 ELSE 0 END,
+             |    1) AS pieces,
+             |  CAST(d.n_words - COALESCE(p.dw, 0) AS DOUBLE)
+             |    / CAST(d.n_words AS DOUBLE) AS clean_frac,
+             |  CASE WHEN COALESCE(p.h, 0) = 0 THEN 'keep'
+             |    WHEN CAST(d.n_words - COALESCE(p.dw, 0) AS DOUBLE)
+             |        / CAST(d.n_words AS DOUBLE) < 0.8
+             |      OR COALESCE(p.n_islands - 1
+             |        + CASE WHEN p.first_s > 1 THEN 1 ELSE 0 END
+             |        + CASE WHEN p.last_e < d.n_words THEN 1 ELSE 0 END,
+             |        1) > 3
+             |    THEN 'drop' ELSE 'redact' END AS action
+             |FROM d LEFT JOIN perdoc p ON p.doc_id = d.doc_id
+             |WHERE d.doc_id % 50 <> 0
+             |ORDER BY d.doc_id""".stripMargin)),
+
     // ----------------------------------------------------------------- t47
     // Shingle NOVELTY scoring: per document, the fraction of its
     // DISTINCT 3-gram shingles that appear for the FIRST time in the

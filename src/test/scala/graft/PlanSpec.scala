@@ -431,6 +431,23 @@ class PlanSpec extends AnyFunSuite {
       "both sides must enter the single window pass via a union")
   }
 
+  test("t54: eval 13-grams broadcast; only hit positions enter the doc shuffle") {
+    val p = plan("t54_decontaminate_13gram")
+    assert("BroadcastHashJoin \\[g#".r.findFirstIn(p).isDefined,
+      "the eval 13-gram set must broadcast — the corpus side's n-gram " +
+        "strings stay in the scan")
+    assert(!p.contains("CartesianProduct"))
+    assert("windowspecdefinition\\(doc_id".r.findFirstIn(p).isDefined,
+      "interval-merge windows must partition by doc_id, never global")
+    // the eval-side DISTINCT legitimately exchanges its (benchmark-sized)
+    // n-gram strings once inside the broadcast build; a second g-keyed
+    // exchange would mean the CORPUS side's n-grams started shuffling
+    // (the self-join regression this pin exists to catch)
+    assert("Exchange hashpartitioning\\(g#".r.findAllIn(p).size <= 1,
+      "corpus-side n-gram strings must never key a shuffle — only the " +
+        "eval distinct may, and only (doc_id, p) ints move otherwise")
+  }
+
   test("q21: sessionization windows are user-keyed, never global") {
     val p = plan("q21_sessionize")
     assert(p.contains("Window"))
