@@ -434,6 +434,97 @@ object DataSelection {
              |WHERE d.doc_id % 50 <> 0
              |ORDER BY d.doc_id""".stripMargin)),
 
+    // ----------------------------------------------------------------- t55
+    // DSIR-style IMPORTANCE WEIGHTS (data selection via importance
+    // resampling, hashed-n-gram flavor): score every raw-corpus document
+    // by how target-like its token distribution is, as the mean
+    // Laplace-smoothed likelihood ratio p_target/p_raw over its bigram
+    // features hashed into B=4096 buckets (substr(md5(bigram),1,3) — md5
+    // is byte-identical in both engines, so bucket collisions are part
+    // of the shared definition, exactly as DSIR intends: collisions ARE
+    // the dimensionality reduction). Target distribution = source 'src0'
+    // (a stand-in curated domain); raw = everything else, which is also
+    // the scored population.
+    //
+    // At-scale shape: pass 1 builds the bucket histograms — partial aggs
+    // collapse each task to ≤ B rows, so the exchange carries ≤ B×tasks
+    // tiny rows; the finished (b, ct, cr) table is ≤ 4096 rows and
+    // BROADCASTS to pass 2, which re-scans the corpus, maps each feature
+    // to its ratio, and partial-aggregates per doc — one compact
+    // (doc_id, sums) exchange; corpus text never shuffles. Two corpus
+    // scans total (DSIR is two-pass by nature). Corpus-total constants
+    // ride a 1-row cross-join broadcast.
+    //
+    // Determinism: the per-feature ratio is FIXED-POINT — fp =
+    // (ct+1)*1e6 div (cr+1), pure int64 (truncation identical to
+    // DuckDB's // on positives) — so the cross-partition SUM is exact
+    // long arithmetic, immune to double associativity; the only double
+    // math is one identically-shaped scalar expression at the end.
+    // int64 headroom: fp ≤ (T+1)·1e6 (T = target bigram tokens — a
+    // curated target is benchmark-sized, ≪ 9·10¹²); a log-space double
+    // formulation would replace the fixed point only beyond that.
+    "t55_dsir_weights" -> QueryDef(
+      (spark, dir) => {
+        val bg = withWords(t(spark, dir, "documents"))
+          .select(col("doc_id"), col("source"),
+            explode(expr("word_bigrams(words)")).as("bgram"))
+          .select(col("doc_id"), col("source"),
+            substring(md5(col("bgram")), 1, 3).as("b"))
+        val isTarget = col("source") === "src0"
+        val hist = bg.groupBy("b").agg(
+          sum(when(isTarget, 1L).otherwise(0L)).as("ct"),
+          sum(when(isTarget, 0L).otherwise(1L)).as("cr"))
+        val tot = hist.agg(sum("ct").as("tt"), sum("cr").as("tr"))
+        bg.filter(!isTarget)
+          .join(broadcast(hist), Seq("b"))
+          .withColumn("fp", expr("(ct + 1) * 1000000 div (cr + 1)"))
+          .groupBy("doc_id").agg(
+            count(lit(1)).as("n_feats"), sum("fp").as("sum_fp"))
+          .crossJoin(broadcast(tot))
+          .select(col("doc_id"), col("n_feats"), col("sum_fp"),
+            (col("sum_fp").cast("double") / col("n_feats").cast("double")
+              / lit(1000000.0)
+              * ((col("tr") + lit(4096L)).cast("double")
+                / (col("tt") + lit(4096L)).cast("double"))).as("score"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id, source, string_split(text, ' ') AS words
+             |  FROM documents),
+             |bgl AS (
+             |  SELECT doc_id, source,
+             |    unnest(list_transform(range(1, len(words)),
+             |      i -> array_to_string(words[i:i+1], ' '))) AS bgram
+             |  FROM w),
+             |bg AS (
+             |  SELECT doc_id, source, substr(md5(bgram), 1, 3) AS b
+             |  FROM bgl),
+             |hist AS (
+             |  SELECT b,
+             |    CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS ct,
+             |    CAST(SUM(CASE WHEN source = 'src0' THEN 0 ELSE 1 END)
+             |      AS BIGINT) AS cr
+             |  FROM bg GROUP BY b),
+             |tot AS (
+             |  SELECT CAST(SUM(ct) AS BIGINT) AS tt,
+             |         CAST(SUM(cr) AS BIGINT) AS tr FROM hist),
+             |feat AS (
+             |  SELECT g.doc_id, (h.ct + 1) * 1000000 // (h.cr + 1) AS fp
+             |  FROM bg g JOIN hist h USING (b)
+             |  WHERE g.source <> 'src0'),
+             |agg AS (
+             |  SELECT doc_id, COUNT(*) AS n_feats,
+             |         CAST(SUM(fp) AS BIGINT) AS sum_fp
+             |  FROM feat GROUP BY doc_id)
+             |SELECT a.doc_id, a.n_feats, a.sum_fp,
+             |  CAST(a.sum_fp AS DOUBLE) / CAST(a.n_feats AS DOUBLE)
+             |    / 1000000.0
+             |    * (CAST(t.tr + 4096 AS DOUBLE)
+             |       / CAST(t.tt + 4096 AS DOUBLE)) AS score
+             |FROM agg a, tot t
+             |ORDER BY a.doc_id""".stripMargin)),
+
     // ----------------------------------------------------------------- t47
     // Shingle NOVELTY scoring: per document, the fraction of its
     // DISTINCT 3-gram shingles that appear for the FIRST time in the

@@ -448,6 +448,18 @@ class PlanSpec extends AnyFunSuite {
         "eval distinct may, and only (doc_id, p) ints move otherwise")
   }
 
+  test("t55: bucket histogram broadcasts; document text never shuffles") {
+    val p = plan("t55_dsir_weights")
+    assert("BroadcastHashJoin \\[b#".r.findFirstIn(p).isDefined,
+      "the ≤4096-row bucket histogram must broadcast to the scoring pass")
+    // histogram + per-doc aggs both pre-reduce map-side
+    assert("partial_sum".r.findAllIn(p).size >= 2,
+      "histogram and per-doc sums must have map-side partial phases")
+    assert(!"Exchange [^\\n]*text".r.findFirstIn(p).isDefined,
+      "document text must never enter a shuffle")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q21: sessionization windows are user-keyed, never global") {
     val p = plan("q21_sessionize")
     assert(p.contains("Window"))
