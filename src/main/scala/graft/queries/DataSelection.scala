@@ -91,6 +91,57 @@ object DataSelection {
   private[graft] def tokenShardBuckets(inputPartitions: Int): Int =
     math.max(32, inputPartitions)
 
+  /** Global prefix sum of t09 token estimates in doc_id order —
+    * [doc_id, tok, cum] with cum the INCLUSIVE running total — shared by
+    * t24's shard assignment and t56's sequence packing. The textbook
+    * distributed form is TWO passes, never a partition-less window
+    * (Spark moves those to ONE task): (1) per-bucket token totals (tiny
+    * agg) → exclusive prefix offsets on the driver; (2) one map pass
+    * accumulating within each bucket, seeded by its offset. Buckets are
+    * fixed-width doc_id ranges, so the result is deterministic under any
+    * physical partitioning: sortWithinPartitions keeps each bucket
+    * contiguous and the accumulator reseeds at every bucket boundary.
+    * Bucket count scales with the input's partitioning
+    * ([[tokenShardBuckets]]) so the accumulate pass keeps cluster-wide
+    * parallelism at 100× — offsets stay one long per bucket on the
+    * driver either way, and the output is bucket-count-invariant by
+    * construction. */
+  private def cumulativeTokens(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"),
+        expr(tokenEstExpr).as("tok")) // t09's BPE estimate
+    val n = docs.count()
+    val buckets = tokenShardBuckets(docs.rdd.getNumPartitions)
+    val bucketWidth = math.max(1L, (n + buckets - 1) / buckets)
+    val bucketed = docs
+      .withColumn("bucket", expr(s"doc_id div $bucketWidth"))
+    val offsets: Map[Long, Long] = {
+      val totals = bucketed.groupBy("bucket")
+        .agg(sum("tok").as("s")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1).toSeq
+      // zip against the exclusive prefix sums (scanLeft emits n+1
+      // values; zip truncates) — empty-table safe
+      totals.map(_._1)
+        .zip(totals.scanLeft(0L)((acc, t) => acc + t._2))
+        .toMap
+    }
+    import spark.implicits._
+    bucketed
+      .repartition(col("bucket"))
+      .sortWithinPartitions("bucket", "doc_id")
+      .as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        var curBucket = Long.MinValue
+        var acc = 0L
+        it.map { case (id, tok, bucket) =>
+          if (bucket != curBucket) { curBucket = bucket; acc = offsets(bucket) }
+          acc += tok
+          (id, tok, acc)
+        }
+      }
+      .toDF("doc_id", "tok", "cum")
+  }
+
   /** t23's per-partition pre-top-k: reduce a (label, vec_id, dist) frame
     * to at most k rows per (label, input partition) — a bounded insertion
     * pass with NO shuffle — before the global per-label rank. With k ≪
@@ -524,6 +575,54 @@ object DataSelection {
              |       / CAST(t.tt + 4096 AS DOUBLE)) AS score
              |FROM agg a, tot t
              |ORDER BY a.doc_id""".stripMargin)),
+
+    // ----------------------------------------------------------------- t56
+    // SEQUENCE PACKING — the final pretraining-prep step after t24's
+    // sharding: concatenate the corpus in doc_id order and cut it into
+    // fixed L=512-token training sequences, documents crossing sequence
+    // boundaries mid-stream (the standard "concat-and-chunk" packing —
+    // zero padding waste, the layout every causal-LM data loader
+    // consumes). Output: one row per (document, sequence) SPAN — which
+    // sequence, at what offset inside it, and how many of the doc's
+    // tokens land there; a doc longer than L spans many sequences, short
+    // docs share one. Built on [[cumulativeTokens]]' two-pass prefix sum
+    // (never a partition-less window); the span explode is BOUNDED
+    // (⌈tok/L⌉+1 rows per doc, each derived from that row alone — a pure
+    // map). Zero-token docs (empty text) occupy no span and are
+    // excluded by construction in both engines. All arithmetic is int64
+    // (div ≡ // on non-negatives); the oracle's global-window cumsum is
+    // the single-node spelling of the same prefix sum.
+    "t56_sequence_pack" -> QueryDef(
+      (spark, dir) => {
+        val L = 512
+        cumulativeTokens(spark, dir)
+          .filter(col("tok") >= 1)
+          .withColumn("st", col("cum") - col("tok"))
+          .withColumn("seq",
+            explode(expr(s"sequence(st div $L, (cum - 1) div $L)")))
+          .select(col("doc_id"), col("seq"),
+            (greatest(col("st"), col("seq") * L) - col("seq") * L)
+              .as("off_in_seq"),
+            (least(col("cum"), (col("seq") + 1) * L)
+              - greatest(col("st"), col("seq") * L)).as("span_len"))
+          .orderBy("doc_id", "seq")
+      },
+      Some(s"""WITH toks AS (
+             |  SELECT doc_id, $tokenEstDuck AS tok FROM documents),
+             |c AS (
+             |  SELECT doc_id, tok,
+             |    CAST(SUM(tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+             |      AS BIGINT) AS cum
+             |  FROM toks),
+             |spans AS (
+             |  SELECT doc_id, tok, cum - tok AS st, cum,
+             |    unnest(range((cum - tok) // 512, (cum - 1) // 512 + 1)) AS seq
+             |  FROM c WHERE tok >= 1)
+             |SELECT doc_id, seq,
+             |  GREATEST(st, seq * 512) - seq * 512 AS off_in_seq,
+             |  LEAST(cum, (seq + 1) * 512) - GREATEST(st, seq * 512)
+             |    AS span_len
+             |FROM spans ORDER BY doc_id, seq""".stripMargin)),
 
     // ----------------------------------------------------------------- t47
     // Shingle NOVELTY scoring: per document, the fraction of its
@@ -1045,59 +1144,13 @@ object DataSelection {
     // ----------------------------------------------------------------- t24
     // Token-budget SHARD ASSIGNMENT (training-file packing): shard i
     // holds the docs whose running token total starts in
-    // [i*budget, (i+1)*budget). The running sum is a global prefix sum
-    // ordered by doc_id — the textbook distributed form is TWO passes,
-    // never a partition-less window (Spark moves those to ONE task):
-    // (1) per-bucket token totals (tiny agg) → exclusive prefix offsets
-    // on the driver; (2) one map pass accumulating within each bucket,
-    // seeded by its offset. Buckets are fixed-width doc_id ranges, so
-    // the result is deterministic under any physical partitioning:
-    // sortWithinPartitions keeps each bucket contiguous and the
-    // accumulator reseeds at every bucket boundary. Bucket count scales
-    // with the input's partitioning ([[tokenShardBuckets]]) so the
-    // accumulate pass keeps cluster-wide parallelism at 100× — offsets
-    // stay one long per bucket on the driver either way, and the output
-    // is bucket-count-invariant by construction.
+    // [i*budget, (i+1)*budget). The running sum is [[cumulativeTokens]]'
+    // two-pass distributed prefix sum — never a partition-less window.
     "t24_token_shards" -> QueryDef(
-      (spark, dir) => {
-        val budget = 20000L
-        val docs = t(spark, dir, "documents")
-          .select(col("doc_id"),
-            expr(tokenEstExpr).as("tok")) // t09's BPE estimate
-        val n = docs.count()
-        val buckets = tokenShardBuckets(docs.rdd.getNumPartitions)
-        val bucketWidth = math.max(1L, (n + buckets - 1) / buckets)
-        val bucketed = docs
-          .withColumn("bucket", expr(s"doc_id div $bucketWidth"))
-        val offsets: Map[Long, Long] = {
-          val totals = bucketed.groupBy("bucket")
-            .agg(sum("tok").as("s")).collect()
-            .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1).toSeq
-          // zip against the exclusive prefix sums (scanLeft emits n+1
-          // values; zip truncates) — empty-table safe
-          totals.map(_._1)
-            .zip(totals.scanLeft(0L)((acc, t) => acc + t._2))
-            .toMap
-        }
-        import spark.implicits._
-        val cum = bucketed
-          .repartition(col("bucket"))
-          .sortWithinPartitions("bucket", "doc_id")
-          .as[(Long, Long, Long)]
-          .mapPartitions { it =>
-            var curBucket = Long.MinValue
-            var acc = 0L
-            it.map { case (id, tok, bucket) =>
-              if (bucket != curBucket) { curBucket = bucket; acc = offsets(bucket) }
-              acc += tok
-              (id, tok, acc)
-            }
-          }
-          .toDF("doc_id", "tok", "cum")
-        cum
-          .withColumn("shard", expr(s"(cum - tok) div $budget"))
-          .orderBy("doc_id")
-      },
+      (spark, dir) =>
+        cumulativeTokens(spark, dir)
+          .withColumn("shard", expr("(cum - tok) div 20000"))
+          .orderBy("doc_id"),
       Some(s"""WITH toks AS (
              |  SELECT doc_id, $tokenEstDuck AS tok FROM documents),
              |c AS (
