@@ -366,24 +366,27 @@ object DataSelection {
     // leaves no clean gap) → dirty word count, surviving clean pieces,
     // clean fraction → verdict: 'keep' (no hits) / 'drop' (clean_frac
     // < 0.8 or pieces > 3 — the fragmentation cutoffs GPT-3's appendix-C
-    // procedure shapes) / 'redact'. At-scale shape = t19's: the eval
-    // 13-gram set is benchmark-sized → broadcast, the corpus is scanned
-    // once and its n-gram strings never shuffle; only (doc_id, p) int
-    // pairs of the HIT rows enter the interval-merge window, which
-    // partitions by doc_id — never global. Integer arithmetic
-    // throughout; one exact IEEE division for clean_frac. Spark gotcha
-    // pinned by the n_words >= 13 filter: sequence(1, stop) DESCENDS
-    // for stop < 1 (silent corruption, not an error).
+    // procedure shapes) / 'redact'. At-scale shape = t19's, one step
+    // further collapsed: 13-grams come from the COMPILED word_ngrams
+    // loop (the HOF transform spelling interprets its lambda per window
+    // — measured 1.5× slower end-to-end at sf0.1) and collapse to
+    // xxhash64 longs in the same codegen stage, so n-gram STRINGS never
+    // leave the scan on either side — the eval set broadcasts as a
+    // benchmark-sized long set, and only (doc_id, p) int pairs of the
+    // HIT rows enter the interval-merge window, which partitions by
+    // doc_id, never global. A 64-bit collision would fabricate one hit
+    // (odds ~|eval|·|corpus|/2⁶⁴ — the same accepted trade as t22/t47's
+    // digest collapses). Integer arithmetic throughout; one exact IEEE
+    // division for clean_frac.
     "t54_decontaminate_13gram" -> QueryDef(
       (spark, dir) => {
         import org.apache.spark.sql.expressions.Window
         val docs = withWords(t(spark, dir, "documents"))
           .select(col("doc_id"), col("words"), size(col("words")).as("n_words"))
-        val ng = docs.filter(col("n_words") >= 13)
-          .select(col("doc_id"), explode(expr(
-            "transform(sequence(1, n_words - 12), i -> named_struct(" +
-              "'p', i, 'g', array_join(slice(words, i, 13), ' ')))")).as("x"))
-          .select(col("doc_id"), col("x.p").as("p"), col("x.g").as("g"))
+        val ng = docs
+          .select(col("doc_id"), posexplode(expr("word_ngrams(words, 13)")))
+          .select(col("doc_id"), (col("pos") + 1).as("p"),
+            xxhash64(col("col")).as("g"))
         val evalNg = ng.filter(col("doc_id") % 50 === 0).select("g").distinct()
         val hits = ng.filter(col("doc_id") % 50 =!= 0)
           .join(broadcast(evalNg), Seq("g"))
