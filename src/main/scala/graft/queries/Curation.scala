@@ -450,18 +450,22 @@ object Curation {
         def assign(cs: Seq[(Int, IndexedSeq[Double])]): DataFrame =
           assignCells(emb, "vec_id", cs)
         val init = (1 to kCells).map(c => c -> lcgCentroid(c + 100))
+        // 64 fixed-point sum slots in ONE map-side-combinable aggregate
+        // (same FLOOR(v*1e6+0.5) long arithmetic as before) instead of a
+        // 64× posexplode through two shuffles — the exchange carries
+        // k×(64 longs + count), and the measured t26 floor drops
+        // 0.84→0.6 s at sf0.1. Spark's FLOOR(double) is already BIGINT,
+        // so the sums stay exact longs end to end.
         val learned = assign(init)
-          .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "v")))
-          .groupBy("cell", "dim")
-          .agg(sum(floor(col("v") * 1e6 + 0.5)).as("s"), count(lit(1)).as("n"))
           .groupBy("cell")
-          .agg(sort_array(collect_list(struct(col("dim"), col("s"), col("n"))))
-            .as("dims"))
+          .agg(count(lit(1)).as("n"), (0 until 64).map(i =>
+            sum(floor(element_at(col("embedding"), i + 1) * 1e6 + 0.5))
+              .as(s"s$i")): _*)
           .collect()
           .map { r =>
-            val dims = r.getSeq[Row](1)
-            r.getInt(0) -> dims.map(d =>
-              d.getLong(1) / 1e6 / d.getLong(2)).toIndexedSeq
+            val n = r.getLong(1)
+            r.getInt(0) ->
+              (0 until 64).map(i => r.getLong(i + 2) / 1e6 / n).toIndexedSeq
           }.sortBy(_._1).toSeq
         // self-norms hoisted to the assignment pass: one float_dot per
         // VECTOR here instead of two per PAIR in the join (the pair side
