@@ -627,6 +627,80 @@ object DataSelection {
              |    AS span_len
              |FROM spans ORDER BY doc_id, seq""".stripMargin)),
 
+    // ----------------------------------------------------------------- t57
+    // HARD-NEGATIVE MINING for contrastive/embedding training: for each
+    // anchor vector (vec_id % 100 == 0 — a deterministic sample that
+    // grows with the corpus), the top-3 most-similar SAME-label vectors
+    // (positives) and the top-3 most-similar OTHER-label vectors (hard
+    // negatives — the examples a triplet/InfoNCE loss learns most from).
+    // Brute-force exact scoring is the oracle-checkable baseline (the
+    // approximate path at corpus scale is t06/t13's LSH/IVF bucketing,
+    // same as for ANN). At-scale shape: anchors broadcast with hoisted
+    // norms (one float_dot per vector, not per pair), candidates score
+    // in one codegen'd map pass, and [[localLabelTopK]] pre-reduces each
+    // partition to ≤3 rows per (anchor, kind) BEFORE anything shuffles —
+    // the global window then ranks ≤ 3·keys·partitions survivors, so the
+    // quadratic scored stream never enters an exchange. (anchor, kind)
+    // keys scale linearly with N, so window parallelism holds at 100×.
+    // Ties break (cosine DESC, vec_id ASC) ≡ localLabelTopK's
+    // (dist, id) ASC order on dist = -cosine — sign-flip is exact IEEE,
+    // so containment of the global top-3 in the local survivors is
+    // airtight.
+    "t57_hard_negatives" -> QueryDef(
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val emb = t(spark, dir, "embeddings")
+          .withColumn("nrm", expr(dotSql("embedding", "embedding")))
+        val anchors = emb.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("aid"), col("embedding").as("aemb"),
+            col("label").as("albl"), col("nrm").as("anrm"))
+        // packed int key: (aid/100)*2 + kind bit — anchors are multiples
+        // of 100, so the key is collision-free and fits localLabelTopK's
+        // (label, vec_id, dist) contract
+        val keyed = emb.crossJoin(broadcast(anchors))
+          .filter(col("vec_id") =!= col("aid"))
+          .select(
+            (expr("CAST(aid div 100 AS INT)") * 2
+              + when(col("label") === col("albl"), 0).otherwise(1))
+              .as("label"),
+            col("vec_id"),
+            (-(expr(dotSql("embedding", "aemb")).cast("double") /
+              (sqrt(col("anrm").cast("double"))
+                * sqrt(col("nrm").cast("double"))))).as("dist"))
+        val reduced = localLabelTopK(keyed, 3)
+          .select(expr("CAST((label div 2) * 100 AS BIGINT)").as("aid"),
+            when(col("label") % 2 === 0, "pos").otherwise("neg").as("kind"),
+            col("vec_id"), (-col("dist")).as("cosine"))
+        val w = Window.partitionBy("aid", "kind")
+          .orderBy(col("cosine").desc, col("vec_id"))
+        reduced.withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select("aid", "kind", "rnk", "vec_id", "cosine")
+          .orderBy("aid", "kind", "rnk")
+      },
+      Some(s"""WITH n AS (
+             |  SELECT vec_id, embedding, label,
+             |    ${dotDuck("embedding", "embedding")} AS nrm
+             |  FROM embeddings),
+             |a AS (
+             |  SELECT vec_id AS aid, embedding AS aemb, label AS albl,
+             |         nrm AS anrm
+             |  FROM n WHERE vec_id % 100 = 0),
+             |p AS (
+             |  SELECT a.aid,
+             |    CASE WHEN n.label = a.albl THEN 'pos' ELSE 'neg' END AS kind,
+             |    n.vec_id,
+             |    ${dotDuck("n.embedding", "a.aemb")}
+             |      / (sqrt(a.anrm) * sqrt(n.nrm)) AS cosine
+             |  FROM n, a WHERE n.vec_id <> a.aid),
+             |r AS (
+             |  SELECT aid, kind, vec_id, cosine,
+             |    ROW_NUMBER() OVER (PARTITION BY aid, kind
+             |      ORDER BY cosine DESC, vec_id) AS rnk
+             |  FROM p)
+             |SELECT aid, kind, rnk, vec_id, cosine
+             |FROM r WHERE rnk <= 3 ORDER BY aid, kind, rnk""".stripMargin)),
+
     // ----------------------------------------------------------------- t47
     // Shingle NOVELTY scoring: per document, the fraction of its
     // DISTINCT 3-gram shingles that appear for the FIRST time in the

@@ -460,6 +460,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("t57: anchors broadcast; scored pairs pre-reduce before the shuffle") {
+    val p = plan("t57_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the anchor set must broadcast — candidates never shuffle to meet it")
+    assert(p.contains("MapPartitions"),
+      "localLabelTopK must bound each partition to ≤3 rows per " +
+        "(anchor, kind) before the window exchange")
+    assert("windowspecdefinition\\(aid".r.findFirstIn(p).isDefined,
+      "ranking windows must partition by anchor, never global")
+    assert(!"Exchange [^\\n]*embedding".r.findFirstIn(p).isDefined,
+      "embedding vectors must never enter a shuffle")
+  }
+
   test("q21: sessionization windows are user-keyed, never global") {
     val p = plan("q21_sessionize")
     assert(p.contains("Window"))
