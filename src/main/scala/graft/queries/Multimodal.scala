@@ -190,7 +190,51 @@ object Multimodal {
            |SELECT doc_id, f1, f2, f3, f4, f5, f6, f7, f8,
            |  $norm AS f_norm
            |FROM f ORDER BY doc_id""".stripMargin
-      })
+      }),
+
+    // Multimodal DEDUP — the quartet's fourth leg (decode t11, frames
+    // t14, features t17, dedup here): image dedup keys on the DECODED
+    // signature — (width, height, pixel hash) — not the raw bytes, so
+    // re-encoded/container-level variants of the same image collapse
+    // (here the stub signature is t11's parsed-offset 32-byte pixel
+    // hash; a production pipeline swaps in a pHash at the same seam).
+    // At-scale shape = t01's: decode is a batched per-partition map;
+    // only (doc_id, dims, 32-hex digest) rows reach the signature-keyed
+    // exchange — payload bytes never shuffle; keeper + copy count is
+    // one map-side-combinable agg per signature, joined back by
+    // signature (planner's choice: fixture groups broadcast, a
+    // corpus-scale signature table shuffle-joins with AQE).
+    "t58_multimodal_dedup" -> QueryDef(
+      (spark, dir) => {
+        import spark.implicits._
+        val media = Tables.t(spark, dir, "documents")
+          .select(col("doc_id"), col("text").cast("binary").as("content"))
+          .as[MediaRow]
+        val meta = media.mapPartitions { batch =>
+          batch.map(r => decodeBmp(MediaRow(r.doc_id, syntheticBmp(r.content))))
+        }.toDF().select("doc_id", "width", "height", "frame_hash")
+        val groups = meta.groupBy("width", "height", "frame_hash")
+          .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        meta.join(groups, Seq("width", "height", "frame_hash"))
+          .select(col("doc_id"), col("width"), col("height"),
+            col("frame_hash"), col("keep_id"), col("n_copies"),
+            (col("doc_id") =!= col("keep_id")).as("is_dup"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |    CAST(length(text) % 64 + 11 AS INTEGER) AS width,
+             |    CAST(length(text) % 48 + 2 AS INTEGER) AS height,
+             |    md5(substr(text, 1, 32)) AS frame_hash
+             |  FROM documents),
+             |g AS (
+             |  SELECT width, height, frame_hash, MIN(doc_id) AS keep_id,
+             |         COUNT(*) AS n_copies
+             |  FROM d GROUP BY width, height, frame_hash)
+             |SELECT d.doc_id, d.width, d.height, d.frame_hash, g.keep_id,
+             |  g.n_copies, d.doc_id <> g.keep_id AS is_dup
+             |FROM d JOIN g USING (width, height, frame_hash)
+             |ORDER BY d.doc_id""".stripMargin))
   )
 
   /** Hashed feature row (8 dims + squared norm). */

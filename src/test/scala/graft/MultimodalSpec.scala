@@ -79,4 +79,33 @@ class MultimodalSpec extends AnyFunSuite {
         "first 32 pixel bytes must be the payload's first 32 bytes")
     }
   }
+
+  test("t58: decoded-signature dedup groups identical payloads, " +
+      "keeps the lowest doc_id") {
+    // the driver fixture has no exact duplicates, so the grouping branch
+    // is pinned here on a crafted corpus: docs 1/3/7 share a payload
+    // (one group, keeper 1); docs 2/5 share their first-32 bytes but
+    // have DIFFERENT lengths → different decoded dims → NOT grouped
+    // (the dims are part of the signature exactly so that a prefix
+    // collision alone cannot merge distinct images)
+    val spark = SparkSuite.spark
+    val baseA = "A" * 32
+    val baseD = "D" * 32
+    val docs = Seq(
+      1L -> (baseA + "x" * 20), 3L -> (baseA + "x" * 20),
+      7L -> (baseA + "x" * 20),
+      2L -> (baseD + "y" * 20), 5L -> (baseD + "y" * 44),
+      9L -> ("B" * 40))
+    val dir = java.nio.file.Files.createTempDirectory("t58").toString
+    import spark.implicits._
+    docs.toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("t58_multimodal_dedup")(spark, dir)
+      .select("doc_id", "keep_id", "n_copies", "is_dup")
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+    assert(got == Seq(
+      (1L, 1L, 3L, false), (2L, 2L, 1L, false), (3L, 1L, 3L, true),
+      (5L, 5L, 1L, false), (7L, 1L, 3L, true), (9L, 9L, 1L, false)))
+  }
 }
