@@ -701,6 +701,83 @@ object DataSelection {
              |SELECT aid, kind, rnk, vec_id, cosine
              |FROM r WHERE rnk <= 3 ORDER BY aid, kind, rnk""".stripMargin)),
 
+    // ----------------------------------------------------------------- t59
+    // TOKENIZER FERTILITY per language — the multilingual-pretraining
+    // health report: per language, tokens-per-word (fertility — the
+    // standard metric for how fairly a tokenizer treats a language; a
+    // high-fertility language pays more sequence length for the same
+    // text) and chars-per-token, over t09's BPE estimate
+    // ([[tokenEstExpr]], the ONE estimate t24/t41/t56 already share).
+    // Shape: a single map-side-combinable agg keyed on ≤ |langs| rows —
+    // the exchange carries a handful of long-sum rows per task, nothing
+    // else; both ratios are single exact IEEE divisions of long sums.
+    "t59_fertility_by_lang" -> QueryDef(
+      (spark, dir) => {
+        t(spark, dir, "documents")
+          .select(col("lang"),
+            size(split(col("text"), " ")).cast("long").as("ws"),
+            expr(tokenEstExpr).as("tok"), col("n_chars"))
+          .groupBy("lang").agg(
+            count(lit(1)).as("n_docs"),
+            sum("ws").as("ws_tokens"),
+            sum("tok").as("bpe_tokens"),
+            sum("n_chars").as("n_chars"))
+          .withColumn("fertility",
+            col("bpe_tokens").cast("double") / col("ws_tokens").cast("double"))
+          .withColumn("chars_per_token",
+            col("n_chars").cast("double") / col("bpe_tokens").cast("double"))
+          .orderBy("lang")
+      },
+      Some(s"""SELECT lang, COUNT(*) AS n_docs,
+             |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+             |  CAST(SUM($tokenEstDuck) AS BIGINT) AS bpe_tokens,
+             |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+             |  CAST(SUM($tokenEstDuck) AS DOUBLE)
+             |    / CAST(SUM(len(string_split(text, ' '))) AS DOUBLE)
+             |    AS fertility,
+             |  CAST(SUM(n_chars) AS DOUBLE)
+             |    / CAST(SUM($tokenEstDuck) AS DOUBLE) AS chars_per_token
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // ----------------------------------------------------------------- t60
+    // EVENT-TRANSITION COUNTS — behavioral-sequence training data from
+    // the events stream: per user, order events by (ts, event_id) and
+    // count corpus-wide (prev_type → curr_type) transitions plus how
+    // many distinct users exhibit each — the bigram table a
+    // next-action/recommendation model trains on, and the first
+    // Markov-chain sanity report run on any clickstream corpus.
+    // Shape: ONE user-keyed window (lag — same partitioning law as
+    // q21's sessionize: never global), then an agg keyed on ≤ |types|²
+    // pairs; count(distinct user) expands to (pair, user) rows — still
+    // bounded by the transition count, with partial aggs both stages.
+    // The events read rides [[Tables.t]]'s schema-adaptive ts handling.
+    "t60_event_transitions" -> QueryDef(
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        t(spark, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"))
+          .withColumn("prev_type", lag("event_type", 1).over(w))
+          .filter(col("prev_type").isNotNull)
+          .withColumnRenamed("event_type", "curr_type")
+          .groupBy("prev_type", "curr_type")
+          .agg(count(lit(1)).as("n_transitions"),
+            countDistinct("user_id").as("n_users"))
+          .orderBy("prev_type", "curr_type")
+      },
+      Some("""WITH s AS (
+             |  SELECT user_id, event_type,
+             |    LAG(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS prev_type
+             |  FROM events)
+             |SELECT prev_type, event_type AS curr_type,
+             |  COUNT(*) AS n_transitions,
+             |  COUNT(DISTINCT user_id) AS n_users
+             |FROM s WHERE prev_type IS NOT NULL
+             |GROUP BY prev_type, curr_type
+             |ORDER BY prev_type, curr_type""".stripMargin)),
+
     // ----------------------------------------------------------------- t47
     // Shingle NOVELTY scoring: per document, the fraction of its
     // DISTINCT 3-gram shingles that appear for the FIRST time in the

@@ -473,6 +473,23 @@ class PlanSpec extends AnyFunSuite {
       "embedding vectors must never enter a shuffle")
   }
 
+  test("t59: per-language report is one agg with a map-side partial phase") {
+    val p = plan("t59_fertility_by_lang")
+    assert(p.contains("HashAggregate"))
+    assert("partial_sum".r.findFirstIn(p).isDefined,
+      "language sums must pre-reduce map-side — the exchange carries " +
+        "|langs| rows per task, never documents")
+    assert(!"Exchange [^\\n]*text".r.findFirstIn(p).isDefined,
+      "document text must never enter a shuffle")
+  }
+
+  test("t60: transition lag windows are user-keyed, never global") {
+    val p = plan("t60_event_transitions")
+    assert("windowspecdefinition\\(user_id".r.findFirstIn(p).isDefined,
+      "the lag window must partition by user_id (a partition-less " +
+        "window would serialize the whole stream through one task)")
+  }
+
   test("q21: sessionization windows are user-keyed, never global") {
     val p = plan("q21_sessionize")
     assert(p.contains("Window"))
