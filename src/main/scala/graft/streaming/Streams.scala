@@ -203,4 +203,43 @@ object Streams {
       .withWatermark(timeCol, watermark)
       .dropDuplicatesWithinWatermark("__digest")
       .drop("__digest")
+
+  /** Ingest-time DECONTAMINATION: drop arriving documents that share any
+    * 13-gram with a static eval corpus — t54's ANY-hit rule applied at
+    * the door instead of in a batch sweep, so contaminated documents
+    * never land in the store at all. The eval corpus collapses ONCE to
+    * a driver-collected set of 13-gram xxhash64s (benchmark-sized — the
+    * same bounded-broadcast justification as t19/t54; a corpus-scale
+    * eval side would swap in a bloom_filter_agg prefilter at this seam)
+    * and rides a broadcast variable into a pure map-side filter: no
+    * join, no state store, each micro-batch just probes its documents'
+    * gram hashes against the set. The ANY-hit check is a Scala
+    * predicate rather than a join because doc-level anti-join semantics
+    * over exploded grams would need a streaming aggregation; membership
+    * in a broadcast set has no native expression form, and the per-row
+    * cost is O(grams) with early exit.
+    *
+    * Same 64-bit collision trade as t54: a collision drops one clean
+    * document, never admits a contaminated one — at ingest, the false
+    * positive lands on the safe side. Works identically on batch
+    * frames (used by StreamingSpec to pin stream ≡ batch). */
+  def streamingDecontaminate(docs: DataFrame, contentCol: String,
+      evalDocs: DataFrame, evalContentCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val evalHashes = evalDocs
+      .select(explode(expr(
+        s"word_ngrams(split($evalContentCol, ' '), 13)")).as("g"))
+      .select(xxhash64(col("g")).as("gh")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val bset = spark.sparkContext.broadcast(evalHashes)
+    val clean = udf { ghs: Seq[Long] =>
+      ghs == null || !ghs.exists(bset.value.contains)
+    }
+    docs
+      .withColumn("__ghs", expr(
+        s"transform(word_ngrams(split($contentCol, ' '), 13), x -> xxhash64(x))"))
+      .filter(clean(col("__ghs")))
+      .drop("__ghs")
+  }
 }

@@ -249,4 +249,34 @@ class StreamingSpec extends AnyFunSuite {
       assert(spark.table("file_stream").count() > 0)
     } finally q.stop()
   }
+
+  test("streaming decontamination drops 13-gram hits at ingest, " +
+      "stream equals batch") {
+    import spark.implicits._
+    val E = (0 until 30).map(i => s"E$i")
+    val eval_ = Seq(E.mkString(" ")).toDF("text")
+    def filler(doc: Int, n: Int) =
+      (0 until n).map(i => s"f${doc}x$i").mkString(" ")
+    // doc 1 embeds 13 consecutive eval words → contaminated; docs 2/3
+    // clean; doc 4 shorter than 13 words → trivially clean
+    val docs = Seq(
+      (1L, filler(1, 20) + " " + E.take(13).mkString(" ") + " " + filler(10, 20)),
+      (2L, filler(2, 40)), (3L, filler(3, 25)), (4L, filler(4, 5)))
+    val batchIn = docs.toDF("doc_id", "text")
+    val expect = Streams.streamingDecontaminate(batchIn, "text", eval_, "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(expect == Seq(2L, 3L, 4L), "batch reference must drop doc 1")
+    val dir = java.nio.file.Files.createTempDirectory("graft_decontam").toString
+    batchIn.write.parquet(s"$dir/in")
+    val stream = Streams.fromParquetDir(spark, s"$dir/in", batchIn.schema)
+    val q = Streams.streamingDecontaminate(stream, "text", eval_, "text")
+      .writeStream.format("memory").queryName("decontam_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("decontam_stream")
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(got == expect, "stream must equal the batch reference")
+    } finally q.stop()
+  }
 }
