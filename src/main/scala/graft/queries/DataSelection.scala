@@ -778,6 +778,73 @@ object DataSelection {
              |GROUP BY prev_type, curr_type
              |ORDER BY prev_type, curr_type""".stripMargin)),
 
+    // ----------------------------------------------------------------- t61
+    // LENGTH-BUCKETED BATCH COMPOSITION — the padding-waste report
+    // behind length grouping (batching similar-length sequences
+    // together): docs bucket by t09 token estimate into fixed 64-token
+    // bands, and per bucket the report carries the tokens padding would
+    // add batching at the BUCKET ceiling vs at the GLOBAL max — the
+    // measured saving of length-grouped batching, the standard
+    // efficiency lever for variable-length seq training. Shape: one
+    // map-side-combinable agg on ≤ 32 bucket keys; the global max rides
+    // a 1-row broadcast cross join. Pure int64 output — the consumer
+    // does the division, the gate stays exact.
+    "t61_length_buckets" -> QueryDef(
+      (spark, dir) => {
+        val toks = t(spark, dir, "documents")
+          .select(col("doc_id"), expr(tokenEstExpr).as("tok"))
+        val gmax = toks.agg(max("tok").as("gmax"))
+        toks.crossJoin(broadcast(gmax))
+          .withColumn("bucket", least(expr("tok div 64"), lit(31L)))
+          .groupBy("bucket").agg(
+            count(lit(1)).as("n_docs"),
+            sum("tok").as("toks"),
+            // last bucket is open-ended: its ceiling is the corpus max
+            sum(when(col("bucket") < 31, (col("bucket") + 1) * 64)
+              .otherwise(col("gmax")) - col("tok")).as("pad_bucket"),
+            sum(col("gmax") - col("tok")).as("pad_global"))
+          .orderBy("bucket")
+      },
+      Some(s"""WITH toks AS (
+             |  SELECT doc_id, $tokenEstDuck AS tok FROM documents),
+             |g AS (SELECT MAX(tok) AS gmax FROM toks),
+             |b AS (
+             |  SELECT tok, gmax, LEAST(tok // 64, 31) AS bucket
+             |  FROM toks, g)
+             |SELECT bucket, COUNT(*) AS n_docs,
+             |  CAST(SUM(tok) AS BIGINT) AS toks,
+             |  CAST(SUM(CASE WHEN bucket < 31 THEN (bucket + 1) * 64
+             |           ELSE gmax END - tok) AS BIGINT) AS pad_bucket,
+             |  CAST(SUM(gmax - tok) AS BIGINT) AS pad_global
+             |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
+    // ----------------------------------------------------------------- t62
+    // DUP-GRAPH DEGREE HISTOGRAM — structural diagnostics over t02's
+    // MinHash-LSH candidate graph: per-document candidate degree, then
+    // the corpus-wide histogram (degree → doc count). The first thing
+    // to read before dedup: a heavy tail means hub documents
+    // (boilerplate) that will chain whole swaths into one component
+    // (t15), and band-parameter tuning (t45) starts from exactly this
+    // curve. Shape: pairs explode to 2 endpoint rows each, then two
+    // tiny map-side-combinable aggs — degrees key on doc_id, the
+    // histogram on ≤ max-degree keys.
+    "t62_dup_graph_degrees" -> QueryDef(
+      (spark, dir) => {
+        TrainingData.minhashPairs(spark, dir)
+          .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+          .groupBy("doc_id").agg(count(lit(1)).as("degree"))
+          .groupBy("degree").agg(count(lit(1)).as("n_docs"))
+          .orderBy("degree")
+      },
+      Some(s"""WITH ${TrainingData.minhashPairsDuck},
+             |ends AS (
+             |  SELECT doc_a AS doc_id FROM pairs
+             |  UNION ALL SELECT doc_b FROM pairs),
+             |deg AS (
+             |  SELECT doc_id, COUNT(*) AS degree FROM ends GROUP BY doc_id)
+             |SELECT degree, COUNT(*) AS n_docs FROM deg
+             |GROUP BY degree ORDER BY degree""".stripMargin)),
+
     // ----------------------------------------------------------------- t47
     // Shingle NOVELTY scoring: per document, the fraction of its
     // DISTINCT 3-gram shingles that appear for the FIRST time in the
