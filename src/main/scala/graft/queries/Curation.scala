@@ -329,7 +329,7 @@ object Curation {
   /** Appends t08's quality-score INPUT columns (n_tokens, stop_hits,
     * punct_chars) to a documents frame, keeping existing columns —
     * shared by [[withQuality]] and t39's fused scan. */
-  private def qualityInputs(df: DataFrame): DataFrame = df
+  private[queries] def qualityInputs(df: DataFrame): DataFrame = df
     .withColumn("n_tokens", size(split(col("text"), " ")))
     .withColumn("stop_hits", expr(
       "size(filter(split(lower(text), ' '), x -> x IN ('the','a','and','of','to','in','is')))"))
@@ -340,7 +340,7 @@ object Curation {
     * ONE definition of the weights (its DuckDB twin is [[qualityDuck]]).
     * All inputs are integer counts + exact IEEE arithmetic, so the
     * doubles are engine-identical. */
-  private val qualityCol: Column =
+  private[queries] val qualityCol: Column =
     (col("stop_hits").cast("double") / col("n_tokens").cast("double")) * 0.5 +
       least(col("n_tokens"), lit(100)).cast("double") / 100.0 * 0.3 +
       (lit(1.0) - col("punct_chars").cast("double") /
@@ -355,7 +355,7 @@ object Curation {
 
   /** DuckDB twin of [[withQuality]]'s quality expression (over a
     * `documents` row). */
-  private val qualityDuck: String =
+  private[queries] val qualityDuck: String =
     """CAST(len(list_filter(string_split(lower(text), ' '),
       |        x -> x IN ('the','a','and','of','to','in','is'))) AS DOUBLE)
       |      / CAST(len(string_split(text, ' ')) AS DOUBLE) * 0.5

@@ -845,6 +845,107 @@ object DataSelection {
              |SELECT degree, COUNT(*) AS n_docs FROM deg
              |GROUP BY degree ORDER BY degree""".stripMargin)),
 
+    // ----------------------------------------------------------------- t63
+    // CURATION MANIFEST — the capstone selection decision, per training
+    // candidate (doc_id % 50 <> 0; the eval corpus is the benchmark, not
+    // a candidate): exact-dup keeper (t01's md5 rule within the
+    // candidate pool), t08's quality score, t19's 3-gram contamination
+    // ratio, and t46's hash-bucket split, folded into ONE verdict with
+    // pipeline precedence dup → contaminated (≥ 0.5) → low_quality
+    // (< 0.35, ≈ the corpus' bottom quartile) → train/validation/test
+    // (t46's exact salt+bucket rule, so the manifest's split agrees
+    // with t46's report row-for-row). This is the query whose output IS
+    // the training run's input list — every upstream signal already has
+    // its own gate entry; this one pins their COMPOSITION.
+    //
+    // At-scale shape: each signal keeps its own proven shape (digest-
+    // keyed dup agg, map-side quality, broadcast eval shingles, pure-map
+    // bucket), and the assembly is doc_id-keyed joins — co-partitioned
+    // after the first exchange, AQE-planned. The only corpus-text pass
+    // is the shingle leg (same cost as t19 itself).
+    "t63_curation_manifest" -> QueryDef(
+      (spark, dir) => {
+        val docs = t(spark, dir, "documents")
+        val train = docs.filter(col("doc_id") % 50 =!= 0)
+        val dup = train.select(col("doc_id"),
+          md5(col("text").cast("binary")).as("dg"))
+        val dupped = dup
+          .join(dup.groupBy("dg").agg(min("doc_id").as("dup_of")), "dg")
+          .select("doc_id", "dup_of")
+        val qual = Curation.qualityInputs(train)
+          .withColumn("quality", Curation.qualityCol)
+          .select("doc_id", "quality")
+        val sh = withWords(docs)
+          .select(col("doc_id"), explode(expr(shingleExpr)).as("shingle"))
+        val evalSh = sh.filter(col("doc_id") % 50 === 0)
+          .select("shingle").distinct().withColumn("hit", lit(1L))
+        val contam = sh.filter(col("doc_id") % 50 =!= 0)
+          .join(broadcast(evalSh), Seq("shingle"), "left")
+          .groupBy("doc_id")
+          .agg((coalesce(sum("hit"), lit(0L)).cast("double") /
+            count(lit(1)).cast("double")).as("contamination"))
+        val bucketed = train.select(col("doc_id"), expr(
+          "CAST(conv(substr(md5(CAST(concat('t46|', CAST(doc_id AS STRING)) AS BINARY)), 1, 4), 16, 10) AS INT) % 100")
+          .as("bucket"))
+        dupped
+          .join(qual, "doc_id")
+          .join(contam, Seq("doc_id"), "left")
+          .join(bucketed, "doc_id")
+          .withColumn("contamination", coalesce(col("contamination"), lit(0.0)))
+          .withColumn("verdict",
+            when(col("doc_id") =!= col("dup_of"), "dup")
+              .when(col("contamination") >= 0.5, "contaminated")
+              .when(col("quality") < 0.35, "low_quality")
+              .when(col("bucket") < 98, "train")
+              .when(col("bucket") === 98, "validation")
+              .otherwise("test"))
+          .select("doc_id", "dup_of", "quality", "contamination", "verdict")
+          .orderBy("doc_id")
+      },
+      Some {
+        val hb = (1 to 4).map { i =>
+          s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1) * ${1 << (4 * (4 - i))}"
+        }.mkString(" + ")
+        s"""WITH tr AS (
+           |  SELECT doc_id, text, n_chars FROM documents
+           |  WHERE doc_id % 50 <> 0),
+           |dup AS (
+           |  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text))
+           |    AS dup_of
+           |  FROM tr),
+           |qual AS (
+           |  SELECT doc_id,
+           |    ${Curation.qualityDuck} AS quality
+           |  FROM tr),
+           |sh AS (
+           |  SELECT doc_id, unnest($shingleSqlDuck) AS shingle
+           |  FROM documents),
+           |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+           |cont AS (
+           |  SELECT s.doc_id,
+           |    CAST(SUM(CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END)
+           |        AS DOUBLE)
+           |      / CAST(COUNT(*) AS DOUBLE) AS contamination
+           |  FROM sh s LEFT JOIN ev e USING (shingle)
+           |  WHERE s.doc_id % 50 <> 0 GROUP BY s.doc_id),
+           |b AS (
+           |  SELECT doc_id, CAST($hb AS INTEGER) % 100 AS bucket
+           |  FROM (SELECT doc_id, md5('t46|' || CAST(doc_id AS VARCHAR)) AS h
+           |        FROM tr))
+           |SELECT t.doc_id, d.dup_of, q.quality,
+           |  COALESCE(c.contamination, 0.0) AS contamination,
+           |  CASE WHEN t.doc_id <> d.dup_of THEN 'dup'
+           |       WHEN COALESCE(c.contamination, 0.0) >= 0.5
+           |         THEN 'contaminated'
+           |       WHEN q.quality < 0.35 THEN 'low_quality'
+           |       WHEN b.bucket < 98 THEN 'train'
+           |       WHEN b.bucket = 98 THEN 'validation'
+           |       ELSE 'test' END AS verdict
+           |FROM tr t JOIN dup d USING (doc_id) JOIN qual q USING (doc_id)
+           |LEFT JOIN cont c USING (doc_id) JOIN b USING (doc_id)
+           |ORDER BY t.doc_id""".stripMargin
+      }),
+
     // ----------------------------------------------------------------- t47
     // Shingle NOVELTY scoring: per document, the fraction of its
     // DISTINCT 3-gram shingles that appear for the FIRST time in the

@@ -75,4 +75,34 @@ class DecontaminateSpec extends AnyFunSuite {
       (7L, 88L, 1L, 13L, 1L, 0.87, "redact"))
     assert(got == want)
   }
+
+  test("t63: manifest verdict precedence — dup beats contaminated " +
+      "beats low_quality beats split") {
+    val spark = SparkSuite.spark
+    // 'the' is a stopword: stop-ratio 0.5 → quality ≈ 0.75 for long docs
+    val good = (0 until 50).flatMap(i => Seq("the", s"w$i")).mkString(" ")
+    val contamText = (E.take(15) ++ filler(2, 5)).mkString(" ")
+    val docs = Seq(
+      0L -> E.mkString(" "),      // eval corpus (doc_id % 50 == 0)
+      1L -> good, 3L -> good,     // exact dups: 3 → dup of 1
+      2L -> contamText,           // 13/18 eval shingles → contaminated
+      7L -> contamText,           // dup of 2: 'dup' MUST beat 'contaminated'
+      4L -> "zzz9",               // 1 word, no stopwords → low quality
+      6L -> ("the " * 99 + "end")) // clean, high quality → a split verdict
+    val dir = java.nio.file.Files.createTempDirectory("manifest").toString
+    import spark.implicits._
+    docs.map { case (id, text) => (id, text, text.length.toLong) }
+      .toDF("doc_id", "text", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("t63_curation_manifest")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(4)))).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L, 4L, 6L, 7L), "eval doc excluded")
+    assert(rows(3L) == ((1L, "dup")))
+    assert(rows(7L) == ((2L, "dup")), "dup must take precedence over contaminated")
+    assert(rows(2L)._2 == "contaminated")
+    assert(rows(4L)._2 == "low_quality")
+    assert(rows(1L)._1 == 1L && Set("train", "validation", "test")(rows(1L)._2))
+    assert(Set("train", "validation", "test")(rows(6L)._2))
+  }
 }
