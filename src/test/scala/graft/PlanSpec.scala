@@ -473,6 +473,28 @@ class PlanSpec extends AnyFunSuite {
       "embedding vectors must never enter a shuffle")
   }
 
+  test("t56: packing prefix sum is the two-pass form, never a global window") {
+    // cumulativeTokens must stay mapPartitions-based: a partition-less
+    // running-sum window would serialize the whole corpus through one
+    // task — the regression this pin exists to catch
+    val p = plan("t56_sequence_pack")
+    assert(!p.contains("Window"), "no window operator anywhere in the plan")
+    assert(p.contains("MapPartitions"),
+      "the seeded accumulate pass must be the two-pass mapPartitions form")
+  }
+
+  test("t63: manifest broadcasts eval shingles, assembles without cartesian") {
+    val p = plan("t63_curation_manifest")
+    assert(p.contains("BroadcastHashJoin"),
+      "the eval shingle set must broadcast into the contamination leg")
+    assert(!p.contains("CartesianProduct"))
+    // dup + quality + contamination + split assemble on doc_id joins;
+    // a windowless dup rule would be fine too, but nothing may ever
+    // rank without a partition key
+    assert(!"windowspecdefinition\\(\\)".r.findFirstIn(p).isDefined,
+      "no partition-less window")
+  }
+
   test("t59: per-language report is one agg with a map-side partial phase") {
     val p = plan("t59_fertility_by_lang")
     assert(p.contains("HashAggregate"))
