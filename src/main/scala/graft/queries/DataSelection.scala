@@ -946,6 +946,95 @@ object DataSelection {
            |ORDER BY t.doc_id""".stripMargin
       }),
 
+    // ----------------------------------------------------------------- t64
+    // IVF-BUCKETED hard negatives — t57's corpus-scale path, exactly as
+    // t13 is to t05: each anchor probes only its top-2 of 8 IVF cells
+    // (t13's literal LCG centroids — assignment stays in codegen, no
+    // materialized centroid table), so the scored stream shrinks from
+    // N²/100 to ~N²/400 while positives/negatives stay the nearest
+    // IN-CELL candidates. The probe condition rides the anchor
+    // broadcast as a cell-membership theta join — map-side, the corpus
+    // side still never shuffles its vectors; the tail is t57's
+    // localLabelTopK pre-reduce + anchor-keyed window verbatim.
+    // HardNegativeSpec measures the recall this buys against t57's
+    // exact answer — the t31 discipline: approximate paths ship with
+    // their measured recall, not a hope.
+    "t64_hard_negatives_ivf" -> QueryDef(
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import TrainingData.planeCol
+        val cdots = array((1 to 8)
+          .map(k => dotCol(col("embedding"), planeCol(k + 100))): _*)
+        val assigned = t(spark, dir, "embeddings")
+          .withColumn("cdots", cdots)
+          .withColumn("cell",
+            expr("array_position(cdots, array_max(cdots))").cast("int"))
+          .withColumn("nrm", expr(dotSql("embedding", "embedding")))
+        val anchors = assigned.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("aid"), col("embedding").as("aemb"),
+            col("label").as("albl"), col("nrm").as("anrm"),
+            col("cell").as("p1"),
+            expr("array_position(cdots, element_at(array_sort(cdots), 7))")
+              .cast("int").as("p2"))
+        val keyed = assigned.join(broadcast(anchors),
+            (col("cell") === col("p1") || col("cell") === col("p2")) &&
+              col("vec_id") =!= col("aid"))
+          .select(
+            (expr("CAST(aid div 100 AS INT)") * 2
+              + when(col("label") === col("albl"), 0).otherwise(1))
+              .as("label"),
+            col("vec_id"),
+            (-(expr(dotSql("embedding", "aemb")).cast("double") /
+              (sqrt(col("anrm").cast("double"))
+                * sqrt(col("nrm").cast("double"))))).as("dist"))
+        val reduced = localLabelTopK(keyed, 3)
+          .select(expr("CAST((label div 2) * 100 AS BIGINT)").as("aid"),
+            when(col("label") % 2 === 0, "pos").otherwise("neg").as("kind"),
+            col("vec_id"), (-col("dist")).as("cosine"))
+        val w = Window.partitionBy("aid", "kind")
+          .orderBy(col("cosine").desc, col("vec_id"))
+        reduced.withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select("aid", "kind", "rnk", "vec_id", "cosine")
+          .orderBy("aid", "kind", "rnk")
+      },
+      Some {
+        import TrainingData.planeSql
+        def centList(k: Int): String =
+          s"list_transform(range(1, 65), d -> ${planeSql(k + 100, "d")})"
+        val cdots = (1 to 8)
+          .map(k => dotDuck("embedding", s"(${centList(k)})"))
+          .mkString("[", ", ", "]")
+        s"""WITH assigned AS (
+           |  SELECT vec_id, label, embedding, cdots,
+           |    CAST(list_position(cdots, list_max(cdots)) AS INTEGER)
+           |      AS cell,
+           |    ${dotDuck("embedding", "embedding")} AS nrm
+           |  FROM (SELECT vec_id, label, embedding, $cdots AS cdots
+           |        FROM embeddings)),
+           |a AS (
+           |  SELECT vec_id AS aid, embedding AS aemb, label AS albl,
+           |    nrm AS anrm, cell AS p1,
+           |    CAST(list_position(cdots, list_sort(cdots)[7]) AS INTEGER)
+           |      AS p2
+           |  FROM assigned WHERE vec_id % 100 = 0),
+           |p AS (
+           |  SELECT a.aid,
+           |    CASE WHEN n.label = a.albl THEN 'pos' ELSE 'neg' END AS kind,
+           |    n.vec_id,
+           |    ${dotDuck("n.embedding", "a.aemb")}
+           |      / (sqrt(a.anrm) * sqrt(n.nrm)) AS cosine
+           |  FROM assigned n JOIN a
+           |    ON n.cell IN (a.p1, a.p2) AND n.vec_id <> a.aid),
+           |r AS (
+           |  SELECT aid, kind, vec_id, cosine,
+           |    ROW_NUMBER() OVER (PARTITION BY aid, kind
+           |      ORDER BY cosine DESC, vec_id) AS rnk
+           |  FROM p)
+           |SELECT aid, kind, rnk, vec_id, cosine
+           |FROM r WHERE rnk <= 3 ORDER BY aid, kind, rnk""".stripMargin
+      }),
+
     // ----------------------------------------------------------------- t47
     // Shingle NOVELTY scoring: per document, the fraction of its
     // DISTINCT 3-gram shingles that appear for the FIRST time in the
