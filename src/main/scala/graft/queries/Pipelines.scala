@@ -333,6 +333,51 @@ object Pipelines {
       Some("""SELECT o_orderstatus,
              |  CAST(SUM(CAST(FLOOR(o_totalprice * 1e4 + 0.5) AS BIGINT)) AS DOUBLE) / 1e4 AS total,
              |  COUNT(*) AS n
-             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // ----------------------------------------------------------------- p12
+    // The t-layer's curation flow driven through the USER-FACING engine
+    // surface: a three-stage YAML pipeline (exact dedup via QUALIFY →
+    // length verdicts → report) written in the reference's DuckDB
+    // dialect, so the gate proves the dialect bridge (QUALIFY rewrite,
+    // len → graft_len, string_split → split) composes with window
+    // functions and the t01-style md5 dedup rule inside Flow — not just
+    // in the DataFrame layer where t63 pins the same ideas.
+    "p12_pipeline_curation" -> QueryDef(
+      (spark, dir) => run(spark,
+        s"""
+           |- name: Docs
+           |  kind: tap
+           |  connection: {kind: Parquet, locator: $dir/documents.parquet}
+           |- name: Deduped
+           |  kind: transform
+           |  query: >
+           |    SELECT doc_id, text, n_chars FROM Docs
+           |    QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text)
+           |      ORDER BY doc_id) = 1
+           |- name: Verdicts
+           |  kind: transform
+           |  query: >
+           |    SELECT CASE WHEN n_chars < 150 THEN 'short'
+           |                WHEN n_chars > 400 THEN 'long'
+           |                ELSE 'keep' END AS verdict
+           |    FROM Deduped
+           |- name: Report
+           |  kind: transform
+           |  query: >
+           |    SELECT verdict, COUNT(*) AS n FROM Verdicts
+           |    GROUP BY verdict ORDER BY verdict
+           |""".stripMargin),
+      Some("""WITH dd AS (
+             |  SELECT doc_id, text, n_chars FROM documents
+             |  QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text)
+             |    ORDER BY doc_id) = 1),
+             |v AS (
+             |  SELECT CASE WHEN n_chars < 150 THEN 'short'
+             |              WHEN n_chars > 400 THEN 'long'
+             |              ELSE 'keep' END AS verdict
+             |  FROM dd)
+             |SELECT verdict, COUNT(*) AS n FROM v
+             |GROUP BY verdict ORDER BY verdict""".stripMargin))
   )
 }
