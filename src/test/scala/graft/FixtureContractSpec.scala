@@ -44,4 +44,39 @@ class FixtureContractSpec extends AnyFunSuite {
       assert(n > 0, s"fixture table $name is empty")
     }
   }
+
+  test("fixture dtypes the engine hard-depends on have not drifted") {
+    // the round-10 lesson generalized: the generator regenerates
+    // /root/testdata each round and CAN drift a physical type (events.ts
+    // did, ns→µs, bricking 8 queries). For the dtypes that engine code
+    // assumes structurally — not just reads through — fail HERE with the
+    // drifted type named, instead of as a pile of analysis errors deep
+    // inside the gate. events.ts is excluded: Tables.events adapts and
+    // the test above pins its adapted type.
+    import org.apache.spark.sql.types._
+    val want: Seq[(String, String, DataType)] = Seq(
+      // float_dot / minhash8 / quantize assume 32-bit embeddings; a
+      // silent float→double drift would poison every cosine against the
+      // oracle rather than fail loudly
+      ("embeddings", "embedding", ArrayType(FloatType, containsNull = true)),
+      ("embeddings", "vec_id", LongType),
+      ("embeddings", "label", IntegerType),
+      // shingling/quality/packing assume string text + long counts
+      ("documents", "doc_id", LongType),
+      ("documents", "text", StringType),
+      ("documents", "n_chars", LongType),
+      ("events", "event_id", LongType),
+      ("events", "user_id", LongType),
+      ("events", "value", DoubleType),
+      ("lineitem", "l_quantity", DoubleType),
+      ("orders", "o_totalprice", DoubleType))
+    val drifted = want.flatMap { case (table, column, expected) =>
+      val actual = graft.queries.Tables.t(spark, sf, table).schema(column).dataType
+      if (actual == expected) None
+      else Some(s"$table.$column drifted: expected $expected, read $actual")
+    }
+    assert(drifted.isEmpty,
+      drifted.mkString("", "\n", "\n— adapt the reader (like Tables.events) " +
+        "or update the engine's assumptions AND this contract together"))
+  }
 }
