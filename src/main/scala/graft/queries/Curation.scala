@@ -20,7 +20,7 @@ object Curation {
   import Tables.t
   import TrainingData.{withWords, shingleExpr, shingleSqlDuck, sigSqlDuck,
     minhashPairs, minhashPairsDuck, dotCol, dotSql, dotDuck}
-  import DataSelection.tokenShardBuckets
+  import DataSelection.{tokenShardBuckets, tokenEstExpr, tokenEstDuck}
 
   /** Appends the five Gopher stat columns (n_words, mean_word_len,
     * distinct_ratio, top_word_frac, dup_2gram_frac) to a
@@ -1753,6 +1753,202 @@ object Curation {
            |       ELSE CAST(n_verified AS DOUBLE)
            |         / CAST(n_candidates AS DOUBLE) END AS verified_frac
            |FROM legs ORDER BY n_bands""".stripMargin
-      })
+      }),
+
+    // ----------------------------------------------------------------- t66
+    // CROSS-SOURCE SHINGLE OVERLAP MATRIX: pairwise Jaccard similarity
+    // between the distinct-shingle sets of every source pair — the
+    // corpus-composition diagnostic behind mix design (two crawls of
+    // the same sites?), leakage checks between independently-licensed
+    // slices, and prioritizing which source pairs need cross-source
+    // dedup (t36's incremental pass runs per pair — this matrix says
+    // which pairs are worth it).
+    // Scale shape: the corpus collapses to DISTINCT (source, shingle64)
+    // pairs in one map-side-combinable pass — token volume never
+    // crosses an exchange, only 64-bit digests. Per shingle the source
+    // set is bounded by |sources| (a constant ≪ corpus), so the
+    // ordered-pair explode emits ≤ |S|²/2 rows per shingle and the
+    // final agg keys on ≤ |S|² pairs — broadcast-joined to the |S|-row
+    // size table. NEVER a shingle-keyed self-join of the corpus (the
+    // naive shape — candidate pairs there are quadratic in df, the t03
+    // stop-shingle trap).
+    "t66_source_overlap" -> QueryDef(
+      (spark, dir) => {
+        val ss = withWords(t(spark, dir, "documents"))
+          .select(col("source"), explode(expr(shingleExpr)).as("shingle"))
+          .select(col("source"), xxhash64(col("shingle")).as("sh64"))
+          .distinct()
+        val sizes = ss.groupBy("source").agg(count(lit(1)).as("n_sh"))
+        val pairs = ss.groupBy("sh64")
+          .agg(sort_array(collect_set(col("source"))).as("srcs"))
+          .select(explode(col("srcs")).as("source_a"), col("srcs"))
+          .select(col("source_a"), explode(col("srcs")).as("source_b"))
+          .filter(col("source_a") < col("source_b"))
+          .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_common"))
+        pairs
+          .join(broadcast(sizes.withColumnRenamed("source", "source_a")
+            .withColumnRenamed("n_sh", "n_a")), "source_a")
+          .join(broadcast(sizes.withColumnRenamed("source", "source_b")
+            .withColumnRenamed("n_sh", "n_b")), "source_b")
+          .withColumn("jaccard", col("n_common").cast("double")
+            / (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+          .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+            col("n_common"), col("jaccard"))
+          .orderBy("source_a", "source_b")
+      },
+      Some(s"""WITH ss AS (
+              |  SELECT DISTINCT source, shingle
+              |  FROM (SELECT source, unnest($shingleSqlDuck) AS shingle
+              |        FROM documents)),
+              |sizes AS (SELECT source, COUNT(*) AS n_sh FROM ss
+              |          GROUP BY source),
+              |pairs AS (
+              |  SELECT a.source AS source_a, b.source AS source_b,
+              |    COUNT(*) AS n_common
+              |  FROM ss a JOIN ss b
+              |    ON a.shingle = b.shingle AND a.source < b.source
+              |  GROUP BY 1, 2)
+              |SELECT source_a, source_b, sa.n_sh AS n_a, sb.n_sh AS n_b,
+              |  n_common,
+              |  CAST(n_common AS DOUBLE)
+              |    / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS jaccard
+              |FROM pairs
+              |JOIN sizes sa ON source_a = sa.source
+              |JOIN sizes sb ON source_b = sb.source
+              |ORDER BY source_a, source_b""".stripMargin)),
+
+    // ----------------------------------------------------------------- t68
+    // EVENT-RATE ANOMALY DETECTION: per event type, hourly ingest counts
+    // that sit more than 2σ from that type's mean hourly rate — the
+    // monitoring pass a streaming ingest pipeline runs over its own
+    // telemetry (collection outages, bot bursts, duplicate-feed
+    // incidents all surface here before they poison the training mix).
+    // Batch twin of the streaming windowed-count path in
+    // [[graft.streaming.Streams]].
+    // Scale shape: the corpus collapses to (type, hour) counts in one
+    // map-side-combinable agg — bounded by types × hours, not events;
+    // per-type moments (n, Σc, Σc²) are EXACT long sums over that small
+    // frame, so mean/σ are identical under any partitioning; the ≤
+    // |types|-row moment table broadcast-joins back. z uses only
+    // + − × ÷ √ (each one correctly-rounded IEEE op, same association
+    // both engines — ln/exp never appear).
+    "t68_event_rate_anomaly" -> QueryDef(
+      (spark, dir) => {
+        val counts = t(spark, dir, "events")
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+          .agg(count(lit(1)).as("c"))
+        val moments = counts.groupBy("event_type").agg(
+          count(lit(1)).as("n"), sum("c").as("s1"),
+          sum(col("c") * col("c")).as("s2"))
+        counts.join(broadcast(moments), "event_type")
+          .withColumn("mean", col("s1").cast("double") / col("n").cast("double"))
+          .withColumn("std", sqrt(
+            col("s2").cast("double") / col("n").cast("double")
+              - col("mean") * col("mean")))
+          .withColumn("z",
+            (col("c").cast("double") - col("mean")) / col("std"))
+          .filter(col("z") > 2.0 || col("z") < -2.0)
+          .select(col("event_type"), col("hour"), col("c"), col("mean"),
+            col("std"), col("z"))
+          .orderBy("event_type", "hour")
+      },
+      Some("""WITH counts AS (
+             |  SELECT event_type, date_trunc('hour', ts) AS hour,
+             |    COUNT(*) AS c
+             |  FROM events GROUP BY 1, 2),
+             |moments AS (
+             |  SELECT event_type, COUNT(*) AS n, SUM(c) AS s1,
+             |    SUM(c * c) AS s2
+             |  FROM counts GROUP BY 1),
+             |z AS (
+             |  SELECT event_type, hour, c,
+             |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+             |    sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+             |      - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+             |        * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))) AS std,
+             |    (CAST(c AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+             |      / sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+             |        - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+             |          * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))) AS z
+             |  FROM counts JOIN moments USING (event_type))
+             |SELECT event_type, hour, c, mean, std, z FROM z
+             |WHERE z > 2.0 OR z < -2.0
+             |ORDER BY event_type, hour""".stripMargin)),
+
+    // ----------------------------------------------------------------- t70
+    // TOKEN-BUDGET WATERFILL across sources: allocate a fixed training
+    // budget (60% of the corpus here) over sources by water-filling —
+    // every source keeps min(tokens, L) where the level L is chosen so
+    // the allocations exactly exhaust the budget. This is the
+    // DoReMi/Pile-style mix flattening: small sources keep everything,
+    // the largest sources are capped at one common level instead of
+    // pro-rata (which would starve the tail).
+    // Closed form, no iteration: sort sources ascending, find the first
+    // rank where capping every remaining source at ITS size overshoots
+    // the budget — the level lands in that rank's interval and is one
+    // exact integer division. Scale shape: the corpus collapses to a
+    // ≤ |sources|-row token table in one map-side-combinable agg; the
+    // sort/prefix-sum window runs on that tiny frame (single-task by
+    // construction and bounded by |sources| — t34/t48's bounded-window
+    // rule); the 0-or-1-row threshold broadcasts back by cross join.
+    // Allocation is all-integer (floor level; the ≤ |capped|-token
+    // remainder is left unspent, documented), so both engines agree
+    // bit-for-bit.
+    "t70_budget_waterfill" -> QueryDef(
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val srcs = t(spark, dir, "documents")
+          .groupBy("source").agg(sum(expr(tokenEstExpr)).as("tokens"))
+        val tot = srcs.agg(
+          sum("tokens").as("total"), count(lit(1)).as("s"))
+          .withColumn("b", expr("(total * 6) div 10"))
+        val win = Window.orderBy("tokens", "source")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val ranked = srcs
+          .withColumn("rn", row_number().over(Window.orderBy("tokens", "source")))
+          .withColumn("cum", sum("tokens").over(win))
+          .crossJoin(broadcast(tot))
+        val thr = ranked
+          .filter(col("cum") - col("tokens")
+            + col("tokens") * (col("s") - col("rn") + 1) > col("b"))
+          .orderBy("rn").limit(1)
+          .select(col("rn").as("thr_rn"),
+            expr("(b - (cum - tokens)) div (s - rn + 1)").as("lvl"))
+        ranked.join(broadcast(thr), lit(true), "left")
+          .withColumn("alloc",
+            when(col("thr_rn").isNull || col("rn") < col("thr_rn"),
+              col("tokens")).otherwise(col("lvl")))
+          .withColumn("capped", col("alloc") < col("tokens"))
+          .select(col("source"), col("tokens"), col("alloc"), col("capped"))
+          .orderBy("source")
+      },
+      Some(s"""WITH srcs AS (
+              |  SELECT source, CAST(SUM($tokenEstDuck) AS BIGINT) AS tokens
+              |  FROM documents GROUP BY source),
+              |tot AS (
+              |  SELECT CAST(SUM(tokens) AS BIGINT) AS total,
+              |    COUNT(*) AS s,
+              |    CAST((SUM(tokens) * 6) // 10 AS BIGINT) AS b
+              |  FROM srcs),
+              |ranked AS (
+              |  SELECT source, tokens,
+              |    ROW_NUMBER() OVER (ORDER BY tokens, source) AS rn,
+              |    SUM(tokens) OVER (ORDER BY tokens, source
+              |      ROWS UNBOUNDED PRECEDING) AS cum,
+              |    tot.b, tot.s
+              |  FROM srcs, tot),
+              |thr AS (
+              |  SELECT rn AS thr_rn,
+              |    CAST((b - (cum - tokens)) // (s - rn + 1) AS BIGINT) AS lvl
+              |  FROM ranked
+              |  WHERE (cum - tokens) + tokens * (s - rn + 1) > b
+              |  ORDER BY rn LIMIT 1)
+              |SELECT r.source, r.tokens,
+              |  CAST(CASE WHEN t.thr_rn IS NULL OR r.rn < t.thr_rn
+              |       THEN r.tokens ELSE t.lvl END AS BIGINT) AS alloc,
+              |  (CASE WHEN t.thr_rn IS NULL OR r.rn < t.thr_rn
+              |       THEN r.tokens ELSE t.lvl END) < r.tokens AS capped
+              |FROM ranked r LEFT JOIN thr t ON TRUE
+              |ORDER BY r.source""".stripMargin))
   )
 }

@@ -1606,6 +1606,120 @@ object DataSelection {
              |    COUNT(*) OVER (PARTITION BY md5(text)) AS dup_count
              |  FROM documents)
              |WHERE rn = 1
-             |ORDER BY keep_doc_id""".stripMargin))
+             |ORDER BY keep_doc_id""".stripMargin)),
+
+    // ----------------------------------------------------------------- t65
+    // TF-IDF KEYWORD EXTRACTION: top-5 terms per document by
+    // tf × (N / df) — the classic retrieval/topic-tagging signal a
+    // curation run uses to label documents with their salient terms
+    // (domain tagging, topic balancing, search-index sidecars).
+    // Weight is the exact rational tf·N/df (no log-IDF: ln() is not
+    // bit-portable across engines, and rank order is identical for a
+    // fixed corpus because x ↦ ln is monotone).
+    // Scale shape: TF-IDF inherently needs two exchanges — a word-keyed
+    // agg for document frequencies and a doc-keyed rank — and nothing
+    // else. tf collapses map-side per (doc, word) first, so the
+    // word-keyed exchange carries one row per distinct (doc, word),
+    // never one per token. The rank window partitions by doc_id
+    // (corpus-cardinality key — skew-free by construction, no pre-top-k
+    // guard needed, unlike the #sources/#labels windows of t38/t23);
+    // its input is bounded by per-doc distinct words. N rides a literal
+    // from one count() job, not a cross join.
+    "t65_tfidf_keywords" -> QueryDef(
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = t(spark, dir, "documents")
+        val nDocs = docs.count()
+        val tf = docs
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val win = Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("term"))
+        tf.join(dfreq, "term")
+          .withColumn("score",
+            col("tf").cast("double") * lit(nDocs).cast("double")
+              / col("df").cast("double"))
+          .withColumn("rnk", row_number().over(win))
+          .filter(col("rnk") <= 5)
+          .select(col("doc_id"), col("rnk"), col("term"), col("tf"),
+            col("df"), col("score"))
+          .orderBy("doc_id", "rnk")
+      },
+      Some("""WITH tf AS (
+             |  SELECT doc_id, term, COUNT(*) AS tf
+             |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             |        FROM documents)
+             |  GROUP BY doc_id, term),
+             |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+             |n AS (SELECT COUNT(*) AS n FROM documents),
+             |ranked AS (
+             |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+             |    CAST(tf.tf AS DOUBLE) * CAST(n.n AS DOUBLE)
+             |      / CAST(dfreq.df AS DOUBLE) AS score,
+             |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+             |      ORDER BY CAST(tf.tf AS DOUBLE) * CAST(n.n AS DOUBLE)
+             |                 / CAST(dfreq.df AS DOUBLE) DESC,
+             |               tf.term) AS rnk
+             |  FROM tf JOIN dfreq USING (term), n)
+             |SELECT doc_id, rnk, term, tf, df, score
+             |FROM ranked WHERE rnk <= 5
+             |ORDER BY doc_id, rnk""".stripMargin)),
+
+    // ----------------------------------------------------------------- t67
+    // Per-stratum EXACT-k SAMPLE: exactly k documents per language by
+    // md5-gate rank — the fixed-size-per-stratum draw (eval subsets,
+    // human-review batches, per-language probes) where t21's
+    // smallest-stratum match and t28's temperature weights don't apply:
+    // the ask is "exactly k of each, reproducibly". The md5 rank makes
+    // the draw deterministic, uniform, and stable under corpus growth
+    // limited to rank churn (a new doc displaces at most one pick).
+    // Scale shape: one corpus map computes the 48-bit gate; #langs ≪
+    // cores would make the bare rank window skew (5 tasks over the
+    // corpus — t23/t38's trap), so [[Curation.boundedTopK]] pre-reduces
+    // every partition to its local k-smallest (hash, doc_id) per lang
+    // first: the window then ranks ≤ k × langs × partitions rows, and
+    // only those survivors ever shuffle.
+    "t67_stratum_sample_k" -> QueryDef(
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import spark.implicits._
+        val k = 7
+        val gated = t(spark, dir, "documents")
+          .select(col("lang"), col("doc_id"),
+            expr("CAST(conv(substr(md5(CAST(concat('t67|', CAST(doc_id AS STRING)) AS BINARY)), 1, 8), 16, 10) AS BIGINT)")
+              .as("hgate"))
+        val pre = gated.as[(String, Long, Long)]
+          .mapPartitions { it =>
+            Curation.boundedTopK(
+              it.map { case (l, id, h) => (l, (h, id)) }, k)
+              .map { case (l, (h, id)) => (l, id, h) }
+          }
+          .toDF("lang", "doc_id", "hgate")
+        val win = Window.partitionBy("lang")
+          .orderBy(col("hgate"), col("doc_id"))
+        pre.withColumn("rnk", row_number().over(win))
+          .filter(col("rnk") <= k)
+          .select(col("lang"), col("rnk"), col("doc_id"), col("hgate"))
+          .orderBy("lang", "rnk")
+      },
+      Some {
+        val hb = (1 to 8).map { i =>
+          s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1) * ${1L << (4 * (8 - i))}"
+        }.mkString(" + ")
+        s"""WITH gated AS (
+           |  SELECT lang, doc_id, CAST($hb AS BIGINT) AS hgate
+           |  FROM (SELECT lang, doc_id,
+           |          md5('t67|' || CAST(doc_id AS VARCHAR)) AS h
+           |        FROM documents)),
+           |ranked AS (
+           |  SELECT lang, doc_id, hgate,
+           |    ROW_NUMBER() OVER (PARTITION BY lang
+           |      ORDER BY hgate, doc_id) AS rnk
+           |  FROM gated)
+           |SELECT lang, rnk, doc_id, hgate FROM ranked
+           |WHERE rnk <= 7
+           |ORDER BY lang, rnk""".stripMargin
+      })
   )
 }

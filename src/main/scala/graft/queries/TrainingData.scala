@@ -900,6 +900,63 @@ object TrainingData {
               |FROM bands a JOIN bands b
               |  ON a.band = b.band AND a.value = b.value AND a.doc_id < b.doc_id
               |WHERE bit_count(CAST(xor(a.simhash16, b.simhash16) AS BIGINT)) <= 1
-              |ORDER BY doc_a, doc_b""".stripMargin))
+              |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // ----------------------------------------------------------------- t69
+    // EMBEDDING PAIR-DISTANCE HISTOGRAM: the distance-distribution
+    // diagnostic every near-dup threshold (t12's cosine band, t26's
+    // SemDeDup epsilon) is calibrated against — squared-euclidean
+    // distances over a deterministic linear-size sample of pairs,
+    // bucketed to a fixed grid. The sample is "consecutive by vec_id
+    // within a hash cell": unbiased for a hash-assigned id space, n-1
+    // pairs per cell (LINEAR in the corpus — never the quadratic
+    // all-pairs draw), and reproducible run-to-run.
+    // Scale shape: one cell-keyed window (lead) moves each vector across
+    // the exchange exactly once; distances are three native float_dot
+    // kernels (d² = a·a + b·b − 2·a·b — same association both engines);
+    // the histogram agg keys on ≤ ~40 integer buckets, map-side
+    // combinable. Cell count (16 here) scales with corpus size so
+    // per-cell windows stay bounded; the frac division is one exact
+    // IEEE op of two longs.
+    "t69_pair_dist_hist" -> QueryDef(
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val win = Window.partitionBy("cell").orderBy("vec_id")
+        val pairs = t(spark, dir, "embeddings")
+          .withColumn("cell", col("vec_id") % 16)
+          .withColumn("nxt", lead(col("embedding"), 1).over(win))
+          .filter(col("nxt").isNotNull)
+          .withColumn("d2",
+            dotCol(col("embedding"), col("embedding"))
+              + dotCol(col("nxt"), col("nxt"))
+              - lit(2.0) * dotCol(col("embedding"), col("nxt")))
+        val hist = pairs
+          .groupBy(floor(col("d2") * 10).cast("long").as("bucket"))
+          .agg(count(lit(1)).as("n_pairs"))
+        val tot = hist.agg(sum("n_pairs").as("total"))
+        hist.crossJoin(broadcast(tot))
+          .withColumn("frac",
+            col("n_pairs").cast("double") / col("total").cast("double"))
+          .select(col("bucket"), col("n_pairs"), col("frac"))
+          .orderBy("bucket")
+      },
+      Some(s"""WITH p AS (
+              |  SELECT vec_id, vec_id % 16 AS cell, embedding,
+              |    lead(embedding) OVER (PARTITION BY vec_id % 16
+              |                          ORDER BY vec_id) AS nxt
+              |  FROM embeddings),
+              |d AS (
+              |  SELECT ${dotDuck("embedding", "embedding")}
+              |    + ${dotDuck("nxt", "nxt")}
+              |    - 2 * ${dotDuck("embedding", "nxt")} AS d2
+              |  FROM p WHERE nxt IS NOT NULL),
+              |hist AS (
+              |  SELECT CAST(FLOOR(d2 * 10) AS BIGINT) AS bucket,
+              |    COUNT(*) AS n_pairs
+              |  FROM d GROUP BY 1)
+              |SELECT bucket, n_pairs,
+              |  CAST(n_pairs AS DOUBLE)
+              |    / CAST((SELECT SUM(n_pairs) FROM hist) AS DOUBLE) AS frac
+              |FROM hist ORDER BY bucket""".stripMargin))
   )
 }

@@ -23,8 +23,8 @@ class EntrySpec extends AnyFunSuite {
       assert(k.matches("[a-z][a-z0-9_]+"), s"bad query name: $k"))
   }
 
-  test("all 97 declared operators are present") {
-    assert(SparkEntry.queries.size == 97)
+  test("all 103 declared operators are present") {
+    assert(SparkEntry.queries.size == 103)
   }
 
   test("t15 components: labels are canonical minima consistent with t02 pairs") {
