@@ -1834,13 +1834,20 @@ object Curation {
     // both engines — ln/exp never appear).
     "t68_event_rate_anomaly" -> QueryDef(
       (spark, dir) => {
-        val counts = t(spark, dir, "events")
+        // per-type moments as windows over the bounded (type, hour)
+        // counts frame — branch-free (an agg + join-back leg would
+        // re-compute the corpus subtree); partition key |types| is
+        // small but the frame is ALREADY the collapsed histogram,
+        // bounded by types × hours (t48's bounded-window rule)
+        import org.apache.spark.sql.expressions.Window
+        val wType = Window.partitionBy("event_type").rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)
+        t(spark, dir, "events")
           .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
           .agg(count(lit(1)).as("c"))
-        val moments = counts.groupBy("event_type").agg(
-          count(lit(1)).as("n"), sum("c").as("s1"),
-          sum(col("c") * col("c")).as("s2"))
-        counts.join(broadcast(moments), "event_type")
+          .withColumn("n", count(lit(1)).over(wType))
+          .withColumn("s1", sum("c").over(wType))
+          .withColumn("s2", sum(col("c") * col("c")).over(wType))
           .withColumn("mean", col("s1").cast("double") / col("n").cast("double"))
           .withColumn("std", sqrt(
             col("s2").cast("double") / col("n").cast("double")
@@ -1897,24 +1904,28 @@ object Curation {
     "t70_budget_waterfill" -> QueryDef(
       (spark, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val srcs = t(spark, dir, "documents")
+        // every derived scalar (total, S, budget, threshold rank, level)
+        // is a window over the SAME ≤ |sources|-row frame instead of a
+        // separate agg branch: one corpus scan, no re-computed legs, no
+        // joins — the branch-free twin of the oracle's CTE cascade
+        val ord = Window.orderBy("tokens", "source")
+        val cumW = ord.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)
+        val allW = Window.partitionBy().rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)
+        t(spark, dir, "documents")
           .groupBy("source").agg(sum(expr(tokenEstExpr)).as("tokens"))
-        val tot = srcs.agg(
-          sum("tokens").as("total"), count(lit(1)).as("s"))
+          .withColumn("rn", row_number().over(ord))
+          .withColumn("cum", sum("tokens").over(cumW))
+          .withColumn("s", count(lit(1)).over(allW))
+          .withColumn("total", sum("tokens").over(allW))
           .withColumn("b", expr("(total * 6) div 10"))
-        val win = Window.orderBy("tokens", "source")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val ranked = srcs
-          .withColumn("rn", row_number().over(Window.orderBy("tokens", "source")))
-          .withColumn("cum", sum("tokens").over(win))
-          .crossJoin(broadcast(tot))
-        val thr = ranked
-          .filter(col("cum") - col("tokens")
-            + col("tokens") * (col("s") - col("rn") + 1) > col("b"))
-          .orderBy("rn").limit(1)
-          .select(col("rn").as("thr_rn"),
-            expr("(b - (cum - tokens)) div (s - rn + 1)").as("lvl"))
-        ranked.join(broadcast(thr), lit(true), "left")
+          .withColumn("thr_rn", min(when(
+            col("cum") - col("tokens")
+              + col("tokens") * (col("s") - col("rn") + 1) > col("b"),
+            col("rn"))).over(allW))
+          .withColumn("lvl", max(when(col("rn") === col("thr_rn"),
+            expr("(b - (cum - tokens)) div (s - rn + 1)"))).over(allW))
           .withColumn("alloc",
             when(col("thr_rn").isNull || col("rn") < col("thr_rn"),
               col("tokens")).otherwise(col("lvl")))

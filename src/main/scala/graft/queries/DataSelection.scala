@@ -1616,31 +1616,35 @@ object DataSelection {
     // Weight is the exact rational tf·N/df (no log-IDF: ln() is not
     // bit-portable across engines, and rank order is identical for a
     // fixed corpus because x ↦ ln is monotone).
-    // Scale shape: TF-IDF inherently needs two exchanges — a word-keyed
-    // agg for document frequencies and a doc-keyed rank — and nothing
-    // else. tf collapses map-side per (doc, word) first, so the
-    // word-keyed exchange carries one row per distinct (doc, word),
-    // never one per token. The rank window partitions by doc_id
-    // (corpus-cardinality key — skew-free by construction, no pre-top-k
-    // guard needed, unlike the #sources/#labels windows of t38/t23);
-    // its input is bounded by per-doc distinct words. N rides a literal
-    // from one count() job, not a cross join.
+    // Scale shape: ONE corpus scan, three exchanges of the (doc, term)
+    // frame — tf collapses map-side per (doc, term) first (one row per
+    // distinct pair, never one per token), then a term-partitioned
+    // COUNT window computes df in place of the textbook "aggregate +
+    // join back" (which at corpus scale either broadcasts a
+    // VOCABULARY-sized table or adds a fourth term-keyed join shuffle —
+    // both worse than the window, whose partition key is
+    // vocab-cardinality and skew-bounded by the t34 stop-word df cap
+    // argument: the worst term's partition is its document frequency,
+    // ≤ N docs). The rank window partitions by doc_id
+    // (corpus-cardinality — skew-free, WindowGroupLimit prunes to top-5
+    // per partition before the exchange); N rides a literal from one
+    // count() job, not a cross join.
     "t65_tfidf_keywords" -> QueryDef(
       (spark, dir) => {
         import org.apache.spark.sql.expressions.Window
         val docs = t(spark, dir, "documents")
         val nDocs = docs.count()
-        val tf = docs
+        val winT = Window.partitionBy("term")
+        val winD = Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("term"))
+        docs
           .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
           .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-        val win = Window.partitionBy("doc_id")
-          .orderBy(col("score").desc, col("term"))
-        tf.join(dfreq, "term")
+          .withColumn("df", count(lit(1)).over(winT))
           .withColumn("score",
             col("tf").cast("double") * lit(nDocs).cast("double")
               / col("df").cast("double"))
-          .withColumn("rnk", row_number().over(win))
+          .withColumn("rnk", row_number().over(winD))
           .filter(col("rnk") <= 5)
           .select(col("doc_id"), col("rnk"), col("term"), col("tf"),
             col("df"), col("score"))

@@ -930,11 +930,14 @@ object TrainingData {
             dotCol(col("embedding"), col("embedding"))
               + dotCol(col("nxt"), col("nxt"))
               - lit(2.0) * dotCol(col("embedding"), col("nxt")))
-        val hist = pairs
+        // total via a window over the ≤ ~40-row histogram — branch-free
+        // (a separate agg leg would re-compute the corpus subtree)
+        val allW = Window.partitionBy().rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)
+        pairs
           .groupBy(floor(col("d2") * 10).cast("long").as("bucket"))
           .agg(count(lit(1)).as("n_pairs"))
-        val tot = hist.agg(sum("n_pairs").as("total"))
-        hist.crossJoin(broadcast(tot))
+          .withColumn("total", sum("n_pairs").over(allW))
           .withColumn("frac",
             col("n_pairs").cast("double") / col("total").cast("double"))
           .select(col("bucket"), col("n_pairs"), col("frac"))

@@ -45,4 +45,30 @@ class EntrySpec extends AnyFunSuite {
         s"pair ${r.getLong(0)},${r.getLong(1)} split across clusters")
     }
   }
+
+  test("t70 waterfill: allocations exhaust the budget up to integer slack") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("t70_budget_waterfill")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val total = rows.map(_._2).sum
+    val budget = total * 6 / 10
+    val alloc = rows.map(_._3).sum
+    val capped = rows.filter(_._4)
+    // never overspends; floor-level slack is < one token per capped source
+    assert(alloc <= budget, s"allocated $alloc > budget $budget")
+    assert(budget - alloc < math.max(capped.length.toLong, 1),
+      "slack must be the integer-floor remainder only")
+    // uncapped sources keep everything; capped sources share ONE level
+    rows.filterNot(_._4).foreach { case (_, tok, a, _) => assert(a == tok) }
+    assert(capped.map(_._3).distinct.length <= 1,
+      "waterfill caps every capped source at the same level")
+    // the level never exceeds any uncapped source's size (sorted property)
+    if (capped.nonEmpty) {
+      val lvl = capped.head._3
+      rows.filterNot(_._4).foreach { case (_, tok, _, _) =>
+        assert(tok <= lvl || rows.count(_._4) == 0)
+      }
+    }
+  }
 }

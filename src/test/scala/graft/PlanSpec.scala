@@ -720,6 +720,58 @@ class PlanSpec extends AnyFunSuite {
     } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("t65: single scan, no vocabulary broadcast, top-5 pruned pre-shuffle") {
+    val p = plan("t65_tfidf_keywords")
+    assert("FileScan".r.findAllIn(p).size == 1,
+      "df-via-window must keep TF-IDF to ONE corpus scan (no agg+join-back legs)")
+    assert(!p.contains("BroadcastExchange"),
+      "the vocabulary-sized df table must never broadcast")
+    assert(p.contains("WindowGroupLimit"),
+      "rank filter must prune to top-5 per doc before the window exchange")
+    assert(!p.contains("lang#") && !p.contains("n_chars#"),
+      "scan must prune to doc_id + text")
+  }
+
+  test("t66: only digests and sources cross exchanges, never shingle text") {
+    val p = plan("t66_source_overlap")
+    assert(!"Exchange [^\\n]*shingle#".r.findFirstIn(p).isDefined &&
+      !"Exchange [^\\n]*text#".r.findFirstIn(p).isDefined &&
+      !"Exchange [^\\n]*words#".r.findFirstIn(p).isDefined,
+      "shingle strings must collapse to 64-bit digests before any exchange")
+  }
+
+  test("t67: boundedTopK pre-reduces before the #langs-task rank window") {
+    val p = plan("t67_stratum_sample_k")
+    assert(p.contains("MapPartitions"),
+      "per-partition local top-k must run before the lang window")
+    assert(p.contains("Exchange hashpartitioning(lang"),
+      "rank window partitions by lang")
+  }
+
+  test("t68: one events scan, pruned to (ts, event_type), branch-free") {
+    val p = plan("t68_event_rate_anomaly")
+    assert("FileScan".r.findAllIn(p).size == 1,
+      "window-based moments must keep the anomaly scan to ONE corpus pass")
+    assert(!p.contains("user_id#") && !p.contains("props#"),
+      "scan must prune to ts + event_type")
+  }
+
+  test("t69: one embeddings scan; vectors cross exactly one exchange") {
+    val p = plan("t69_pair_dist_hist")
+    assert("FileScan".r.findAllIn(p).size == 1,
+      "histogram total must be a window, not a re-computed agg branch")
+    assert("Exchange hashpartitioning\\([^\\n]*embedding".r.findAllIn(p).size <= 1,
+      "embedding payload moves across at most the cell exchange")
+  }
+
+  test("t70: waterfill is one corpus scan + windows on the tiny frame") {
+    val p = plan("t70_budget_waterfill")
+    assert("FileScan".r.findAllIn(p).size == 1,
+      "every scalar (total, S, budget, threshold, level) must be a window " +
+        "over the one aggregated source frame, not an agg/join branch")
+    assert(!p.contains("Join"), "branch-free: no joins anywhere")
+  }
+
   test("whole-stage codegen covers the relational hot paths") {
     // AQE finalizes the plan lazily; execute first, then inspect.
     val df = SparkEntry.queries("q01_agg_pricing")(spark, sf)
