@@ -1960,6 +1960,55 @@ object Curation {
               |  (CASE WHEN t.thr_rn IS NULL OR r.rn < t.thr_rn
               |       THEN r.tokens ELSE t.lvl END) < r.tokens AS capped
               |FROM ranked r LEFT JOIN thr t ON TRUE
-              |ORDER BY r.source""".stripMargin))
+              |ORDER BY r.source""".stripMargin)),
+
+    // ----------------------------------------------------------------- t72
+    // QUALITY-vs-NEAR-DUP CALIBRATION: per quality decile (t08's score),
+    // what fraction of documents are MinHash near-dup suspects (an
+    // endpoint of a t02 candidate pair) — the signal-correlation report
+    // that decides whether quality filtering and dedup are redundant or
+    // complementary on a corpus (boilerplate is usually BOTH low-quality
+    // and duplicated; if the low deciles carry all the dup mass, dedup
+    // can run on the filtered survivors only — a large cost saving).
+    // Scale shape: quality is a pure map; the suspect set is bounded by
+    // candidate pairs (t02's within-(band,bucket) join, never all-pairs);
+    // the doc_id-keyed LEFT join is digest-sized; the final agg keys on
+    // 10 deciles, map-side combinable. Fixed-point decile (qfp div 1e5)
+    // so bucket edges are engine-identical.
+    "t72_quality_dup_calibration" -> QueryDef(
+      (spark, dir) => {
+        val suspects = minhashPairs(spark, dir)
+          .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+          .distinct()
+          .withColumn("suspect", lit(true))
+        qualityInputs(t(spark, dir, "documents"))
+          .withColumn("qfp", floor(qualityCol * 1e6 + 0.5).cast("long"))
+          .withColumn("decile", least(expr("qfp div 100000"), lit(9L)))
+          .select(col("doc_id"), col("decile"))
+          .join(suspects, Seq("doc_id"), "left")
+          .groupBy("decile").agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("suspect"), 1L).otherwise(0L)).as("n_suspect"))
+          .withColumn("suspect_rate",
+            col("n_suspect").cast("double") / col("n_docs").cast("double"))
+          .orderBy("decile")
+      },
+      Some(s"""WITH $minhashPairsDuck,
+              |suspects AS (
+              |  SELECT DISTINCT doc_id FROM (
+              |    SELECT doc_a AS doc_id FROM pairs
+              |    UNION ALL SELECT doc_b FROM pairs)),
+              |q AS (
+              |  SELECT doc_id,
+              |    least(CAST(FLOOR(($qualityDuck) * 1e6 + 0.5) AS BIGINT)
+              |      // 100000, 9) AS decile
+              |  FROM documents)
+              |SELECT decile, COUNT(*) AS n_docs,
+              |  CAST(SUM(CASE WHEN s.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS n_suspect,
+              |  CAST(SUM(CASE WHEN s.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+              |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS suspect_rate
+              |FROM q LEFT JOIN suspects s USING (doc_id)
+              |GROUP BY decile ORDER BY decile""".stripMargin))
   )
 }

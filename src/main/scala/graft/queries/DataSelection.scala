@@ -1724,6 +1724,82 @@ object DataSelection {
            |SELECT lang, rnk, doc_id, hgate FROM ranked
            |WHERE rnk <= 7
            |ORDER BY lang, rnk""".stripMargin
+      }),
+
+    // ----------------------------------------------------------------- t71
+    // SPLIT-LEAKAGE AUDIT: shingle overlap BETWEEN t46's train/val/test
+    // splits — the self-decontamination check run after any random
+    // split: a held-out set whose n-grams also appear in train (here:
+    // because near-duplicate documents were split apart) leaks, and its
+    // eval numbers are inflated. Uses t46's exact md5 gate so the audit
+    // covers the split the engine actually emits, and reports the
+    // overlap normalized by the SMALLER side (the held-out split).
+    // Scale shape: t66's matrix shape keyed on splits — corpus
+    // collapses to DISTINCT (split, shingle64) map-side; per-shingle
+    // split set is ≤ 3; pair explode and final agg are ≤ 9 keys;
+    // 3-row size table broadcasts back.
+    "t71_split_leakage" -> QueryDef(
+      (spark, dir) => {
+        val gated = t(spark, dir, "documents")
+          .withColumn("bucket", expr(
+            "CAST(conv(substr(md5(CAST(concat('t46|', CAST(doc_id AS STRING)) AS BINARY)), 1, 4), 16, 10) AS INT) % 100"))
+          .withColumn("split",
+            when(col("bucket") < 98, "train")
+              .when(col("bucket") === 98, "validation")
+              .otherwise("test"))
+        val ss = withWords(gated)
+          .select(col("split"), explode(expr(shingleExpr)).as("shingle"))
+          .select(col("split"), xxhash64(col("shingle")).as("sh64"))
+          .distinct()
+        val sizes = ss.groupBy("split").agg(count(lit(1)).as("n_sh"))
+        ss.groupBy("sh64")
+          .agg(sort_array(collect_set(col("split"))).as("sps"))
+          .select(explode(col("sps")).as("split_a"), col("sps"))
+          .select(col("split_a"), explode(col("sps")).as("split_b"))
+          .filter(col("split_a") < col("split_b"))
+          .groupBy("split_a", "split_b").agg(count(lit(1)).as("n_common"))
+          .join(broadcast(sizes.select(col("split").as("split_a"),
+            col("n_sh").as("n_a"))), "split_a")
+          .join(broadcast(sizes.select(col("split").as("split_b"),
+            col("n_sh").as("n_b"))), "split_b")
+          .withColumn("leak_frac", col("n_common").cast("double")
+            / least(col("n_a"), col("n_b")).cast("double"))
+          .select(col("split_a"), col("split_b"), col("n_a"), col("n_b"),
+            col("n_common"), col("leak_frac"))
+          .orderBy("split_a", "split_b")
+      },
+      Some {
+        val hb = (1 to 4).map { i =>
+          s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1) * ${1 << (4 * (4 - i))}"
+        }.mkString(" + ")
+        s"""WITH hashed AS (
+           |  SELECT doc_id, CAST($hb AS INTEGER) % 100 AS bucket
+           |  FROM (SELECT doc_id, md5('t46|' || CAST(doc_id AS VARCHAR)) AS h
+           |        FROM documents)),
+           |sp AS (
+           |  SELECT d.doc_id,
+           |    CASE WHEN bucket < 98 THEN 'train'
+           |         WHEN bucket = 98 THEN 'validation'
+           |         ELSE 'test' END AS split, d.text
+           |  FROM documents d JOIN hashed USING (doc_id)),
+           |ss AS (
+           |  SELECT DISTINCT split, shingle
+           |  FROM (SELECT split, unnest($shingleSqlDuck) AS shingle FROM sp)),
+           |sizes AS (SELECT split, COUNT(*) AS n_sh FROM ss GROUP BY split),
+           |pairs AS (
+           |  SELECT a.split AS split_a, b.split AS split_b,
+           |    COUNT(*) AS n_common
+           |  FROM ss a JOIN ss b
+           |    ON a.shingle = b.shingle AND a.split < b.split
+           |  GROUP BY 1, 2)
+           |SELECT split_a, split_b, sa.n_sh AS n_a, sb.n_sh AS n_b,
+           |  n_common,
+           |  CAST(n_common AS DOUBLE)
+           |    / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE) AS leak_frac
+           |FROM pairs
+           |JOIN sizes sa ON split_a = sa.split
+           |JOIN sizes sb ON split_b = sb.split
+           |ORDER BY split_a, split_b""".stripMargin
       })
   )
 }

@@ -960,6 +960,45 @@ object TrainingData {
               |SELECT bucket, n_pairs,
               |  CAST(n_pairs AS DOUBLE)
               |    / CAST((SELECT SUM(n_pairs) FROM hist) AS DOUBLE) AS frac
+              |FROM hist ORDER BY bucket""".stripMargin)),
+
+    // ----------------------------------------------------------------- t73
+    // VOCABULARY GROWTH CURVE (Heaps' law): new distinct shingles
+    // introduced per ingest bucket of 50 documents, plus the cumulative
+    // vocabulary — the saturation diagnostic for corpus collection: a
+    // flattening curve means additional crawl of the same sources buys
+    // mostly repetition (dedup/filter budget should grow instead), a
+    // still-linear curve means the corpus is far from coverage.
+    // Scale shape: t47's first-occurrence trick keyed on the bucket —
+    // one shingle-keyed agg over (bucket, shingle64) digests computes
+    // each shingle's FIRST bucket (min — no per-shingle ordering), the
+    // per-bucket histogram is a second tiny agg (≤ #buckets keys), and
+    // the cumulative sum is a window over that frame (t48's
+    // bounded-window rule). Token text never crosses an exchange.
+    "t73_vocab_growth" -> QueryDef(
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val cumW = Window.orderBy("bucket").rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)
+        withWords(t(spark, dir, "documents"))
+          .select(expr("doc_id div 50").as("bucket"),
+            explode(expr(shingleExpr)).as("shingle"))
+          .select(col("bucket"), xxhash64(col("shingle")).as("sh64"))
+          .groupBy("sh64").agg(min("bucket").as("bucket"))
+          .groupBy("bucket").agg(count(lit(1)).as("n_new"))
+          .withColumn("vocab_cum", sum("n_new").over(cumW))
+          .select(col("bucket"), col("n_new"), col("vocab_cum"))
+          .orderBy("bucket")
+      },
+      Some(s"""WITH occ AS (
+              |  SELECT doc_id // 50 AS bucket, unnest($shingleSqlDuck) AS s
+              |  FROM documents),
+              |firsts AS (SELECT s, MIN(bucket) AS bucket FROM occ GROUP BY s),
+              |hist AS (
+              |  SELECT bucket, COUNT(*) AS n_new FROM firsts GROUP BY bucket)
+              |SELECT bucket, n_new,
+              |  CAST(SUM(n_new) OVER (ORDER BY bucket
+              |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_cum
               |FROM hist ORDER BY bucket""".stripMargin))
   )
 }
