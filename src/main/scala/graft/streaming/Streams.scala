@@ -190,6 +190,22 @@ object Streams {
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.readStream.schema(schema).parquet(dir)
 
+  /** Streaming RATE-ANOMALY flagging — the live twin of the batch
+    * `t68_event_rate_anomaly`: hourly windowed counts per event type,
+    * flagged when they sit more than 2σ from the type's reference rate.
+    * The (mean, std) reference comes from the batch pass over history
+    * (the standard deployment split: heavy moments offline, cheap
+    * z-probe online) as a ≤ |types|-row broadcast frame, so the stream
+    * side adds NO state beyond windowedCounts' watermark-bounded
+    * windows, and flagging is a pure map over each emitted window. */
+  def rateAnomaly(events: DataFrame, thresholds: DataFrame,
+      window_ : String = "1 hour", watermark: String = "2 hours"): DataFrame =
+    windowedCounts(events, window_, watermark)
+      .join(broadcast(thresholds), "event_type")
+      .withColumn("z", (col("n").cast("double") - col("mean")) / col("std"))
+      .filter(col("z") > 2.0 || col("z") < -2.0)
+      .select(col("event_type"), col("window"), col("n"), col("z"))
+
   /** Ingest-time exact dedup on a content digest: duplicates arriving
     * within the watermark of the first copy are dropped; digest state is
     * evicted once the watermark passes (bounded memory — a plain

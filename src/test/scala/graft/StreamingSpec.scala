@@ -2,6 +2,7 @@ package graft
 
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, count, date_trunc, lit, sqrt, sum}
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 import graft.streaming.Streams
@@ -232,6 +233,58 @@ class StreamingSpec extends AnyFunSuite {
         r.getTimestamp(3).toString, r.getTimestamp(4).toString)).toSeq.sorted
     assert(got.size == want.size)
     assert(got == want)
+  }
+
+  test("streaming rate anomaly equals batch t68 on the events fixture") {
+    // same 2σ rule, same arithmetic: the streamed hourly windows flagged
+    // against batch-derived thresholds must reproduce exactly the batch
+    // anomaly set (window.start ≡ date_trunc('hour') for tumbling 1h).
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val batch68 = SparkEntry.queries("t68_event_rate_anomaly")(spark, dir)
+    val want = batch68.select("event_type", "hour", "c")
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString, r.getLong(2)))
+      .toSeq.sorted
+    // thresholds exactly as a batch job would publish them: per-type
+    // mean/std over the hourly counts
+    val thresholds = graft.queries.Tables.t(spark, dir, "events")
+      .groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("event_type").agg(
+        count(lit(1)).as("n"), sum("c").as("s1"),
+        sum(col("c") * col("c")).as("s2"))
+      .withColumn("mean", col("s1").cast("double") / col("n").cast("double"))
+      .withColumn("std", sqrt(
+        col("s2").cast("double") / col("n").cast("double")
+          - col("mean") * col("mean")))
+      .select("event_type", "mean", "std")
+    val ev = graft.queries.Tables.t(spark, dir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect().toSeq
+    val input = MemoryStream[Event]
+    val q = Streams.rateAnomaly(input.toDS().toDF(), thresholds)
+      .writeStream.format("memory").queryName("rate_anomaly")
+      .outputMode(OutputMode.Append).start()
+    val got = try {
+      input.addData(ev)
+      q.processAllAvailable()
+      // append mode only emits closed windows: push the event-time
+      // frontier past every fixture window + watermark
+      val maxMs = ev.map(_.ts.getTime).max
+      input.addData(Seq(Event(-1L, new Timestamp(maxMs + 24L * 3600 * 1000),
+        0L, "flush", 0.0)))
+      q.processAllAvailable()
+      spark.table("rate_anomaly")
+        .select(col("event_type"), col("window.start").as("hour"), col("n"))
+        .collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).toString, r.getLong(2)))
+        .toSeq.sorted
+    } finally q.stop()
+    assert(got == want, s"stream ${got.size} rows vs batch ${want.size}")
   }
 
   test("file-source stream over the events fixture directory") {
