@@ -417,6 +417,42 @@ object Curation {
     |FROM scored
     |ORDER BY doc_id""".stripMargin
 
+  /** t76's winnowing fingerprint selection (MOSS): positional word
+    * 3-gram hashes, window-min over every w=4 consecutive grams,
+    * DISTINCT mins per document. Guarantee (tested on synthetic docs in
+    * QualitySketchSpec): any ≥ 6 consecutive shared words (≥ w shared
+    * consecutive grams) put one full window inside the shared span, so
+    * both documents record the SAME min — near-dup recall is structural,
+    * not probabilistic. Each doc's grams stay in one partition for the
+    * window (hash-partitioned by doc_id); fingerprints are values, not
+    * positions, so the distinct sets are engine- and order-independent.
+    *
+    * @param docs frame with at least (doc_id, text)
+    * @return (doc_id, fp) — distinct 32-bit fingerprint values per doc
+    */
+  private[graft] def winnowFingerprints(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val W = 4
+    val grams = withWords(docs)
+      .select(col("doc_id"),
+        posexplode(expr("word_ngrams(words, 3)")).as(Seq("pos", "g")))
+      .select(col("doc_id"), col("pos"),
+        expr("CAST(conv(substr(md5(CAST(g AS BINARY)), 1, 8), 16, 10) AS BIGINT)")
+          .as("h"))
+    val winMin = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(0, W - 1)
+    val perDoc = Window.partitionBy("doc_id")
+    // window START rows only: pos ≤ n−W (every full window), plus
+    // pos = 0 when the doc has fewer than W grams (its single
+    // truncated window still yields one fingerprint)
+    grams
+      .withColumn("wmin", min("h").over(winMin))
+      .withColumn("n", count(lit(1)).over(perDoc))
+      .filter(col("pos") + W <= col("n") || col("pos") === 0)
+      .select(col("doc_id"), col("wmin").as("fp"))
+      .distinct()
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // ----------------------------------------------------------------- t26
@@ -2009,6 +2045,95 @@ object Curation {
               |  CAST(SUM(CASE WHEN s.doc_id IS NOT NULL THEN 1 ELSE 0 END)
               |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS suspect_rate
               |FROM q LEFT JOIN suspects s USING (doc_id)
-              |GROUP BY decile ORDER BY decile""".stripMargin))
+              |GROUP BY decile ORDER BY decile""".stripMargin)),
+
+    // ----------------------------------------------------------------- t76
+    // WINNOWING FINGERPRINT OVERLAP (the MOSS algorithm; see
+    // winnowFingerprints above for the selection stage): hash every
+    // positional word 3-gram, slide a w=4 window over the hash sequence
+    // and keep each window's MINIMUM — the classic guarantee that any
+    // shared run of ≥ w+2 consecutive words contributes at least one
+    // IDENTICAL fingerprint to both documents, at ~1/w the density of
+    // full shingling. Pairs sharing ≥ 2 fingerprints are reported with
+    // a containment score — the plagiarism/near-dup detector that
+    // catches LOCAL copied spans t02's whole-document MinHash dilutes
+    // away. Fingerprints are VALUES (not positions), so the window-min
+    // sets are engine-order-independent and oracle parity is exact.
+    //
+    // Scale shape: gram hashing + window-min is one partition-local
+    // window per doc_id (documents hash-partition by doc_id; the window
+    // sort is within a partition). The pair stage reuses t03's
+    // one-shuffle unfold — groupBy(fp) with a df-cap, pairs unfold
+    // map-side from each posting list, so a stop-fingerprint can never
+    // produce an f² pair explosion; only (fp, doc-list ≤ cap) rows and
+    // (pair, count) rows ever cross an exchange, never text.
+    "t76_winnow_overlap" -> QueryDef(
+      (spark, dir) => {
+        val fps = winnowFingerprints(t(spark, dir, "documents"))
+        val groups = fps.groupBy("fp")
+          .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+          .filter(size(col("ids")) <= 50)
+        val inter = groups.filter(size(col("ids")) > 1)
+          .select(explode(expr(
+            "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), y -> struct(x as a, y as b))))")).as("p"))
+          .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+          .agg(count(lit(1)).as("n_common"))
+          .filter(col("n_common") >= 2)
+        val sizes = groups.select(explode(col("ids")).as("doc_id"))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+        inter
+          .join(sizes.select(col("doc_id").as("doc_a"), col("n_fp").as("fp_a")), "doc_a")
+          .join(sizes.select(col("doc_id").as("doc_b"), col("n_fp").as("fp_b")), "doc_b")
+          .withColumn("containment", col("n_common").cast("double")
+            / least(col("fp_a"), col("fp_b")).cast("double"))
+          .select("doc_a", "doc_b", "fp_a", "fp_b", "n_common", "containment")
+          .orderBy("doc_a", "doc_b")
+      },
+      Some {
+        val hb = (1 to 8).map { i =>
+          s"(instr('0123456789abcdef', substr(h3, $i, 1)) - 1) * ${1L << (4 * (8 - i))}"
+        }.mkString(" + ")
+        s"""WITH w AS (
+           |  SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+           |g AS (
+           |  SELECT doc_id, u.pos AS pos, CAST($hb AS BIGINT) AS h
+           |  FROM (
+           |    SELECT doc_id,
+           |      md5(u.g) AS h3, u
+           |    FROM (
+           |      SELECT doc_id, unnest(list_transform(
+           |        range(1, greatest(len(words) - 2, 0) + 1),
+           |        i -> {'pos': i - 1,
+           |              'g': array_to_string(words[i:i+2], ' ')})) AS u
+           |      FROM w))),
+           |wm AS (
+           |  SELECT doc_id,
+           |    pos,
+           |    MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+           |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+           |    COUNT(*) OVER (PARTITION BY doc_id) AS n
+           |  FROM g),
+           |fps AS (
+           |  SELECT DISTINCT doc_id, wmin AS fp FROM wm
+           |  WHERE pos + 4 <= n OR pos = 0),
+           |cnt AS (SELECT fp, COUNT(*) AS df FROM fps GROUP BY fp),
+           |kept AS (
+           |  SELECT f.doc_id, f.fp FROM fps f JOIN cnt USING (fp)
+           |  WHERE cnt.df <= 50),
+           |sizes AS (SELECT doc_id, COUNT(*) AS n_fp FROM kept GROUP BY doc_id),
+           |inter AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |    COUNT(*) AS n_common
+           |  FROM kept a JOIN kept b
+           |    ON a.fp = b.fp AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+           |SELECT doc_a, doc_b, sa.n_fp AS fp_a, sb.n_fp AS fp_b, n_common,
+           |  CAST(n_common AS DOUBLE)
+           |    / CAST(least(sa.n_fp, sb.n_fp) AS DOUBLE) AS containment
+           |FROM inter
+           |JOIN sizes sa ON doc_a = sa.doc_id
+           |JOIN sizes sb ON doc_b = sb.doc_id
+           |ORDER BY doc_a, doc_b""".stripMargin
+      })
   )
 }

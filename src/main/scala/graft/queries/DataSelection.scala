@@ -1800,6 +1800,78 @@ object DataSelection {
            |JOIN sizes sa ON split_a = sa.split
            |JOIN sizes sb ON split_b = sb.split
            |ORDER BY split_a, split_b""".stripMargin
-      })
+      }),
+
+    // ----------------------------------------------------------------- t74
+    // UNIGRAM-LM QUALITY SCORE (CCNet-style perplexity filter): train a
+    // unigram language model on the reference slice (source = 'src0',
+    // the same "trusted corpus" t55's DSIR uses as its target), then
+    // score EVERY document by its per-token surprisal under that model.
+    // High bits-per-token → the document looks nothing like the
+    // reference corpus (boilerplate, noise, wrong domain); the classic
+    // CCNet/KenLM bucket-by-perplexity signal, here with a unigram LM.
+    //
+    // Surprisal is INTEGER-QUANTIZED so the oracle hash is exact: a
+    // token seen cnt times in a T-token LM scores
+    //   bits(w) = len(binary(T div (cnt+1)))  —  i.e. 1 + floor(log2 ·)
+    // of the (add-one-smoothed) inverse probability; OOV tokens get the
+    // max score len(binary(T)). Per-doc bits sum exactly as BIGINTs in
+    // any partition/merge order; the single final division to
+    // bits_per_token is one IEEE op in both engines. (A float log would
+    // hash-diverge: Spark and DuckDB sum doubles in different orders.)
+    //
+    // Scale shape: the LM is a groupBy over the REFERENCE slice only —
+    // partial-aggregated map-side, its result is a vocabulary table
+    // (≈ millions of rows at 100 TB ≈ tens of MB) that BROADCASTS to
+    // the corpus-wide scoring scan; the per-doc agg partial-aggregates
+    // on doc_id. The full corpus is never shuffled by token: the only
+    // wide exchanges carry (word, count) and (doc_id, 3 longs).
+    "t74_unigram_logloss" -> QueryDef(
+      (spark, dir) => {
+        val words = withWords(t(spark, dir, "documents"))
+          .select(col("doc_id"), col("source"), explode(col("words")).as("w"))
+        val lm = words.filter(col("source") === "src0")
+          .groupBy("w").agg(count(lit(1)).as("cnt"))
+        val tot = lm.agg(sum("cnt").as("t_lm"))
+        words
+          .join(broadcast(lm), Seq("w"), "left")
+          .crossJoin(broadcast(tot))
+          .withColumn("bits", length(bin(
+            expr("t_lm div (coalesce(cnt, CAST(0 AS BIGINT)) + 1)")))
+            .cast("long"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(col("cnt").isNull, 1L).otherwise(0L)).as("n_oov"),
+            sum("bits").as("bits_total"))
+          .withColumn("bits_per_token",
+            col("bits_total").cast("double") / col("n_tokens").cast("double"))
+          .select("doc_id", "n_tokens", "n_oov", "bits_total",
+            "bits_per_token")
+          .orderBy("doc_id")
+      },
+      // length(format('{:b}', x)) is DuckDB's spelling of Spark's
+      // length(bin(x)): both print the minimal binary form, so the
+      // quantized surprisal is identical down to x = 0 → "0" → 1 bit.
+      Some("""WITH w AS (
+             |  SELECT doc_id, source,
+             |    unnest(string_split(text, ' ')) AS w
+             |  FROM documents),
+             |lm AS (
+             |  SELECT w, COUNT(*) AS cnt FROM w
+             |  WHERE source = 'src0' GROUP BY w),
+             |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t_lm FROM lm),
+             |scored AS (
+             |  SELECT doc_id,
+             |    CASE WHEN lm.cnt IS NULL THEN 1 ELSE 0 END AS oov,
+             |    length(format('{:b}',
+             |      t.t_lm // (COALESCE(lm.cnt, 0) + 1))) AS bits
+             |  FROM w LEFT JOIN lm USING (w), tot t)
+             |SELECT doc_id, COUNT(*) AS n_tokens,
+             |  CAST(SUM(oov) AS BIGINT) AS n_oov,
+             |  CAST(SUM(bits) AS BIGINT) AS bits_total,
+             |  CAST(SUM(bits) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             |    AS bits_per_token
+             |FROM scored GROUP BY doc_id
+             |ORDER BY doc_id""".stripMargin))
   )
 }

@@ -999,6 +999,116 @@ object TrainingData {
               |SELECT bucket, n_new,
               |  CAST(SUM(n_new) OVER (ORDER BY bucket
               |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_cum
-              |FROM hist ORDER BY bucket""".stripMargin))
+              |FROM hist ORDER BY bucket""".stripMargin)),
+
+    // ----------------------------------------------------------------- t75
+    // EDIT-DISTANCE VERIFICATION of LSH candidates: t02's MinHash band
+    // pairs re-checked with Levenshtein distance over each document's
+    // 160-char head — the second verifier family (t29 re-checks the
+    // same candidates with shingle Jaccard; edit distance catches
+    // small in-place mutations that shift every containing shingle,
+    // which Jaccard over-penalizes on short texts). Head-only DP bounds
+    // the quadratic cost: 160×160 cells per pair regardless of document
+    // length, the standard truncation in pair-verification passes.
+    //
+    // ASCII gate, on BOTH engines: Spark's levenshtein counts
+    // CHARACTERS while DuckDB's counts BYTES — identical only on ASCII,
+    // so pairs where either head is non-ASCII (chars ≠ bytes) are
+    // excluded structurally rather than relying on fixture content.
+    //
+    // Scale shape: candidates (a vanishing fraction of the corpus) join
+    // the head projection on doc_id — two hash joins keyed on an int8,
+    // heads pruned to 160 chars BEFORE the exchange so the shuffle
+    // carries ≤ 160 bytes/row; the DP runs inside one codegen'd stage.
+    "t75_edit_verify" -> QueryDef(
+      (spark, dir) => {
+        val heads = t(spark, dir, "documents")
+          .filter(expr("length(text) = octet_length(text)"))
+          .select(col("doc_id"), substring(col("text"), 1, 160).as("head"))
+        minhashPairs(spark, dir)
+          .join(heads.select(col("doc_id").as("doc_a"),
+            col("head").as("head_a")), "doc_a")
+          .join(heads.select(col("doc_id").as("doc_b"),
+            col("head").as("head_b")), "doc_b")
+          .withColumn("edit_dist", levenshtein(col("head_a"), col("head_b")))
+          .withColumn("is_dup", (col("edit_dist") <= 40).cast("int"))
+          .select("doc_a", "doc_b", "edit_dist", "is_dup")
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH $minhashPairsDuck,
+              |heads AS (
+              |  SELECT doc_id, substr(text, 1, 160) AS head
+              |  FROM documents WHERE strlen(text) = length(text))
+              |SELECT p.doc_a, p.doc_b,
+              |  levenshtein(a.head, b.head) AS edit_dist,
+              |  CASE WHEN levenshtein(a.head, b.head) <= 40
+              |       THEN 1 ELSE 0 END AS is_dup
+              |FROM pairs p
+              |JOIN heads a ON p.doc_a = a.doc_id
+              |JOIN heads b ON p.doc_b = b.doc_id
+              |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // ----------------------------------------------------------------- t77
+    // COUNT-MIN SKETCH heavy hitters: estimate word frequencies through
+    // a d=4 × w=1024 CMS and report the estimate vs the exact count for
+    // the top-20 words — the sketch every streaming/mergeable frequency
+    // pipeline carries (CMS cells add across shards with no rescan), and
+    // the overcount column measures its collision error ε directly.
+    // Relationally spelled, both engines agree exactly: cell(r, b) =
+    // Σ tokens with md5-hash(r|w) mod 1024 = b; estimate = min over the
+    // word's 4 cells; CMS guarantees estimate ≥ exact.
+    //
+    // Scale shape: the sketch build is groupBy(r, bucket) → at most
+    // d × w = 4096 cells regardless of corpus size, partial-aggregated
+    // map-side (each task emits ≤ 4096 partial cells, the exchange is
+    // KBs); the 4× token fan-out never leaves its map stage. The probe
+    // side broadcasts the 4096-cell sketch to the 20 heavy hitters.
+    "t77_cms_heavyhitters" -> QueryDef(
+      (spark, dir) => {
+        def bucket(rCol: String, wCol: String): Column =
+          expr(s"CAST(conv(substr(md5(CAST(concat(CAST($rCol AS STRING), '|', $wCol) AS BINARY)), 1, 8), 16, 10) AS BIGINT) % 1024")
+        val words = withWords(t(spark, dir, "documents"))
+          .select(explode(col("words")).as("w"))
+        val cms = words
+          .select(explode(array((0 until 4).map(lit): _*)).as("r"), col("w"))
+          .select(col("r"), bucket("r", "w").as("bucket"))
+          .groupBy("r", "bucket").agg(count(lit(1)).as("c"))
+        val top = words.groupBy("w").agg(count(lit(1)).as("n_exact"))
+          .orderBy(col("n_exact").desc, col("w")).limit(20)
+        top
+          .select(col("w"), col("n_exact"),
+            explode(array((0 until 4).map(lit): _*)).as("r"))
+          .withColumn("bucket", bucket("r", "w"))
+          .join(broadcast(cms), Seq("r", "bucket"))
+          .groupBy("w", "n_exact").agg(min("c").as("n_est"))
+          .withColumn("overcount", col("n_est") - col("n_exact"))
+          .select(col("w").as("word"), col("n_exact"), col("n_est"),
+            col("overcount"))
+          .orderBy(col("n_exact").desc, col("word"))
+      },
+      Some {
+        def hb(h: String): String = (1 to 8).map { i =>
+          s"(instr('0123456789abcdef', substr($h, $i, 1)) - 1) * ${1L << (4 * (8 - i))}"
+        }.mkString("(", " + ", ")")
+        val bucket =
+          s"CAST(${hb("md5(CAST(r AS VARCHAR) || '|' || w)")} AS BIGINT) % 1024"
+        s"""WITH w AS (
+           |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+           |r AS (SELECT unnest([0, 1, 2, 3]) AS r),
+           |cells AS (
+           |  SELECT r, $bucket AS bucket, COUNT(*) AS c
+           |  FROM w, r GROUP BY 1, 2),
+           |top AS (
+           |  SELECT w, COUNT(*) AS n_exact FROM w GROUP BY w
+           |  ORDER BY n_exact DESC, w LIMIT 20),
+           |probe AS (
+           |  SELECT t.w, t.n_exact, r, $bucket AS bucket FROM top t, r)
+           |SELECT p.w AS word, p.n_exact,
+           |  CAST(MIN(c.c) AS BIGINT) AS n_est,
+           |  CAST(MIN(c.c) - p.n_exact AS BIGINT) AS overcount
+           |FROM probe p JOIN cells c USING (r, bucket)
+           |GROUP BY p.w, p.n_exact
+           |ORDER BY p.n_exact DESC, p.w""".stripMargin
+      })
   )
 }

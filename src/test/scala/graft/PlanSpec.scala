@@ -772,6 +772,47 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "branch-free: no joins anywhere")
   }
 
+  test("t74: the unigram LM broadcasts to the scoring scan") {
+    val p = plan("t74_unigram_logloss")
+    // the corpus-wide token stream must NEVER shuffle by word for the
+    // LM probe: vocabulary + total broadcast, only (word,count) partials
+    // and per-doc longs cross exchanges
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1,
+      "LM vocabulary must broadcast to the scoring side")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the 1-row total must broadcast, not shuffle")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      "both the LM build and the per-doc agg need map-side partials")
+  }
+
+  test("t75: heads are pruned before the verify joins; no cartesian") {
+    val p = plan("t75_edit_verify")
+    assert(p.contains("levenshtein"))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("n_chars#") && !p.contains("lang#"),
+      "documents scan must prune to (doc_id, text)")
+  }
+
+  test("t76: winnow pairs unfold map-side from posting lists, no self-join") {
+    val p = plan("t76_winnow_overlap")
+    assert(p.contains("Generate explode(flatten(transform(ids"),
+      "pairs must unfold from grouped fingerprint posting lists")
+    assert(!p.contains("SortMergeJoin"),
+      "no exploded-corpus self-join anywhere in the pair stage")
+    // the per-doc window runs partition-local after ONE doc_id exchange
+    assert(p.contains("Exchange hashpartitioning(doc_id"))
+  }
+
+  test("t77: the sketch build partial-aggregates and broadcasts to the probe") {
+    val p = plan("t77_cms_heavyhitters")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      "cell build and exact counts both need map-side partials")
+    assert(p.contains("BroadcastHashJoin"),
+      "the ≤4096-cell sketch must broadcast to the 20 heavy hitters")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-20 must be a TakeOrdered, not a global sort")
+  }
+
   test("whole-stage codegen covers the relational hot paths") {
     // AQE finalizes the plan lazily; execute first, then inspect.
     val df = SparkEntry.queries("q01_agg_pricing")(spark, sf)

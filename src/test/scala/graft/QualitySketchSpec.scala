@@ -1,0 +1,102 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** t74–t77 semantics beyond the oracle gate: the algebraic invariants
+  * each algorithm PROMISES (CMS never undercounts, winnowing's shared-run
+  * guarantee, surprisal floors) — properties a future refactor could
+  * silently break while still hashing equal to a co-edited oracle. */
+class QualitySketchSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("t74: every token costs ≥1 bit and reference-slice docs have no OOV") {
+    val rows = SparkEntry.queries("t74_unigram_logloss")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nTok, nOov, bits) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nOov <= nTok)
+      assert(bits >= nTok, s"doc ${r.getLong(0)}: <1 bit/token")
+      assert(r.getDouble(4) == bits.toDouble / nTok.toDouble)
+    }
+    // the LM is trained on src0, so every src0 token is in-vocabulary
+    val src0 = graft.queries.Tables.t(spark, sf, "documents")
+      .filter(org.apache.spark.sql.functions.col("source") === "src0")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    rows.filter(r => src0.contains(r.getLong(0)))
+      .foreach(r => assert(r.getLong(2) == 0L,
+        s"src0 doc ${r.getLong(0)} reports OOV tokens against its own LM"))
+  }
+
+  test("t75: verifier output is well-formed and threshold-consistent") {
+    val rows = SparkEntry.queries("t75_edit_verify")(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "pairs must be ordered doc_a < doc_b")
+      val (d, dup) = (r.getInt(2), r.getInt(3))
+      assert(d >= 0)
+      assert(dup == (if (d <= 40) 1 else 0))
+    }
+  }
+
+  test("t75: Spark levenshtein is character-based (the ASCII gate's premise)") {
+    // the oracle's levenshtein counts BYTES; ours counts CHARS. The gate
+    // filters non-ASCII heads on both sides, where the two agree. This
+    // pins OUR side's unit so a silent engine change (to bytes) that
+    // happens to pass on an all-ASCII fixture is still caught.
+    import spark.implicits._
+    val d = Seq(("你好世界", "你好地球")).toDF("a", "b")
+      .select(org.apache.spark.sql.functions.levenshtein(
+        org.apache.spark.sql.functions.col("a"),
+        org.apache.spark.sql.functions.col("b")))
+      .head().getInt(0)
+    assert(d == 2, s"expected char-based distance 2, got $d")
+  }
+
+  test("t76: every winnow pair is ordered, bounded, and self-consistent") {
+    val rows = SparkEntry.queries("t76_winnow_overlap")(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      val (fpA, fpB, common) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(common >= 2 && common <= math.min(fpA, fpB))
+      val c = r.getDouble(5)
+      assert(c > 0.0 && c <= 1.0)
+      assert(c == common.toDouble / math.min(fpA, fpB).toDouble)
+    }
+  }
+
+  test("t76: winnowing's shared-span guarantee holds on synthetic docs") {
+    import spark.implicits._
+    // two documents disjoint except for one 10-word run: 8 shared
+    // consecutive 3-grams ≥ w=4 ⇒ a full window lies inside the shared
+    // span ⇒ the SAME window-min is a fingerprint of both — guaranteed,
+    // not probabilistic. A third, fully disjoint doc must share nothing.
+    val shared = (1 to 10).map(i => s"run$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta gamma delta $shared eps zeta"),
+      (2L, s"one two three four five $shared six seven eight"),
+      (3L, "totally different words that never overlap at all ok"))
+      .toDF("doc_id", "text")
+    val fps = graft.queries.Curation.winnowFingerprints(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byDoc.keySet == Set(1L, 2L, 3L))
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty,
+      "docs sharing a 10-word run must share a fingerprint")
+    assert((byDoc(1L) & byDoc(3L)).isEmpty && (byDoc(2L) & byDoc(3L)).isEmpty,
+      "disjoint docs must not collide at this scale")
+  }
+
+  test("t77: a count-min sketch never undercounts") {
+    val rows = SparkEntry.queries("t77_cms_heavyhitters")(spark, sf).collect()
+    assert(rows.length > 0 && rows.length <= 20)
+    rows.foreach { r =>
+      val (exact, est, over) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(est >= exact, s"CMS undercounted '${r.getString(0)}'")
+      assert(over == est - exact)
+    }
+    // ranking is by exact count desc: the returned heavy hitters are
+    // monotonically non-increasing
+    val exacts = rows.map(_.getLong(1)).toSeq
+    assert(exacts == exacts.sorted.reverse)
+  }
+}
