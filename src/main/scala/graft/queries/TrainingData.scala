@@ -114,7 +114,7 @@ object TrainingData {
     * with a pure map, bit-identical to the relational min-over-md5-slices
     * form the DuckDB oracle uses) → 4 bands (r=2). Shared by t02/t15's
     * pair join and t36's cross-corpus band probe. */
-  private[queries] def minhashBands(docs: DataFrame): DataFrame = {
+  private[graft] def minhashBands(docs: DataFrame): DataFrame = {
     val sigs = withWords(docs)
       .select(col("doc_id"), expr(s"minhash8($shingleExpr)").as("sigs"))
     sigs.select(col("doc_id"), explode(array(

@@ -332,4 +332,57 @@ class StreamingSpec extends AnyFunSuite {
       assert(got == expect, "stream must equal the batch reference")
     } finally q.stop()
   }
+
+  test("streaming incremental dedup equals batch t36 on the fixture") {
+    // old corpus (src0–src9) arrives as micro-batch 0, the new crawl
+    // (src10–src19) as micro-batch 1: batch 0 must pass untouched (the
+    // index is empty), batch 1's survivors must be EXACTLY the keep=true
+    // ids of the batch t36 verdict — same md5 exact gate, same MinHash
+    // band probe, now applied at the door with a persistent digest index.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.queries.Tables.t(spark, dir, "documents")
+      .select("doc_id", "text", "source")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val (oldDocs, newDocs) = docs.partition(_._3.drop(3).toInt < 10)
+    assert(oldDocs.nonEmpty && newDocs.nonEmpty)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_incdedup").toString
+    val input = MemoryStream[(Long, String, String)]
+    val q = Streams.incrementalDedup(
+      input.toDF().toDF("doc_id", "text", "source"),
+      s"$tmp/state", s"$tmp/out", s"$tmp/ckpt")
+    try {
+      input.addData(oldDocs.toSeq); q.processAllAvailable()
+      input.addData(newDocs.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(s"$tmp/out")
+    val got0 = out.where("batch = 0").select("doc_id")
+      .as[Long].collect().toSet
+    assert(got0 == oldDocs.map(_._1).toSet,
+      "an empty index must keep the whole first batch")
+    val got1 = out.where("batch = 1").select("doc_id")
+      .as[Long].collect().toSet
+    val want = SparkEntry.queries("t36_incremental_dedup")(spark, dir)
+      .filter(col("keep")).select("doc_id")
+      .as[Long].collect().toSet
+    assert(got1 == want, "streamed gate must equal the batch t36 verdict")
+  }
+
+  test("incremental dedup index replay is idempotent (batch-id overwrite)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_idem").toString
+    val b = Seq((1L, "alpha beta gamma delta eps"), (2L, "zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    Streams.extendIndex(b, s"$tmp/state", 7L)
+    Streams.extendIndex(b, s"$tmp/state", 7L) // retry of the same batch
+    val hashes = spark.read.parquet(s"$tmp/state/hashes")
+    assert(hashes.count() == 2, "a replayed batch must overwrite, not double")
+    // and the probe drops exact copies arriving later
+    val kept = Streams.dedupBatchAgainstIndex(
+      Seq((3L, "alpha beta gamma delta eps"), (4L, "totally novel words here now"))
+        .toDF("doc_id", "text"), s"$tmp/state")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(4L))
+  }
 }
