@@ -1872,6 +1872,65 @@ object DataSelection {
              |  CAST(SUM(bits) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
              |    AS bits_per_token
              |FROM scored GROUP BY doc_id
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ----------------------------------------------------------------- t79
+    // CHARACTER-ENTROPY quality signal: per-document Shannon entropy of
+    // the character distribution, integer-quantized with t74's
+    // len-of-binary surprisal (bits(c) = len(binary(total div cnt_c)),
+    // summed weighted by cnt_c) so cross-partition sums are exact
+    // BIGINTs. The char-level complement of the word-level t08/t20
+    // heuristics: near-zero entropy exposes run-length garbage
+    // ("aaaa…"), abnormally high entropy exposes binary spill /
+    // encoding noise — both invisible to word statistics when the junk
+    // tokenizes into few "words". substr-by-position (not split) keeps
+    // multi-byte text correct in both engines: substr counts CHARACTERS
+    // in Spark and DuckDB alike.
+    //
+    // Scale shape: the char explode is bounded per row by doc length
+    // and collapses map-side to (doc_id, char-class) counts — ≤ alphabet
+    // size per doc — before the one doc_id-keyed exchange; the entropy
+    // agg then keys on doc_id. Text never shuffles, counts do. (The
+    // per-row transform(sequence…) lambda is interpreted; a native
+    // char-histogram expression is the upgrade path if this ever
+    // becomes the hot scan at corpus scale.)
+    "t79_char_entropy" -> QueryDef(
+      (spark, dir) => {
+        t(spark, dir, "documents")
+          .filter(length(col("text")) > 0)
+          .select(col("doc_id"), length(col("text")).cast("long").as("tot"),
+            explode(expr(
+              "transform(sequence(1, length(text)), i -> substring(text, i, 1))"))
+              .as("c"))
+          .groupBy("doc_id", "tot", "c").agg(count(lit(1)).as("cnt"))
+          .withColumn("bits",
+            length(bin(expr("tot div cnt"))).cast("long") * col("cnt"))
+          .groupBy("doc_id")
+          .agg(max("tot").as("n_chars_text"),
+            count(lit(1)).as("n_distinct_chars"),
+            sum("bits").as("bits_total"))
+          .withColumn("bits_per_char",
+            col("bits_total").cast("double") / col("n_chars_text").cast("double"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH ch AS (
+             |  SELECT doc_id, length(text) AS tot,
+             |    unnest(list_transform(range(1, length(text) + 1),
+             |      i -> substr(text, i, 1))) AS c
+             |  FROM documents WHERE length(text) > 0),
+             |h AS (
+             |  SELECT doc_id, tot, c, COUNT(*) AS cnt
+             |  FROM ch GROUP BY 1, 2, 3),
+             |b AS (
+             |  SELECT doc_id, tot, cnt,
+             |    length(format('{:b}', tot // cnt)) * cnt AS bits
+             |  FROM h)
+             |SELECT doc_id, MAX(tot) AS n_chars_text,
+             |  COUNT(*) AS n_distinct_chars,
+             |  CAST(SUM(bits) AS BIGINT) AS bits_total,
+             |  CAST(SUM(bits) AS DOUBLE) / CAST(MAX(tot) AS DOUBLE)
+             |    AS bits_per_char
+             |FROM b GROUP BY doc_id
              |ORDER BY doc_id""".stripMargin))
   )
 }

@@ -1048,6 +1048,62 @@ object TrainingData {
               |JOIN heads b ON p.doc_b = b.doc_id
               |ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // ----------------------------------------------------------------- t78
+    // LABEL-CENTROID SEPARATION: pairwise squared distance between
+    // per-label embedding centroids — the between-class structure audit
+    // run next to t49's within-corpus outlier pass: two labels whose
+    // centroids nearly coincide signal collapsed classes (a labeling
+    // bug, or an embedder that can't separate them), and the matrix
+    // ranks which class boundaries are soft before anyone trains on the
+    // labels. Doubles stay bit-identical across engines: fixed-point
+    // per-dimension sums, identical division sequences, ascending-index
+    // folds for the distance (t49's rules).
+    //
+    // Scale shape: the corpus collapses to |labels| × 64 fixed-point
+    // sum rows in ONE partial-aggregated pass (same recipe as t16/t49);
+    // everything after — the centroid lists, the |labels|²/2 pair join,
+    // the 64-term folds — runs on a ≤ |labels|-row frame. Vectors never
+    // cross an exchange; only (label, dim, long) partials do.
+    "t78_label_separation" -> QueryDef(
+      (spark, dir) => {
+        val cents = t(spark, dir, "embeddings")
+          .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+          .groupBy("label", "dim")
+          .agg(sum(floor(col("v") * 1e6 + 0.5)).as("s"), count(lit(1)).as("n"))
+          .groupBy("label")
+          .agg(max("n").as("n"),
+            sort_array(collect_list(struct(col("dim"), col("s")))).as("sl"))
+          .select(col("label"), col("n"),
+            expr("transform(sl, x -> (CAST(x.s AS DOUBLE)/1e6)/n)").as("m"))
+        cents.as("a").join(cents.as("b"), col("a.label") < col("b.label"))
+          .select(col("a.label").as("label_a"), col("b.label").as("label_b"),
+            col("a.n").as("n_a"), col("b.n").as("n_b"),
+            // zip_with diff twice is deterministic; float_dot then runs
+            // the same ascending acc += d*d fold as the oracle's
+            // list_reduce over range(1,65)
+            expr("float_dot(zip_with(a.m, b.m, (x, y) -> x - y), " +
+              "zip_with(a.m, b.m, (x, y) -> x - y))").as("dist2"))
+          .orderBy("label_a", "label_b")
+      },
+      Some("""WITH s AS (
+             |  SELECT label, g.dim AS dim,
+             |    SUM(CAST(FLOOR(CAST(embedding[g.dim] AS DOUBLE)*1e6 + 0.5)
+             |      AS BIGINT)) AS s,
+             |    COUNT(*) AS n
+             |  FROM embeddings, generate_series(1, 64) AS g(dim)
+             |  GROUP BY label, g.dim),
+             |m AS (
+             |  SELECT label, MAX(n) AS n,
+             |    list(CAST(s AS DOUBLE)/1e6/n ORDER BY dim) AS m
+             |  FROM s GROUP BY label)
+             |SELECT a.label AS label_a, b.label AS label_b,
+             |  a.n AS n_a, b.n AS n_b,
+             |  list_reduce(list_transform(range(1, 65),
+             |    i -> (a.m[i] - b.m[i]) * (a.m[i] - b.m[i])),
+             |    (acc, x) -> acc + x) AS dist2
+             |FROM m a JOIN m b ON a.label < b.label
+             |ORDER BY label_a, label_b""".stripMargin)),
+
     // ----------------------------------------------------------------- t77
     // COUNT-MIN SKETCH heavy hitters: estimate word frequencies through
     // a d=4 × w=1024 CMS and report the estimate vs the exact count for

@@ -813,6 +813,27 @@ class PlanSpec extends AnyFunSuite {
       "top-20 must be a TakeOrdered, not a global sort")
   }
 
+  test("t78: corpus collapses to label×dim partials; pairs join tiny frames") {
+    val p = plan("t78_label_separation")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      "per-(label,dim) sums need a map-side partial phase")
+    assert(p.contains("Exchange hashpartitioning(label"),
+      "the only wide exchange keys on label(,dim) partials")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the |labels|-row centroid pair join must broadcast (theta join)")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("t79: char entropy is one scan, two agg levels, no joins") {
+    val p = plan("t79_char_entropy")
+    assert("FileScan".r.findAllIn(p).size == 1)
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      "(doc,char) counts and the doc rollup both need map-side partials")
+    assert(!p.contains("Join"), "branch-free: histogram and rollup only")
+    assert(!p.contains("Window"),
+      "doc totals ride the length(text) projection, not a window")
+  }
+
   test("whole-stage codegen covers the relational hot paths") {
     // AQE finalizes the plan lazily; execute first, then inspect.
     val df = SparkEntry.queries("q01_agg_pricing")(spark, sf)

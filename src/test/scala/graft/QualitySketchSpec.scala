@@ -86,6 +86,31 @@ class QualitySketchSpec extends AnyFunSuite {
       "disjoint docs must not collide at this scale")
   }
 
+  test("t78: the separation matrix is a full ordered upper triangle, dist2 ≥ 0") {
+    val rows = SparkEntry.queries("t78_label_separation")(spark, sf).collect()
+    val labels = rows.flatMap(r => Seq(r.getInt(0), r.getInt(1))).distinct.length
+    assert(rows.length == labels * (labels - 1) / 2,
+      "every unordered label pair must appear exactly once")
+    rows.foreach { r =>
+      assert(r.getInt(0) < r.getInt(1))
+      assert(r.getDouble(4) >= 0.0, "a squared distance cannot be negative")
+    }
+  }
+
+  test("t79: entropy bounds — ≥1 bit/char, ≤ len(bin(n)) bits, uniform max") {
+    val rows = SparkEntry.queries("t79_char_entropy")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, distinct, bits) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(distinct >= 1 && distinct <= n)
+      assert(bits >= n, "every char costs at least 1 quantized bit")
+      // max surprisal per char is len(binary(n)) (cnt = 1)
+      assert(bits <= n * (64 - java.lang.Long.numberOfLeadingZeros(n)),
+        s"doc ${r.getLong(0)} exceeds the per-char surprisal ceiling")
+      assert(r.getDouble(4) == bits.toDouble / n.toDouble)
+    }
+  }
+
   test("t77: a count-min sketch never undercounts") {
     val rows = SparkEntry.queries("t77_cms_heavyhitters")(spark, sf).collect()
     assert(rows.length > 0 && rows.length <= 20)
