@@ -124,6 +124,10 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "ngram_stats", arity("ngram_stats", 2)(exprs => NGramStats(exprs(0), exprs(1))), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "char_entropy_stats", arity("char_entropy_stats", 1)(exprs => CharEntropyStats(exprs.head)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "winnow_fps", arity("winnow_fps", 3)(exprs => WinnowFps(exprs(0), exprs(1), exprs(2))), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash8", arity("minhash8", 1)(exprs => MinHash8(exprs.head)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash16", arity("simhash16", 1)(exprs => SimHash16(exprs.head)), "built-in")

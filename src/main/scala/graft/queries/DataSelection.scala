@@ -1887,28 +1887,24 @@ object DataSelection {
     // multi-byte text correct in both engines: substr counts CHARACTERS
     // in Spark and DuckDB alike.
     //
-    // Scale shape: the char explode is bounded per row by doc length
-    // and collapses map-side to (doc_id, char-class) counts — ≤ alphabet
-    // size per doc — before the one doc_id-keyed exchange; the entropy
-    // agg then keys on doc_id. Text never shuffles, counts do. (The
-    // per-row transform(sequence…) lambda is interpreted; a native
-    // char-histogram expression is the upgrade path if this ever
-    // becomes the hot scan at corpus scale.)
+    // Scale shape: a PURE MAP — the native codegen'd
+    // [[graft.functions.CharEntropyStats]] decodes each text once
+    // (linear scan, per-row hash state bounded by the alphabet) and
+    // emits the three longs in-row, so the corpus crosses ZERO wide
+    // exchanges at any size. The exploded relational spelling this
+    // replaced (one row per char → two agg levels) was O(n²) per doc
+    // before its first shuffle — substring(text, i, 1) re-scans the
+    // UTF-8 bytes to find code point i — and benched 4.7 s at sf0.1,
+    // the slowest query in the suite; the expression form is map-only.
     "t79_char_entropy" -> QueryDef(
       (spark, dir) => {
         t(spark, dir, "documents")
           .filter(length(col("text")) > 0)
-          .select(col("doc_id"), length(col("text")).cast("long").as("tot"),
-            explode(expr(
-              "transform(sequence(1, length(text)), i -> substring(text, i, 1))"))
-              .as("c"))
-          .groupBy("doc_id", "tot", "c").agg(count(lit(1)).as("cnt"))
-          .withColumn("bits",
-            length(bin(expr("tot div cnt"))).cast("long") * col("cnt"))
-          .groupBy("doc_id")
-          .agg(max("tot").as("n_chars_text"),
-            count(lit(1)).as("n_distinct_chars"),
-            sum("bits").as("bits_total"))
+          .select(col("doc_id"), expr("char_entropy_stats(text)").as("s"))
+          .select(col("doc_id"),
+            col("s.total").as("n_chars_text"),
+            col("s.n_distinct").as("n_distinct_chars"),
+            col("s.bits_total").as("bits_total"))
           .withColumn("bits_per_char",
             col("bits_total").cast("double") / col("n_chars_text").cast("double"))
           .orderBy("doc_id")

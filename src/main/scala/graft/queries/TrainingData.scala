@@ -1110,9 +1110,11 @@ object TrainingData {
     // the top-20 words — the sketch every streaming/mergeable frequency
     // pipeline carries (CMS cells add across shards with no rescan), and
     // the overcount column measures its collision error ε directly.
-    // Relationally spelled, both engines agree exactly: cell(r, b) =
-    // Σ tokens with md5-hash(r|w) mod 1024 = b; estimate = min over the
-    // word's 4 cells; CMS guarantees estimate ≥ exact.
+    // Relationally spelled, both engines agree exactly: row r's hash of
+    // token w is hex window r of md5(w) (slice-one-hash — one digest
+    // serves all 4 rows), cell(r, b) = Σ tokens with that hash mod 1024
+    // = b; estimate = min over the word's 4 cells; CMS guarantees
+    // estimate ≥ exact.
     //
     // Scale shape: the sketch build is groupBy(r, bucket) → at most
     // d × w = 4096 cells regardless of corpus size, partial-aggregated
@@ -1121,20 +1123,28 @@ object TrainingData {
     // side broadcasts the 4096-cell sketch to the 20 heavy hitters.
     "t77_cms_heavyhitters" -> QueryDef(
       (spark, dir) => {
-        def bucket(rCol: String, wCol: String): Column =
-          expr(s"CAST(conv(substr(md5(CAST(concat(CAST($rCol AS STRING), '|', $wCol) AS BINARY)), 1, 8), 16, 10) AS BIGINT) % 1024")
+        // slice-one-hash (sigSqlDuck's trick): ONE md5 per token, its 32
+        // hex chars cut into four 8-hex windows = the d=4 independent row
+        // hashes — 4× less hashing than an md5 per (row, token)
+        def bucket(r: Int, hCol: Column): Column =
+          expr(s"CAST(conv(substring(${hCol.toString}, ${r * 8 + 1}, 8), 16, 10) AS BIGINT) % 1024")
         val words = withWords(t(spark, dir, "documents"))
           .select(explode(col("words")).as("w"))
-        val cms = words
-          .select(explode(array((0 until 4).map(lit): _*)).as("r"), col("w"))
-          .select(col("r"), bucket("r", "w").as("bucket"))
-          .groupBy("r", "bucket").agg(count(lit(1)).as("c"))
+        val hashed = words.select(md5(col("w").cast("binary")).as("h"))
+        val cms = hashed
+          .select(explode(array((0 until 4).map(r => struct(lit(r).as("r"),
+            bucket(r, col("h")).as("bucket"))): _*)).as("rb"))
+          .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+          .agg(count(lit(1)).as("c"))
         val top = words.groupBy("w").agg(count(lit(1)).as("n_exact"))
           .orderBy(col("n_exact").desc, col("w")).limit(20)
         top
+          .withColumn("h", md5(col("w").cast("binary")))
           .select(col("w"), col("n_exact"),
-            explode(array((0 until 4).map(lit): _*)).as("r"))
-          .withColumn("bucket", bucket("r", "w"))
+            explode(array((0 until 4).map(r => struct(lit(r).as("r"),
+              bucket(r, col("h")).as("bucket"))): _*)).as("rb"))
+          .select(col("w"), col("n_exact"), col("rb.r").as("r"),
+            col("rb.bucket").as("bucket"))
           .join(broadcast(cms), Seq("r", "bucket"))
           .groupBy("w", "n_exact").agg(min("c").as("n_est"))
           .withColumn("overcount", col("n_est") - col("n_exact"))
@@ -1143,22 +1153,28 @@ object TrainingData {
           .orderBy(col("n_exact").desc, col("word"))
       },
       Some {
-        def hb(h: String): String = (1 to 8).map { i =>
-          s"(instr('0123456789abcdef', substr($h, $i, 1)) - 1) * ${1L << (4 * (8 - i))}"
+        def hb(off: Int): String = (1 to 8).map { i =>
+          s"(instr('0123456789abcdef', substr(h, ${off + i}, 1)) - 1) * ${1L << (4 * (8 - i))}"
         }.mkString("(", " + ", ")")
-        val bucket =
-          s"CAST(${hb("md5(CAST(r AS VARCHAR) || '|' || w)")} AS BIGINT) % 1024"
+        val buckets = (0 until 4).map(r =>
+          s"SELECT h, $r AS r, CAST(${hb(r * 8)} AS BIGINT) % 1024 AS bucket FROM hashed")
+          .mkString("\n  UNION ALL ")
         s"""WITH w AS (
            |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
-           |r AS (SELECT unnest([0, 1, 2, 3]) AS r),
+           |hashed AS (SELECT md5(w) AS h FROM w),
+           |rb AS (
+           |  $buckets),
            |cells AS (
-           |  SELECT r, $bucket AS bucket, COUNT(*) AS c
-           |  FROM w, r GROUP BY 1, 2),
+           |  SELECT r, bucket, COUNT(*) AS c FROM rb GROUP BY 1, 2),
            |top AS (
            |  SELECT w, COUNT(*) AS n_exact FROM w GROUP BY w
            |  ORDER BY n_exact DESC, w LIMIT 20),
+           |toph AS (SELECT w, n_exact, md5(w) AS h FROM top),
            |probe AS (
-           |  SELECT t.w, t.n_exact, r, $bucket AS bucket FROM top t, r)
+           |  SELECT w, n_exact, 0 AS r, CAST(${hb(0)} AS BIGINT) % 1024 AS bucket FROM toph
+           |  UNION ALL SELECT w, n_exact, 1, CAST(${hb(8)} AS BIGINT) % 1024 FROM toph
+           |  UNION ALL SELECT w, n_exact, 2, CAST(${hb(16)} AS BIGINT) % 1024 FROM toph
+           |  UNION ALL SELECT w, n_exact, 3, CAST(${hb(24)} AS BIGINT) % 1024 FROM toph)
            |SELECT p.w AS word, p.n_exact,
            |  CAST(MIN(c.c) AS BIGINT) AS n_est,
            |  CAST(MIN(c.c) - p.n_exact AS BIGINT) AS overcount

@@ -793,14 +793,16 @@ class PlanSpec extends AnyFunSuite {
       "documents scan must prune to (doc_id, text)")
   }
 
-  test("t76: winnow pairs unfold map-side from posting lists, no self-join") {
+  test("t76: fingerprinting is a pure map; pairs unfold from posting lists") {
     val p = plan("t76_winnow_overlap")
+    assert(p.contains("winnowfps"),
+      "the native one-pass expression must emit fingerprints in-row")
     assert(p.contains("Generate explode(flatten(transform(ids"),
       "pairs must unfold from grouped fingerprint posting lists")
     assert(!p.contains("SortMergeJoin"),
       "no exploded-corpus self-join anywhere in the pair stage")
-    // the per-doc window runs partition-local after ONE doc_id exchange
-    assert(p.contains("Exchange hashpartitioning(doc_id"))
+    assert(!p.contains("Window"),
+      "the sliding min runs in-row, never as an exploded-corpus window")
   }
 
   test("t77: the sketch build partial-aggregates and broadcasts to the probe") {
@@ -824,14 +826,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
-  test("t79: char entropy is one scan, two agg levels, no joins") {
+  test("t79: char entropy is a pure map — one scan, no exchange but the sort") {
     val p = plan("t79_char_entropy")
     assert("FileScan".r.findAllIn(p).size == 1)
-    assert("HashAggregate".r.findAllIn(p).size >= 4,
-      "(doc,char) counts and the doc rollup both need map-side partials")
-    assert(!p.contains("Join"), "branch-free: histogram and rollup only")
-    assert(!p.contains("Window"),
-      "doc totals ride the length(text) projection, not a window")
+    assert(p.contains("charentropystats"),
+      "the native one-pass expression must compute the histogram in-row")
+    assert(!p.contains("Join") && !p.contains("Window") &&
+      !p.contains("HashAggregate"),
+      "branch-free pure map: no aggregation boundary anywhere")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "only the final sort's range exchange may move rows")
   }
 
   test("whole-stage codegen covers the relational hot paths") {
