@@ -1927,6 +1927,87 @@ object DataSelection {
              |  CAST(SUM(bits) AS DOUBLE) / CAST(MAX(tot) AS DOUBLE)
              |    AS bits_per_char
              |FROM b GROUP BY doc_id
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ----------------------------------------------------------------- t80
+    // GLOBAL QUALITY-BUDGET CUT: order the whole corpus by t08 quality
+    // (best first, doc_id tie-break) and keep documents until the
+    // cumulative token estimate reaches 60% of the corpus — "spend the
+    // token budget on the best documents, wherever they come from". The
+    // GLOBAL complement of t38 (per-source quota) and t70 (per-source
+    // waterfill): here sources compete, and the per-source report shows
+    // who wins. keep ⇔ cum_tokens_before < budget, so exactly the
+    // budget-crossing document is the last kept.
+    //
+    // Scale shape: a global ordered cumsum is t24/t27's problem — a
+    // ROW_NUMBER/SUM-OVER with no PARTITION BY would drag the corpus
+    // through ONE task. Same cure, token-weighted: bucket by a monotone
+    // transform of the fixed-point quality (bucket count scales with
+    // input partitions), per-bucket token sums → driver scanLeft gives
+    // each bucket its starting offset (collect bounded by #buckets);
+    // pass 2 re-sorts only within buckets and streams the running sum
+    // per partition. The final report is a tiny per-source agg.
+    "t80_quality_budget_cut" -> QueryDef(
+      (spark, dir) => {
+        import spark.implicits._
+        val docs = Curation.qualityInputs(t(spark, dir, "documents"))
+          .withColumn("qfp", floor(Curation.qualityCol * 1e6 + 0.5).cast("long"))
+          .select(col("doc_id"), col("source"), col("qfp"),
+            expr(tokenEstExpr).cast("long").as("tok"))
+        val buckets = tokenShardBuckets(docs.rdd.getNumPartitions)
+        // monotone: best quality (qfp = 1e6) → bucket 0
+        val bucketed = docs.withColumn("bucket",
+          expr(s"CAST((1000000 - qfp) * $buckets div 1000001 AS INT)"))
+        val perBucket = bucketed.groupBy("bucket")
+          .agg(sum("tok").as("toks"))
+          .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1).toSeq
+        val totalTokens = perBucket.map(_._2).sum
+        val budget = totalTokens * 60L / 100L
+        val offsets: Map[Int, Long] = perBucket.map(_._1)
+          .zip(perBucket.scanLeft(0L)((acc, b) => acc + b._2)).toMap
+        bucketed
+          .repartition(col("bucket"))
+          .sortWithinPartitions(col("bucket"), col("qfp").desc, col("doc_id"))
+          .select(col("doc_id"), col("source"), col("tok"), col("bucket"))
+          .as[(Long, String, Long, Int)]
+          .mapPartitions { it =>
+            var cur = Int.MinValue
+            var cum = 0L
+            it.map { case (_, src, tok, b) =>
+              if (b != cur) { cur = b; cum = offsets(b) }
+              val before = cum
+              cum += tok
+              (src, tok, before < budget)
+            }
+          }
+          .toDF("source", "tok", "keep")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+            sum("tok").as("tokens_total"),
+            sum(when(col("keep"), col("tok")).otherwise(0L)).as("tokens_kept"))
+          .orderBy("source")
+      },
+      Some(s"""WITH q AS (
+              |  SELECT doc_id, source,
+              |    CAST(FLOOR((${Curation.qualityDuck}) * 1e6 + 0.5) AS BIGINT)
+              |      AS qfp,
+              |    CAST($tokenEstDuck AS BIGINT) AS tok
+              |  FROM documents),
+              |c AS (
+              |  SELECT source, tok,
+              |    COALESCE(CAST(SUM(tok) OVER (ORDER BY qfp DESC, doc_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              |      AS BIGINT), 0) AS cum_before
+              |  FROM q),
+              |tot AS (
+              |  SELECT CAST(SUM(tok) AS BIGINT) * 60 // 100 AS budget FROM q)
+              |SELECT source, COUNT(*) AS n_docs,
+              |  CAST(SUM(CASE WHEN cum_before < budget THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS n_kept,
+              |  CAST(SUM(tok) AS BIGINT) AS tokens_total,
+              |  CAST(SUM(CASE WHEN cum_before < budget THEN tok ELSE 0 END)
+              |    AS BIGINT) AS tokens_kept
+              |FROM c, tot GROUP BY source ORDER BY source""".stripMargin))
   )
 }

@@ -838,6 +838,48 @@ class PlanSpec extends AnyFunSuite {
       "only the final sort's range exchange may move rows")
   }
 
+  test("t80: the budget cut is two-pass map work, never a global window") {
+    val p = plan("t80_quality_budget_cut")
+    assert(!p.contains("Window"),
+      "a global-order cumsum window would pull the corpus into one task")
+    assert(p.contains("MapPartitions"),
+      "within-bucket running sums must stream as a seeded map pass")
+    assert(p.contains("Exchange hashpartitioning(bucket"),
+      "pass 2 re-partitions by quality bucket, not by a single range")
+  }
+
+  test("t80: bucketed budget cut equals the single-task global cumsum") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("t80_quality_budget_cut")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    // reference: the same quality (t08's published score) through a
+    // plain global-order window — correct, but single-task at scale
+    val q = SparkEntry.queries("t08_quality_score")(spark, sf)
+      .select(col("doc_id"), floor(col("quality") * 1e6 + 0.5).cast("long").as("qfp"))
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("source"),
+        expr("CAST((n_chars + 3) div 4 AS BIGINT)").as("tok"))
+    val joined = docs.join(q, "doc_id")
+    val total = joined.agg(sum("tok")).head().getLong(0)
+    val budget = total * 60L / 100L
+    val w = Window.orderBy(col("qfp").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val want = joined
+      .withColumn("cum_before", coalesce(sum("tok").over(w), lit(0L)))
+      .withColumn("keep", col("cum_before") < budget)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum("tok").as("tokens_total"),
+        sum(when(col("keep"), col("tok")).otherwise(0L)).as("tokens_kept"))
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == want)
+  }
+
   test("whole-stage codegen covers the relational hot paths") {
     // AQE finalizes the plan lazily; execute first, then inspect.
     val df = SparkEntry.queries("q01_agg_pricing")(spark, sf)
