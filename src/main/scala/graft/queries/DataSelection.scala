@@ -2008,6 +2008,68 @@ object DataSelection {
               |  CAST(SUM(tok) AS BIGINT) AS tokens_total,
               |  CAST(SUM(CASE WHEN cum_before < budget THEN tok ELSE 0 END)
               |    AS BIGINT) AS tokens_kept
-              |FROM c, tot GROUP BY source ORDER BY source""".stripMargin))
+              |FROM c, tot GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ----------------------------------------------------------------- t81
+    // CLUSTER-SAFE train/val/test split: t46's 98/1/1 md5 gate applied
+    // to the NEAR-DUP CLUSTER id (t15's connected components over the
+    // MinHash pairs) instead of the document id — every member of a
+    // near-dup cluster inherits its cluster's split, so the leakage
+    // t71 audits (near-duplicates straddling train and held-out) is
+    // impossible BY CONSTRUCTION, not just measured afterwards. This is
+    // the remedy op to t71's diagnostic; the invariant (no t02 pair
+    // crosses splits) is pinned in QualitySketchSpec.
+    //
+    // Scale shape: inherits t15's component machinery (digest-keyed
+    // band joins, O(diameter) propagation with the O(log n) contraction
+    // fallback, localCheckpoint per round); the gate itself is a pure
+    // map on the |docs|-row label frame and the final join keys on
+    // doc_id. No new wide shuffles beyond the clustering it reuses.
+    "t81_cluster_safe_split" -> QueryDef(
+      (spark, dir) => {
+        val docs = t(spark, dir, "documents").select("doc_id")
+        val labels = graft.operators.Components.connected(
+          docs, TrainingData.minhashPairs(spark, dir), propagateRounds = 50)
+        labels
+          .select(col("doc_id"), col("label").as("cluster_id"))
+          .withColumn("bucket", expr(
+            "CAST(conv(substr(md5(CAST(concat('t81|', CAST(cluster_id AS STRING)) AS BINARY)), 1, 4), 16, 10) AS INT) % 100"))
+          .withColumn("split",
+            when(col("bucket") < 98, "train")
+              .when(col("bucket") === 98, "validation")
+              .otherwise("test"))
+          .select("doc_id", "cluster_id", "split")
+          .orderBy("doc_id")
+      },
+      Some {
+        val hb = (1 to 4).map { i =>
+          s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1) * ${1 << (4 * (4 - i))}"
+        }.mkString(" + ")
+        s"""WITH RECURSIVE ${TrainingData.minhashPairsDuck},
+           |edges AS (
+           |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+           |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+           |reach(src, dst) AS (
+           |  SELECT src, dst FROM edges
+           |  UNION
+           |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+           |comp AS (SELECT src AS doc_id, MIN(dst) AS min_reach
+           |         FROM reach GROUP BY src),
+           |lab AS (
+           |  SELECT d.doc_id,
+           |    LEAST(d.doc_id, COALESCE(c.min_reach, d.doc_id)) AS cluster_id
+           |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+           |gated AS (
+           |  SELECT doc_id, cluster_id,
+           |    CAST($hb AS INTEGER) % 100 AS bucket
+           |  FROM (SELECT doc_id, cluster_id,
+           |          md5('t81|' || CAST(cluster_id AS VARCHAR)) AS h
+           |        FROM lab))
+           |SELECT doc_id, cluster_id,
+           |  CASE WHEN bucket < 98 THEN 'train'
+           |       WHEN bucket = 98 THEN 'validation'
+           |       ELSE 'test' END AS split
+           |FROM gated ORDER BY doc_id""".stripMargin
+      })
   )
 }

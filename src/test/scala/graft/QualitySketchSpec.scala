@@ -111,6 +111,19 @@ class QualitySketchSpec extends AnyFunSuite {
     }
   }
 
+  test("t81: no near-dup candidate pair ever straddles two splits") {
+    val split = SparkEntry.queries("t81_cluster_safe_split")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val pairs = SparkEntry.queries("t02_minhash_lsh")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(split.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(split(a) == split(b),
+        s"near-dup pair ($a, $b) crosses splits — leakage by construction")
+    }
+    assert(split.values.toSet.subsetOf(Set("train", "validation", "test")))
+  }
+
   test("t77: a count-min sketch never undercounts") {
     val rows = SparkEntry.queries("t77_cms_heavyhitters")(spark, sf).collect()
     assert(rows.length > 0 && rows.length <= 20)
