@@ -86,6 +86,24 @@ class QualitySketchSpec extends AnyFunSuite {
       "disjoint docs must not collide at this scale")
   }
 
+  test("t82: the KMV estimate is sane and exact below k") {
+    val rows = SparkEntry.queries("t82_kmv_distinct")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (exact, hk, est) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(exact >= 1 && hk >= 1)
+      assert(est >= 1, s"lang ${r.getString(0)}: degenerate estimate")
+      // KMV with k=64 has relative std error ~1/sqrt(k-1) ≈ 12.6%; 3σ
+      // plus small-n slack = a generous structural bound — a wrong
+      // h_k, rank, or hash-space constant lands orders of magnitude
+      // away, which is what this guards
+      val rel = math.abs(est - exact).toDouble / exact
+      assert(exact < 64 || rel < 0.6,
+        s"lang ${r.getString(0)}: |rel_err| $rel out of any KMV regime")
+      if (exact < 64) assert(est == exact, "below k the sketch is exact")
+    }
+  }
+
   test("t78: the separation matrix is a full ordered upper triangle, dist2 ≥ 0") {
     val rows = SparkEntry.queries("t78_label_separation")(spark, sf).collect()
     val labels = rows.flatMap(r => Seq(r.getInt(0), r.getInt(1))).distinct.length
