@@ -369,6 +369,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(got1 == want, "streamed gate must equal the batch t36 verdict")
   }
 
+  test("streaming decontaminate gate equals batch t54's ANY-hit rule on the fixture") {
+    // t54 grades contamination in spans (keep/redact/drop); the ingest
+    // gate only knows ANY-hit. Same 13-gram xxhash64 rule, same eval
+    // slice (doc_id % 50 == 0): the gate's survivors must be exactly
+    // t54's n_hits == 0 documents.
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.queries.Tables.t(spark, dir, "documents")
+      .select("doc_id", "text")
+    val kept = Streams.streamingDecontaminate(
+        docs.filter(col("doc_id") % 50 =!= 0), "text",
+        docs.filter(col("doc_id") % 50 === 0), "text")
+      .select("doc_id").as[Long].collect().toSet
+    val t54 = SparkEntry.queries("t54_decontaminate_13gram")(spark, dir)
+      .select("doc_id", "n_hits").collect()
+    val want = t54.filter(_.getLong(1) == 0L).map(_.getLong(0)).toSet
+    assert(t54.length > want.size, "fixture must contain contaminated docs")
+    assert(kept == want)
+  }
+
   test("incremental dedup index replay is idempotent (batch-id overwrite)") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_idem").toString
