@@ -1011,10 +1011,13 @@ object TrainingData {
     // the quadratic cost: 160×160 cells per pair regardless of document
     // length, the standard truncation in pair-verification passes.
     //
-    // ASCII gate, on BOTH engines: Spark's levenshtein counts
-    // CHARACTERS while DuckDB's counts BYTES — identical only on ASCII,
-    // so pairs where either head is non-ASCII (chars ≠ bytes) are
-    // excluded structurally rather than relying on fixture content.
+    // ASCII gate on the HEAD (the compared span), on BOTH engines:
+    // Spark's levenshtein counts CHARACTERS while DuckDB's counts
+    // BYTES — identical only on ASCII, so pairs where either HEAD is
+    // non-ASCII (chars ≠ bytes) are excluded structurally rather than
+    // relying on fixture content. Gating the head, not the whole text,
+    // keeps pairs whose only multi-byte characters sit past the
+    // truncation point — their head distance is still well-defined.
     //
     // Scale shape: candidates (a vanishing fraction of the corpus) join
     // the head projection on doc_id — two hash joins keyed on an int8,
@@ -1023,8 +1026,8 @@ object TrainingData {
     "t75_edit_verify" -> QueryDef(
       (spark, dir) => {
         val heads = t(spark, dir, "documents")
-          .filter(expr("length(text) = octet_length(text)"))
           .select(col("doc_id"), substring(col("text"), 1, 160).as("head"))
+          .filter(expr("length(head) = octet_length(head)"))
         minhashPairs(spark, dir)
           .join(heads.select(col("doc_id").as("doc_a"),
             col("head").as("head_a")), "doc_a")
@@ -1037,8 +1040,9 @@ object TrainingData {
       },
       Some(s"""WITH $minhashPairsDuck,
               |heads AS (
-              |  SELECT doc_id, substr(text, 1, 160) AS head
-              |  FROM documents WHERE strlen(text) = length(text))
+              |  SELECT doc_id, head FROM
+              |    (SELECT doc_id, substr(text, 1, 160) AS head FROM documents)
+              |  WHERE strlen(head) = length(head))
               |SELECT p.doc_a, p.doc_b,
               |  levenshtein(a.head, b.head) AS edit_dist,
               |  CASE WHEN levenshtein(a.head, b.head) <= 40
@@ -1202,8 +1206,10 @@ object TrainingData {
         // slice-one-hash (sigSqlDuck's trick): ONE md5 per token, its 32
         // hex chars cut into four 8-hex windows = the d=4 independent row
         // hashes — 4× less hashing than an md5 per (row, token)
+        // typed API, no SQL string splice (Column.toString is a debug
+        // rendering, not SQL — a qualified column would break the expr)
         def bucket(r: Int, hCol: Column): Column =
-          expr(s"CAST(conv(substring(${hCol.toString}, ${r * 8 + 1}, 8), 16, 10) AS BIGINT) % 1024")
+          conv(substring(hCol, r * 8 + 1, 8), 16, 10).cast("long") % 1024
         val words = withWords(t(spark, dir, "documents"))
           .select(explode(col("words")).as("w"))
         val hashed = words.select(md5(col("w").cast("binary")).as("h"))

@@ -268,17 +268,31 @@ object Streams {
     * callback does, after the probe, so in-batch duplicates of each
     * other pass together exactly as t36's new-vs-new docs do.
     *
+    * Only index partitions with `batch < batchId` are probed. This is
+    * the replay guard: when Structured Streaming re-executes batch N
+    * after a crash that landed BETWEEN extendIndex(N) and the checkpoint
+    * commit, the index already contains batch N's own digests — probing
+    * them would flag every replayed document as a duplicate of itself
+    * and overwrite out/batch=N with an empty frame. Excluding the
+    * current (and any torn later) partition makes the probe a function
+    * of the PRE-N index, so a replay reproduces the original output
+    * bit-for-bit. (It equally excludes partially-committed files from
+    * the crashed attempt itself.)
+    *
     * The index is two digest tables laid out as batch=N partition dirs
     * (16-byte content hashes; (band, bucket) pairs) — only digests are
     * ever stored or shuffled, never text. At corpus scale this is the
     * pre-built band index t36's scaladoc names; the probes are
     * left-anti hash joins on digest keys.
     */
-  def dedupBatchAgainstIndex(batch: DataFrame, statePath: String): DataFrame = {
+  def dedupBatchAgainstIndex(batch: DataFrame, statePath: String,
+      batchId: Long): DataFrame = {
     val spark = batch.sparkSession
     graft.functions.GraftFunctions.register(spark)
-    (readIndex(spark, s"$statePath/hashes"),
-      readIndex(spark, s"$statePath/bands")) match {
+    def upTo(ix: Option[DataFrame]): Option[DataFrame] =
+      ix.map(_.filter(col("batch") < batchId))
+    (upTo(readIndex(spark, s"$statePath/hashes")),
+      upTo(readIndex(spark, s"$statePath/bands"))) match {
       case (None, None) => batch // empty index: everything is novel
       case (oldH, oldB) =>
         val withH = batch.withColumn("__h", md5(col("text").cast("binary")))
@@ -336,20 +350,25 @@ object Streams {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val b = batch.persist() // probed once, indexed once
         try {
-          dedupBatchAgainstIndex(b, statePath)
+          dedupBatchAgainstIndex(b, statePath, batchId)
             .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
           extendIndex(b, statePath, batchId)
         } finally { b.unpersist(); () }
       }
       .start()
 
-  /** Read an index table if any batch partition exists yet (a bare
-    * spark.read.parquet on a missing/empty dir throws instead). */
+  /** Read an index table if at least one COMMITTED data file exists.
+    * Checking for a batch= directory alone is not enough: a crash
+    * mid-extendIndex can leave batch=N holding only the hidden
+    * _temporary dir, and spark.read.parquet on a dir with zero visible
+    * footers fails schema inference on every retry — a permanently
+    * stuck stream. Globbing for committed part files makes the torn
+    * first write read as "no index yet" instead. */
   private def readIndex(spark: SparkSession, path: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.startsWith("batch=")))
-      Some(spark.read.parquet(path))
-    else None
+    val committed = fs.exists(p) &&
+      fs.globStatus(new org.apache.hadoop.fs.Path(p, "batch=*/part-*")).nonEmpty
+    if (committed) Some(spark.read.parquet(path)) else None
   }
 }

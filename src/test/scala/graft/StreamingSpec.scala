@@ -398,11 +398,28 @@ class StreamingSpec extends AnyFunSuite {
     Streams.extendIndex(b, s"$tmp/state", 7L) // retry of the same batch
     val hashes = spark.read.parquet(s"$tmp/state/hashes")
     assert(hashes.count() == 2, "a replayed batch must overwrite, not double")
-    // and the probe drops exact copies arriving later
+    // a LATER batch's probe drops exact copies arriving again
     val kept = Streams.dedupBatchAgainstIndex(
       Seq((3L, "alpha beta gamma delta eps"), (4L, "totally novel words here now"))
-        .toDF("doc_id", "text"), s"$tmp/state")
+        .toDF("doc_id", "text"), s"$tmp/state", batchId = 8L)
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(4L))
+  }
+
+  test("a replayed probe ignores its own batch's index partition") {
+    // crash window: extendIndex(N) committed but the streaming
+    // checkpoint did not — on restart batch N re-executes. The probe
+    // must see only the PRE-N index, or every replayed doc would read
+    // as a duplicate of itself and the batch's output would be
+    // silently replaced with an empty frame.
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_replay").toString
+    val b7 = Seq((1L, "alpha beta gamma delta eps"), (2L, "zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    Streams.extendIndex(b7, s"$tmp/state", 7L)
+    val replayKept = Streams.dedupBatchAgainstIndex(b7, s"$tmp/state", batchId = 7L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(replayKept == Set(1L, 2L),
+      "replay of batch 7 must reproduce its original output, not empty")
   }
 }
