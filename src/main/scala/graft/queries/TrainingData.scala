@@ -1052,6 +1052,54 @@ object TrainingData {
               |JOIN heads b ON p.doc_b = b.doc_id
               |ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // ----------------------------------------------------------------- t83
+    // CROSS-MODAL DUP CONSISTENCY: for every t02 MinHash candidate pair
+    // (near-identical TEXT), the cosine of the two documents' embedding
+    // vectors (ids align 1:1 with doc ids, TESTDATA.md) — pairs the text
+    // says are duplicates but the embedding space says are far apart
+    // (`divergent` = cosine < 0.9) indicate a broken embedder, stale
+    // vectors, or an id misalignment upstream. The QA join every
+    // pipeline carrying BOTH a text index and a vector index should run
+    // before trusting semantic dedup (t26) to agree with lexical dedup
+    // (t02): t40 audits candidate-set agreement, this audits the
+    // GEOMETRY for the pairs both layers must agree on most.
+    //
+    // Scale shape: the candidate pairs (vanishing fraction of the
+    // corpus) hash-join the embeddings table twice on its primary id —
+    // digest-sized keys, vectors move only for matched pairs; cosine is
+    // three codegen'd float_dot kernels per pair, same IEEE folds both
+    // engines (dotDuck twin).
+    "t83_dup_embedding_consistency" -> QueryDef(
+      (spark, dir) => {
+        val emb = t(spark, dir, "embeddings").select(col("vec_id"),
+          col("embedding"), expr(dotSql("embedding", "embedding")).as("nrm"))
+        minhashPairs(spark, dir)
+          .join(emb.select(col("vec_id").as("doc_a"),
+            col("embedding").as("ea"), col("nrm").as("na")), "doc_a")
+          .join(emb.select(col("vec_id").as("doc_b"),
+            col("embedding").as("eb"), col("nrm").as("nb")), "doc_b")
+          .select(col("doc_a"), col("doc_b"),
+            (expr(dotSql("ea", "eb")) /
+              (sqrt(col("na")) * sqrt(col("nb")))).as("cosine"))
+          .withColumn("divergent", (col("cosine") < 0.9).cast("int"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH $minhashPairsDuck,
+              |emb AS (
+              |  SELECT vec_id, embedding,
+              |    ${dotDuck("embedding", "embedding")} AS nrm
+              |  FROM embeddings)
+              |SELECT p.doc_a, p.doc_b,
+              |  ${dotDuck("a.embedding", "b.embedding")}
+              |    / (sqrt(a.nrm) * sqrt(b.nrm)) AS cosine,
+              |  CASE WHEN ${dotDuck("a.embedding", "b.embedding")}
+              |    / (sqrt(a.nrm) * sqrt(b.nrm)) < 0.9
+              |    THEN 1 ELSE 0 END AS divergent
+              |FROM pairs p
+              |JOIN emb a ON p.doc_a = a.vec_id
+              |JOIN emb b ON p.doc_b = b.vec_id
+              |ORDER BY doc_a, doc_b""".stripMargin)),
+
     // ----------------------------------------------------------------- t82
     // KMV (k-minimum-values) DISTINCT sketch: estimate each language's
     // distinct-shingle cardinality from only its k=64 smallest 48-bit
