@@ -2010,6 +2010,102 @@ object DataSelection {
               |    AS BIGINT) AS tokens_kept
               |FROM c, tot GROUP BY source ORDER BY source""".stripMargin)),
 
+    // ----------------------------------------------------------------- t84
+    // BIGRAM SURPRISAL with unigram BACKOFF (KenLM-style, one order
+    // down): score every document's word-ORDER predictability under a
+    // bigram LM trained on the src0 reference slice. Per bigram
+    // (w1 w2): if the LM saw it, bits = lenbin(ctx(w1) div cnt(w1 w2))
+    // — the quantized conditional surprisal −log₂ P(w2|w1); else back
+    // off to the t74 unigram score of w2 plus a 1-bit backoff penalty.
+    // t74 is order-BLIND (a shuffled document scores identically);
+    // this is the complementary signal — word-salad spam with plausible
+    // unigrams lights up here. Same integer quantization, so per-doc
+    // sums are exact BIGINTs in any merge order.
+    //
+    // Scale shape: both LM tables build from the reference slice only
+    // (partial-aggregated; ctx(w1) derives from the bigram table, not a
+    // second corpus pass) and BROADCAST to the corpus-wide scoring scan
+    // — the exploded bigram stream never shuffles by token; the one
+    // wide exchange carries (doc_id, 3 longs) partials.
+    "t84_bigram_surprisal" -> QueryDef(
+      (spark, dir) => {
+        val bg = withWords(t(spark, dir, "documents"))
+          .select(col("doc_id"), col("source"),
+            explode(expr("word_bigrams(words)")).as("b"))
+        val lmBg = bg.filter(col("source") === "src0")
+          .groupBy("b").agg(count(lit(1)).as("cbg"))
+        // ctx(w1) = Σ bigrams starting with w1 — derived from the
+        // bigram table (≤ |LM bigrams| rows), not a second corpus scan
+        val lmCtx = lmBg
+          .groupBy(substring_index(col("b"), " ", 1).as("w1"))
+          .agg(sum("cbg").as("cctx"))
+        val lmUni = withWords(t(spark, dir, "documents"))
+          .filter(col("source") === "src0")
+          .select(explode(col("words")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("cnt"))
+        val tot = lmUni.agg(sum("cnt").as("t_lm"))
+        bg
+          .join(broadcast(lmBg), Seq("b"), "left")
+          .join(broadcast(lmCtx),
+            substring_index(col("b"), " ", 1) === col("w1"), "left")
+          .join(broadcast(lmUni),
+            substring_index(col("b"), " ", -1) === col("w"), "left")
+          .crossJoin(broadcast(tot))
+          .withColumn("bits",
+            when(col("cbg").isNotNull,
+              length(bin(expr("cctx div cbg"))).cast("long"))
+              .otherwise(length(bin(
+                expr("t_lm div (coalesce(cnt, CAST(0 AS BIGINT)) + 1)")))
+                .cast("long") + 1L))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum(when(col("cbg").isNull, 1L).otherwise(0L)).as("n_backoff"),
+            sum("bits").as("bits_total"))
+          .withColumn("bits_per_bigram",
+            col("bits_total").cast("double") / col("n_bigrams").cast("double"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id, source, string_split(text, ' ') AS words
+             |  FROM documents),
+             |bg AS (
+             |  SELECT doc_id, source,
+             |    unnest(list_transform(range(1, len(words)),
+             |      i -> array_to_string(words[i:i+1], ' '))) AS b
+             |  FROM w),
+             |lmbg AS (
+             |  SELECT b, COUNT(*) AS cbg FROM bg
+             |  WHERE source = 'src0' GROUP BY b),
+             |lmctx AS (
+             |  SELECT split_part(b, ' ', 1) AS w1,
+             |    CAST(SUM(cbg) AS BIGINT) AS cctx
+             |  FROM lmbg GROUP BY 1),
+             |lmuni AS (
+             |  SELECT u.w, COUNT(*) AS cnt FROM
+             |    (SELECT unnest(words) AS w FROM w WHERE source = 'src0') u
+             |  GROUP BY u.w),
+             |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t_lm FROM lmuni),
+             |scored AS (
+             |  SELECT g.doc_id,
+             |    CASE WHEN lmbg.cbg IS NULL THEN 1 ELSE 0 END AS backoff,
+             |    CASE WHEN lmbg.cbg IS NOT NULL
+             |      THEN length(format('{:b}', c.cctx // lmbg.cbg))
+             |      ELSE length(format('{:b}',
+             |        t.t_lm // (COALESCE(u.cnt, 0) + 1))) + 1
+             |    END AS bits
+             |  FROM bg g
+             |  LEFT JOIN lmbg ON g.b = lmbg.b
+             |  LEFT JOIN lmctx c ON split_part(g.b, ' ', 1) = c.w1
+             |  LEFT JOIN lmuni u ON split_part(g.b, ' ', -1) = u.w
+             |  , tot t)
+             |SELECT doc_id, COUNT(*) AS n_bigrams,
+             |  CAST(SUM(backoff) AS BIGINT) AS n_backoff,
+             |  CAST(SUM(bits) AS BIGINT) AS bits_total,
+             |  CAST(SUM(bits) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             |    AS bits_per_bigram
+             |FROM scored GROUP BY doc_id
+             |ORDER BY doc_id""".stripMargin)),
+
     // ----------------------------------------------------------------- t81
     // CLUSTER-SAFE train/val/test split: t46's 98/1/1 md5 gate applied
     // to the NEAR-DUP CLUSTER id (t15's connected components over the

@@ -28,6 +28,23 @@ class QualitySketchSpec extends AnyFunSuite {
         s"src0 doc ${r.getLong(0)} reports OOV tokens against its own LM"))
   }
 
+  test("t84: ≥1 bit per bigram; reference-slice docs never back off") {
+    val rows = SparkEntry.queries("t84_bigram_surprisal")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nBg, nBo, bits) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nBo <= nBg)
+      assert(bits >= nBg, s"doc ${r.getLong(0)}: <1 bit/bigram")
+      assert(r.getDouble(4) == bits.toDouble / nBg.toDouble)
+    }
+    val src0 = graft.queries.Tables.t(spark, sf, "documents")
+      .filter(org.apache.spark.sql.functions.col("source") === "src0")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    rows.filter(r => src0.contains(r.getLong(0)))
+      .foreach(r => assert(r.getLong(2) == 0L,
+        s"src0 doc ${r.getLong(0)} backed off against its own LM"))
+  }
+
   test("t75: verifier output is well-formed and threshold-consistent") {
     val rows = SparkEntry.queries("t75_edit_verify")(spark, sf).collect()
     rows.foreach { r =>
