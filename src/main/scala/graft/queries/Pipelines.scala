@@ -378,6 +378,64 @@ object Pipelines {
              |              ELSE 'keep' END AS verdict
              |  FROM dd)
              |SELECT verdict, COUNT(*) AS n FROM v
-             |GROUP BY verdict ORDER BY verdict""".stripMargin))
+             |GROUP BY verdict ORDER BY verdict""".stripMargin)),
+
+    // ----------------------------------------------------------------- p13
+    // The native extension FUNCTIONS through the engine's SQL surface:
+    // a user pipeline computes t76's winnowing near-dup pairs entirely
+    // in YAML transform SQL — `winnow_fps` is registered on the session
+    // by the SQL bridge (SqlBridge.scala), so the MOSS fingerprint
+    // stage, the df-capped posting lists, the map-side pair unfold and
+    // the containment join all express as plain stage SQL. Oracle =
+    // t76's relational spelling: the ENGINE path and the DataFrame
+    // path (t76) must both hash-match it.
+    "p13_pipeline_winnow" -> QueryDef(
+      (spark, dir) => run(spark,
+        s"""
+           |- name: Docs
+           |  kind: tap
+           |  connection: {kind: Parquet, locator: $dir/documents.parquet}
+           |- name: Fps
+           |  kind: transform
+           |  query: >
+           |    SELECT DISTINCT doc_id, fp
+           |    FROM Docs
+           |    LATERAL VIEW explode(winnow_fps(split(text, ' '), 3, 4)) AS fp
+           |- name: Groups
+           |  kind: transform
+           |  query: >
+           |    SELECT fp, sort_array(collect_list(doc_id)) AS ids
+           |    FROM Fps GROUP BY fp
+           |    HAVING size(sort_array(collect_list(doc_id))) <= 50
+           |- name: Inter
+           |  kind: transform
+           |  query: >
+           |    SELECT p.a AS doc_a, p.b AS doc_b, COUNT(*) AS n_common
+           |    FROM Groups
+           |    LATERAL VIEW explode(flatten(transform(ids, (x, i) ->
+           |      transform(slice(ids, i + 2, size(ids)),
+           |        y -> struct(x AS a, y AS b))))) AS p
+           |    WHERE size(ids) > 1
+           |    GROUP BY p.a, p.b HAVING COUNT(*) >= 2
+           |- name: Sizes
+           |  kind: transform
+           |  query: >
+           |    SELECT doc_id, COUNT(*) AS n_fp FROM
+           |      (SELECT explode(ids) AS doc_id FROM Groups)
+           |    GROUP BY doc_id
+           |- name: Report
+           |  kind: transform
+           |  query: >
+           |    SELECT i.doc_a, i.doc_b, sa.n_fp AS fp_a, sb.n_fp AS fp_b,
+           |      i.n_common,
+           |      CAST(i.n_common AS DOUBLE)
+           |        / CAST(least(sa.n_fp, sb.n_fp) AS DOUBLE) AS containment
+           |    FROM Inter i
+           |    JOIN Sizes sa ON i.doc_a = sa.doc_id
+           |    JOIN Sizes sb ON i.doc_b = sb.doc_id
+           |    ORDER BY doc_a, doc_b
+           |""".stripMargin),
+      // t76's oracle verbatim — one truth, two engine paths
+      Curation.defs("t76_winnow_overlap").oracle)
   )
 }
