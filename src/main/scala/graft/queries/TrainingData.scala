@@ -1052,6 +1052,68 @@ object TrainingData {
               |JOIN heads b ON p.doc_b = b.doc_id
               |ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // ----------------------------------------------------------------- t85
+    // ZIPF FREQUENCY-SPECTRUM COVERAGE: bucket the vocabulary by
+    // log₂ frequency class (cls = lenbin(cnt), so class c holds words
+    // seen 2^(c−1)..2^c−1 times) and report, cumulatively from the most
+    // frequent class down, how many words and what fraction of ALL
+    // corpus tokens the classes ≥ c cover. The vocabulary-size /
+    // min-frequency design curve: "a cnt ≥ 2^(c−1) cutoff keeps
+    // n_words types and still covers `coverage` of the corpus" — the
+    // rank-free cousin of a top-K coverage table (no global vocabulary
+    // rank needed), and the quantitative face of t73's Heaps curve and
+    // t34's top-k list.
+    //
+    // Scale shape: corpus → (word, cnt) with map-side partials; the
+    // vocabulary then collapses to ≤ 64 log₂ classes in a second tiny
+    // agg; the cumulative sums are a window over that ≤ 64-row frame
+    // (bounded-window rule) and the 1-row total broadcasts back. Word
+    // strings cross one exchange (the vocab groupBy), counts only after.
+    "t85_zipf_coverage" -> QueryDef(
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val wc = withWords(t(spark, dir, "documents"))
+          .select(explode(col("words")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("cnt"))
+        val classes = wc
+          .select(length(bin(col("cnt"))).cast("long").as("cls"), col("cnt"))
+          .groupBy("cls")
+          .agg(count(lit(1)).as("n_words"), sum("cnt").as("n_tokens"))
+        val tot = classes.agg(sum("n_tokens").as("t_all"))
+        val cum = Window.orderBy(col("cls").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        classes
+          .withColumn("cum_words", sum("n_words").over(cum))
+          .withColumn("cum_tokens", sum("n_tokens").over(cum))
+          .crossJoin(broadcast(tot))
+          .select(col("cls"),
+            expr("shiftleft(CAST(1 AS BIGINT), cls - 1)").as("min_count"),
+            col("cum_words"), col("cum_tokens"),
+            (col("cum_tokens").cast("double") / col("t_all").cast("double"))
+              .as("coverage"))
+          .orderBy(col("cls").desc)
+      },
+      Some("""WITH wc AS (
+             |  SELECT w, COUNT(*) AS cnt FROM
+             |    (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+             |  GROUP BY w),
+             |cl AS (
+             |  SELECT length(format('{:b}', cnt)) AS cls,
+             |    COUNT(*) AS n_words, CAST(SUM(cnt) AS BIGINT) AS n_tokens
+             |  FROM wc GROUP BY 1),
+             |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t_all FROM cl)
+             |SELECT cls,
+             |  CAST(1 AS BIGINT) << (cls - 1) AS min_count,
+             |  CAST(SUM(n_words) OVER (ORDER BY cls DESC
+             |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_words,
+             |  CAST(SUM(n_tokens) OVER (ORDER BY cls DESC
+             |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+             |  CAST(SUM(n_tokens) OVER (ORDER BY cls DESC
+             |    ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             |    / CAST(t.t_all AS DOUBLE) AS coverage
+             |FROM cl, tot t
+             |ORDER BY cls DESC""".stripMargin)),
+
     // ----------------------------------------------------------------- t83
     // CROSS-MODAL DUP CONSISTENCY: for every t02 MinHash candidate pair
     // (near-identical TEXT), the cosine of the two documents' embedding
