@@ -36,6 +36,18 @@ object DataSelection {
   /** DuckDB twin of [[tokenEstExpr]]. */
   private[queries] val tokenEstDuck = "(n_chars + 3) // 4"
 
+  /** The src0 reference-slice unigram LM — (lm = (w, cnt), tot = one-row
+    * t_lm). The ONE definition shared by t74's surprisal and t84's
+    * backoff: the t84 contract is "t74 unigram score + 1 penalty bit",
+    * which only stays true while both read the same LM build. */
+  private def srcZeroUnigramLm(docs: DataFrame): (DataFrame, DataFrame) = {
+    import TrainingData.withWords
+    val lm = withWords(docs).filter(col("source") === "src0")
+      .select(explode(col("words")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    (lm, lm.agg(sum("cnt").as("t_lm")))
+  }
+
   /** t50/t51's chunk geometry: fixed `chunkW`-char windows every
     * `chunkS` chars (`chunkW - chunkS` overlap) — the RAG/embedding prep
     * split. Interpolated into BOTH engines' definitions so an edit
@@ -1830,9 +1842,7 @@ object DataSelection {
       (spark, dir) => {
         val words = withWords(t(spark, dir, "documents"))
           .select(col("doc_id"), col("source"), explode(col("words")).as("w"))
-        val lm = words.filter(col("source") === "src0")
-          .groupBy("w").agg(count(lit(1)).as("cnt"))
-        val tot = lm.agg(sum("cnt").as("t_lm"))
+        val (lm, tot) = srcZeroUnigramLm(t(spark, dir, "documents"))
         words
           .join(broadcast(lm), Seq("w"), "left")
           .crossJoin(broadcast(tot))
@@ -2039,11 +2049,7 @@ object DataSelection {
         val lmCtx = lmBg
           .groupBy(substring_index(col("b"), " ", 1).as("w1"))
           .agg(sum("cbg").as("cctx"))
-        val lmUni = withWords(t(spark, dir, "documents"))
-          .filter(col("source") === "src0")
-          .select(explode(col("words")).as("w"))
-          .groupBy("w").agg(count(lit(1)).as("cnt"))
-        val tot = lmUni.agg(sum("cnt").as("t_lm"))
+        val (lmUni, tot) = srcZeroUnigramLm(t(spark, dir, "documents"))
         bg
           .join(broadcast(lmBg), Seq("b"), "left")
           .join(broadcast(lmCtx),

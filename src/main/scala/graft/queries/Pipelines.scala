@@ -406,7 +406,7 @@ object Pipelines {
            |  query: >
            |    SELECT fp, sort_array(collect_list(doc_id)) AS ids
            |    FROM Fps GROUP BY fp
-           |    HAVING size(sort_array(collect_list(doc_id))) <= 50
+           |    HAVING COUNT(doc_id) <= 50
            |- name: Inter
            |  kind: transform
            |  query: >

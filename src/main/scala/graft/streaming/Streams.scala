@@ -323,6 +323,10 @@ object Streams {
     * txn would give; partition-dir overwrite is its zero-dependency
     * parquet spelling). */
   def extendIndex(batch: DataFrame, statePath: String, batchId: Long): Unit = {
+    // minhashBands parses graft-function SQL (minhash8); register here
+    // too — this is a public API and must not depend on the probe
+    // having run first on this session
+    graft.functions.GraftFunctions.register(batch.sparkSession)
     batch.select(md5(col("text").cast("binary")).as("h")).distinct()
       .write.mode("overwrite").parquet(s"$statePath/hashes/batch=$batchId")
     graft.queries.TrainingData.minhashBands(batch)
