@@ -1079,13 +1079,17 @@ object TrainingData {
           .select(length(bin(col("cnt"))).cast("long").as("cls"), col("cnt"))
           .groupBy("cls")
           .agg(count(lit(1)).as("n_words"), sum("cnt").as("n_tokens"))
-        val tot = classes.agg(sum("n_tokens").as("t_all"))
+        // t70's rule: the corpus total is a full-frame window over the
+        // ≤64-row class frame, NOT an agg branch — an agg would re-scan
+        // the corpus for a number the frame already contains
         val cum = Window.orderBy(col("cls").desc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val all = Window.orderBy(col("cls").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
         classes
           .withColumn("cum_words", sum("n_words").over(cum))
           .withColumn("cum_tokens", sum("n_tokens").over(cum))
-          .crossJoin(broadcast(tot))
+          .withColumn("t_all", sum("n_tokens").over(all))
           .select(col("cls"),
             expr("shiftleft(CAST(1 AS BIGINT), cls - 1)").as("min_count"),
             col("cum_words"), col("cum_tokens"),
@@ -1100,9 +1104,8 @@ object TrainingData {
              |cl AS (
              |  SELECT length(format('{:b}', cnt)) AS cls,
              |    COUNT(*) AS n_words, CAST(SUM(cnt) AS BIGINT) AS n_tokens
-             |  FROM wc GROUP BY 1),
-             |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t_all FROM cl)
-             |SELECT cls,
+             |  FROM wc GROUP BY 1)
+             |SELECT CAST(cls AS BIGINT) AS cls,
              |  CAST(1 AS BIGINT) << (cls - 1) AS min_count,
              |  CAST(SUM(n_words) OVER (ORDER BY cls DESC
              |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_words,
@@ -1110,8 +1113,9 @@ object TrainingData {
              |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
              |  CAST(SUM(n_tokens) OVER (ORDER BY cls DESC
              |    ROWS UNBOUNDED PRECEDING) AS DOUBLE)
-             |    / CAST(t.t_all AS DOUBLE) AS coverage
-             |FROM cl, tot t
+             |    / CAST(SUM(n_tokens) OVER (ROWS BETWEEN UNBOUNDED PRECEDING
+             |      AND UNBOUNDED FOLLOWING) AS DOUBLE) AS coverage
+             |FROM cl
              |ORDER BY cls DESC""".stripMargin)),
 
     // ----------------------------------------------------------------- t83

@@ -880,6 +880,34 @@ class PlanSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("t84: all three LM tables broadcast to the bigram scoring scan") {
+    val p = plan("t84_bigram_surprisal")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      "bigram, context and unigram LMs must all broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "the exploded bigram stream must never shuffle by token")
+  }
+
+  test("t85: one corpus scan; total and cumsums are windows on the class frame") {
+    val p = plan("t85_zipf_coverage")
+    assert("FileScan".r.findAllIn(p).size == 1,
+      "the corpus total must be a window over the ≤64-row class frame, " +
+        "not an agg branch that re-scans the corpus")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      "word counts and class rollup both need map-side partials")
+    // the only Window runs AFTER the class rollup — its input is the
+    // ≤64-row class frame, so the single-partition sort is bounded
+    assert(p.contains("Window"))
+    assert(!p.contains("Join"), "branch-free: no joins anywhere")
+  }
+
+  test("t83: pairs probe the embeddings table via hash joins, no cartesian") {
+    val p = plan("t83_dup_embedding_consistency")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("floatdot"),
+      "cosine must run on the codegen'd kernel, not a HOF fold")
+  }
+
   test("whole-stage codegen covers the relational hot paths") {
     // AQE finalizes the plan lazily; execute first, then inspect.
     val df = SparkEntry.queries("q01_agg_pricing")(spark, sf)
