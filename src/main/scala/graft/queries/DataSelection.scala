@@ -1960,8 +1960,17 @@ object DataSelection {
     "t80_quality_budget_cut" -> QueryDef(
       (spark, dir) => {
         import spark.implicits._
+        // clamp BEFORE the fixed point: a degenerate document (n_chars=0)
+        // makes the quality's punct term 0.0/0.0 = NaN, which Spark's
+        // non-ANSI cast folds to 0 while DuckDB's CAST(FLOOR(NaN)) errors.
+        // Both engines order NaN above every number, so LEAST(1.0, NaN)
+        // = 1.0 in each — the clamp gives such a document the defined
+        // top bucket instead of an engine divergence, and pins qfp into
+        // [0, 1e6], the range the bucket arithmetic below assumes.
         val docs = Curation.qualityInputs(t(spark, dir, "documents"))
-          .withColumn("qfp", floor(Curation.qualityCol * 1e6 + 0.5).cast("long"))
+          .withColumn("qfp", floor(
+            greatest(lit(0.0), least(lit(1.0), Curation.qualityCol))
+              * 1e6 + 0.5).cast("long"))
           .select(col("doc_id"), col("source"), col("qfp"),
             expr(tokenEstExpr).cast("long").as("tok"))
         val buckets = tokenShardBuckets(docs.rdd.getNumPartitions)
@@ -2000,8 +2009,8 @@ object DataSelection {
       },
       Some(s"""WITH q AS (
               |  SELECT doc_id, source,
-              |    CAST(FLOOR((${Curation.qualityDuck}) * 1e6 + 0.5) AS BIGINT)
-              |      AS qfp,
+              |    CAST(FLOOR(GREATEST(0.0, LEAST(1.0, ${Curation.qualityDuck}))
+              |      * 1e6 + 0.5) AS BIGINT) AS qfp,
               |    CAST($tokenEstDuck AS BIGINT) AS tok
               |  FROM documents),
               |c AS (

@@ -1014,10 +1014,14 @@ object TrainingData {
     // ASCII gate on the HEAD (the compared span), on BOTH engines:
     // Spark's levenshtein counts CHARACTERS while DuckDB's counts
     // BYTES — identical only on ASCII, so pairs where either HEAD is
-    // non-ASCII (chars ≠ bytes) are excluded structurally rather than
-    // relying on fixture content. Gating the head, not the whole text,
-    // keeps pairs whose only multi-byte characters sit past the
-    // truncation point — their head distance is still well-defined.
+    // non-ASCII (chars ≠ bytes) are not COMPARED. Gating the head, not
+    // the whole text, keeps pairs whose only multi-byte characters sit
+    // past the truncation point — their head distance is still
+    // well-defined. Gated pairs stay VISIBLE: they are emitted with
+    // verified=false and NULL edit_dist/is_dup, so a consumer can
+    // distinguish "verified, not a dup" from "never verified" — an
+    // inner join on pre-filtered heads would silently drop a non-ASCII
+    // near-dup pair from the report entirely.
     //
     // Scale shape: candidates (a vanishing fraction of the corpus) join
     // the head projection on doc_id — two hash joins keyed on an int8,
@@ -1027,26 +1031,31 @@ object TrainingData {
       (spark, dir) => {
         val heads = t(spark, dir, "documents")
           .select(col("doc_id"), substring(col("text"), 1, 160).as("head"))
-          .filter(expr("length(head) = octet_length(head)"))
+          .withColumn("ok", expr("length(head) = octet_length(head)"))
         minhashPairs(spark, dir)
           .join(heads.select(col("doc_id").as("doc_a"),
-            col("head").as("head_a")), "doc_a")
+            col("head").as("head_a"), col("ok").as("ok_a")), "doc_a")
           .join(heads.select(col("doc_id").as("doc_b"),
-            col("head").as("head_b")), "doc_b")
-          .withColumn("edit_dist", levenshtein(col("head_a"), col("head_b")))
-          .withColumn("is_dup", (col("edit_dist") <= 40).cast("int"))
-          .select("doc_a", "doc_b", "edit_dist", "is_dup")
+            col("head").as("head_b"), col("ok").as("ok_b")), "doc_b")
+          .withColumn("verified", col("ok_a") && col("ok_b"))
+          .withColumn("edit_dist",
+            when(col("verified"), levenshtein(col("head_a"), col("head_b"))))
+          .withColumn("is_dup",
+            when(col("verified"), (col("edit_dist") <= 40).cast("int")))
+          .select("doc_a", "doc_b", "verified", "edit_dist", "is_dup")
           .orderBy("doc_a", "doc_b")
       },
       Some(s"""WITH $minhashPairsDuck,
               |heads AS (
-              |  SELECT doc_id, head FROM
-              |    (SELECT doc_id, substr(text, 1, 160) AS head FROM documents)
-              |  WHERE strlen(head) = length(head))
+              |  SELECT doc_id, head, strlen(head) = length(head) AS ok FROM
+              |    (SELECT doc_id, substr(text, 1, 160) AS head FROM documents))
               |SELECT p.doc_a, p.doc_b,
-              |  levenshtein(a.head, b.head) AS edit_dist,
-              |  CASE WHEN levenshtein(a.head, b.head) <= 40
-              |       THEN 1 ELSE 0 END AS is_dup
+              |  (a.ok AND b.ok) AS verified,
+              |  CASE WHEN a.ok AND b.ok
+              |       THEN levenshtein(a.head, b.head) END AS edit_dist,
+              |  CASE WHEN a.ok AND b.ok
+              |       THEN (CASE WHEN levenshtein(a.head, b.head) <= 40
+              |             THEN 1 ELSE 0 END) END AS is_dup
               |FROM pairs p
               |JOIN heads a ON p.doc_a = a.doc_id
               |JOIN heads b ON p.doc_b = b.doc_id

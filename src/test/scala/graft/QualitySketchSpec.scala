@@ -49,10 +49,19 @@ class QualitySketchSpec extends AnyFunSuite {
     val rows = SparkEntry.queries("t75_edit_verify")(spark, sf).collect()
     rows.foreach { r =>
       assert(r.getLong(0) < r.getLong(1), "pairs must be ordered doc_a < doc_b")
-      val (d, dup) = (r.getInt(2), r.getInt(3))
-      assert(d >= 0)
-      assert(dup == (if (d <= 40) 1 else 0))
+      val verified = r.getBoolean(2)
+      if (verified) {
+        val (d, dup) = (r.getInt(3), r.getInt(4))
+        assert(d >= 0)
+        assert(dup == (if (d <= 40) 1 else 0))
+      } else {
+        // the ASCII gate keeps the pair VISIBLE but unscored
+        assert(r.isNullAt(3) && r.isNullAt(4),
+          "unverified pairs must carry NULL edit_dist/is_dup")
+      }
     }
+    assert(rows.forall(_.getBoolean(2)),
+      "fixture heads are all-ASCII: every candidate pair must verify")
   }
 
   test("t75: Spark levenshtein is character-based (the ASCII gate's premise)") {
