@@ -17,6 +17,12 @@ object Pipelines {
   private def run(spark: SparkSession, yaml: String): DataFrame =
     Flow.runYaml(spark, yaml).df()
 
+  /** p14's 429 leg fires on the FIRST page-1 request of the JVM: the
+    * correctness gate (one Verify invocation per JVM) always exercises
+    * the wait-and-retry path, while Bench's repeated measured samples
+    * don't each bill the retry handler's 1 s wait to the engine. */
+  private val p14Throttled = new java.util.concurrent.atomic.AtomicBoolean(false)
+
   val defs: Map[String, QueryDef] = Map(
 
     // ----------------------------------------------------------------- p01
@@ -436,6 +442,172 @@ object Pipelines {
            |    ORDER BY doc_a, doc_b
            |""".stripMargin),
       // t76's oracle verbatim — one truth, two engine paths
-      Curation.defs("t76_winnow_overlap").oracle)
+      Curation.defs("t76_winnow_overlap").oracle),
+
+    // ----------------------------------------------------------------- p14
+    // The REST framework through the engine's YAML surface, against an
+    // in-process loopback HTTP server (mirroring the reference's
+    // integration fixture, ankaflow/tests/itest_integration.py:20-115 +
+    // support/rest_server.py): a `kind: Rest` tap with bearer auth and a
+    // Pagination handler walks 3 pages of the nation table (10+10+5,
+    // with a total_records cap), and the FIRST page-1 request answers
+    // 429 once so the wait-and-retry leg runs inside the gate, not just
+    // in RestSpec. The oracle reads the same rows straight from parquet
+    // — if auth, pagination, the 429 retry, record extraction, or the
+    // JSON materializer bend a single value, the hash diverges.
+    //
+    // Scale note: REST ingestion is driver-side by nature (SURVEY §2.8);
+    // the loopback server is the gate's stand-in for a remote API and
+    // serves the fixture's own rows, so the oracle stays a pure
+    // parquet query.
+    "p14_pipeline_rest" -> QueryDef(
+      (spark, dir) => {
+        import com.sun.net.httpserver.{HttpExchange, HttpServer}
+        val rows = Tables.t(spark, dir, "nation")
+          .orderBy("n_nationkey").toJSON.collect()
+        val throttled = p14Throttled
+        val server = HttpServer.create(
+          new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+        server.createContext("/nations", (ex: HttpExchange) => {
+          val authOk = Option(
+            ex.getRequestHeaders.getFirst("Authorization"))
+            .contains("Bearer sesame")
+          val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+          val page = "page=(\\d+)".r.findFirstMatchIn(q)
+            .map(_.group(1).toInt).getOrElse(0)
+          val (code, body) =
+            if (!authOk) (401, """{"error":"unauthorized"}""")
+            else if (page == 1 && throttled.compareAndSet(false, true))
+              (429, """{"error":"slow down"}""")
+            else {
+              val slice = rows.slice(page * 10, page * 10 + 10)
+              (200, s"""{"data":{"rows":[${slice.mkString(",")}],""" +
+                s""""total":${rows.length}}}""")
+            }
+          val bytes = body.getBytes("UTF-8")
+          ex.getResponseHeaders.set("Content-Type", "application/json")
+          ex.sendResponseHeaders(code, bytes.length)
+          ex.getResponseBody.write(bytes)
+          ex.close()
+        })
+        server.start()
+        // the Rest tap fetches eagerly inside Flow.run (pages land as
+        // in-memory JSON strings), so the server can stop right after
+        try run(spark,
+          s"""
+             |- name: Nations
+             |  kind: tap
+             |  connection:
+             |    kind: Rest
+             |    locator: p14
+             |    client:
+             |      base_url: http://127.0.0.1:${server.getAddress.getPort}
+             |      auth: {kind: bearer, token: sesame}
+             |    request:
+             |      endpoint: /nations
+             |      method: get
+             |      query: {page: 0}
+             |      response:
+             |        locator: data.rows
+             |        handler:
+             |          kind: Pagination
+             |          page_param: page
+             |          page_size: 10
+             |          increment: 1
+             |          total_records: data.total
+             |- name: Final
+             |  kind: transform
+             |  query: >
+             |    SELECT CAST(n_nationkey AS INTEGER) AS n_nationkey, n_name,
+             |           CAST(n_regionkey AS INTEGER) AS n_regionkey
+             |    FROM Nations ORDER BY n_nationkey
+             |""".stripMargin)
+        finally server.stop(0)
+      },
+      Some("SELECT n_nationkey, n_name, n_regionkey FROM nation " +
+        "ORDER BY n_nationkey")),
+
+    // ----------------------------------------------------------------- p15
+    // Delta pseudo-SQL through the engine: p02 covers append/read-back;
+    // this drives the remaining sql-stage surface (reference:
+    // ankaflow/connections/delta.py:552-659) inside the gate — append,
+    // OPTIMIZE (compaction rewrite), TRUNCATE (schema-preserving empty),
+    // re-append, DROP — reading the table back after each mutation. The
+    // read-backs double as a proof of the loop-snapshot machinery: each
+    // tap's source is rewritten by a LATER sql/sink stage, so Flow must
+    // localCheckpoint the tap (a lazy view would silently see the
+    // post-mutation table) for the counts to come out right.
+    "p15_pipeline_delta_optimize" -> QueryDef(
+      (spark, dir) => {
+        val delta = Files.createTempDirectory("graft_p15").toString + "/t"
+        run(spark,
+          s"""
+             |- name: Nations
+             |  kind: tap
+             |  connection: {kind: Parquet, locator: $dir/nation.parquet}
+             |- name: Seed
+             |  kind: sink
+             |  connection:
+             |    kind: Deltatable
+             |    locator: $delta
+             |    data_mode: append
+             |- name: Optimize
+             |  kind: sql
+             |  connection: {kind: Deltatable, locator: $delta}
+             |  query: OPTIMIZE DELTATABLE COMPACT VACUUM AGE=0h
+             |- name: AfterOptimize
+             |  kind: tap
+             |  connection: {kind: Deltatable, locator: $delta}
+             |  query: select * from Deltatable
+             |- name: Truncate
+             |  kind: sql
+             |  connection: {kind: Deltatable, locator: $delta}
+             |  query: TRUNCATE DELTATABLE
+             |- name: AfterTruncate
+             |  kind: tap
+             |  connection: {kind: Deltatable, locator: $delta}
+             |  query: select * from Deltatable
+             |- name: Reload
+             |  kind: tap
+             |  connection: {kind: Parquet, locator: $dir/nation.parquet}
+             |- name: Reseed
+             |  kind: sink
+             |  connection:
+             |    kind: Deltatable
+             |    locator: $delta
+             |    data_mode: append
+             |- name: AfterReload
+             |  kind: tap
+             |  connection: {kind: Deltatable, locator: $delta}
+             |  query: select * from Deltatable
+             |- name: Drop
+             |  kind: sql
+             |  connection: {kind: Deltatable, locator: $delta}
+             |  query: DROP DELTATABLE
+             |- name: Final
+             |  kind: transform
+             |  query: >
+             |    SELECT 'after_optimize' AS stage, COUNT(*) AS n,
+             |      CAST(COALESCE(SUM(n_nationkey), 0) AS BIGINT) AS key_sum
+             |    FROM AfterOptimize
+             |    UNION ALL
+             |    SELECT 'after_truncate', COUNT(*),
+             |      CAST(COALESCE(SUM(n_nationkey), 0) AS BIGINT)
+             |    FROM AfterTruncate
+             |    UNION ALL
+             |    SELECT 'after_reload', COUNT(*),
+             |      CAST(COALESCE(SUM(n_nationkey), 0) AS BIGINT)
+             |    FROM AfterReload
+             |    ORDER BY stage
+             |""".stripMargin)
+      },
+      Some("""SELECT 'after_optimize' AS stage, COUNT(*) AS n,
+             |  CAST(SUM(n_nationkey) AS BIGINT) AS key_sum FROM nation
+             |UNION ALL
+             |SELECT 'after_reload', COUNT(*),
+             |  CAST(SUM(n_nationkey) AS BIGINT) FROM nation
+             |UNION ALL
+             |SELECT 'after_truncate', CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+             |ORDER BY stage""".stripMargin))
   )
 }
