@@ -220,20 +220,23 @@ object Streams {
       .dropDuplicatesWithinWatermark("__digest")
       .drop("__digest")
 
-  /** Ingest-time DECONTAMINATION: drop arriving documents that share any
-    * 13-gram with a static eval corpus — t54's ANY-hit rule applied at
-    * the door instead of in a batch sweep, so contaminated documents
-    * never land in the store at all. The eval corpus collapses ONCE to
-    * a driver-collected set of 13-gram xxhash64s (benchmark-sized — the
-    * same bounded-broadcast justification as t19/t54; a corpus-scale
-    * eval side would swap in a bloom_filter_agg prefilter at this seam)
-    * and rides a broadcast variable into a pure map-side filter: no
-    * join, no state store, each micro-batch just probes its documents'
-    * gram hashes against the set. The ANY-hit check is a Scala
-    * predicate rather than a join because doc-level anti-join semantics
-    * over exploded grams would need a streaming aggregation; membership
-    * in a broadcast set has no native expression form, and the per-row
-    * cost is O(grams) with early exit.
+  /** Ingest-time DECONTAMINATION, small-eval fast path: drop arriving
+    * documents that share any 13-gram with a static eval corpus — t54's
+    * ANY-hit rule applied at the door instead of in a batch sweep, so
+    * contaminated documents never land in the store at all. The eval
+    * corpus collapses ONCE to a driver-collected set of 13-gram
+    * xxhash64s (benchmark-sized — the same bounded-broadcast
+    * justification as t19/t54) and rides a broadcast variable into a
+    * pure map-side filter: no join, no state store, each micro-batch
+    * just probes its documents' gram hashes against the set. The
+    * ANY-hit check is a Scala predicate rather than a join because
+    * doc-level anti-join semantics over exploded grams would need a
+    * streaming aggregation; membership in a broadcast set has no native
+    * expression form, and the per-row cost is O(grams) with early exit.
+    *
+    * For an eval side too large to collect, use
+    * [[streamingDecontaminateBloom]] — the t43-shaped Bloom-prefilter +
+    * exact-verify twin (pinned equal to this path in StreamingSpec).
     *
     * Same 64-bit collision trade as t54: a collision drops one clean
     * document, never admits a contaminated one — at ingest, the false
@@ -257,6 +260,83 @@ object Streams {
         s"transform(word_ngrams(split($contentCol, ' '), 13), x -> xxhash64(x))"))
       .filter(clean(col("__ghs")))
       .drop("__ghs")
+  }
+
+  /** Eval-side index for CORPUS-SCALE decontamination: the distinct
+    * 13-gram xxhash64 table (kept DISTRIBUTED — this is the side too big
+    * to collect) plus a Bloom filter over those hashes built with
+    * Spark's native `bloom_filter_agg` (t43's recipe: 8 bits/item ≈ 2%
+    * FP). The gram table is localCheckpointed so the per-micro-batch
+    * verify joins re-read materialized blocks instead of re-shingling
+    * the eval corpus every batch. Only the ~`expectedItems` BYTES of the
+    * Bloom sketch ever reach the driver — never the grams. */
+  def evalGramIndex(evalDocs: DataFrame, evalContentCol: String,
+      expectedItems: Long = 1000000L): (DataFrame, Array[Byte]) = {
+    val spark = evalDocs.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val grams = evalDocs
+      .select(explode(expr(
+        s"word_ngrams(split($evalContentCol, ' '), 13)")).as("g"))
+      .select(xxhash64(col("g")).as("gh")).distinct()
+      .localCheckpoint()
+    val bloom = grams.agg(expr(
+      s"bloom_filter_agg(gh, CAST($expectedItems AS BIGINT), " +
+        s"CAST(${expectedItems * 8} AS BIGINT))"))
+      .head().getAs[Array[Byte]](0)
+    (grams, bloom)
+  }
+
+  /** One micro-batch of t43-shaped decontamination: the Bloom sketch
+    * prunes MAP-SIDE (each document's gram hashes probe the sketch
+    * inside the scan — no shuffle, no text leaves the stage), and only
+    * Bloom-POSITIVE (id, gram) rows enter the exact verify — a
+    * left-semi hash join against the distributed eval gram table, whose
+    * hit ids anti-join the batch. Bloom false positives die in the
+    * verify join; false negatives are impossible; so the kept set is
+    * EXACTLY [[streamingDecontaminate]]'s ANY-hit rule at any eval
+    * scale. The sketch rides a BINARY LITERAL (might_contain's other
+    * accepted constant shape, next to t43's scalar subquery) — no temp
+    * views, so this works unchanged on foreachBatch's cloned session,
+    * where views registered from the host session's frames would not
+    * resolve. */
+  def decontaminateBatchBloom(batch: DataFrame, idCol: String,
+      contentCol: String, evalGrams: DataFrame,
+      bloom: Array[Byte]): DataFrame = {
+    graft.functions.GraftFunctions.register(batch.sparkSession)
+    val hits = batch
+      .select(col(idCol), explode(expr(
+        s"transform(word_ngrams(split($contentCol, ' '), 13), " +
+          "x -> xxhash64(x))")).as("__gh"))
+      .filter(call_function("might_contain", lit(bloom), col("__gh")))
+      .join(evalGrams.withColumnRenamed("gh", "__gh"), Seq("__gh"), "left_semi")
+      .select(idCol).distinct()
+    batch.join(hits, Seq(idCol), "left_anti")
+  }
+
+  /** Ingest-time decontamination for CORPUS-SCALE eval sets — the
+    * streaming face of t43, replacing [[streamingDecontaminate]]'s
+    * collected broadcast set with the Bloom-prefilter + exact-verify
+    * dataflow when the eval side is too large to collect. foreachBatch
+    * (not a pure map) is the deployment shape here for the same reason
+    * as [[incrementalDedup]]: the exact verify is a doc-level anti join
+    * through the distributed eval gram table, which belongs in batch
+    * joins per micro-batch, not in the per-key streaming state store.
+    * Survivors land idempotently in `outPath/batch=N` (replays
+    * overwrite). The eval index builds ONCE at query start. */
+  def streamingDecontaminateBloom(docs: DataFrame, idCol: String,
+      contentCol: String, evalDocs: DataFrame, evalContentCol: String,
+      outPath: String, checkpoint: String,
+      expectedItems: Long = 1000000L)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val (grams, bloom) = evalGramIndex(evalDocs, evalContentCol, expectedItems)
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        decontaminateBatchBloom(batch, idCol, contentCol, grams, bloom)
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+      }
+      .start()
   }
 
   /** Probe one micro-batch of documents (columns ≥ doc_id, text) against
@@ -342,16 +422,21 @@ object Streams {
     *
     * foreachBatch (not a stateful operator) is the deployment shape
     * here: the dedup index of a growing corpus is unbounded by design —
-    * it belongs in a persistent, compactable store probed with anti
-    * joins, not in the per-key streaming state store a watermark must
-    * be able to evict. Kept output and index increments are keyed by
-    * batch id, so replays after failure overwrite rather than double. */
+    * it belongs in a persistent store probed with anti joins, not in
+    * the per-key streaming state store a watermark must be able to
+    * evict. Kept output and index increments are keyed by batch id, so
+    * replays after failure overwrite rather than double. The index is
+    * bound to its checkpoint by a run marker ([[ensureRunMarker]]), and
+    * [[compactIndex]] consolidates committed per-batch partitions so
+    * probe-side file listings don't grow one dir per micro-batch
+    * forever. */
   def incrementalDedup(docs: DataFrame, statePath: String, outPath: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        ensureRunMarker(batch.sparkSession, statePath, checkpoint)
         val b = batch.persist() // probed once, indexed once
         try {
           dedupBatchAgainstIndex(b, statePath, batchId)
@@ -360,6 +445,89 @@ object Streams {
         } finally { b.unpersist(); () }
       }
       .start()
+
+  /** The replay guard (`batch < batchId`) and the exactly-once index
+    * both assume `statePath` and the streaming CHECKPOINT live and die
+    * together: if the checkpoint is deleted (or a different one
+    * supplied) while statePath is retained, batch ids restart at 0 —
+    * batch 0 would probe nothing, later batches would probe STALE
+    * partitions from the previous run, and extendIndex would silently
+    * overwrite them: wrong keeps/drops with no error. So the first
+    * micro-batch stamps the checkpoint path into `statePath/_run_marker`
+    * and every batch fails fast on a mismatch. Resuming the SAME
+    * checkpoint matches and proceeds; pointing a new query at an old
+    * index is the error this converts from silent corruption to a
+    * message. Per-batch cost: one exists + one short read. */
+  private def ensureRunMarker(spark: SparkSession, statePath: String,
+      checkpoint: String): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(s"$statePath/_run_marker")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val canonical = fs.makeQualified(
+      new org.apache.hadoop.fs.Path(checkpoint)).toString
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val existing =
+        try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      if (existing != canonical) sys.error(
+        s"dedup index at $statePath was built under streaming checkpoint " +
+          s"'$existing' but this query uses '$canonical'; the index's " +
+          "batch-id replay guard is only valid with its original " +
+          "checkpoint — use a fresh statePath (or restore the original " +
+          "checkpoint) instead of silently reusing stale batch ids")
+    } else {
+      val out = fs.create(marker, false)
+      try out.write(canonical.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
+  /** Consolidate the dedup index's per-batch partitions: every partition
+    * with `batch < uptoBatch` merges (distinct) into `batch=uptoBatch-1`,
+    * bounding the probe-side file count for a long-lived stream (one
+    * tiny batch=N dir per micro-batch forever, otherwise).
+    *
+    * SAFETY CONTRACT: `uptoBatch` must not exceed (last batch id
+    * COMMITTED in the streaming checkpoint) + 1. Batches at or beyond
+    * the commit frontier can still replay, and a replayed batch M must
+    * see exactly the pre-M index — compaction folds older digests into
+    * batch=uptoBatch-1, so that partition's id must be beyond replay.
+    * Run it from the maintenance side (or inside foreachBatch with the
+    * previous batch id), never concurrently with itself.
+    *
+    * Crash-safe by construction — there is NO window where a digest is
+    * invisible: (1) the consolidated distinct set lands in an
+    * underscore-prefixed scratch dir (invisible to parquet listings);
+    * (2) it is APPENDED into the target partition — old dirs still
+    * present, worst case duplicate digests, which probes (distinct /
+    * semi / anti joins) are insensitive to; (3) only then are the
+    * absorbed batch dirs and the scratch removed. A crash at any point
+    * leaves a probe-correct index and a re-run completes the cleanup. */
+  def compactIndex(spark: SparkSession, statePath: String,
+      uptoBatch: Long): Unit = Seq("hashes", "bands").foreach { sub =>
+    val root = s"$statePath/$sub"
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val below = fs.globStatus(new org.apache.hadoop.fs.Path(p, "batch=*"))
+        .map(_.getPath.getName.stripPrefix("batch=").toLong)
+        .filter(_ < uptoBatch).sorted
+      // the merge TARGET must be a partition id the stream has actually
+      // produced (the highest one below uptoBatch): folding digests into
+      // a not-yet-reached id would hide them from every probe's
+      // `batch < batchId` filter until the stream catches up
+      if (below.length > 1) {
+        val target = below.last
+        val tmp = new org.apache.hadoop.fs.Path(p, "_compact_tmp")
+        spark.read.parquet(root)
+          .filter(col("batch") < target).drop("batch").distinct()
+          .write.mode("overwrite").parquet(tmp.toString)
+        spark.read.parquet(tmp.toString)
+          .write.mode("append").parquet(s"$root/batch=$target")
+        below.init.foreach(b =>
+          fs.delete(new org.apache.hadoop.fs.Path(p, s"batch=$b"), true))
+        fs.delete(tmp, true)
+      }
+    }
+  }
 
   /** Read an index table if at least one COMMITTED data file exists.
     * Checking for a batch= directory alone is not enough: a crash

@@ -406,6 +406,102 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept == Set(4L))
   }
 
+  test("bloom decontaminate gate equals the broadcast-set path and t54 " +
+      "on the fixture, streamed in two batches") {
+    // the t43-shaped corpus-scale path: Bloom prefilter map-side, exact
+    // verify through the DISTRIBUTED eval gram table — same ANY-hit
+    // rule, so the kept set must equal streamingDecontaminate's (and
+    // via the existing pin, batch t54's n_hits == 0 set) exactly:
+    // Bloom false positives must die in the verify join.
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.queries.Tables.t(spark, dir, "documents")
+      .select("doc_id", "text")
+    val train = docs.filter(col("doc_id") % 50 =!= 0)
+    val eval_ = docs.filter(col("doc_id") % 50 === 0)
+    val want = Streams.streamingDecontaminate(train, "text", eval_, "text")
+      .select("doc_id").as[Long].collect().toSet
+    // batch core first: pure function equality on one frame
+    val (grams, bloom) = Streams.evalGramIndex(eval_, "text", 100000L)
+    val gotBatch = Streams
+      .decontaminateBatchBloom(train, "doc_id", "text", grams, bloom)
+      .select("doc_id").as[Long].collect().toSet
+    assert(gotBatch == want, "bloom batch core must equal the broadcast-set rule")
+    // then streamed in two micro-batches through foreachBatch
+    implicit val sqlCtx = spark.sqlContext
+    val rows = train.select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val (b0, b1) = rows.partition(_._1 % 2 == 0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bloomdec").toString
+    val input = MemoryStream[(Long, String)]
+    val q = Streams.streamingDecontaminateBloom(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      eval_, "text", s"$tmp/out", s"$tmp/ckpt", 100000L)
+    try {
+      input.addData(b0.toSeq); q.processAllAvailable()
+      input.addData(b1.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val gotStream = spark.read.parquet(s"$tmp/out")
+      .select("doc_id").as[Long].collect().toSet
+    assert(gotStream == want, "streamed bloom gate must equal the batch rule")
+  }
+
+  test("index compaction preserves probe results and bounds the dir count") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val mk = (id: Long, txt: String) => (id, txt)
+    (0L to 3L).foreach { b =>
+      Streams.extendIndex(
+        Seq(mk(b * 10, s"batch $b words alpha$b beta$b gamma$b delta$b"))
+          .toDF("doc_id", "text"),
+        s"$tmp/state", b)
+    }
+    val probe = Seq(
+      mk(100L, "batch 1 words alpha1 beta1 gamma1 delta1"), // dup of batch 1
+      mk(101L, "completely novel never seen before words")) // novel
+      .toDF("doc_id", "text")
+    val before = Streams.dedupBatchAgainstIndex(probe, s"$tmp/state", 4L)
+      .select("doc_id").as[Long].collect().toSet
+    // batches 0..3 committed; compact everything below the frontier
+    Streams.compactIndex(spark, s"$tmp/state", uptoBatch = 4L)
+    val after = Streams.dedupBatchAgainstIndex(probe, s"$tmp/state", 4L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(before == Set(101L) && after == before,
+      "compaction must not change any probe verdict")
+    val dirs = new java.io.File(s"$tmp/state/hashes").listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).toSet
+    assert(dirs == Set("batch=3"),
+      s"absorbed partitions must be removed, got $dirs")
+    // idempotent: a second run is a no-op, verdicts still stable
+    Streams.compactIndex(spark, s"$tmp/state", uptoBatch = 4L)
+    assert(Streams.dedupBatchAgainstIndex(probe, s"$tmp/state", 4L)
+      .select("doc_id").as[Long].collect().toSet == before)
+  }
+
+  test("a retained index with a fresh checkpoint fails fast, not silently") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_marker").toString
+    def runOne(ckpt: String): Unit = {
+      val input = MemoryStream[(Long, String)]
+      val q = Streams.incrementalDedup(
+        input.toDF().toDF("doc_id", "text"),
+        s"$tmp/state", s"$tmp/out", ckpt)
+      try {
+        input.addData(Seq((1L, "alpha beta gamma delta eps")))
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    runOne(s"$tmp/ckptA")
+    // same state, DIFFERENT checkpoint: batch ids restart at 0 and the
+    // replay guard would silently mis-probe — must be an error instead
+    val e = intercept[Exception] { runOne(s"$tmp/ckptB") }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("replay guard")),
+      s"expected the run-marker error, got: ${msgs(e).mkString(" | ")}")
+  }
+
   test("a replayed probe ignores its own batch's index partition") {
     // crash window: extendIndex(N) committed but the streaming
     // checkpoint did not — on restart batch N re-executes. The probe
