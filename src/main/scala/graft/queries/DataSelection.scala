@@ -2121,6 +2121,110 @@ object DataSelection {
              |FROM scored GROUP BY doc_id
              |ORDER BY doc_id""".stripMargin)),
 
+    // ----------------------------------------------------------------- t86
+    // HASHED-bigram surprisal — t84's broadcast-bounded form for when
+    // the reference slice is itself corpus-scale: all three LM tables
+    // key on t55's hashed-feature buckets (substr(md5(x), 1, 3) — 4096
+    // buckets, byte-identical in both engines) instead of raw token
+    // strings, so each broadcast is ≤ 4096 rows NO MATTER how rich the
+    // reference slice grows — the one scale caveat t84 carries
+    // (broadcasting raw bigram strings of the src0 slice) is removed at
+    // the cost of bucket collisions, which are part of the shared
+    // definition exactly as in t55 (collisions ARE the dimensionality
+    // reduction; DSIR's argument applies unchanged to LM features).
+    // "LM has seen the bigram" becomes "both the bigram bucket AND the
+    // w1 context bucket are populated" — with hashing the two are
+    // independent lookups, so the backoff guard checks both; the
+    // unigram backoff table is hashed the same way. Quantization and
+    // per-doc exact-BIGINT sums are t84's verbatim.
+    //
+    // Scale shape: t84's with the broadcast bound made unconditional —
+    // LM tables partial-aggregate to ≤ 4096 rows each; the corpus-wide
+    // scoring scan joins three broadcast maps and one 1-row total; the
+    // single wide exchange carries (doc_id, 3 longs) partials.
+    "t86_bigram_surprisal_hashed" -> QueryDef(
+      (spark, dir) => {
+        val bg = withWords(t(spark, dir, "documents"))
+          .select(col("doc_id"), col("source"),
+            explode(expr("word_bigrams(words)")).as("b"))
+          .select(col("doc_id"), col("source"),
+            substring(md5(col("b")), 1, 3).as("hb"),
+            substring(md5(substring_index(col("b"), " ", 1)), 1, 3).as("hw1"),
+            substring(md5(substring_index(col("b"), " ", -1)), 1, 3).as("hw2"))
+        val lmSrc = bg.filter(col("source") === "src0")
+        val lmBg = lmSrc.groupBy("hb").agg(count(lit(1)).as("cbg"))
+        val lmCtx = lmSrc.groupBy("hw1").agg(count(lit(1)).as("cctx"))
+        val lmUni = withWords(t(spark, dir, "documents"))
+          .filter(col("source") === "src0")
+          .select(explode(col("words")).as("w"))
+          .groupBy(substring(md5(col("w")), 1, 3).as("hw"))
+          .agg(count(lit(1)).as("cnt"))
+        val tot = lmUni.agg(sum("cnt").cast("long").as("t_lm"))
+        bg
+          .join(broadcast(lmBg), Seq("hb"), "left")
+          .join(broadcast(lmCtx), Seq("hw1"), "left")
+          .join(broadcast(lmUni), col("hw2") === col("hw"), "left")
+          .crossJoin(broadcast(tot))
+          .withColumn("seen", col("cbg").isNotNull && col("cctx").isNotNull)
+          .withColumn("bits",
+            when(col("seen"), length(bin(expr("cctx div cbg"))).cast("long"))
+              .otherwise(length(bin(
+                expr("t_lm div (coalesce(cnt, CAST(0 AS BIGINT)) + 1)")))
+                .cast("long") + 1L))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum(when(col("seen"), 0L).otherwise(1L)).as("n_backoff"),
+            sum("bits").as("bits_total"))
+          .withColumn("bits_per_bigram",
+            col("bits_total").cast("double") / col("n_bigrams").cast("double"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id, source, string_split(text, ' ') AS words
+             |  FROM documents),
+             |bg AS (
+             |  SELECT doc_id, source,
+             |    substr(md5(b), 1, 3) AS hb,
+             |    substr(md5(split_part(b, ' ', 1)), 1, 3) AS hw1,
+             |    substr(md5(split_part(b, ' ', -1)), 1, 3) AS hw2
+             |  FROM (
+             |    SELECT doc_id, source,
+             |      unnest(list_transform(range(1, len(words)),
+             |        i -> array_to_string(words[i:i+1], ' '))) AS b
+             |    FROM w) raw),
+             |lmbg AS (
+             |  SELECT hb, COUNT(*) AS cbg FROM bg
+             |  WHERE source = 'src0' GROUP BY hb),
+             |lmctx AS (
+             |  SELECT hw1, COUNT(*) AS cctx FROM bg
+             |  WHERE source = 'src0' GROUP BY hw1),
+             |lmuni AS (
+             |  SELECT substr(md5(u.w), 1, 3) AS hw, COUNT(*) AS cnt FROM
+             |    (SELECT unnest(words) AS w FROM w WHERE source = 'src0') u
+             |  GROUP BY 1),
+             |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t_lm FROM lmuni),
+             |scored AS (
+             |  SELECT g.doc_id,
+             |    CASE WHEN lmbg.cbg IS NOT NULL AND c.cctx IS NOT NULL
+             |      THEN 0 ELSE 1 END AS backoff,
+             |    CASE WHEN lmbg.cbg IS NOT NULL AND c.cctx IS NOT NULL
+             |      THEN length(format('{:b}', c.cctx // lmbg.cbg))
+             |      ELSE length(format('{:b}',
+             |        t.t_lm // (COALESCE(u.cnt, 0) + 1))) + 1
+             |    END AS bits
+             |  FROM bg g
+             |  LEFT JOIN lmbg ON g.hb = lmbg.hb
+             |  LEFT JOIN lmctx c ON g.hw1 = c.hw1
+             |  LEFT JOIN lmuni u ON g.hw2 = u.hw
+             |  , tot t)
+             |SELECT doc_id, COUNT(*) AS n_bigrams,
+             |  CAST(SUM(backoff) AS BIGINT) AS n_backoff,
+             |  CAST(SUM(bits) AS BIGINT) AS bits_total,
+             |  CAST(SUM(bits) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             |    AS bits_per_bigram
+             |FROM scored GROUP BY doc_id
+             |ORDER BY doc_id""".stripMargin)),
+
     // ----------------------------------------------------------------- t81
     // CLUSTER-SAFE train/val/test split: t46's 98/1/1 md5 gate applied
     // to the NEAR-DUP CLUSTER id (t15's connected components over the

@@ -78,6 +78,36 @@ class QualitySketchSpec extends AnyFunSuite {
     assert(d == 2, s"expected char-based distance 2, got $d")
   }
 
+  test("t86: hashed LM tables are broadcast-bounded and rank-track t84") {
+    // the POINT of t86 is the unconditional ≤4096-row broadcast bound;
+    // the hashed score must still order documents like the exact LM.
+    // Spearman rho measured 0.863 at sf0.001 / 0.817 at sf0.01
+    // (tools/RankCheck.scala) — floor pinned with slack below both.
+    val a = SparkEntry.queries("t84_bigram_surprisal")(spark, sf)
+      .select("doc_id", "bits_per_bigram").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = SparkEntry.queries("t86_bigram_surprisal_hashed")(spark, sf)
+      .select("doc_id", "bits_per_bigram").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a.keySet == b.keySet, "both forms score the same documents")
+    val ids = a.keySet.toSeq
+    def ranks(m: Map[Long, Double]) = ids.sortBy(m).zipWithIndex.toMap
+    val (ra, rb) = (ranks(a), ranks(b))
+    val n = ids.size.toDouble
+    val d2 = ids.map(i => { val d = ra(i) - rb(i); d.toDouble * d }).sum
+    val rho = 1.0 - 6.0 * d2 / (n * (n * n - 1.0))
+    assert(rho > 0.75, s"hashed LM must rank-track the exact LM, rho=$rho")
+    // the broadcast bound itself: 4096 3-hex-char buckets max
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    val distinctBuckets = graft.queries.Tables.t(spark, sf, "documents")
+      .filter(col("source") === "src0")
+      .selectExpr("explode(word_bigrams(split(text, ' '))) AS bg")
+      .select(countDistinct(org.apache.spark.sql.functions.substring(
+        org.apache.spark.sql.functions.md5(col("bg")), 1, 3)))
+      .head().getLong(0)
+    assert(distinctBuckets <= 4096L)
+  }
+
   test("t76: every winnow pair is ordered, bounded, and self-consistent") {
     val rows = SparkEntry.queries("t76_winnow_overlap")(spark, sf).collect()
     rows.foreach { r =>
