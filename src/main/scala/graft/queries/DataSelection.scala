@@ -193,6 +193,143 @@ object DataSelection {
       .toDF("label", "vec_id", "dist")
   }
 
+  /** t87's per-round explode: one row per (word, pos, sym) with the NEXT
+    * symbol alongside — the frame both the pair count and the merge
+    * application read. Exchanges key on the word vocabulary. */
+  private[graft] def bpeExplode(vocab: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    vocab
+      .select(col("word"), col("wcnt"),
+        posexplode(col("syms")).as(Seq("pos", "sym")))
+      .withColumn("nxt",
+        lead("sym", 1).over(Window.partitionBy("word").orderBy("pos")))
+  }
+
+  /** Apply ONE BPE merge (a, b) to every word's symbol list,
+    * LEFT-TO-RIGHT and NON-OVERLAPPING — real BPE's application rule.
+    * For a ≠ b, matches can never be adjacent and each is a merge; for
+    * a = b, a run of k candidates merges at the odd ranks only
+    * ("aaaa" → [aa, aa], "aaa" → [aa, a]). Spelled with windows so the
+    * EXACT same dataflow exists in the DuckDB oracle: candidate flag →
+    * gaps-and-islands grouping of consecutive candidate positions →
+    * odd-rank-in-island = merge start → drop positions covered by the
+    * previous row's start → rebuild the list ordered by pos. */
+  private[graft] def bpeApplyMerge(ex: DataFrame, a: String,
+      b: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byWord = Window.partitionBy("word").orderBy("pos")
+    ex
+      .withColumn("cand",
+        (col("sym") === a && col("nxt") === b).cast("int"))
+      .withColumn("grp", when(col("cand") === 1,
+        col("pos") - row_number().over(
+          Window.partitionBy("word", "cand").orderBy("pos"))))
+      .withColumn("strt", when(col("cand") === 1 &&
+        row_number().over(
+          Window.partitionBy("word", "grp").orderBy("pos")) % 2 === 1,
+        1).otherwise(0))
+      .withColumn("sym2", when(col("strt") === 1,
+        concat(col("sym"), col("nxt"))).otherwise(col("sym")))
+      .withColumn("prevs",
+        coalesce(lag("strt", 1).over(byWord), lit(0)))
+      .filter(col("prevs") === 0)
+      .groupBy("word", "wcnt")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, sym2)))," +
+        " x -> x.sym2)").as("syms"))
+  }
+
+  /** t87's trainer loop: k merge rounds over the collapsed word
+    * vocabulary. Returns (final vocab, merges learned). The vocabulary
+    * is localCheckpointed per round (Components' recipe) so round r+1's
+    * plan starts from materialized blocks instead of an r-deep window
+    * lineage — and so NO round after the first ever rescans the corpus:
+    * per-round exchanges stay on the vocabulary by construction. The
+    * per-round winner is a 1-ROW collect (bounded by definition). */
+  private[graft] def bpeRounds(spark: SparkSession, dir: String,
+      k: Int): (DataFrame, Seq[(Int, String, String, Long)]) = {
+    var vocab = withWords(t(spark, dir, "documents"))
+      .select(explode(col("words")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).as("wcnt"))
+      .withColumn("syms", expr(
+        "transform(sequence(1, length(word)), i -> substr(word, i, 1))"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= k && !done) {
+      val ex = bpeExplode(vocab)
+      val top = ex.filter(col("nxt").isNotNull)
+        .groupBy("sym", "nxt").agg(sum("wcnt").as("n_occ"))
+        .orderBy(col("n_occ").desc, col("sym"), col("nxt"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (a, b, n) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        merges += ((r, a, b, n))
+        val old = vocab
+        vocab = bpeApplyMerge(ex, a, b).localCheckpoint()
+        old.unpersist()
+        r += 1
+      }
+    }
+    (vocab, merges.result())
+  }
+
+  /** DuckDB twin of [[bpeRounds]]: k chained CTE blocks, each the exact
+    * window spelling of one count + merge round ([[bpeApplyMerge]]'s
+    * scaladoc); the parallel unnests zip positionally (DuckDB's lockstep
+    * unnest). Generated programmatically — the dataflow is identical in
+    * every round. */
+  private def bpeOracle(k: Int): String = {
+    val init = """v0 AS (
+      |  SELECT word, CAST(COUNT(*) AS BIGINT) AS wcnt,
+      |    list_transform(range(1, len(word) + 1),
+      |      i -> substr(word, CAST(i AS INT), 1)) AS syms
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |  WHERE len(word) >= 2 GROUP BY word)""".stripMargin
+    val rounds = (1 to k).map { r =>
+      s"""p$r AS (
+         |  SELECT word, wcnt, pos, sym,
+         |    lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+         |  FROM (SELECT word, wcnt,
+         |          unnest(range(1, len(syms) + 1)) AS pos,
+         |          unnest(syms) AS sym
+         |        FROM v${r - 1}) q),
+         |w$r AS (
+         |  SELECT sym AS a, nxt AS b, CAST(SUM(wcnt) AS BIGINT) AS n_occ
+         |  FROM p$r WHERE nxt IS NOT NULL
+         |  GROUP BY sym, nxt ORDER BY n_occ DESC, a, b LIMIT 1),
+         |g$r AS (
+         |  SELECT p.*, CASE WHEN p.sym = w.a AND p.nxt = w.b
+         |    THEN 1 ELSE 0 END AS cand
+         |  FROM p$r p, w$r w),
+         |i$r AS (
+         |  SELECT *, CASE WHEN cand = 1 THEN pos - ROW_NUMBER() OVER (
+         |      PARTITION BY word, cand ORDER BY pos) END AS grp
+         |  FROM g$r),
+         |s$r AS (
+         |  SELECT *, CASE WHEN cand = 1 AND ROW_NUMBER() OVER (
+         |      PARTITION BY word, grp ORDER BY pos) % 2 = 1
+         |    THEN 1 ELSE 0 END AS strt
+         |  FROM i$r),
+         |m$r AS (
+         |  SELECT word, wcnt, pos,
+         |    CASE WHEN strt = 1 THEN sym || nxt ELSE sym END AS sym2,
+         |    COALESCE(LAG(strt) OVER (PARTITION BY word ORDER BY pos), 0)
+         |      AS prevs
+         |  FROM s$r),
+         |v$r AS (
+         |  SELECT word, wcnt, list(sym2 ORDER BY pos) AS syms
+         |  FROM m$r WHERE prevs = 0 GROUP BY word, wcnt)""".stripMargin
+    }
+    val union = (1 to k).map(r =>
+      s"SELECT $r AS round, a, b, a || b AS merged, n_occ FROM w$r")
+      .mkString("\nUNION ALL\n")
+    s"WITH $init,\n${rounds.mkString(",\n")}\n$union\nORDER BY round"
+  }
+
   /** The ONE decontamination definition (exact n-gram overlap vs the
     * eval set), shared verbatim by t19 and t43: t43's Bloom stage only
     * PRUNES candidates (false positives are removed by exact
@@ -2224,6 +2361,37 @@ object DataSelection {
              |    AS bits_per_bigram
              |FROM scored GROUP BY doc_id
              |ORDER BY doc_id""".stripMargin)),
+
+    // ----------------------------------------------------------------- t87
+    // MULTI-ROUND BPE TRAINER — t53 iterated: 8 rounds of count-top-pair
+    // → merge-everywhere over the collapsed word vocabulary, producing a
+    // real merges list (the actual artifact a BPE tokenizer trainer
+    // emits; t53 is exactly round 1's count step). Merge application is
+    // real BPE's left-to-right non-overlapping rule, spelled as windows
+    // (see [[bpeApplyMerge]]) so the DuckDB oracle runs the IDENTICAL
+    // dataflow as 8 chained CTE blocks. Ties break (count DESC, pair
+    // ASC) — binary string order in both engines; counts are exact
+    // BIGINTs.
+    //
+    // Scale shape: the corpus is scanned ONCE (t53's vocabulary
+    // collapse — the only corpus-sized exchange, carrying bare words);
+    // every round's explode touches |vocab|·avg_len rows, its windows
+    // partition by word (vocabulary-keyed, skew-free), and the round's
+    // winner is a 1-ROW collect. The vocabulary localCheckpoints per
+    // round (Components' recipe), so per-round exchanges stay on the
+    // vocabulary, never the corpus — pinned in QualitySketchSpec by the
+    // later rounds' plans containing no file scan.
+    "t87_bpe_trainer" -> QueryDef(
+      (spark, dir) => {
+        import spark.implicits._
+        val (vocab, merges) = bpeRounds(spark, dir, 8)
+        vocab.unpersist()
+        merges.toDF("round", "a", "b", "n_occ")
+          .select(col("round"), col("a"), col("b"),
+            concat(col("a"), col("b")).as("merged"), col("n_occ"))
+          .orderBy("round")
+      },
+      Some(bpeOracle(8))),
 
     // ----------------------------------------------------------------- t81
     // CLUSTER-SAFE train/val/test split: t46's 98/1/1 md5 gate applied

@@ -108,6 +108,45 @@ class QualitySketchSpec extends AnyFunSuite {
     assert(distinctBuckets <= 4096L)
   }
 
+  test("t87: merge application is left-to-right non-overlapping (real BPE)") {
+    // the run-parity window rule must reproduce the classic scan:
+    // same-symbol runs merge at odd offsets ("aaaa" → [aa,aa],
+    // "aaa" → [aa,a]) and a≠b matches all merge ("abab" → [ab,ab])
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    val vocab = Seq("aaaa", "aaa", "abab").toDF("word")
+      .withColumn("wcnt", org.apache.spark.sql.functions.lit(1L))
+      .withColumn("syms", expr(
+        "transform(sequence(1, length(word)), i -> substr(word, i, 1))"))
+    def merged(a: String, b: String): Map[String, Seq[String]] =
+      graft.queries.DataSelection
+        .bpeApplyMerge(graft.queries.DataSelection.bpeExplode(vocab), a, b)
+        .select("word", "syms").collect()
+        .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    val aa = merged("a", "a")
+    assert(aa("aaaa") == Seq("aa", "aa"))
+    assert(aa("aaa") == Seq("aa", "a"))
+    assert(aa("abab") == Seq("a", "b", "a", "b"))
+    val ab = merged("a", "b")
+    assert(ab("abab") == Seq("ab", "ab"))
+    assert(ab("aaaa") == Seq("a", "a", "a", "a"))
+  }
+
+  test("t87: rounds after the first never rescan the corpus") {
+    // the trainer's scale claim: ONE corpus scan builds the vocabulary,
+    // then every round's plan starts from the checkpointed vocab —
+    // per-round exchanges stay on the word vocabulary by construction
+    val (vocab, merges) = graft.queries.DataSelection.bpeRounds(spark, sf, 2)
+    try {
+      assert(merges.size == 2)
+      assert(merges.map(_._1) == Seq(1, 2))
+      assert(merges.forall(_._4 > 0))
+      val plan = vocab.queryExecution.optimizedPlan.toString
+      assert(!plan.toLowerCase.contains("parquet"),
+        s"round-2 vocab must build on the checkpointed round-1 vocab:\n$plan")
+    } finally { vocab.unpersist(); () }
+  }
+
   test("t76: every winnow pair is ordered, bounded, and self-consistent") {
     val rows = SparkEntry.queries("t76_winnow_overlap")(spark, sf).collect()
     rows.foreach { r =>
