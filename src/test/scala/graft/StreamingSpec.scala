@@ -406,6 +406,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept == Set(4L))
   }
 
+  test("streamingDedup state keys only the digest and evicts past the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, String)]
+    val dedup = Streams.streamingDedup(
+      input.toDF().toDF("ts", "text"), "ts", "text", "10 minutes")
+    // state-size invariant #1: the dedup operator keys on the digest
+    // column ONLY — a refactor that widens the key to the document body
+    // would silently turn the bounded digest store into a body store
+    val analyzed = dedup.queryExecution.analyzed.toString
+    val dedupLine = analyzed.linesIterator
+      .find(_.contains("DeduplicateWithinWatermark"))
+      .getOrElse(fail(s"no dedup operator in plan:\n$analyzed"))
+    assert(dedupLine.contains("__digest"), dedupLine)
+    assert(!dedupLine.contains("text#"),
+      s"state key must never include the document body: $dedupLine")
+    val q = dedup.writeStream.format("memory").queryName("dedup_state")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((ts(0), "alpha"), (ts(1), "beta"))
+      q.processAllAvailable()
+      // jump event time 1 h ahead: watermark (max seen - 10 min) passes
+      // the first batch's digests; the extra batch lets the lagged
+      // watermark take effect and the store clean up
+      input.addData((Timestamp.valueOf("2026-01-01 11:00:00"), "gamma"))
+      q.processAllAvailable()
+      input.addData((Timestamp.valueOf("2026-01-01 11:05:00"), "delta"))
+      q.processAllAvailable()
+      val state = q.recentProgress.flatMap(_.stateOperators).lastOption
+        .getOrElse(fail("no state operator progress reported"))
+      // invariant #2: expired digests are GONE from the store — only
+      // gamma/delta (inside the current watermark) may remain
+      assert(state.numRowsTotal <= 2,
+        s"expected ≤2 in-watermark digests in state, got ${state.numRowsTotal}")
+      assert(spark.table("dedup_state").count() == 4) // nothing deduped
+    } finally q.stop()
+  }
+
   test("bloom decontaminate gate equals the broadcast-set path and t54 " +
       "on the fixture, streamed in two batches") {
     // the t43-shaped corpus-scale path: Bloom prefilter map-side, exact
