@@ -440,6 +440,80 @@ object Curation {
 
   val defs: Map[String, QueryDef] = Map(
 
+    // ----------------------------------------------------------------- t89
+    // CLUSTER-CANONICAL SELECTION by quality: for every near-dup cluster
+    // (t15's connected components over the MinHash pairs), keep the
+    // member with the BEST t08 quality (doc_id tie-break) — the
+    // dedup-resolution policy real curation pipelines run (keep the
+    // cleanest copy), vs t01/t15's keep-lowest-id and t26's
+    // embedding-centroid variants. Output: one row per cluster with the
+    // kept document, its fixed-point quality, and the cluster size.
+    //
+    // Scale shape: components via [[graft.operators.Components]]
+    // (min-label propagation, O(diameter) rounds); the quality is a map
+    // pass; the winner-per-cluster is a rank window PARTITIONED BY
+    // cluster_id — corpus-cardinality key, bounded partitions (cluster
+    // sizes), never global; the size agg partial-aggregates. Quality
+    // compares as FLOOR(q·1e6+0.5) longs (t80's recipe), so ranking is
+    // engine-identical.
+    "t89_cluster_canonical" -> QueryDef(
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = t(spark, dir, "documents")
+        val labels = graft.operators.Components.connected(
+          docs.select("doc_id"), TrainingData.minhashPairs(spark, dir),
+          propagateRounds = 50)
+        val q = qualityInputs(docs)
+          .withColumn("qfp", floor(
+            qualityCol * 1e6 + 0.5).cast("long"))
+          .select("doc_id", "qfp")
+        val joined = labels
+          .select(col("doc_id"), col("label").as("cluster_id"))
+          .join(q, "doc_id")
+        val w = Window.partitionBy("cluster_id")
+          .orderBy(col("qfp").desc, col("doc_id"))
+        val sizes = joined.groupBy("cluster_id")
+          .agg(count(lit(1)).as("n_members"))
+        joined.withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") === 1)
+          .join(sizes, "cluster_id")
+          .select(col("cluster_id"), col("doc_id").as("keep_doc_id"),
+            col("qfp").as("keep_qfp"), col("n_members"))
+          .orderBy("cluster_id")
+      },
+      Some(s"""WITH RECURSIVE ${TrainingData.minhashPairsDuck},
+              |edges AS (
+              |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+              |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+              |reach(src, dst) AS (
+              |  SELECT src, dst FROM edges
+              |  UNION
+              |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+              |comp AS (SELECT src AS doc_id, MIN(dst) AS min_reach
+              |         FROM reach GROUP BY src),
+              |lab AS (
+              |  SELECT d.doc_id,
+              |    LEAST(d.doc_id, COALESCE(c.min_reach, d.doc_id)) AS cluster_id
+              |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+              |q AS (
+              |  SELECT doc_id,
+              |    CAST(FLOOR((${qualityDuck}) * 1e6 + 0.5) AS BIGINT)
+              |      AS qfp
+              |  FROM documents),
+              |j AS (
+              |  SELECT l.cluster_id, l.doc_id, q.qfp
+              |  FROM lab l JOIN q ON l.doc_id = q.doc_id),
+              |r AS (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+              |    ORDER BY qfp DESC, doc_id) AS rnk FROM j),
+              |s AS (
+              |  SELECT cluster_id, COUNT(*) AS n_members FROM j
+              |  GROUP BY cluster_id)
+              |SELECT r.cluster_id, r.doc_id AS keep_doc_id,
+              |  r.qfp AS keep_qfp, s.n_members
+              |FROM r JOIN s ON r.cluster_id = s.cluster_id
+              |WHERE r.rnk = 1 ORDER BY r.cluster_id""".stripMargin)),
+
     // ----------------------------------------------------------------- t26
     // SEMANTIC dedup (SemDeDup shape): assign every embedding to its
     // nearest centroid, compare pairs ONLY within a cell by exact

@@ -2393,6 +2393,57 @@ object DataSelection {
       },
       Some(bpeOracle(8))),
 
+    // ----------------------------------------------------------------- t90
+    // EXACT length percentiles per source (p50/p90/p99 of n_chars) — the
+    // distribution-shift dashboard row every ingest pipeline watches: a
+    // jumping p99 means a source started shipping concatenated pages, a
+    // collapsing p50 means truncation upstream. t61 buckets lengths into
+    // histogram BINS; this reports exact order statistics, defined by
+    // ONE integer rule in both engines (smallest length whose cumulative
+    // count × 100 ≥ N × total — quantile_disc's discrete semantics,
+    // spelled explicitly so neither engine's builtin interpolation can
+    // diverge).
+    //
+    // Scale shape: the corpus collapses to a (source, n_chars) HISTOGRAM
+    // in one map-side-combinable agg — the only corpus-sized input; the
+    // cumulative window runs per source over that histogram frame
+    // (≤ distinct lengths per source — the bounded-window rule), and the
+    // percentile pick is a tiny conditional-min agg. A naive
+    // percentile_approx / sort-based exact would either approximate or
+    // drag each source through one sorting task.
+    "t90_length_percentiles" -> QueryDef(
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val hist = t(spark, dir, "documents")
+          .groupBy("source", "n_chars").agg(count(lit(1)).as("c"))
+        val cumW = Window.partitionBy("source").orderBy("n_chars")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val totW = Window.partitionBy("source")
+        val cum = hist
+          .withColumn("cum", sum("c").over(cumW))
+          .withColumn("n", sum("c").over(totW))
+        def pick(pct: Int) = min(when(
+          col("cum") * 100 >= col("n") * pct, col("n_chars")))
+        cum.groupBy("source").agg(
+            max("n").as("n_docs"),
+            pick(50).as("p50"), pick(90).as("p90"), pick(99).as("p99"))
+          .orderBy("source")
+      },
+      Some("""WITH hist AS (
+             |  SELECT source, n_chars, COUNT(*) AS c FROM documents
+             |  GROUP BY source, n_chars),
+             |cum AS (
+             |  SELECT source, n_chars,
+             |    SUM(c) OVER (PARTITION BY source ORDER BY n_chars
+             |      ROWS UNBOUNDED PRECEDING) AS cum,
+             |    SUM(c) OVER (PARTITION BY source) AS n
+             |  FROM hist)
+             |SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs,
+             |  MIN(CASE WHEN cum * 100 >= n * 50 THEN n_chars END) AS p50,
+             |  MIN(CASE WHEN cum * 100 >= n * 90 THEN n_chars END) AS p90,
+             |  MIN(CASE WHEN cum * 100 >= n * 99 THEN n_chars END) AS p99
+             |FROM cum GROUP BY source ORDER BY source""".stripMargin)),
+
     // ----------------------------------------------------------------- t81
     // CLUSTER-SAFE train/val/test split: t46's 98/1/1 md5 gate applied
     // to the NEAR-DUP CLUSTER id (t15's connected components over the

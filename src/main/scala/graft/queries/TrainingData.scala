@@ -1127,6 +1127,56 @@ object TrainingData {
              |FROM cl
              |ORDER BY cls DESC""".stripMargin)),
 
+    // ----------------------------------------------------------------- t88
+    // N-GRAM NOVELTY per document — the memorization-risk signal: what
+    // fraction of a document's distinct 8-gram shingles already appeared
+    // in an EARLIER document (doc_id order standing in for ingest
+    // order)? A near-zero novelty document is pure repetition of
+    // already-held data (boilerplate, mirrored pages, quote farms) and
+    // adds memorization risk without information; the per-document
+    // complement of t73's aggregate vocabulary-growth curve. Documents
+    // shorter than 8 words have no 8-grams and are absent by
+    // construction in both engines.
+    //
+    // Scale shape: grams collapse to xxhash64 digests in the scan (the
+    // t22/t47 collision trade — the oracle proves it on the fixture by
+    // aggregating the STRINGS), so the two exchanges (first-occurrence
+    // min-agg, digest-keyed join back) carry only (digest, int8) rows;
+    // the per-doc agg partial-aggregates. Gram text never shuffles.
+    "t88_ngram_novelty" -> QueryDef(
+      (spark, dir) => {
+        val sh = withWords(t(spark, dir, "documents"))
+          .select(col("doc_id"),
+            explode(expr("word_ngrams(words, 8)")).as("g"))
+          .select(col("doc_id"), xxhash64(col("g")).as("g64"))
+          .distinct()
+        val firsts = sh.groupBy("g64").agg(min("doc_id").as("first_doc"))
+        sh.join(firsts, "g64")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L))
+              .as("n_seen_before"))
+          .withColumn("novelty", lit(1.0)
+            - col("n_seen_before").cast("double") / col("n_grams").cast("double"))
+          .select("doc_id", "n_grams", "n_seen_before", "novelty")
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+             |sh AS (
+             |  SELECT DISTINCT doc_id,
+             |    unnest(list_transform(range(1, len(words) - 6),
+             |      i -> array_to_string(words[i:i+7], ' '))) AS g
+             |  FROM w),
+             |firsts AS (SELECT g, MIN(doc_id) AS first_doc FROM sh GROUP BY g)
+             |SELECT s.doc_id, COUNT(*) AS n_grams,
+             |  CAST(SUM(CASE WHEN f.first_doc < s.doc_id THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_seen_before,
+             |  1.0 - CAST(SUM(CASE WHEN f.first_doc < s.doc_id THEN 1 ELSE 0
+             |    END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS novelty
+             |FROM sh s JOIN firsts f USING (g)
+             |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin)),
+
     // ----------------------------------------------------------------- t83
     // CROSS-MODAL DUP CONSISTENCY: for every t02 MinHash candidate pair
     // (near-identical TEXT), the cosine of the two documents' embedding
