@@ -1140,18 +1140,23 @@ object TrainingData {
     //
     // Scale shape: grams collapse to xxhash64 digests in the scan (the
     // t22/t47 collision trade — the oracle proves it on the fixture by
-    // aggregating the STRINGS), so the two exchanges (first-occurrence
-    // min-agg, digest-keyed join back) carry only (digest, int8) rows;
-    // the per-doc agg partial-aggregates. Gram text never shuffles.
+    // aggregating the STRINGS), and the first occurrence is a MIN
+    // window PARTITIONED BY digest over the same frame — digest-keyed,
+    // skew-free, and crucially computed in the SAME pass instead of a
+    // second corpus scan + join (the separate-firsts spelling re-ran
+    // the explode+hash for the firsts side). ONE corpus scan; every
+    // exchange carries only (digest, int8) rows. Gram text never
+    // shuffles.
     "t88_ngram_novelty" -> QueryDef(
       (spark, dir) => {
-        val sh = withWords(t(spark, dir, "documents"))
+        import org.apache.spark.sql.expressions.Window
+        withWords(t(spark, dir, "documents"))
           .select(col("doc_id"),
             explode(expr("word_ngrams(words, 8)")).as("g"))
           .select(col("doc_id"), xxhash64(col("g")).as("g64"))
           .distinct()
-        val firsts = sh.groupBy("g64").agg(min("doc_id").as("first_doc"))
-        sh.join(firsts, "g64")
+          .withColumn("first_doc",
+            min("doc_id").over(Window.partitionBy("g64")))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_grams"),
             sum(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L))
