@@ -608,6 +608,53 @@ object Pipelines {
              |  CAST(SUM(n_nationkey) AS BIGINT) FROM nation
              |UNION ALL
              |SELECT 'after_truncate', CAST(0 AS BIGINT), CAST(0 AS BIGINT)
-             |ORDER BY stage""".stripMargin))
+             |ORDER BY stage""".stripMargin)),
+
+    // ----------------------------------------------------------------- p16
+    // PARALLEL row-driven loop through the gate: p02's shape with
+    // `parallel: true` — iterations run concurrently on the shared
+    // session, each sinking to its own templated locator (the documented
+    // contract for parallel loops: no shared append target). The
+    // read-back unions the per-iteration parquet dirs via partition
+    // discovery (r=<key>), so the oracle (nations per region, straight
+    // from parquet) only matches if every concurrent iteration filtered,
+    // wrote, and isolated its loop_control correctly. FlowSpec pins
+    // parallel ≡ serial; this puts the engine's concurrency path in the
+    // driver's hash gate as well.
+    "p16_pipeline_parallel_loop" -> QueryDef(
+      (spark, dir) => {
+        val out = Files.createTempDirectory("graft_p16").toString + "/out"
+        run(spark,
+          s"""
+             |- name: Regions
+             |  kind: tap
+             |  connection: {kind: Parquet, locator: $dir/region.parquet}
+             |- name: PerRegion
+             |  kind: pipeline
+             |  parallel: true
+             |  stages:
+             |    - name: NationsOfRegion
+             |      kind: tap
+             |      connection: {kind: Parquet, locator: $dir/nation.parquet}
+             |      query: >
+             |        SELECT n_nationkey, n_name, n_regionkey FROM Parquet
+             |        WHERE n_regionkey = << API.look('loop_control.r_regionkey', variables) >>
+             |    - name: Out
+             |      kind: sink
+             |      connection:
+             |        kind: Parquet
+             |        locator: $out/r=<< API.look('loop_control.r_regionkey', variables) >>
+             |- name: ReadBack
+             |  kind: tap
+             |  connection: {kind: Parquet, locator: $out}
+             |- name: Final
+             |  kind: transform
+             |  query: >
+             |    SELECT n_regionkey, COUNT(*) AS n_nations, MIN(n_name) AS first_nation
+             |    FROM ReadBack GROUP BY n_regionkey ORDER BY n_regionkey
+             |""".stripMargin)
+      },
+      Some("""SELECT n_regionkey, COUNT(*) AS n_nations, MIN(n_name) AS first_nation
+             |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin))
   )
 }
