@@ -1441,6 +1441,152 @@ object TrainingData {
            |FROM probe p JOIN cells c USING (r, bucket)
            |GROUP BY p.w, p.n_exact
            |ORDER BY p.n_exact DESC, p.w""".stripMargin
+      }),
+
+    // ----------------------------------------------------------------- t91
+    // PMI COLLOCATION MINING — the phrase-detection pass (word2vec's
+    // phrase step, Mikolov et al. 2013): rank adjacent word pairs by
+    // pointwise mutual information so multiword units ("new york") can
+    // be joined into single tokens before tokenizer training. PMI =
+    // log2(p(ab) / (p(a)p(b))); log is monotone, so the gate ranks by
+    // the LIFT ratio c_ab·T / (c_a·c_b) as a FIXED-POINT integer
+    // (×1e6, integer division — identical op order in both engines;
+    // IEEE log would differ in the last ulp across libm
+    // implementations and break the hash). A min-count floor (c_ab ≥ 5,
+    // word2vec's default) kills the degenerate hapax pairs whose lift
+    // is highest by accident.
+    //
+    // Scale shape: unigram and bigram counts are vocabulary-keyed
+    // map-side-combinable aggs (the t22/t34 exchange law); the two
+    // count joins key on the vocabulary (never the corpus), and the
+    // 1-row total rides a broadcast cross join. The final top-50 is a
+    // TakeOrderedAndProject over the ≥min-count pair set — partition-
+    // local heaps, no global sort materializes. Fixed-point headroom:
+    // c_ab·1e6·T needs T < ~9e12 in int64 — beyond that (a ~40 TB+
+    // token corpus) widen to DECIMAL(38)/HUGEINT at this one site;
+    // ranking and recurrence are otherwise scale-free.
+    "t91_pmi_collocations" -> QueryDef(
+      (spark, dir) => {
+        val words = withWords(t(spark, dir, "documents"))
+        val uni = words.select(explode(col("words")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("c"))
+        val tot = uni.agg(sum("c").cast("long").as("t_uni"))
+        val pairs = words
+          .select(explode(expr("word_bigrams(words)")).as("b"))
+          .groupBy("b").agg(count(lit(1)).as("c_ab"))
+          .filter(col("c_ab") >= 5)
+          .select(substring_index(col("b"), " ", 1).as("w1"),
+            substring_index(col("b"), " ", -1).as("w2"), col("c_ab"))
+        pairs
+          .join(uni.select(col("w").as("w1"), col("c").as("c_a")), "w1")
+          .join(uni.select(col("w").as("w2"), col("c").as("c_b")), "w2")
+          .crossJoin(broadcast(tot))
+          .withColumn("lift_fp",
+            expr("(c_ab * 1000000 * t_uni) div (c_a * c_b)"))
+          .select("w1", "w2", "c_ab", "c_a", "c_b", "lift_fp")
+          .orderBy(col("lift_fp").desc, col("w1"), col("w2"))
+          .limit(50)
+      },
+      Some("""WITH w AS (
+             |  SELECT string_split(text, ' ') AS words FROM documents),
+             |uni AS (
+             |  SELECT w, COUNT(*) AS c FROM
+             |    (SELECT unnest(words) AS w FROM w) GROUP BY w),
+             |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t_uni FROM uni),
+             |bg AS (
+             |  SELECT unnest(list_transform(range(1, len(words)),
+             |    i -> array_to_string(words[i:i+1], ' '))) AS b
+             |  FROM w),
+             |bc AS (
+             |  SELECT b, COUNT(*) AS c_ab FROM bg GROUP BY b
+             |  HAVING COUNT(*) >= 5),
+             |sp AS (
+             |  SELECT split_part(b, ' ', 1) AS w1,
+             |    split_part(b, ' ', -1) AS w2, c_ab
+             |  FROM bc)
+             |SELECT s.w1, s.w2, s.c_ab, a.c AS c_a, b2.c AS c_b,
+             |  CAST((s.c_ab * 1000000 * t.t_uni) // (a.c * b2.c)
+             |    AS BIGINT) AS lift_fp
+             |FROM sp s
+             |JOIN uni a ON s.w1 = a.w
+             |JOIN uni b2 ON s.w2 = b2.w, tot t
+             |ORDER BY lift_fp DESC, w1, w2 LIMIT 50""".stripMargin)),
+
+    // ----------------------------------------------------------------- t92
+    // DUP-GRAPH PAGERANK — hub scoring over t02's near-dup candidate
+    // graph: t62's degree histogram says hubs EXIST; this names them.
+    // A high-PageRank document is template boilerplate that near-dups
+    // against whole swaths of the corpus — the doc to inspect before
+    // trusting t15's components (one hub chains everything) and the
+    // natural kill-list for template removal. Standard damped walk
+    // (d = 0.85), K = 4 synchronous rounds over the undirected pair
+    // graph, entirely in FIXED-POINT int64 (rank ×1e12; contribution =
+    // rank div degree; r' = 0.15·S + 0.85·Σcontrib with integer
+    // div-by-100) so both engines run the exact same integer
+    // recurrence — IEEE double sums would be order-sensitive across
+    // partitions and engines. Uniform init at S ≡ the N·(1/N)-scaled
+    // standard init; ranking is scale-equivariant.
+    //
+    // Scale shape: the Pregel law — each round is ONE join of the edge
+    // list (pre-joined with source degree, localCheckpointed once)
+    // against the rank vector on src, then a map-side-combinable sum
+    // keyed on dst; per-round exchanges carry (doc_id, long) only, and
+    // lineage truncates per round exactly like Components' fixpoint.
+    // Every node of the pair graph has degree ≥ 1 (undirected), so no
+    // dangling-mass term. Fixed-point headroom: per-node inbound mass
+    // is bounded by total mass N·1e12·85 — past ~1e5 graph nodes drop
+    // SCALE a decade per 10× nodes (the recurrence is
+    // scale-equivariant; resolution loss is bounded by deg·100/SCALE).
+    // Output: top-100 hubs, rank-desc, doc_id tie-break.
+    "t92_dup_pagerank" -> QueryDef(
+      (spark, dir) => {
+        val S = 1000000000000L
+        val p = minhashPairs(spark, dir)
+        val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        val withDeg = edges.join(deg, "src").localCheckpoint()
+        var ranks = deg.select(col("src").as("doc_id"),
+          lit(S).as("rank"))
+        for (_ <- 1 to 4) {
+          ranks = withDeg
+            .join(ranks.withColumnRenamed("doc_id", "src"), "src")
+            .select(col("dst"), expr("rank div deg").as("contrib"))
+            .groupBy("dst").agg(sum("contrib").as("s"))
+            .select(col("dst").as("doc_id"),
+              (lit(15L * S / 100) + expr("(85 * s) div 100")).as("rank"))
+            .localCheckpoint()
+        }
+        ranks
+          .join(deg.select(col("src").as("doc_id"), col("deg")), "doc_id")
+          .select(col("doc_id"), col("deg").as("degree"),
+            col("rank").as("rank_fp"))
+          .orderBy(col("rank_fp").desc, col("doc_id"))
+          .limit(100)
+      },
+      Some {
+        val s = 1000000000000L
+        val rounds = (1 to 4).map { i =>
+          s"""r$i AS (
+             |  SELECT e.dst AS doc_id,
+             |    ${15 * s / 100} + (85 * SUM(r.rank // e.deg)) // 100 AS rank
+             |  FROM ed e JOIN r${i - 1} r ON e.src = r.doc_id
+             |  GROUP BY e.dst)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $minhashPairsDuck,
+           |ed0 AS (
+           |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+           |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+           |dg AS (SELECT src, COUNT(*) AS deg FROM ed0 GROUP BY src),
+           |ed AS (
+           |  SELECT e.src, e.dst, d.deg FROM ed0 e
+           |  JOIN dg d ON e.src = d.src),
+           |r0 AS (SELECT src AS doc_id, CAST($s AS BIGINT) AS rank FROM dg),
+           |$rounds
+           |SELECT r.doc_id, CAST(d.deg AS BIGINT) AS degree,
+           |  CAST(r.rank AS BIGINT) AS rank_fp
+           |FROM r4 r JOIN dg d ON r.doc_id = d.src
+           |ORDER BY rank_fp DESC, doc_id LIMIT 100""".stripMargin
       })
   )
 }

@@ -23,8 +23,8 @@ class EntrySpec extends AnyFunSuite {
       assert(k.matches("[a-z][a-z0-9_]+"), s"bad query name: $k"))
   }
 
-  test("all 127 declared operators are present") {
-    assert(SparkEntry.queries.size == 127)
+  test("all 129 declared operators are present") {
+    assert(SparkEntry.queries.size == 129)
   }
 
   test("t15 components: labels are canonical minima consistent with t02 pairs") {

@@ -1,0 +1,82 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** t91/t92 semantics beyond the oracle gate: both queries are re-derived
+  * INDEPENDENTLY on the driver from their raw inputs (t02's pair list /
+  * the fixture's token stream) in plain Scala — a second implementation
+  * of the integer recurrences that a co-edited Spark+oracle pair could
+  * drift away from together. */
+class GraphStatsSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("t91: structural invariants + driver-side lift recompute") {
+    val rows = SparkEntry.queries("t91_pmi_collocations")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // independent counts straight off the fixture text
+    val texts = graft.queries.Tables.t(spark, sf, "documents")
+      .select("text").collect().map(_.getString(0))
+    val uni = new scala.collection.mutable.HashMap[String, Long]()
+    val big = new scala.collection.mutable.HashMap[(String, String), Long]()
+    texts.foreach { t =>
+      val ws = t.split(" ", -1)
+      ws.foreach(w => uni(w) = uni.getOrElse(w, 0L) + 1)
+      ws.sliding(2).filter(_.length == 2).foreach { p =>
+        val k = (p(0), p(1)); big(k) = big.getOrElse(k, 0L) + 1
+      }
+    }
+    val tUni = uni.values.sum
+    var prev = Long.MaxValue
+    rows.foreach { r =>
+      val (w1, w2) = (r.getString(0), r.getString(1))
+      val (cab, ca, cb, lift) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(cab >= 5, "min-count floor")
+      assert(cab <= math.min(ca, cb), "a pair can't outnumber its words")
+      assert(cab == big((w1, w2)), s"c_ab mismatch for ($w1,$w2)")
+      assert(ca == uni(w1) && cb == uni(w2), s"unigram mismatch for ($w1,$w2)")
+      assert(lift == cab * 1000000L * tUni / (ca * cb),
+        s"fixed-point lift recurrence mismatch for ($w1,$w2)")
+      assert(lift <= prev, "output must be lift-descending")
+      prev = lift
+    }
+    // the top-50 really is the top: no excluded pair may beat the cut
+    val cut = rows.last.getLong(5)
+    val emitted = rows.map(r => (r.getString(0), r.getString(1))).toSet
+    big.filter(_._2 >= 5).foreach { case ((w1, w2), cab) =>
+      val l = cab * 1000000L * tUni / (uni(w1) * uni(w2))
+      if (!emitted((w1, w2)))
+        assert(l <= cut, s"($w1,$w2) lift $l beats the emitted cut $cut")
+    }
+  }
+
+  test("t92: driver-side PageRank recompute matches exactly") {
+    val S = 1000000000000L
+    val out = SparkEntry.queries("t92_dup_pagerank")(spark, sf).collect()
+    assert(out.nonEmpty)
+    val pairs = SparkEntry.queries("t02_minhash_lsh")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nbrs = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val deg = nbrs.view.mapValues(_.length.toLong).toMap
+    var rank = deg.keys.map(_ -> S).toMap
+    for (_ <- 1 to 4) {
+      val in = new scala.collection.mutable.HashMap[Long, Long]()
+      rank.foreach { case (u, r) =>
+        val c = r / deg(u)
+        nbrs(u).foreach(v => in(v) = in.getOrElse(v, 0L) + c)
+      }
+      rank = in.map { case (v, s) => v -> (15L * S / 100 + 85L * s / 100) }.toMap
+    }
+    val expected = rank.toSeq.map { case (id, r) => (r, id) }
+      .sortBy { case (r, id) => (-r, id) }.take(100)
+    assert(out.length == expected.length)
+    out.zip(expected).foreach { case (row, (r, id)) =>
+      assert(row.getLong(0) == id && row.getLong(2) == r,
+        s"rank mismatch at doc ${row.getLong(0)}")
+      assert(row.getLong(1) == deg(id), "degree mismatch")
+      assert(row.getLong(2) >= 15L * S / 100, "teleport floor")
+    }
+  }
+}

@@ -908,6 +908,28 @@ class PlanSpec extends AnyFunSuite {
       "cosine must run on the codegen'd kernel, not a HOF fold")
   }
 
+  test("t91: top-50 is a TakeOrdered heap and counts partial-aggregate") {
+    val p = plan("t91_pmi_collocations")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the top-k must be partition-local heaps, not a global sort")
+    assert(!p.contains("CartesianProduct"),
+      "the 1-row total must ride a broadcast nested loop, not a cartesian")
+    assert("partial_count".r.findFirstIn(p.toLowerCase).isDefined ||
+      p.contains("partial"), "vocabulary counts must map-side combine")
+  }
+
+  test("t92: per-round exchanges key on graph ids, output is a TakeOrdered") {
+    val p = plan("t92_dup_pagerank")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the hub report must be partition-local heaps, not a global sort")
+    assert(!p.contains("CartesianProduct"))
+    // the rank vector arrives as a localCheckpointed scan: the K rounds
+    // already ran (Components' lineage law); the visible plan is the
+    // final degree join + heap only
+    assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"),
+      "rounds must truncate lineage via localCheckpoint")
+  }
+
   test("whole-stage codegen covers the relational hot paths") {
     // AQE finalizes the plan lazily; execute first, then inspect.
     val df = SparkEntry.queries("q01_agg_pricing")(spark, sf)
