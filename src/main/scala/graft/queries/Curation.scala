@@ -463,9 +463,14 @@ object Curation {
         val labels = graft.operators.Components.connected(
           docs.select("doc_id"), TrainingData.minhashPairs(spark, dir),
           propagateRounds = 50)
+        // t80's CLAMPED recipe (both rules): NaN from a degenerate
+        // 0/0 quality term orders above every number in both engines,
+        // so LEAST(1.0, NaN) = 1.0 — a defined top-rank value instead
+        // of a Spark-NaN-vs-DuckDB-NULL divergence
         val q = qualityInputs(docs)
           .withColumn("qfp", floor(
-            qualityCol * 1e6 + 0.5).cast("long"))
+            greatest(lit(0.0), least(lit(1.0), qualityCol))
+              * 1e6 + 0.5).cast("long"))
           .select("doc_id", "qfp")
         val joined = labels
           .select(col("doc_id"), col("label").as("cluster_id"))
@@ -482,23 +487,16 @@ object Curation {
           .orderBy("cluster_id")
       },
       Some(s"""WITH RECURSIVE ${TrainingData.minhashPairsDuck},
-              |edges AS (
-              |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-              |  UNION ALL SELECT doc_b, doc_a FROM pairs),
-              |reach(src, dst) AS (
-              |  SELECT src, dst FROM edges
-              |  UNION
-              |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-              |comp AS (SELECT src AS doc_id, MIN(dst) AS min_reach
-              |         FROM reach GROUP BY src),
+              |${TrainingData.pairEdgesDuck("pairs")},
+              |${TrainingData.componentsDuck},
               |lab AS (
               |  SELECT d.doc_id,
               |    LEAST(d.doc_id, COALESCE(c.min_reach, d.doc_id)) AS cluster_id
               |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
               |q AS (
               |  SELECT doc_id,
-              |    CAST(FLOOR((${qualityDuck}) * 1e6 + 0.5) AS BIGINT)
-              |      AS qfp
+              |    CAST(FLOOR(GREATEST(0.0, LEAST(1.0, ${qualityDuck}))
+              |      * 1e6 + 0.5) AS BIGINT) AS qfp
               |  FROM documents),
               |j AS (
               |  SELECT l.cluster_id, l.doc_id, q.qfp
@@ -1659,15 +1657,8 @@ object Curation {
               |  JOIN sh2 a ON a.doc_id = p.doc_a
               |  JOIN sh2 b ON b.doc_id = p.doc_b
               |  WHERE ${jaccardOkDuck("a", "b")}),
-              |edges AS (
-              |  SELECT doc_a AS src, doc_b AS dst FROM ver
-              |  UNION ALL SELECT doc_b, doc_a FROM ver),
-              |reach(src, dst) AS (
-              |  SELECT src, dst FROM edges
-              |  UNION
-              |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-              |comp AS (SELECT src AS doc_id, MIN(dst) AS min_reach
-              |         FROM reach GROUP BY src),
+              |${TrainingData.pairEdgesDuck("ver")},
+              |${TrainingData.componentsDuck},
               |lab AS (
               |  SELECT d.doc_id, d.source, d.n_chars,
               |    LEAST(d.doc_id, COALESCE(c.min_reach, d.doc_id)) AS label

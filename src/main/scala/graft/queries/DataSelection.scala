@@ -2480,15 +2480,8 @@ object DataSelection {
           s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1) * ${1 << (4 * (4 - i))}"
         }.mkString(" + ")
         s"""WITH RECURSIVE ${TrainingData.minhashPairsDuck},
-           |edges AS (
-           |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-           |  UNION ALL SELECT doc_b, doc_a FROM pairs),
-           |reach(src, dst) AS (
-           |  SELECT src, dst FROM edges
-           |  UNION
-           |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-           |comp AS (SELECT src AS doc_id, MIN(dst) AS min_reach
-           |         FROM reach GROUP BY src),
+           |${TrainingData.pairEdgesDuck("pairs")},
+           |${TrainingData.componentsDuck},
            |lab AS (
            |  SELECT d.doc_id,
            |    LEAST(d.doc_id, COALESCE(c.min_reach, d.doc_id)) AS cluster_id

@@ -156,6 +156,28 @@ object TrainingData {
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)""".stripMargin
 
+  /** DuckDB CTE text: undirected `edges(src, dst)` from an ordered
+    * (doc_a < doc_b) pair relation `rel`. */
+  private[queries] def pairEdgesDuck(rel: String): String =
+    s"""edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM $rel
+       |  UNION ALL SELECT doc_b, doc_a FROM $rel)""".stripMargin
+
+  /** DuckDB CTE text: min-label closure `comp(doc_id, min_reach)` over an
+    * `edges(src, dst)` relation already in scope — the oracle twin of
+    * [[graft.operators.Components]]'s propagation rule. Callers must open
+    * their WITH as `WITH RECURSIVE` and derive the final label as
+    * `LEAST(d.doc_id, COALESCE(c.min_reach, d.doc_id))` (singletons have
+    * no reach row). ONE definition — t15/t42/t81/t89 all gate on this
+    * exact closure, so a rule fix lands in every oracle at once. */
+  private[queries] def componentsDuck: String =
+    s"""reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |comp AS (SELECT src AS doc_id, MIN(dst) AS min_reach
+       |         FROM reach GROUP BY src)""".stripMargin
+
   /** 16-bit SimHash per document (t04's computation, shared with t18):
     * per-token md5 bit votes, +1/-1 summed, sign → bit. */
   private[graft] def simhash16(spark: SparkSession, dir: String): DataFrame =
@@ -673,15 +695,8 @@ object TrainingData {
           .orderBy("doc_id")
       },
       Some(s"""WITH RECURSIVE $minhashPairsDuck,
-              |edges AS (
-              |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-              |  UNION ALL SELECT doc_b, doc_a FROM pairs),
-              |reach(src, dst) AS (
-              |  SELECT src, dst FROM edges
-              |  UNION
-              |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-              |comp AS (SELECT src AS doc_id, MIN(dst) AS min_reach
-              |         FROM reach GROUP BY src)
+              |${pairEdgesDuck("pairs")},
+              |$componentsDuck
               |SELECT d.doc_id,
               |  LEAST(d.doc_id, COALESCE(c.min_reach, d.doc_id)) AS cluster_id,
               |  d.doc_id = LEAST(d.doc_id, COALESCE(c.min_reach, d.doc_id))
@@ -1542,8 +1557,13 @@ object TrainingData {
       (spark, dir) => {
         val S = 1000000000000L
         val p = minhashPairs(spark, dir)
+        // checkpoint the EDGE LIST (the expensive LSH pipeline's
+        // output): degrees, rank init, and the final report all
+        // re-derive from this materialization — without it each of the
+        // three would re-run the bands self-join over the whole corpus
         val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
           .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+          .localCheckpoint()
         val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
         val withDeg = edges.join(deg, "src").localCheckpoint()
         var ranks = deg.select(col("src").as("doc_id"),

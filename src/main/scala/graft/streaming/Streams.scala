@@ -490,8 +490,14 @@ object Streams {
     * the commit frontier can still replay, and a replayed batch M must
     * see exactly the pre-M index — compaction folds older digests into
     * batch=uptoBatch-1, so that partition's id must be beyond replay.
-    * Run it from the maintenance side (or inside foreachBatch with the
-    * previous batch id), never concurrently with itself.
+    * Run it inside foreachBatch (with the previous batch id) or while
+    * the stream is STOPPED — never concurrently with itself, and never
+    * beside a live probing stream: a probe's `spark.read.parquet` lists
+    * the batch= dirs at plan time, so a concurrent maintenance-side
+    * compaction deleting absorbed dirs mid-probe surfaces as
+    * FileNotFoundException in the probe's tasks and TERMINATES the
+    * streaming query (foreachBatch errors are not retried in place;
+    * restart recovery is clean, but the crash is real).
     *
     * Crash-safe by construction — there is NO window where a digest is
     * invisible: (1) the consolidated distinct set lands in an
@@ -507,6 +513,11 @@ object Streams {
     val p = new org.apache.hadoop.fs.Path(root)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) {
+      // clear stale scratch FIRST, unconditionally: a crash between the
+      // absorbed-dir deletes and the scratch delete leaves below.length
+      // == 1 on the re-run, which would skip the guarded body (and so
+      // the cleanup) forever while a full digest copy sits orphaned
+      fs.delete(new org.apache.hadoop.fs.Path(p, "_compact_tmp"), true)
       val below = fs.globStatus(new org.apache.hadoop.fs.Path(p, "batch=*"))
         .map(_.getPath.getName.stripPrefix("batch=").toLong)
         .filter(_ < uptoBatch).sorted
