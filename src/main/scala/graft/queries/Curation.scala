@@ -475,13 +475,16 @@ object Curation {
         val joined = labels
           .select(col("doc_id"), col("label").as("cluster_id"))
           .join(q, "doc_id")
+        // size and winner share ONE cluster_id window partitioning —
+        // a separate groupBy + join would re-run the label/quality join
+        // and add a second cluster_id exchange for a count the window's
+        // frame already holds
         val w = Window.partitionBy("cluster_id")
           .orderBy(col("qfp").desc, col("doc_id"))
-        val sizes = joined.groupBy("cluster_id")
-          .agg(count(lit(1)).as("n_members"))
+        val all = Window.partitionBy("cluster_id")
         joined.withColumn("rnk", row_number().over(w))
+          .withColumn("n_members", count(lit(1)).over(all))
           .filter(col("rnk") === 1)
-          .join(sizes, "cluster_id")
           .select(col("cluster_id"), col("doc_id").as("keep_doc_id"),
             col("qfp").as("keep_qfp"), col("n_members"))
           .orderBy("cluster_id")
@@ -503,14 +506,12 @@ object Curation {
               |  FROM lab l JOIN q ON l.doc_id = q.doc_id),
               |r AS (
               |  SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
-              |    ORDER BY qfp DESC, doc_id) AS rnk FROM j),
-              |s AS (
-              |  SELECT cluster_id, COUNT(*) AS n_members FROM j
-              |  GROUP BY cluster_id)
-              |SELECT r.cluster_id, r.doc_id AS keep_doc_id,
-              |  r.qfp AS keep_qfp, s.n_members
-              |FROM r JOIN s ON r.cluster_id = s.cluster_id
-              |WHERE r.rnk = 1 ORDER BY r.cluster_id""".stripMargin)),
+              |    ORDER BY qfp DESC, doc_id) AS rnk,
+              |    COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+              |  FROM j)
+              |SELECT cluster_id, doc_id AS keep_doc_id,
+              |  qfp AS keep_qfp, CAST(n_members AS BIGINT) AS n_members
+              |FROM r WHERE rnk = 1 ORDER BY cluster_id""".stripMargin)),
 
     // ----------------------------------------------------------------- t26
     // SEMANTIC dedup (SemDeDup shape): assign every embedding to its
