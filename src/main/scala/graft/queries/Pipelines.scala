@@ -23,6 +23,54 @@ object Pipelines {
     * don't each bill the retry handler's 1 s wait to the engine. */
   private val p14Throttled = new java.util.concurrent.atomic.AtomicBoolean(false)
 
+  /** p17 fixture writers — the same wire formats any producer emits
+    * (and TabularFilesSpec hand-builds): a minimal SpreadsheetML zip
+    * with inlineStr cells, an HTML table, and a repeating-children XML
+    * document. XML-escaping the values is enough for the fixture's
+    * `A-Z '` name alphabet. */
+  private def xmlEsc(s: String): String = s
+    .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  private def writeXlsx(path: String, header: Seq[String],
+      rows: Seq[Seq[Any]]): Unit = {
+    val zos = new java.util.zip.ZipOutputStream(
+      Files.newOutputStream(java.nio.file.Paths.get(path)))
+    def put(name: String, content: String): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(content.getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    def cell(r: Int, ci: Int, v: Any): String = {
+      val ref = s"${('A' + ci).toChar}$r"
+      v match {
+        case s: String =>
+          s"""<c r="$ref" t="inlineStr"><is><t>${xmlEsc(s)}</t></is></c>"""
+        case n => s"""<c r="$ref"><v>$n</v></c>"""
+      }
+    }
+    val body = (header +: rows.map(_.toSeq)).zipWithIndex.map {
+      case (vs, i) =>
+        s"""<row r="${i + 1}">${vs.zipWithIndex.map {
+          case (v, ci) => cell(i + 1, ci, v) }.mkString}</row>"""
+    }.mkString("\n")
+    put("[Content_Types].xml",
+      """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>""")
+    put("xl/worksheets/sheet1.xml",
+      s"""<?xml version="1.0"?><worksheet><sheetData>\n$body\n</sheetData></worksheet>""")
+    zos.close()
+  }
+
+  private def writeHtmlTable(path: String, header: Seq[String],
+      rows: Seq[Seq[Any]]): Unit = {
+    val th = header.map(h => s"<th>$h</th>").mkString
+    val trs = rows.map(r =>
+      s"<tr>${r.map(v => s"<td>${xmlEsc(v.toString)}</td>").mkString}</tr>")
+      .mkString("\n")
+    Files.write(java.nio.file.Paths.get(path),
+      s"<html><body><table>\n<tr>$th</tr>\n$trs\n</table></body></html>"
+        .getBytes("UTF-8"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // ----------------------------------------------------------------- p01
@@ -655,6 +703,67 @@ object Pipelines {
              |""".stripMargin)
       },
       Some("""SELECT n_regionkey, COUNT(*) AS n_nations, MIN(n_name) AS first_nation
-             |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin))
+             |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)),
+
+    // ----------------------------------------------------------------- p17
+    // The TABULAR FILE parsers through the gate: the File connection's
+    // xlsx (SpreadsheetML zip + StAX), html (first-table scrape), and
+    // xml (repeating-children) readers were unit-only (TabularFilesSpec;
+    // reference: pandas read_excel/read_html/read_xml, file.py:136-147).
+    // The pipeline writes the fixture's OWN rows into all three wire
+    // formats, taps each through Flow YAML, joins them in stage SQL
+    // (nation⋈region, semi-filtered by an XML keep-list), and
+    // hash-matches a pure-parquet oracle — typed column inference
+    // included: if any parser bends a value, type, or row, the join or
+    // the sums diverge.
+    //
+    // Scale note: tabular office files are driver-side by nature
+    // (single-file formats, same as the reference's pandas readers);
+    // the gate proves parser fidelity, not distribution.
+    "p17_pipeline_tabular" -> QueryDef(
+      (spark, dir) => {
+        val tmp = Files.createTempDirectory("graft_p17").toString
+        val nations = Tables.t(spark, dir, "nation")
+          .orderBy("n_nationkey")
+          .select("n_nationkey", "n_name", "n_regionkey").collect()
+          .map(r => Seq[Any](r.getAs[Number](0).longValue(), r.getString(1),
+            r.getAs[Number](2).longValue()))
+        val regions = Tables.t(spark, dir, "region")
+          .orderBy("r_regionkey").select("r_regionkey", "r_name").collect()
+          .map(r => Seq[Any](r.getAs[Number](0).longValue(), r.getString(1)))
+        writeXlsx(s"$tmp/nation.xlsx",
+          Seq("n_nationkey", "n_name", "n_regionkey"), nations.toSeq)
+        writeHtmlTable(s"$tmp/region.html",
+          Seq("r_regionkey", "r_name"), regions.toSeq)
+        Files.write(java.nio.file.Paths.get(s"$tmp/keep.xml"),
+          ("<keeps>" + (0 to 3).map(k =>
+            s"<keep><k>$k</k></keep>").mkString + "</keeps>")
+            .getBytes("UTF-8"))
+        run(spark,
+          s"""
+             |- name: Nations
+             |  kind: tap
+             |  connection: {kind: File, locator: $tmp/nation.xlsx}
+             |- name: Regions
+             |  kind: tap
+             |  connection: {kind: File, locator: $tmp/region.html}
+             |- name: Keeps
+             |  kind: tap
+             |  connection: {kind: File, locator: $tmp/keep.xml}
+             |- name: Final
+             |  kind: transform
+             |  query: >
+             |    SELECT r_name, COUNT(*) AS n_nations,
+             |           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+             |    FROM Nations JOIN Regions ON n_regionkey = r_regionkey
+             |    WHERE n_regionkey IN (SELECT k FROM Keeps)
+             |    GROUP BY r_name ORDER BY r_name
+             |""".stripMargin)
+      },
+      Some("""SELECT r_name, COUNT(*) AS n_nations,
+             |  CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+             |FROM nation JOIN region ON n_regionkey = r_regionkey
+             |WHERE n_regionkey <= 3
+             |GROUP BY r_name ORDER BY r_name""".stripMargin))
   )
 }
