@@ -2499,6 +2499,75 @@ object DataSelection {
            |       WHEN bucket = 98 THEN 'validation'
            |       ELSE 'test' END AS split
            |FROM gated ORDER BY doc_id""".stripMargin
-      })
+      }),
+
+    // ----------------------------------------------------------------- t93
+    // SESSION-SEQUENCE CORPUS — the actual behavioral training
+    // sequences a next-action model consumes: per (user, session) under
+    // q21's EXACT 30-min-gap rule, the ordered event-type string
+    // (head-capped at 50 events), event count, and exact µs duration.
+    // q21 reports session STATS, t60 the corpus-wide transition table;
+    // this emits the per-session token sequences themselves — the
+    // "documents" of a clickstream corpus.
+    //
+    // Scale shape: q21's partitioning law verbatim — every window keys
+    // on user_id (never global), the final agg on (user, session). The
+    // 50-cap is enforced INSIDE the aggregation (collect_list of a
+    // conditional skips nulls; the oracle's FILTER (WHERE wn <= 50) is
+    // the same rule), so no session can materialize an unbounded
+    // sequence string: per-group state is ≤ 50 structs no matter how
+    // degenerate the session. Order inside a session is total —
+    // (us, event_id) — via array_sort on the collected structs, exactly
+    // the oracle's ORDER BY, so the hash is placement-independent.
+    "t93_session_sequences" -> QueryDef(
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        val run = w.rowsBetween(Window.unboundedPreceding, 0)
+        val sessioned = t(spark, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            expr("unix_micros(ts)").as("us"))
+          .withColumn("boundary",
+            when(lag("us", 1).over(w).isNull ||
+              col("us") - lag("us", 1).over(w) > 1800L * 1000000L, 1L)
+              .otherwise(0L))
+          .withColumn("session_seq", sum("boundary").over(run))
+        val ws = Window.partitionBy("user_id", "session_seq")
+          .orderBy("us", "event_id")
+        sessioned
+          .withColumn("wn", row_number().over(ws))
+          .groupBy("user_id", "session_seq")
+          .agg(count(lit(1)).as("n_events"),
+            (max("us") - min("us")).as("dur_us"),
+            concat_ws(">", expr("transform(array_sort(" +
+              "collect_list(CASE WHEN wn <= 50 THEN " +
+              "struct(us, event_id, event_type) END)), x -> x.event_type)"))
+              .as("seq"))
+          .orderBy("user_id", "session_seq")
+      },
+      Some("""WITH e AS (
+             |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+             |  FROM events),
+             |b AS (
+             |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+             |    OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END
+             |    AS boundary
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+             |s AS (
+             |  SELECT *, CAST(SUM(boundary) OVER (
+             |      PARTITION BY user_id ORDER BY us, event_id
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+             |  FROM b),
+             |n AS (
+             |  SELECT *, ROW_NUMBER() OVER (
+             |      PARTITION BY user_id, session_seq
+             |      ORDER BY us, event_id) AS wn
+             |  FROM s)
+             |SELECT user_id, session_seq, COUNT(*) AS n_events,
+             |  CAST(MAX(us) - MIN(us) AS BIGINT) AS dur_us,
+             |  COALESCE(string_agg(event_type, '>' ORDER BY us, event_id)
+             |    FILTER (WHERE wn <= 50), '') AS seq
+             |FROM n GROUP BY user_id, session_seq
+             |ORDER BY user_id, session_seq""".stripMargin))
   )
 }

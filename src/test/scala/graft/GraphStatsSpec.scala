@@ -79,4 +79,32 @@ class GraphStatsSpec extends AnyFunSuite {
       assert(row.getLong(2) >= 15L * S / 100, "teleport floor")
     }
   }
+
+  test("t93: 50-cap truncates a degenerate session the fixture never has") {
+    // the fixture's longest session is 3 events, so the cap branch only
+    // runs here: 60 events 1 min apart (one session), then a >30-min gap
+    // opening a second session of 2
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_t93").toString
+    val rows = (0 until 60).map(i =>
+      (i.toLong, 7L, s"e${i % 4}", i * 60L * 1000000L)) ++
+      Seq((100L, 7L, "late", (59 * 60L + 45 * 60L) * 1000000L),
+        (101L, 7L, "later", (59 * 60L + 46 * 60L) * 1000000L))
+    rows.toDF("event_id", "user_id", "event_type", "us")
+      .withColumn("ts", expr("timestamp_micros(us)")).drop("us")
+      .write.parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("t93_session_sequences")(spark, dir)
+      .collect()
+    assert(out.length == 2)
+    val first = out(0)
+    assert(first.getLong(2) == 60L, "n_events counts ALL events")
+    assert(first.getString(4).split(">").length == 50,
+      "seq must cap at the first 50 events")
+    assert(first.getString(4).startsWith("e0>e1>e2>e3>e0"),
+      "seq must be (us, event_id)-ordered from the session head")
+    assert(first.getLong(3) == 59L * 60L * 1000000L, "exact µs duration")
+    assert(out(1).getLong(2) == 2L, "the >30-min gap opens a new session")
+  }
 }
