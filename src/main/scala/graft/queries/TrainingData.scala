@@ -1545,8 +1545,10 @@ object TrainingData {
     // Scale shape: the Pregel law — each round is ONE join of the edge
     // list (pre-joined with source degree, localCheckpointed once)
     // against the rank vector on src, then a map-side-combinable sum
-    // keyed on dst; per-round exchanges carry (doc_id, long) only, and
-    // lineage truncates per round exactly like Components' fixpoint.
+    // keyed on dst; per-round exchanges carry (doc_id, long) only.
+    // Unlike Components' open-ended fixpoint, K is a fixed 4, so the
+    // rounds chain lazily into one multi-stage job (no per-round
+    // materialization; lineage is bounded by construction).
     // Every node of the pair graph has degree ≥ 1 (undirected), so no
     // dangling-mass term. Fixed-point headroom: per-node inbound mass
     // is bounded by total mass N·1e12·85 — past ~1e5 graph nodes drop
@@ -1561,7 +1563,8 @@ object TrainingData {
         // output): degrees, rank init, and the final report all
         // re-derive from this materialization — without it each of the
         // three re-ran the bands self-join over the whole corpus
-        // (measured via QTime at sf0.1: 2.85 s -> 1.74 s warm)
+        // (measured via QTime at sf0.1: 2.85 s -> 1.74 s warm; dropping
+        // the per-round checkpoints below took it to 1.46 s)
         val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
           .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
           .localCheckpoint()
@@ -1569,6 +1572,10 @@ object TrainingData {
         val withDeg = edges.join(deg, "src").localCheckpoint()
         var ranks = deg.select(col("src").as("doc_id"),
           lit(S).as("rank"))
+        // NO per-round checkpoint, unlike Components: K is a fixed 4 (no
+        // convergence probe needs materialized rounds), so the rounds
+        // chain into ONE 4-stage job off the checkpointed edge list —
+        // cheaper at any scale than 4 eager materializations
         for (_ <- 1 to 4) {
           ranks = withDeg
             .join(ranks.withColumnRenamed("doc_id", "src"), "src")
@@ -1576,7 +1583,6 @@ object TrainingData {
             .groupBy("dst").agg(sum("contrib").as("s"))
             .select(col("dst").as("doc_id"),
               (lit(15L * S / 100) + expr("(85 * s) div 100")).as("rank"))
-            .localCheckpoint()
         }
         ranks
           .join(deg.select(col("src").as("doc_id"), col("deg")), "doc_id")

@@ -923,11 +923,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"),
       "the hub report must be partition-local heaps, not a global sort")
     assert(!p.contains("CartesianProduct"))
-    // the rank vector arrives as a localCheckpointed scan: the K rounds
-    // already ran (Components' lineage law); the visible plan is the
-    // final degree join + heap only
-    assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"),
-      "rounds must truncate lineage via localCheckpoint")
+    // the 4 rounds chain lazily off the CHECKPOINTED edge list — the
+    // plan must read materialized edges (ExistingRDD), never re-derive
+    // the LSH bands self-join from the parquet scan
+    assert(p.contains("Scan ExistingRDD"),
+      "rounds must consume the checkpointed edge list")
+    assert(!p.contains("Scan parquet"),
+      "no round may reach back to the corpus scan")
   }
 
   test("whole-stage codegen covers the relational hot paths") {
