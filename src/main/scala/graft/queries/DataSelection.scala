@@ -2522,16 +2522,9 @@ object DataSelection {
     "t93_session_sequences" -> QueryDef(
       (spark, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy("user_id").orderBy("us", "event_id")
-        val run = w.rowsBetween(Window.unboundedPreceding, 0)
-        val sessioned = t(spark, dir, "events")
+        val sessioned = Relational.sessionized(t(spark, dir, "events")
           .select(col("event_id"), col("user_id"), col("event_type"),
-            expr("unix_micros(ts)").as("us"))
-          .withColumn("boundary",
-            when(lag("us", 1).over(w).isNull ||
-              col("us") - lag("us", 1).over(w) > 1800L * 1000000L, 1L)
-              .otherwise(0L))
-          .withColumn("session_seq", sum("boundary").over(run))
+            col("ts"))).drop("ts")
         val ws = Window.partitionBy("user_id", "session_seq")
           .orderBy("us", "event_id")
         sessioned
@@ -2545,19 +2538,7 @@ object DataSelection {
               .as("seq"))
           .orderBy("user_id", "session_seq")
       },
-      Some("""WITH e AS (
-             |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us
-             |  FROM events),
-             |b AS (
-             |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
-             |    OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END
-             |    AS boundary
-             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
-             |s AS (
-             |  SELECT *, CAST(SUM(boundary) OVER (
-             |      PARTITION BY user_id ORDER BY us, event_id
-             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
-             |  FROM b),
+      Some(s"""WITH ${Relational.sessionizedDuck(Seq("event_type"))},
              |n AS (
              |  SELECT *, ROW_NUMBER() OVER (
              |      PARTITION BY user_id, session_seq

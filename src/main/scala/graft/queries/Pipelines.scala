@@ -35,6 +35,11 @@ object Pipelines {
       rows: Seq[Seq[Any]]): Unit = {
     val zos = new java.util.zip.ZipOutputStream(
       Files.newOutputStream(java.nio.file.Paths.get(path)))
+    try writeXlsxEntries(zos, header, rows) finally zos.close()
+  }
+
+  private def writeXlsxEntries(zos: java.util.zip.ZipOutputStream,
+      header: Seq[String], rows: Seq[Seq[Any]]): Unit = {
     def put(name: String, content: String): Unit = {
       zos.putNextEntry(new java.util.zip.ZipEntry(name))
       zos.write(content.getBytes("UTF-8"))
@@ -57,7 +62,6 @@ object Pipelines {
       """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>""")
     put("xl/worksheets/sheet1.xml",
       s"""<?xml version="1.0"?><worksheet><sheetData>\n$body\n</sheetData></worksheet>""")
-    zos.close()
   }
 
   private def writeHtmlTable(path: String, header: Seq[String],

@@ -38,6 +38,43 @@ object Relational {
 
   private def dec(c: Column, s: Int = 4): Column = c.cast(DecimalType(38, s))
 
+  /** q21's sessionization core, shared with t93: the 30-min event-time
+    * gap rule over (us, event_id)-ordered per-user streams. ONE
+    * definition in each engine — adds `us`, `session_seq` to `events`
+    * rows. All windows key on user_id (never global). */
+  private[queries] def sessionized(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val run = w.rowsBetween(Window.unboundedPreceding, 0)
+    events
+      .withColumn("us", expr("unix_micros(ts)"))
+      .withColumn("boundary",
+        when(lag("us", 1).over(w).isNull ||
+          col("us") - lag("us", 1).over(w) > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum("boundary").over(run))
+      .drop("boundary")
+  }
+
+  /** DuckDB CTE text for [[sessionized]]: relation `s` with `us` and
+    * `session_seq` next to event_id/user_id and `extraCols`. */
+  private[queries] def sessionizedDuck(extraCols: Seq[String]): String = {
+    val extra = extraCols.map(c => s"$c, ").mkString
+    s"""e AS (
+       |  SELECT event_id, user_id, ${extra}epoch_us(ts) AS us
+       |  FROM events),
+       |b AS (
+       |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+       |    OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END
+       |    AS boundary
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+       |s AS (
+       |  SELECT *, CAST(SUM(boundary) OVER (
+       |      PARTITION BY user_id ORDER BY us, event_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+       |  FROM b)""".stripMargin
+  }
+
   import Tables.t
 
   val defs: Map[String, QueryDef] = Map(
@@ -515,36 +552,15 @@ object Relational {
     // the oracle (HUGEINT rule).
     "q21_sessionize" -> QueryDef(
       (spark, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy("user_id").orderBy("us", "event_id")
-        val run = w.rowsBetween(Window.unboundedPreceding, 0)
-        t(spark, dir, "events")
-          .select(col("event_id"), col("user_id"), col("ts"), col("value"),
-            expr("unix_micros(ts)").as("us"))
-          .withColumn("boundary",
-            when(lag("us", 1).over(w).isNull ||
-              col("us") - lag("us", 1).over(w) > 1800L * 1000000L, 1L)
-              .otherwise(0L))
-          .withColumn("session_seq", sum("boundary").over(run))
+        sessionized(t(spark, dir, "events")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value")))
           .groupBy("user_id", "session_seq")
           .agg(count(lit(1)).as("n_events"),
             min("ts").as("started"), max("ts").as("ended"),
             (sum(fx(col("value"))).cast("double") / 1e4).as("total_value"))
           .orderBy("user_id", "session_seq")
       },
-      Some(s"""WITH e AS (
-              |  SELECT event_id, user_id, ts, value, epoch_us(ts) AS us
-              |  FROM events),
-              |b AS (
-              |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
-              |    OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END
-              |    AS boundary
-              |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
-              |s AS (
-              |  SELECT *, CAST(SUM(boundary) OVER (
-              |      PARTITION BY user_id ORDER BY us, event_id
-              |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
-              |  FROM b)
+      Some(s"""WITH ${sessionizedDuck(Seq("ts", "value"))}
               |SELECT user_id, session_seq, COUNT(*) AS n_events,
               |  MIN(ts) AS started, MAX(ts) AS ended,
               |  ${fxSql("value")} AS total_value

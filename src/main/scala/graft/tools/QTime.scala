@@ -6,7 +6,14 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 object QTime {
   def main(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      System.err.println("usage: QTime <query_name> [sfDir]")
+      sys.exit(2)
+    }
     val name = args(0)
+    require(graft.SparkEntry.queries.contains(name),
+      s"unknown query '$name'; valid: " +
+        graft.SparkEntry.queries.keys.toSeq.sorted.mkString(", "))
     val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)

@@ -914,8 +914,8 @@ class PlanSpec extends AnyFunSuite {
       "the top-k must be partition-local heaps, not a global sort")
     assert(!p.contains("CartesianProduct"),
       "the 1-row total must ride a broadcast nested loop, not a cartesian")
-    assert("partial_count".r.findFirstIn(p.toLowerCase).isDefined ||
-      p.contains("partial"), "vocabulary counts must map-side combine")
+    assert(p.contains("partial_count"),
+      "vocabulary counts must map-side combine")
   }
 
   test("t92: per-round exchanges key on graph ids, output is a TakeOrdered") {
