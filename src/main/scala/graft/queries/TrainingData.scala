@@ -1321,6 +1321,109 @@ object TrainingData {
            |ORDER BY lang""".stripMargin
       }),
 
+    // ----------------------------------------------------------------- t94
+    // KMV SKETCH MERGEABILITY — the property that makes sketches work
+    // on a 1000-executor cluster: per-SOURCE k-minimum-values sketches
+    // (t82's recipe on the shingle space) merge into a union-cardinality
+    // estimate WITHOUT rescanning any source, and the merge is EXACT:
+    // the k smallest hashes of a union are each among the k smallest of
+    // their own source, so min-k(∪ per-source min-ks) ≡ min-k(∪ all
+    // hashes) — the merged ALL row must equal the direct ALL row
+    // bit-for-bit (pinned in GraphStatsSpec). This is the dataflow of a
+    // federated corpus census: each shard ships 64 longs, never data.
+    //
+    // Scale shape: per-source sketches ride [[Curation.boundedTopK]]
+    // pre-reduction (O(k) state per partition) before the source-keyed
+    // rank window; the merge operates on ≤ 64·|sources| longs and the
+    // direct path's global window on ≤ 64·partitions pre-reduced rows —
+    // both provably tiny frames (the repo's global-window law).
+    "t94_kmv_merge" -> QueryDef(
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import spark.implicits._
+        val k = 64
+        val space = 1L << 48
+        val sh = withWords(t(spark, dir, "documents"))
+          .select(col("source"), explode(expr(shingleExpr)).as("shingle"))
+          .select(col("source"),
+            expr("CAST(conv(substr(md5(CAST(shingle AS BINARY)), 1, 12), 16, 10) AS BIGINT)")
+              .as("h"))
+          .distinct()
+        val hAll = sh.select("h").distinct()
+        def est(scoped: DataFrame): DataFrame = scoped
+          .withColumn("n_est", when(col("n_in") < k, col("n_in"))
+            .otherwise(expr(s"${(k - 1).toLong * space} div h_k")))
+        val pre = sh.as[(String, Long)]
+          .mapPartitions(it => Curation.boundedTopK(it, k))
+          .toDF("source", "h")
+        val win = Window.partitionBy("source").orderBy("h")
+        val minis = pre.withColumn("rnk", row_number().over(win))
+          .filter(col("rnk") <= k)
+        val perSource = minis.groupBy(col("source").as("scope"))
+          .agg(max("h").as("h_k"), count(lit(1)).as("n_in"))
+        val wAll = Window.orderBy("h")
+        val merged = minis.select("h").distinct()
+          .withColumn("rnk", row_number().over(wAll)).filter(col("rnk") <= k)
+          .agg(max("h").as("h_k"), count(lit(1)).as("n_in"))
+          .select(lit("ALL_merged").as("scope"), col("h_k"), col("n_in"))
+        val direct = hAll.as[Long]
+          .mapPartitions(it => Curation.boundedTopK(it.map(("all", _)), k))
+          .toDF("g", "h")
+          .withColumn("rnk", row_number().over(wAll)).filter(col("rnk") <= k)
+          .agg(max("h").as("h_k"), count(lit(1)).as("n_in"))
+          .select(lit("ALL_direct").as("scope"), col("h_k"), col("n_in"))
+        val exAll = hAll.agg(count(lit(1)).as("n_exact"))
+        val exact = sh.groupBy(col("source").as("scope"))
+          .agg(count(lit(1)).as("n_exact"))
+          .union(exAll.select(lit("ALL_merged").as("scope"), col("n_exact")))
+          .union(exAll.select(lit("ALL_direct").as("scope"), col("n_exact")))
+        est(perSource.union(merged).union(direct))
+          .join(exact, "scope")
+          .select("scope", "n_exact", "h_k", "n_est")
+          .orderBy("scope")
+      },
+      Some {
+        val hb = (1 to 12).map { i =>
+          s"(instr('0123456789abcdef', substr(h32, $i, 1)) - 1) * ${1L << (4 * (12 - i))}"
+        }.mkString(" + ")
+        val estCase = (p: String) =>
+          s"CASE WHEN $p.n_in < 64 THEN $p.n_in ELSE ${63L * (1L << 48)} // $p.h_k END"
+        s"""WITH sh AS (
+           |  SELECT DISTINCT source, CAST($hb AS BIGINT) AS h
+           |  FROM (SELECT source, md5(s) AS h32 FROM
+           |    (SELECT source, unnest($shingleSqlDuck) AS s FROM documents))),
+           |hall AS (SELECT DISTINCT h FROM sh),
+           |rk AS (
+           |  SELECT source, h,
+           |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rnk
+           |  FROM sh),
+           |mins AS (SELECT source, h FROM rk WHERE rnk <= 64),
+           |per AS (
+           |  SELECT source AS scope, MAX(h) AS h_k, COUNT(*) AS n_in
+           |  FROM mins GROUP BY source),
+           |mrk AS (
+           |  SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rnk
+           |  FROM (SELECT DISTINCT h FROM mins)),
+           |mg AS (
+           |  SELECT 'ALL_merged' AS scope, MAX(h) AS h_k, COUNT(*) AS n_in
+           |  FROM mrk WHERE rnk <= 64),
+           |drk AS (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rnk FROM hall),
+           |dr AS (
+           |  SELECT 'ALL_direct' AS scope, MAX(h) AS h_k, COUNT(*) AS n_in
+           |  FROM drk WHERE rnk <= 64),
+           |sc AS (
+           |  SELECT * FROM per UNION ALL SELECT * FROM mg
+           |  UNION ALL SELECT * FROM dr),
+           |ex AS (
+           |  SELECT source AS scope, COUNT(*) AS n_exact FROM sh GROUP BY source
+           |  UNION ALL SELECT 'ALL_merged', COUNT(*) FROM hall
+           |  UNION ALL SELECT 'ALL_direct', COUNT(*) FROM hall)
+           |SELECT s.scope, e.n_exact, s.h_k,
+           |  CAST(${estCase("s")} AS BIGINT) AS n_est
+           |FROM sc s JOIN ex e USING (scope)
+           |ORDER BY s.scope""".stripMargin
+      }),
+
     // ----------------------------------------------------------------- t78
     // LABEL-CENTROID SEPARATION: pairwise squared distance between
     // per-label embedding centroids — the between-class structure audit

@@ -80,6 +80,25 @@ class GraphStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("t94: merged sketch equals the direct union sketch bit-for-bit") {
+    val rows = SparkEntry.queries("t94_kmv_merge")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val (exM, hkM, estM) = rows("ALL_merged")
+    val (exD, hkD, estD) = rows("ALL_direct")
+    // the KMV merge theorem: min-k of the per-source minima IS min-k of
+    // the union — identical k-th value, identical estimate
+    assert(hkM == hkD && estM == estD && exM == exD,
+      s"merge must be lossless: merged ($hkM, $estM) vs direct ($hkD, $estD)")
+    // and every per-source sketch is the k smallest of a real source
+    rows.removedAll(Seq("ALL_merged", "ALL_direct")).foreach {
+      case (scope, (nExact, _, nEst)) =>
+        assert(nEst > 0, s"$scope: empty sketch")
+        if (nExact < 64) assert(nEst == nExact,
+          s"$scope: under-full sketch must be exact")
+    }
+  }
+
   test("t93: 50-cap truncates a degenerate session the fixture never has") {
     // the fixture's longest session is 3 events, so the cap branch only
     // runs here: 60 events 1 min apart (one session), then a >30-min gap
