@@ -1561,6 +1561,79 @@ object TrainingData {
            |ORDER BY p.n_exact DESC, p.w""".stripMargin
       }),
 
+    // ----------------------------------------------------------------- t95
+    // DUP-GRAPH CLUSTERING COEFFICIENT — the near-clique audit: the
+    // repo's own scale arguments (t15's propagation-round bound, t26's
+    // within-cell pairwise) lean on "LSH components are near-cliques";
+    // this MEASURES it. Triangles via the ordered three-way pair join
+    // (a<b<c by construction — each triangle counted once), per-node
+    // local coefficient 2·t/(deg·(deg−1)) in fixed-point ×1e6 (deg ≤ 1
+    // → 0 by definition), reported per degree class. A low coefficient
+    // at high degree = chain-y hub components → raise propagation
+    // rounds / re-tune bands (t45).
+    //
+    // Scale shape: both triangle joins key on single node columns of
+    // the df-capped pair list (standard triangle counting; the
+    // degree-ordering optimization for skewed graphs is noted, not
+    // needed at the LSH pair density the cap guarantees). Node
+    // coefficients aggregate map-side onto ≤ max-degree classes. All
+    // arithmetic is exact integers.
+    "t95_dup_clustering_coeff" -> QueryDef(
+      (spark, dir) => {
+        val pairs = minhashPairs(spark, dir).localCheckpoint()
+        val deg = pairs
+          .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+          .groupBy("doc_id").agg(count(lit(1)).as("deg"))
+        val tri = pairs.as("e1")
+          .join(pairs.as("e2"), col("e1.doc_b") === col("e2.doc_a"))
+          .join(pairs.as("e3"),
+            col("e3.doc_a") === col("e1.doc_a") &&
+              col("e3.doc_b") === col("e2.doc_b"))
+          .select(col("e1.doc_a").as("a"), col("e1.doc_b").as("b"),
+            col("e2.doc_b").as("c"))
+        val nodeTri = tri
+          .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+          .groupBy("doc_id").agg(count(lit(1)).as("t"))
+        deg.join(nodeTri, Seq("doc_id"), "left")
+          .withColumn("t", coalesce(col("t"), lit(0L)))
+          .withColumn("coeff_fp", when(col("deg") <= 1, 0L)
+            .otherwise(expr("(2 * t * 1000000) div (deg * (deg - 1))")))
+          .groupBy("deg")
+          .agg(count(lit(1)).as("n_nodes"), sum("t").as("sum_tri"),
+            sum("coeff_fp").as("sum_coeff"))
+          .withColumn("avg_coeff_fp", expr("sum_coeff div n_nodes"))
+          .select("deg", "n_nodes", "sum_tri", "avg_coeff_fp")
+          .orderBy("deg")
+      },
+      Some(s"""WITH $minhashPairsDuck,
+             |dg AS (
+             |  SELECT doc_id, COUNT(*) AS deg FROM (
+             |    SELECT doc_a AS doc_id FROM pairs
+             |    UNION ALL SELECT doc_b FROM pairs)
+             |  GROUP BY doc_id),
+             |tri AS (
+             |  SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+             |  FROM pairs e1
+             |  JOIN pairs e2 ON e1.doc_b = e2.doc_a
+             |  JOIN pairs e3 ON e3.doc_a = e1.doc_a
+             |    AND e3.doc_b = e2.doc_b),
+             |nt AS (
+             |  SELECT doc_id, COUNT(*) AS t FROM (
+             |    SELECT a AS doc_id FROM tri
+             |    UNION ALL SELECT b FROM tri
+             |    UNION ALL SELECT c FROM tri)
+             |  GROUP BY doc_id),
+             |nodes AS (
+             |  SELECT d.doc_id, d.deg, COALESCE(nt.t, 0) AS t,
+             |    CASE WHEN d.deg <= 1 THEN 0
+             |      ELSE (2 * COALESCE(nt.t, 0) * 1000000)
+             |        // (d.deg * (d.deg - 1)) END AS coeff_fp
+             |  FROM dg d LEFT JOIN nt ON nt.doc_id = d.doc_id)
+             |SELECT deg, COUNT(*) AS n_nodes,
+             |  CAST(SUM(t) AS BIGINT) AS sum_tri,
+             |  CAST(SUM(coeff_fp) // COUNT(*) AS BIGINT) AS avg_coeff_fp
+             |FROM nodes GROUP BY deg ORDER BY deg""".stripMargin)),
+
     // ----------------------------------------------------------------- t91
     // PMI COLLOCATION MINING — the phrase-detection pass (word2vec's
     // phrase step, Mikolov et al. 2013): rank adjacent word pairs by

@@ -23,8 +23,8 @@ class EntrySpec extends AnyFunSuite {
       assert(k.matches("[a-z][a-z0-9_]+"), s"bad query name: $k"))
   }
 
-  test("all 132 declared operators are present") {
-    assert(SparkEntry.queries.size == 132)
+  test("all 133 declared operators are present") {
+    assert(SparkEntry.queries.size == 133)
   }
 
   test("t15 components: labels are canonical minima consistent with t02 pairs") {

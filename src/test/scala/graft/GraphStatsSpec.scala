@@ -80,6 +80,34 @@ class GraphStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("t95: driver-side triangle recompute matches per degree class") {
+    val out = SparkEntry.queries("t95_dup_clustering_coeff")(spark, sf)
+      .collect()
+    val pairs = SparkEntry.queries("t02_minhash_lsh")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val triPerNode = adj.map { case (v, ns) =>
+      v -> ns.toSeq.combinations(2).count {
+        case Seq(x, y) => adj(x)(y); case _ => false }
+    }
+    val expected = adj.keys.toSeq.map { v =>
+      val d = adj(v).size.toLong
+      val t = triPerNode(v).toLong // one count per unordered neighbor pair
+      val c = if (d <= 1) 0L else 2L * t * 1000000L / (d * (d - 1))
+      (d, t, c)
+    }.groupBy(_._1).map { case (d, vs) =>
+      d -> (vs.size.toLong, vs.map(_._2).sum, vs.map(_._3).sum / vs.size)
+    }
+    assert(out.nonEmpty && out.length == expected.size)
+    out.foreach { r =>
+      val (n, st, ac) = expected(r.getLong(0))
+      assert(r.getLong(1) == n && r.getLong(2) == st && r.getLong(3) == ac,
+        s"degree class ${r.getLong(0)} mismatch")
+      assert(r.getLong(3) <= 1000000L, "coefficient cannot exceed 1")
+    }
+  }
+
   test("t94: merged sketch equals the direct union sketch bit-for-bit") {
     val rows = SparkEntry.queries("t94_kmv_merge")(spark, sf).collect()
       .map(r => r.getString(0) ->
