@@ -163,6 +163,26 @@ object TrainingData {
        |  SELECT doc_a AS src, doc_b AS dst FROM $rel
        |  UNION ALL SELECT doc_b, doc_a FROM $rel)""".stripMargin
 
+  /** t82/t94's shared KMV recipe — ONE definition per engine (the
+    * componentsDuck rule): a 48-bit integer hash of a `shingle` column
+    * (md5 head, byte-identical across engines), and the k-minimum-values
+    * estimator (k−1)·2^48 / h_k with the under-full exact case. */
+  private[queries] val kmvK = 64
+  private[queries] val kmvSpace = 1L << 48
+  private[queries] val kmvHashExpr =
+    "CAST(conv(substr(md5(CAST(shingle AS BINARY)), 1, 12), 16, 10) AS BIGINT)"
+  private[queries] def kmvEstCol: Column =
+    when(col("n_in") < kmvK, col("n_in"))
+      .otherwise(expr(s"${(kmvK - 1).toLong * kmvSpace} div h_k"))
+  /** 12-hex-digit → BIGINT sum over column `hexCol` (DuckDB spelling). */
+  private[queries] def kmvHashDuck(hexCol: String): String =
+    (1 to 12).map { i =>
+      s"(instr('0123456789abcdef', substr($hexCol, $i, 1)) - 1) * ${1L << (4 * (12 - i))}"
+    }.mkString(" + ")
+  private[queries] def kmvEstDuck(p: String): String =
+    s"CASE WHEN $p.n_in < $kmvK THEN $p.n_in " +
+      s"ELSE ${(kmvK - 1).toLong * kmvSpace} // $p.h_k END"
+
   /** DuckDB CTE text: min-label closure `comp(doc_id, min_reach)` over an
     * `edges(src, dst)` relation already in scope — the oracle twin of
     * [[graft.operators.Components]]'s propagation rule. Callers must open
@@ -1268,26 +1288,20 @@ object TrainingData {
       (spark, dir) => {
         import org.apache.spark.sql.expressions.Window
         import spark.implicits._
-        val k = 64
-        val space = 1L << 48
         val sh = withWords(t(spark, dir, "documents"))
           .select(col("lang"), explode(expr(shingleExpr)).as("shingle"))
-          .select(col("lang"),
-            expr("CAST(conv(substr(md5(CAST(shingle AS BINARY)), 1, 12), 16, 10) AS BIGINT)")
-              .as("h"))
+          .select(col("lang"), expr(kmvHashExpr).as("h"))
           .distinct()
         val exact = sh.groupBy("lang").agg(count(lit(1)).as("n_exact"))
         val pre = sh.as[(String, Long)]
-          .mapPartitions(it => Curation.boundedTopK(it, k))
+          .mapPartitions(it => Curation.boundedTopK(it, kmvK))
           .toDF("lang", "h")
         val win = Window.partitionBy("lang").orderBy("h")
         val kmv = pre.withColumn("rnk", row_number().over(win))
-          .filter(col("rnk") <= k)
+          .filter(col("rnk") <= kmvK)
           .groupBy("lang")
           .agg(max("h").as("h_k"), count(lit(1)).as("n_in"))
-          .withColumn("n_est",
-            when(col("n_in") < k, col("n_in"))
-              .otherwise(expr(s"${(k - 1).toLong * space} div h_k")))
+          .withColumn("n_est", kmvEstCol)
         exact.join(kmv, "lang")
           .withColumn("rel_err",
             (col("n_est") - col("n_exact")).cast("double")
@@ -1296,11 +1310,8 @@ object TrainingData {
           .orderBy("lang")
       },
       Some {
-        val hb = (1 to 12).map { i =>
-          s"(instr('0123456789abcdef', substr(h32, $i, 1)) - 1) * ${1L << (4 * (12 - i))}"
-        }.mkString(" + ")
         s"""WITH sh AS (
-           |  SELECT DISTINCT lang, CAST($hb AS BIGINT) AS h
+           |  SELECT DISTINCT lang, CAST(${kmvHashDuck("h32")} AS BIGINT) AS h
            |  FROM (SELECT lang, md5(s) AS h32 FROM
            |    (SELECT lang, unnest($shingleSqlDuck) AS s FROM documents))),
            |ex AS (SELECT lang, COUNT(*) AS n_exact FROM sh GROUP BY lang),
@@ -1310,12 +1321,10 @@ object TrainingData {
            |  FROM sh),
            |km AS (
            |  SELECT lang, MAX(h) AS h_k, COUNT(*) AS n_in
-           |  FROM rk WHERE rnk <= 64 GROUP BY lang)
+           |  FROM rk WHERE rnk <= $kmvK GROUP BY lang)
            |SELECT e.lang, e.n_exact, km.h_k,
-           |  CASE WHEN km.n_in < 64 THEN km.n_in
-           |       ELSE ${63L * (1L << 48)} // km.h_k END AS n_est,
-           |  CAST((CASE WHEN km.n_in < 64 THEN km.n_in
-           |        ELSE ${63L * (1L << 48)} // km.h_k END) - e.n_exact
+           |  ${kmvEstDuck("km")} AS n_est,
+           |  CAST((${kmvEstDuck("km")}) - e.n_exact
            |    AS DOUBLE) / CAST(e.n_exact AS DOUBLE) AS rel_err
            |FROM ex e JOIN km USING (lang)
            |ORDER BY lang""".stripMargin
@@ -1341,35 +1350,35 @@ object TrainingData {
       (spark, dir) => {
         import org.apache.spark.sql.expressions.Window
         import spark.implicits._
-        val k = 64
-        val space = 1L << 48
+        // checkpoint the distinct (source, h) table: five consumers
+        // below (per-source sketch, per-source exact, union distinct,
+        // direct sketch, union exact) would otherwise each re-run the
+        // corpus shingle→md5 scan
         val sh = withWords(t(spark, dir, "documents"))
           .select(col("source"), explode(expr(shingleExpr)).as("shingle"))
-          .select(col("source"),
-            expr("CAST(conv(substr(md5(CAST(shingle AS BINARY)), 1, 12), 16, 10) AS BIGINT)")
-              .as("h"))
+          .select(col("source"), expr(kmvHashExpr).as("h"))
           .distinct()
-        val hAll = sh.select("h").distinct()
-        def est(scoped: DataFrame): DataFrame = scoped
-          .withColumn("n_est", when(col("n_in") < k, col("n_in"))
-            .otherwise(expr(s"${(k - 1).toLong * space} div h_k")))
+          .localCheckpoint()
+        val hAll = sh.select("h").distinct().localCheckpoint()
         val pre = sh.as[(String, Long)]
-          .mapPartitions(it => Curation.boundedTopK(it, k))
+          .mapPartitions(it => Curation.boundedTopK(it, kmvK))
           .toDF("source", "h")
         val win = Window.partitionBy("source").orderBy("h")
         val minis = pre.withColumn("rnk", row_number().over(win))
-          .filter(col("rnk") <= k)
+          .filter(col("rnk") <= kmvK)
         val perSource = minis.groupBy(col("source").as("scope"))
           .agg(max("h").as("h_k"), count(lit(1)).as("n_in"))
         val wAll = Window.orderBy("h")
         val merged = minis.select("h").distinct()
-          .withColumn("rnk", row_number().over(wAll)).filter(col("rnk") <= k)
+          .withColumn("rnk", row_number().over(wAll))
+          .filter(col("rnk") <= kmvK)
           .agg(max("h").as("h_k"), count(lit(1)).as("n_in"))
           .select(lit("ALL_merged").as("scope"), col("h_k"), col("n_in"))
         val direct = hAll.as[Long]
-          .mapPartitions(it => Curation.boundedTopK(it.map(("all", _)), k))
+          .mapPartitions(it => Curation.boundedTopK(it.map(("all", _)), kmvK))
           .toDF("g", "h")
-          .withColumn("rnk", row_number().over(wAll)).filter(col("rnk") <= k)
+          .withColumn("rnk", row_number().over(wAll))
+          .filter(col("rnk") <= kmvK)
           .agg(max("h").as("h_k"), count(lit(1)).as("n_in"))
           .select(lit("ALL_direct").as("scope"), col("h_k"), col("n_in"))
         val exAll = hAll.agg(count(lit(1)).as("n_exact"))
@@ -1377,19 +1386,16 @@ object TrainingData {
           .agg(count(lit(1)).as("n_exact"))
           .union(exAll.select(lit("ALL_merged").as("scope"), col("n_exact")))
           .union(exAll.select(lit("ALL_direct").as("scope"), col("n_exact")))
-        est(perSource.union(merged).union(direct))
+        perSource.union(merged).union(direct)
+          .withColumn("n_est", kmvEstCol)
           .join(exact, "scope")
           .select("scope", "n_exact", "h_k", "n_est")
           .orderBy("scope")
       },
       Some {
-        val hb = (1 to 12).map { i =>
-          s"(instr('0123456789abcdef', substr(h32, $i, 1)) - 1) * ${1L << (4 * (12 - i))}"
-        }.mkString(" + ")
-        val estCase = (p: String) =>
-          s"CASE WHEN $p.n_in < 64 THEN $p.n_in ELSE ${63L * (1L << 48)} // $p.h_k END"
         s"""WITH sh AS (
-           |  SELECT DISTINCT source, CAST($hb AS BIGINT) AS h
+           |  SELECT DISTINCT source,
+           |    CAST(${kmvHashDuck("h32")} AS BIGINT) AS h
            |  FROM (SELECT source, md5(s) AS h32 FROM
            |    (SELECT source, unnest($shingleSqlDuck) AS s FROM documents))),
            |hall AS (SELECT DISTINCT h FROM sh),
@@ -1397,7 +1403,7 @@ object TrainingData {
            |  SELECT source, h,
            |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rnk
            |  FROM sh),
-           |mins AS (SELECT source, h FROM rk WHERE rnk <= 64),
+           |mins AS (SELECT source, h FROM rk WHERE rnk <= $kmvK),
            |per AS (
            |  SELECT source AS scope, MAX(h) AS h_k, COUNT(*) AS n_in
            |  FROM mins GROUP BY source),
@@ -1406,11 +1412,11 @@ object TrainingData {
            |  FROM (SELECT DISTINCT h FROM mins)),
            |mg AS (
            |  SELECT 'ALL_merged' AS scope, MAX(h) AS h_k, COUNT(*) AS n_in
-           |  FROM mrk WHERE rnk <= 64),
+           |  FROM mrk WHERE rnk <= $kmvK),
            |drk AS (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rnk FROM hall),
            |dr AS (
            |  SELECT 'ALL_direct' AS scope, MAX(h) AS h_k, COUNT(*) AS n_in
-           |  FROM drk WHERE rnk <= 64),
+           |  FROM drk WHERE rnk <= $kmvK),
            |sc AS (
            |  SELECT * FROM per UNION ALL SELECT * FROM mg
            |  UNION ALL SELECT * FROM dr),
@@ -1419,7 +1425,7 @@ object TrainingData {
            |  UNION ALL SELECT 'ALL_merged', COUNT(*) FROM hall
            |  UNION ALL SELECT 'ALL_direct', COUNT(*) FROM hall)
            |SELECT s.scope, e.n_exact, s.h_k,
-           |  CAST(${estCase("s")} AS BIGINT) AS n_est
+           |  CAST(${kmvEstDuck("s")} AS BIGINT) AS n_est
            |FROM sc s JOIN ex e USING (scope)
            |ORDER BY s.scope""".stripMargin
       }),
@@ -1573,9 +1579,11 @@ object TrainingData {
     // rounds / re-tune bands (t45).
     //
     // Scale shape: both triangle joins key on single node columns of
-    // the df-capped pair list (standard triangle counting; the
-    // degree-ordering optimization for skewed graphs is noted, not
-    // needed at the LSH pair density the cap guarantees). Node
+    // the LSH band-bucketed pair list — its density is bounded by band
+    // collision rates (t45 tunes them), NOT by t03's df cap, which
+    // applies only to the Jaccard block path. For a pathological hub
+    // graph the standard degree-ordering optimization (orient edges
+    // low→high degree before joining) is the noted escape hatch. Node
     // coefficients aggregate map-side onto ≤ max-degree classes. All
     // arithmetic is exact integers.
     "t95_dup_clustering_coeff" -> QueryDef(

@@ -11,9 +11,11 @@ object QTime {
       sys.exit(2)
     }
     val name = args(0)
-    require(graft.SparkEntry.queries.contains(name),
-      s"unknown query '$name'; valid: " +
+    if (!graft.SparkEntry.queries.contains(name)) {
+      System.err.println(s"unknown query '$name'; valid: " +
         graft.SparkEntry.queries.keys.toSeq.sorted.mkString(", "))
+      sys.exit(2)
+    }
     val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
