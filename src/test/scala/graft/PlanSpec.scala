@@ -932,6 +932,20 @@ class PlanSpec extends AnyFunSuite {
       "no round may reach back to the corpus scan")
   }
 
+  test("t94/t95: consumers read the checkpointed table, never the corpus") {
+    // both queries materialize their expensive input ONCE (t94 the
+    // distinct hash table, t95 the pair list); every downstream branch
+    // must consume that materialization — a parquet scan in the final
+    // plan means a consumer silently re-derived the corpus pipeline
+    Seq("t94_kmv_merge", "t95_dup_clustering_coeff").foreach { n =>
+      val p = plan(n)
+      assert(p.contains("Scan ExistingRDD"),
+        s"$n must read its localCheckpoint")
+      assert(!p.contains("Scan parquet"),
+        s"$n re-scans the corpus past its checkpoint")
+    }
+  }
+
   test("whole-stage codegen covers the relational hot paths") {
     // AQE finalizes the plan lazily; execute first, then inspect.
     val df = SparkEntry.queries("q01_agg_pricing")(spark, sf)
