@@ -514,6 +514,18 @@ class StreamingSpec extends AnyFunSuite {
     Streams.compactIndex(spark, s"$tmp/state", uptoBatch = 4L)
     assert(Streams.dedupBatchAgainstIndex(probe, s"$tmp/state", 4L)
       .select("doc_id").as[Long].collect().toSet == before)
+    // crash window: absorbed dirs deleted but the scratch survived —
+    // the guarded merge body is skipped (only one batch dir remains),
+    // yet the orphaned _compact_tmp must STILL be cleaned up
+    val orphan = new java.io.File(s"$tmp/state/hashes/_compact_tmp")
+    assert(orphan.mkdirs())
+    java.nio.file.Files.writeString(
+      orphan.toPath.resolve("leftover.parquet"), "junk")
+    Streams.compactIndex(spark, s"$tmp/state", uptoBatch = 4L)
+    assert(!orphan.exists(),
+      "stale scratch must be removed even when no merge runs")
+    assert(Streams.dedupBatchAgainstIndex(probe, s"$tmp/state", 4L)
+      .select("doc_id").as[Long].collect().toSet == before)
   }
 
   test("a retained index with a fresh checkpoint fails fast, not silently") {
