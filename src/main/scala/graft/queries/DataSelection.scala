@@ -2549,6 +2549,59 @@ object DataSelection {
              |  COALESCE(string_agg(event_type, '>' ORDER BY us, event_id)
              |    FILTER (WHERE wn <= 50), '') AS seq
              |FROM n GROUP BY user_id, session_seq
-             |ORDER BY user_id, session_seq""".stripMargin))
+             |ORDER BY user_id, session_seq""".stripMargin)),
+
+    // ----------------------------------------------------------------- t96
+    // TEMPORAL LAST-SESSION HOLDOUT — the split rule behavioral models
+    // REQUIRE (random splits leak the future into training): each
+    // user's chronologically LAST session is the test set, everything
+    // earlier trains. Single-session users stay fully in train — you
+    // cannot hold out a user's only session and still have them in the
+    // model. Built on q21's exact session rule (third consumer of
+    // [[Relational.sessionized]]); the report is the per-split census a
+    // training run logs before touching the data.
+    //
+    // Scale shape: q21's law — sessions aggregate on (user, session)
+    // after user-keyed windows; the per-user max rides the SAME
+    // user-keyed partitioning (a window over the session frame, not a
+    // second corpus pass); the final census is a 2-key
+    // map-side-combinable agg. n_users expands to (split, user) rows
+    // bounded by the session count.
+    "t96_temporal_split" -> QueryDef(
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val sessions = Relational.sessionized(t(spark, dir, "events")
+          .select(col("event_id"), col("user_id"), col("ts")))
+          .groupBy("user_id", "session_seq")
+          .agg(count(lit(1)).as("n_events"))
+        val mx = Window.partitionBy("user_id")
+        sessions
+          .withColumn("max_seq", max("session_seq").over(mx))
+          .withColumn("split",
+            when(col("session_seq") === col("max_seq") &&
+              col("max_seq") >= 2, "test").otherwise("train"))
+          .groupBy("split")
+          .agg(countDistinct("user_id").as("n_users"),
+            count(lit(1)).as("n_sessions"),
+            sum("n_events").as("n_events"))
+          .orderBy("split")
+      },
+      Some(s"""WITH ${Relational.sessionizedDuck(Nil)},
+             |sess AS (
+             |  SELECT user_id, session_seq, COUNT(*) AS n_events
+             |  FROM s GROUP BY user_id, session_seq),
+             |marked AS (
+             |  SELECT *, MAX(session_seq) OVER (PARTITION BY user_id)
+             |    AS max_seq
+             |  FROM sess),
+             |sp AS (
+             |  SELECT user_id, n_events,
+             |    CASE WHEN session_seq = max_seq AND max_seq >= 2
+             |      THEN 'test' ELSE 'train' END AS split
+             |  FROM marked)
+             |SELECT split, COUNT(DISTINCT user_id) AS n_users,
+             |  COUNT(*) AS n_sessions,
+             |  CAST(SUM(n_events) AS BIGINT) AS n_events
+             |FROM sp GROUP BY split ORDER BY split""".stripMargin))
   )
 }

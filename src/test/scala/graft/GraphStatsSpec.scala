@@ -127,6 +127,27 @@ class GraphStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("t96: last session tests, single-session users stay in train") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_t96").toString
+    // user 1: two sessions (45-min gap) → last is test
+    // user 2: one session → must stay train (no holdout possible)
+    Seq((1L, 1L, 0L), (2L, 1L, 60L), (3L, 1L, 60L + 45L * 60L),
+      (4L, 2L, 0L), (5L, 2L, 120L))
+      .toDF("event_id", "user_id", "sec")
+      .withColumn("ts", expr("timestamp_micros(sec * 1000000)")).drop("sec")
+      .write.parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("t96_temporal_split")(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("test") == ((1L, 1L, 1L)),
+      "exactly user 1's last session (1 event) is held out")
+    assert(out("train") == ((2L, 2L, 4L)),
+      "user 1's first session and ALL of user 2 stay in train")
+  }
+
   test("t93: 50-cap truncates a degenerate session the fixture never has") {
     // the fixture's longest session is 3 events, so the cap branch only
     // runs here: 60 events 1 min apart (one session), then a >30-min gap
