@@ -10,7 +10,8 @@ import graft.sqlbridge.SqlBridge
   * its own database and the config must NOT also set one; a bare locator
   * requires the config database. */
 object ClickhouseLocate {
-  def locate(locator: String, database: Option[String]): String = {
+  def locate(locator: String, database: Option[String],
+      quote: String => String = IdQuote.doubleQuote): String = {
     val db = database.filter(_.nonEmpty)
     if (locator.contains(".")) {
       val parts = locator.split("\\.")
@@ -19,13 +20,37 @@ object ClickhouseLocate {
       if (db.isDefined)
         throw new IllegalArgumentException(
           s"Locator '$locator' must not include a database prefix when 'database' is set.")
-      s""""${parts(0)}"."${parts(1)}""""
+      s"${quote(parts(0))}.${quote(parts(1))}"
     } else {
       val d = db.getOrElse(throw new IllegalArgumentException(
         s"Locator '$locator' must include a database prefix when 'database' is not set."))
-      s""""$d"."$locator""""
+      s"${quote(d)}.${quote(locator)}"
     }
   }
+}
+
+/** Identifier quoting per remote dialect. ANSI double quotes are the
+  * default (DuckDB/ClickHouse/Derby/Postgres all accept them); HiveQL /
+  * Spark SQL endpoints (`jdbc:hive2:`) need backticks — Spark SQL reads a
+  * double-quoted token as a string literal unless ANSI mode is on. */
+object IdQuote {
+  val doubleQuote: String => String = s => "\"" + s.replace("\"", "\"\"") + "\""
+  val backtick: String => String = s => "`" + s.replace("`", "``") + "`"
+
+  def forUrl(jdbcUrl: String): String => String =
+    if (jdbcUrl.startsWith("jdbc:hive2:")) backtick else doubleQuote
+
+  /** Spark's JDBC reader/writer also quote identifiers (schema probe,
+    * partition predicates, CREATE TABLE) through a [[JdbcDialect]]; no
+    * built-in dialect handles hive2, so register a backtick one once. */
+  private val hiveDialectRegistered = new java.util.concurrent.atomic.AtomicBoolean(false)
+  def ensureHiveDialect(): Unit =
+    if (hiveDialectRegistered.compareAndSet(false, true))
+      org.apache.spark.sql.jdbc.JdbcDialects.registerDialect(
+        new org.apache.spark.sql.jdbc.JdbcDialect {
+          override def canHandle(url: String): Boolean = url.startsWith("jdbc:hive2:")
+          override def quoteIdentifier(colName: String): String = backtick(colName)
+        })
 }
 
 /** Remote ranked-dedup query in the shape the reference generates
@@ -37,7 +62,7 @@ object RemoteRank {
   import graft.sqlbridge.SqlText._
 
   def apply(query: String, selectable: String, version: Option[String],
-      keys: Seq[String]): String = {
+      keys: Seq[String], quote: String => String = IdQuote.doubleQuote): String = {
     val swapped = SqlBridge.swapFromTable(query, selectable)
     (version, keys) match {
       case (Some(v), ks) if ks.nonEmpty =>
@@ -62,8 +87,8 @@ object RemoteRank {
           sys.error(s"cannot rank query without top-level SELECT ... FROM: $query")
         val selectList = render(toks.slice(selIdx + 1, fromIdx)).trim
         val rest = render(toks.slice(fromIdx, toks.length))
-        val partition = ks.map(k => s""""$k"""").mkString(", ")
-        s"""SELECT * FROM (SELECT $selectList, ROW_NUMBER() OVER (PARTITION BY $partition ORDER BY "$v" DESC) AS __rank__ $rest) AS ranked WHERE "__rank__" = 1"""
+        val partition = ks.map(quote).mkString(", ")
+        s"""SELECT * FROM (SELECT $selectList, ROW_NUMBER() OVER (PARTITION BY $partition ORDER BY ${quote(v)} DESC) AS __rank__ $rest) AS ranked WHERE ${quote("__rank__")} = 1"""
       case _ => swapped
     }
   }
@@ -115,6 +140,10 @@ abstract class ExternalSqlConnection(ctx: ConnContext) extends Connection(ctx) {
   protected def blocksize: Int =
     cfgStr("blocksize").map(_.toInt).getOrElse(50000)
 
+  /** Identifier quoting for SQL we GENERATE for the remote (ranking,
+    * located tables); user-authored query text passes through untouched. */
+  protected def idQuote: String => String = IdQuote.forUrl(jdbcUrl)
+
   protected def jdbcProps: Properties = {
     val p = new Properties()
     cfgStr("username").foreach(p.setProperty("user", _))
@@ -127,11 +156,12 @@ abstract class ExternalSqlConnection(ctx: ConnContext) extends Connection(ctx) {
     * limit — all pushed to the source. */
   def remoteQuery(query: String, limit: Option[Int]): String = {
     SqlBridge.validateSimpleQuery(query)
-    val ranked = RemoteRank(query, locatedTable, conn.version, conn.keys)
-    limit.map(n => s"SELECT * FROM ($ranked) AS __limited LIMIT $n").getOrElse(ranked)
+    val ranked = RemoteRank(query, locatedTable, conn.version, conn.keys, idQuote)
+    limit.map(n => s"SELECT * FROM ($ranked) AS graft_limited LIMIT $n").getOrElse(ranked)
   }
 
   override def tap(query: Option[String], limit: Option[Int]): DataFrame = {
+    IdQuote.ensureHiveDialect()
     val q = query.getOrElse(
       sys.error(s"${conn.kind} tap requires a query (placeholder FROM $placeholder)"))
     val remote = remoteQuery(q, limit)
@@ -145,10 +175,11 @@ abstract class ExternalSqlConnection(ctx: ConnContext) extends Connection(ctx) {
           .option("upperBound", conn.str("upper_bound").getOrElse(n.toString))
       case _ => reader
     }
-    partitioned.jdbc(jdbcUrl, s"($remote) AS __graft_remote", jdbcProps)
+    partitioned.jdbc(jdbcUrl, s"($remote) AS graft_remote", jdbcProps)
   }
 
   override def sink(from: DataFrame): Unit = {
+    IdQuote.ensureHiveDialect()
     val mode = conn.str("data_mode").getOrElse("append") match {
       case "append" => SaveMode.Append
       case "overwrite" => SaveMode.Overwrite
@@ -172,7 +203,7 @@ abstract class ExternalSqlConnection(ctx: ConnContext) extends Connection(ctx) {
 
   override def showSchema(): org.apache.spark.sql.types.StructType =
     spark.read.option("fetchsize", "100")
-      .jdbc(jdbcUrl, s"(SELECT * FROM $locatedTable LIMIT 100) AS __graft_preview",
+      .jdbc(jdbcUrl, s"(SELECT * FROM $locatedTable LIMIT 100) AS graft_preview",
         jdbcProps).schema
 }
 
@@ -190,7 +221,7 @@ final class ClickhouseConnection(ctx: ConnContext)
     }
 
   override protected def locatedTable: String =
-    ClickhouseLocate.locate(locator, cfgStr("database"))
+    ClickhouseLocate.locate(locator, cfgStr("database"), idQuote)
 }
 
 final class BigQueryConnection(ctx: ConnContext)

@@ -89,9 +89,20 @@ final class RestConnection(ctx: ConnContext) extends Connection(ctx) {
           // budget (rest/server.py:349-374 — only 5xx consumes
           // self.retry), so a persistently rate-limiting endpoint waits
           // forever there too. downloadFile (no reference counterpart)
-          // caps instead.
-          Thread.sleep((rateWait * 1000).toLong)
-          rateWait *= 2 // doubles per retry (rest/server.py:369-374)
+          // caps instead. Extension over the reference: an RFC 9110
+          // `Retry-After: <delay-seconds>` takes precedence over the
+          // doubling schedule — a rate-limiting server says when to come
+          // back, and waiting less just burns its quota again.
+          val retryAfter = {
+            val h = resp.headers().firstValue("Retry-After")
+            if (h.isPresent) scala.util.Try(h.get.toDouble).toOption else None
+          }
+          retryAfter match {
+            case Some(sec) => Thread.sleep((sec * 1000).toLong)
+            case None =>
+              Thread.sleep((rateWait * 1000).toLong)
+              rateWait *= 2 // doubles per retry (rest/server.py:369-374)
+          }
         } else if (code >= 500) {
           if (attempt >= maxRetries)
             sys.error(s"HTTP $code from $url after $attempt retries")

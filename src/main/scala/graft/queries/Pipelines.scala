@@ -17,11 +17,6 @@ object Pipelines {
   private def run(spark: SparkSession, yaml: String): DataFrame =
     Flow.runYaml(spark, yaml).df()
 
-  /** p14's 429 leg fires on the FIRST page-1 request of the JVM: the
-    * correctness gate (one Verify invocation per JVM) always exercises
-    * the wait-and-retry path, while Bench's repeated measured samples
-    * don't each bill the retry handler's 1 s wait to the engine. */
-  private val p14Throttled = new java.util.concurrent.atomic.AtomicBoolean(false)
 
   /** p17 fixture writers — the same wire formats any producer emits
     * (and TabularFilesSpec hand-builds): a minimal SpreadsheetML zip
@@ -517,7 +512,11 @@ object Pipelines {
         import com.sun.net.httpserver.{HttpExchange, HttpServer}
         val rows = Tables.t(spark, dir, "nation")
           .orderBy("n_nationkey").toJSON.collect()
-        val throttled = p14Throttled
+        // per-INVOCATION one-shot (r12 verdict): every gate run and every
+        // bench sample exercises the 429 wait-and-retry leg. The server
+        // sends `Retry-After: 0`, so the leg costs a round trip, not a
+        // 1 s sleep billed to the engine.
+        val throttled = new java.util.concurrent.atomic.AtomicBoolean(false)
         val server = HttpServer.create(
           new java.net.InetSocketAddress("127.0.0.1", 0), 0)
         server.createContext("/nations", (ex: HttpExchange) => {
@@ -529,9 +528,10 @@ object Pipelines {
             .map(_.group(1).toInt).getOrElse(0)
           val (code, body) =
             if (!authOk) (401, """{"error":"unauthorized"}""")
-            else if (page == 1 && throttled.compareAndSet(false, true))
+            else if (page == 1 && throttled.compareAndSet(false, true)) {
+              ex.getResponseHeaders.set("Retry-After", "0")
               (429, """{"error":"slow down"}""")
-            else {
+            } else {
               val slice = rows.slice(page * 10, page * 10 + 10)
               (200, s"""{"data":{"rows":[${slice.mkString(",")}],""" +
                 s""""total":${rows.length}}}""")
@@ -545,7 +545,8 @@ object Pipelines {
         server.start()
         // the Rest tap fetches eagerly inside Flow.run (pages land as
         // in-memory JSON strings), so the server can stop right after
-        try run(spark,
+        try {
+          val out = run(spark,
           s"""
              |- name: Nations
              |  kind: tap
@@ -574,7 +575,14 @@ object Pipelines {
              |           CAST(n_regionkey AS INTEGER) AS n_regionkey
              |    FROM Nations ORDER BY n_nationkey
              |""".stripMargin)
-        finally server.stop(0)
+          // the gate's own invariant: this invocation really served (and
+          // survived) the 429 leg — a regression that stops requesting
+          // page 1, or reorders pages past the throttle, fails loudly
+          // here instead of silently losing retry coverage
+          require(throttled.get(),
+            "p14: the 429 throttle leg was not exercised this invocation")
+          out
+        } finally server.stop(0)
       },
       Some("SELECT n_nationkey, n_name, n_regionkey FROM nation " +
         "ORDER BY n_nationkey")),
@@ -768,6 +776,118 @@ object Pipelines {
              |  CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
              |FROM nation JOIN region ON n_regionkey = r_regionkey
              |WHERE n_regionkey <= 3
-             |GROUP BY r_name ORDER BY r_name""".stripMargin))
+             |GROUP BY r_name ORDER BY r_name""".stripMargin)),
+
+    // ----------------------------------------------------------------- p18
+    // The ExternalSql JDBC family through the gate — the last engine
+    // subsystem that was unit-only (r12 verdict #1). Two loopback
+    // "remote" systems, both real wire-protocol JDBC hops:
+    //
+    //  * embedded Derby (`derby-10.16.1.1.jar` ships in /opt/spark/jars)
+    //    covers the TRANSFER surface: sink data_mode overwrite (CREATE)
+    //    then append (doubling the rows), a raw `sql` stage (DELETE
+    //    trimming keys >= 20 — 2×20 rows survive), and a tap whose
+    //    blocksize→fetchsize and partition_column/num_partitions options
+    //    drive a 4-way PARALLEL JDBC read (the Spark-side scale path the
+    //    single-threaded reference cannot do);
+    //  * an in-process HiveServer2 ([[graft.connections.ThriftLoopback]],
+    //    hive-jdbc + spark-hive-thriftserver jars) covers the REMOTE
+    //    RANKED-DEDUP injection (reference:
+    //    ankaflow/connections/clickhouse.py:145-156 via
+    //    common/util.py:336-383): the version/key tap ships a
+    //    ROW_NUMBER-OVER-PARTITION statement to the remote, dedup runs
+    //    THERE, and only surviving rows cross the wire — Derby has no
+    //    PARTITION BY, so the full-SQL endpoint plays the ClickHouse
+    //    role. Identifier quoting is dialect-aware (backticks for hive2,
+    //    ANSI double quotes otherwise — see IdQuote).
+    //
+    // The final transform folds both legs into (leg, n, checksum) rows;
+    // the oracle recomputes them from the parquet fixture, so a bent
+    // disposition, lost DELETE, broken partition predicate, or
+    // wrong-rowed remote rank all diverge the hash.
+    "p18_pipeline_jdbc" -> QueryDef(
+      (spark, dir) => {
+        val tmp = Files.createTempDirectory("graft_p18").toString
+        // keep derby.log out of the process cwd (engine-boot property;
+        // first setter in the JVM wins, which is always a temp dir).
+        // NOT derby.system.home: that would re-root the thrift server's
+        // in-memory metastore URL (jdbc:derby:memory:...) onto the
+        // filesystem and break its schema bootstrap.
+        System.setProperty("derby.stream.error.file", s"$tmp/derby.log")
+        val derbyUrl = s"jdbc:derby:$tmp/db;create=true"
+        val port = graft.connections.ThriftLoopback.ensure(spark)
+        Tables.t(spark, dir, "events")
+          .createOrReplaceGlobalTempView("p18_events")
+        run(spark,
+          s"""
+             |- name: Nations
+             |  kind: tap
+             |  connection: {kind: Parquet, locator: $dir/nation.parquet}
+             |  query: SELECT n_nationkey, n_name, n_regionkey FROM Parquet
+             |- name: SeedRemote
+             |  kind: sink
+             |  connection:
+             |    kind: Clickhouse
+             |    locator: nation_remote
+             |    data_mode: overwrite
+             |    config: {jdbc_url: "$derbyUrl", database: GRAFT}
+             |- name: AppendRemote
+             |  kind: sink
+             |  connection:
+             |    kind: Clickhouse
+             |    locator: nation_remote
+             |    data_mode: append
+             |    config: {jdbc_url: "$derbyUrl", database: GRAFT}
+             |- name: TrimRemote
+             |  kind: sql
+             |  connection:
+             |    kind: Clickhouse
+             |    locator: nation_remote
+             |    config: {jdbc_url: "$derbyUrl", database: GRAFT}
+             |  query: DELETE FROM "GRAFT"."nation_remote" WHERE "n_nationkey" >= 20
+             |- name: RemoteBack
+             |  kind: tap
+             |  connection:
+             |    kind: Clickhouse
+             |    locator: nation_remote
+             |    partition_column: n_nationkey
+             |    num_partitions: "4"
+             |    lower_bound: "0"
+             |    upper_bound: "25"
+             |    config: {jdbc_url: "$derbyUrl", database: GRAFT, blocksize: "7"}
+             |  query: SELECT "n_nationkey", "n_name", "n_regionkey" FROM Clickhouse
+             |- name: LatestEvents
+             |  kind: tap
+             |  connection:
+             |    kind: Clickhouse
+             |    locator: global_temp.p18_events
+             |    version: event_id
+             |    key: [user_id, event_type]
+             |    config:
+             |      jdbc_url: "jdbc:hive2://127.0.0.1:$port/default"
+             |      username: anonymous
+             |  query: SELECT user_id, event_type, event_id FROM Clickhouse
+             |- name: Final
+             |  kind: transform
+             |  query: >
+             |    SELECT 'derby' AS leg, COUNT(*) AS n,
+             |      CAST(SUM(n_nationkey) AS BIGINT) AS checksum
+             |    FROM RemoteBack
+             |    UNION ALL
+             |    SELECT 'ranked' AS leg, COUNT(*) AS n,
+             |      CAST(SUM(event_id) AS BIGINT) AS checksum
+             |    FROM LatestEvents
+             |    ORDER BY leg
+             |""".stripMargin)
+      },
+      Some("""SELECT 'derby' AS leg, CAST(COUNT(*) * 2 AS BIGINT) AS n,
+             |  CAST(SUM(n_nationkey) * 2 AS BIGINT) AS checksum
+             |FROM nation WHERE n_nationkey < 20
+             |UNION ALL
+             |SELECT 'ranked' AS leg, COUNT(*) AS n,
+             |  CAST(SUM(latest) AS BIGINT) AS checksum
+             |FROM (SELECT MAX(event_id) AS latest FROM events
+             |      GROUP BY user_id, event_type) t
+             |ORDER BY leg""".stripMargin))
   )
 }

@@ -68,4 +68,25 @@ class ExternalSqlSpec extends AnyFunSuite {
       "\"db\".\"t\"", None, Nil)
     assert(q == "SELECT id FROM \"db\".\"t\" WHERE id > 3")
   }
+
+  // --- Dialect-aware identifier quoting (p18's hive2 loopback leg) ---
+
+  test("hive2 urls rank with backticks, others with ANSI double quotes") {
+    import graft.connections.IdQuote
+    assert(IdQuote.forUrl("jdbc:hive2://h:1/default")("a b") == "`a b`")
+    assert(IdQuote.forUrl("jdbc:derby:/x/db")("a") == "\"a\"")
+    assert(IdQuote.forUrl("jdbc:clickhouse://h:8123")("a") == "\"a\"")
+    val q = RemoteRank("SELECT id, v, ts FROM Clickhouse",
+      "`db`.`t`", Some("ts"), Seq("id"), IdQuote.backtick)
+    assert(q.contains("PARTITION BY `id` ORDER BY `ts` DESC"))
+    assert(q.contains("WHERE `__rank__` = 1"))
+    assert(ClickhouseLocate.locate("global_temp.v", None, IdQuote.backtick) ==
+      "`global_temp`.`v`")
+  }
+
+  test("embedded quote characters are escaped, not injected") {
+    import graft.connections.IdQuote
+    assert(IdQuote.doubleQuote("a\"b") == "\"a\"\"b\"")
+    assert(IdQuote.backtick("a`b") == "`a``b`")
+  }
 }

@@ -124,6 +124,26 @@ class RestSpec extends AnyFunSuite {
     }
   }
 
+  test("429 with Retry-After: delay-seconds takes precedence over doubling") {
+    val calls = new AtomicInteger(0)
+    withServer(Map("/ra" -> (ex =>
+      if (calls.incrementAndGet() < 3) {
+        ex.getResponseHeaders.set("Retry-After", "0")
+        (429, """{"err":"slow down"}""")
+      } else (200, """[{"ok":1}]""")))) { port =>
+      val t0 = System.nanoTime()
+      val df = restConn(port, Map.empty, Map(
+        "endpoint" -> "/ra", "method" -> "get",
+        "response" -> Map.empty[String, Any])).tap(None, None)
+      val elapsedMs = (System.nanoTime() - t0) / 1000000
+      assert(df.count() == 1)
+      assert(calls.get() == 3)
+      // the doubling schedule would have slept 1 s + 2 s; honoring the
+      // header means both retries are effectively immediate
+      assert(elapsedMs < 2000, s"Retry-After ignored? took ${elapsedMs}ms")
+    }
+  }
+
   test("500 retries up to max_retries then fails") {
     val calls = new AtomicInteger(0)
     withServer(Map("/down" -> (_ => { calls.incrementAndGet(); (500, "{}") }))) {
