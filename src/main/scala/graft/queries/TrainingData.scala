@@ -228,6 +228,69 @@ object TrainingData {
        |sims AS (SELECT doc_id, CAST($value AS INTEGER) AS simhash16 FROM sums)""".stripMargin
   }
 
+  /** t91's guarded lift expression. Spark's non-ANSI int64 arithmetic
+    * WRAPS silently on overflow while the DuckDB oracle promotes to
+    * HUGEINT, so past the headroom the engines would diverge without an
+    * error; these sequential CASE arms (each arm's arithmetic is safe
+    * once the arms before it passed) turn the documented ~9e12-token
+    * bound into a loud `raise_error` at the exact site where a 40 TB+
+    * corpus would need the DECIMAL(38) widening. Costs nothing: three
+    * codegen'd compare-and-branch ops per surviving pair row. */
+  private[graft] val liftFpGuarded: String =
+    """CASE
+      |  WHEN t_uni > 9223372036854775807 div 1000000 THEN
+      |    raise_error('t91: token total exceeds int64 fixed-point headroom; widen lift_fp to DECIMAL(38) here')
+      |  WHEN c_ab > 9223372036854775807 div (1000000 * t_uni) THEN
+      |    raise_error('t91: c_ab * 1e6 * t_uni exceeds int64; widen lift_fp to DECIMAL(38) here')
+      |  WHEN c_a > 9223372036854775807 div c_b THEN
+      |    raise_error('t91: c_a * c_b exceeds int64; widen lift_fp to DECIMAL(38) here')
+      |  ELSE (c_ab * 1000000 * t_uni) div (c_a * c_b)
+      |END""".stripMargin
+
+  /** t97's deterministic log-bucket histogram index (HdrHistogram's
+    * bucketing, Gil Tene's public design: one octave per power of two,
+    * 8 linear sub-buckets per octave → ≤ 12.5% relative bucket width).
+    * Values < 8 index themselves (exact); otherwise the top 4 bits of v
+    * pick the sub-bucket: idx = (e-3)·8 + (v >> (e-3)) with
+    * e = floor(log2 v), computed as length(bin(v)) - 1 — `bin` is
+    * minimal-width in BOTH engines, so the index is pure integer
+    * arithmetic (an IEEE log2 could round 2^k down a ulp and shift a
+    * boundary value one bucket, breaking oracle hash parity). */
+  private[graft] val hdrIdxExpr: String =
+    """CASE WHEN v < 8 THEN v
+      |  ELSE (length(bin(v)) - 4) * 8 + shiftright(v, length(bin(v)) - 4)
+      |END""".stripMargin
+
+  /** Upper bound of bucket `qidx` (the sketch's quantile answer): the
+    * inverse of [[hdrIdxExpr]] — e-3 = qidx div 8 - 1,
+    * sub = qidx - (e-3)·8, ub = ((sub+1) << (e-3)) - 1. */
+  private[graft] val hdrUbExpr: String =
+    """CASE WHEN qidx < 8 THEN qidx
+      |  ELSE shiftleft(CAST(qidx - (qidx div 8 - 1) * 8 + 1 AS BIGINT),
+      |                 CAST(qidx div 8 - 1 AS INT)) - 1
+      |END""".stripMargin
+
+  /** Driver-side reference implementation of [[hdrIdxExpr]] for the
+    * GraphStatsSpec recompute pin. */
+  private[graft] def hdrIdx(v: Long): Long =
+    if (v < 8) v
+    else {
+      val e3 = 63 - java.lang.Long.numberOfLeadingZeros(v) - 3
+      e3 * 8 + (v >> e3)
+    }
+
+  /** t92's mass bound: per-node inbound contribution sums are bounded by
+    * the conserved total rank mass nodes·SCALE, and the damping step
+    * multiplies by 85 before dividing — so 85·nodes·SCALE must fit int64
+    * or the round-sum wraps silently (same wrap-vs-HUGEINT divergence as
+    * t91). ~108 503 nodes at SCALE = 1e12; past it, drop SCALE a decade
+    * per 10× nodes (the recurrence is scale-equivariant). */
+  private[graft] def requirePagerankHeadroom(nodes: Long, scale: Long): Unit =
+    require(nodes <= Long.MaxValue / 85 / scale,
+      s"t92: $nodes dup-graph nodes exceed the int64 fixed-point mass " +
+        s"bound ${Long.MaxValue / 85 / scale} at scale $scale; lower the " +
+        "rank scale one decade per 10x nodes")
+
   val defs: Map[String, QueryDef] = Map(
 
     // ----------------------------------------------------------------- t01
@@ -1662,7 +1725,8 @@ object TrainingData {
     // TakeOrderedAndProject over the ≥min-count pair set — partition-
     // local heaps, no global sort materializes. Fixed-point headroom:
     // c_ab·1e6·T needs T < ~9e12 in int64 — beyond that (a ~40 TB+
-    // token corpus) widen to DECIMAL(38)/HUGEINT at this one site;
+    // token corpus) [[liftFpGuarded]] raises at runtime instead of
+    // wrapping, naming this as the DECIMAL(38)/HUGEINT widening site;
     // ranking and recurrence are otherwise scale-free.
     "t91_pmi_collocations" -> QueryDef(
       (spark, dir) => {
@@ -1680,8 +1744,7 @@ object TrainingData {
           .join(uni.select(col("w").as("w1"), col("c").as("c_a")), "w1")
           .join(uni.select(col("w").as("w2"), col("c").as("c_b")), "w2")
           .crossJoin(broadcast(tot))
-          .withColumn("lift_fp",
-            expr("(c_ab * 1000000 * t_uni) div (c_a * c_b)"))
+          .withColumn("lift_fp", expr(liftFpGuarded))
           .select("w1", "w2", "c_ab", "c_a", "c_b", "lift_fp")
           .orderBy(col("lift_fp").desc, col("w1"), col("w2"))
           .limit(50)
@@ -1735,9 +1798,11 @@ object TrainingData {
     // materialization; lineage is bounded by construction).
     // Every node of the pair graph has degree ≥ 1 (undirected), so no
     // dangling-mass term. Fixed-point headroom: per-node inbound mass
-    // is bounded by total mass N·1e12·85 — past ~1e5 graph nodes drop
-    // SCALE a decade per 10× nodes (the recurrence is
-    // scale-equivariant; resolution loss is bounded by deg·100/SCALE).
+    // is bounded by total mass N·1e12·85 — [[requirePagerankHeadroom]]
+    // enforces it at runtime before the rounds (loud error, not a
+    // silent int64 wrap); past ~1e5 graph nodes drop SCALE a decade
+    // per 10× nodes (the recurrence is scale-equivariant; resolution
+    // loss is bounded by deg·100/SCALE).
     // Output: top-100 hubs, rank-desc, doc_id tie-break.
     "t92_dup_pagerank" -> QueryDef(
       (spark, dir) => {
@@ -1752,7 +1817,12 @@ object TrainingData {
         val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
           .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
           .localCheckpoint()
+        // deg is consumed three times (mass guard, edge pre-join, final
+        // report); checkpointing it makes the guard's count() a scan of
+        // already-materialized partitions, not an extra aggregation
         val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+          .localCheckpoint()
+        requirePagerankHeadroom(deg.count(), S)
         val withDeg = edges.join(deg, "src").localCheckpoint()
         var ranks = deg.select(col("src").as("doc_id"),
           lit(S).as("rank"))
@@ -1798,6 +1868,90 @@ object TrainingData {
            |  CAST(r.rank AS BIGINT) AS rank_fp
            |FROM r4 r JOIN dg d ON r.doc_id = d.src
            |ORDER BY rank_fp DESC, doc_id LIMIT 100""".stripMargin
-      })
+      }),
+
+    // ----------------------------------------------------------------- t97
+    // MERGEABLE QUANTILE SKETCH — the third leg of the sketch triad
+    // (t77 CMS frequencies, t82/t94 KMV distincts): per-source length
+    // quantiles from an HdrHistogram-style log-bucket histogram
+    // ([[hdrIdxExpr]]) instead of a global sort. Where t90 reports
+    // EXACT percentiles by materializing the full per-source length
+    // histogram, the sketch is fixed-size (≤ 8·64 buckets regardless
+    // of corpus size or value range) and MERGEABLE by plain counter
+    // addition — the property that matters on a cluster: shards
+    // sketch locally, ship ~a hundred (idx, count) pairs, and the
+    // union's sketch is the elementwise sum, associatively, in any
+    // order. A KLL/t-digest would be tighter per byte but compacts
+    // randomly (order-dependent, not oracle-portable); the log-bucket
+    // rule is deterministic, so merged ≡ direct holds BIT-FOR-BIT
+    // (pinned in GraphStatsSpec) and both engines agree exactly.
+    //
+    // The gate runs the honest distributed shape: shard sketches
+    // (doc_id mod 4) → merge by sum → per-source cumulative walk →
+    // ceil-rank quantile pick (100·cum ≥ p·n, integer-only) → bucket
+    // upper bound as the answer, ≤ 12.5% above the true quantile by
+    // construction (GraphStatsSpec pins the error bound against the
+    // exact values too).
+    //
+    // Scale shape: ONE corpus scan → map-side-combinable count agg on
+    // (shard, source, idx) [bounded: 4·|sources|·~170 rows]; every
+    // window below runs on that bounded histogram frame, partitioned
+    // by source — no corpus-sized shuffle, no global window, and the
+    // p ∈ {50,90,99} fan-out is a broadcast of 3 rows.
+    "t97_quantile_sketch" -> QueryDef(
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = t(spark, dir, "documents")
+          .select(col("source"), col("doc_id"),
+            col("n_chars").cast("long").as("v"))
+        val shardSketches = docs
+          .withColumn("shard", pmod(col("doc_id"), lit(4)))
+          .withColumn("idx", expr(hdrIdxExpr))
+          .groupBy("shard", "source", "idx").agg(count(lit(1)).as("c"))
+        val merged = shardSketches.groupBy("source", "idx")
+          .agg(sum("c").cast("long").as("c"))
+        val cum = merged
+          .withColumn("cum",
+            sum("c").over(Window.partitionBy("source").orderBy("idx")))
+          .withColumn("n", sum("c").over(Window.partitionBy("source")))
+        val ps = spark.range(1).select(
+          explode(array(lit(50), lit(90), lit(99))).as("p"))
+        cum.join(broadcast(ps))
+          .filter(col("cum") * 100 >= col("p") * col("n"))
+          .groupBy("source", "p")
+          .agg(min("idx").as("qidx"), max("n").as("n_docs"))
+          .select(col("source"), col("p"), col("n_docs"),
+            expr(hdrUbExpr).as("q_ub"))
+          .orderBy("source", "p")
+      },
+      Some("""WITH d AS (
+             |  SELECT source, doc_id, CAST(n_chars AS BIGINT) AS v
+             |  FROM documents),
+             |sk AS (
+             |  SELECT doc_id % 4 AS shard, source,
+             |    CASE WHEN v < 8 THEN v
+             |      ELSE (length(bin(v)) - 4) * 8 + (v >> (length(bin(v)) - 4))
+             |    END AS idx,
+             |    COUNT(*) AS c
+             |  FROM d GROUP BY 1, 2, 3),
+             |m AS (
+             |  SELECT source, idx, CAST(SUM(c) AS BIGINT) AS c
+             |  FROM sk GROUP BY 1, 2),
+             |cum AS (
+             |  SELECT source, idx, c,
+             |    SUM(c) OVER (PARTITION BY source ORDER BY idx) AS cum,
+             |    SUM(c) OVER (PARTITION BY source) AS n
+             |  FROM m),
+             |q AS (
+             |  SELECT source, p, MIN(idx) AS qidx, MAX(n) AS n_docs
+             |  FROM cum, (VALUES (50), (90), (99)) ps(p)
+             |  WHERE cum * 100 >= p * n
+             |  GROUP BY 1, 2)
+             |SELECT source, p, CAST(n_docs AS BIGINT) AS n_docs,
+             |  CAST(CASE WHEN qidx < 8 THEN qidx
+             |    ELSE ((qidx - (qidx // 8 - 1) * 8 + 1)::BIGINT
+             |          << (qidx // 8 - 1)) - 1
+             |  END AS BIGINT) AS q_ub
+             |FROM q ORDER BY source, p""".stripMargin))
   )
 }

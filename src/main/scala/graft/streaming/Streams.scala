@@ -490,6 +490,13 @@ object Streams {
     * the commit frontier can still replay, and a replayed batch M must
     * see exactly the pre-M index — compaction folds older digests into
     * batch=uptoBatch-1, so that partition's id must be beyond replay.
+    * ENFORCED, not trusted (r12 advice): when the index carries a
+    * `_run_marker` (every index built through the streaming sink does —
+    * ensureRunMarker stamps it on batch 0), the marker's checkpoint is
+    * consulted and its commits log bounds `uptoBatch`; a too-high value
+    * errors instead of corrupting future replays. Only a marker-less
+    * index (hand-driven extendIndex, where there IS no checkpoint and
+    * no replay) leaves batch-id discipline to the caller.
     * Run it inside foreachBatch (with the previous batch id) or while
     * the stream is STOPPED — never concurrently with itself, and never
     * beside a live probing stream: a probe's `spark.read.parquet` lists
@@ -508,7 +515,41 @@ object Streams {
     * absorbed batch dirs and the scratch removed. A crash at any point
     * leaves a probe-correct index and a re-run completes the cleanup. */
   def compactIndex(spark: SparkSession, statePath: String,
-      uptoBatch: Long): Unit = Seq("hashes", "bands").foreach { sub =>
+      uptoBatch: Long): Unit = {
+    validateCompactionFrontier(spark, statePath, uptoBatch)
+    Seq("hashes", "bands").foreach { sub =>
+      compactIndexSub(spark, statePath, sub, uptoBatch)
+    }
+  }
+
+  /** Bound `uptoBatch` by the run-marker checkpoint's commit log (see
+    * [[compactIndex]]'s safety contract). No-op for marker-less indexes. */
+  private def validateCompactionFrontier(spark: SparkSession,
+      statePath: String, uptoBatch: Long): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(s"$statePath/_run_marker")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) return
+    val in = fs.open(marker)
+    val checkpoint =
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    val commits = new org.apache.hadoop.fs.Path(s"$checkpoint/commits")
+    // commit files are plain batch ids ("0", "1", …); in-flight temp
+    // files and metadata (".tmp", "metadata") parse as None and drop out
+    val lastCommitted =
+      if (!fs.exists(commits)) None
+      else fs.listStatus(commits).toSeq
+        .flatMap(s => s.getPath.getName.toLongOption).maxOption
+    val frontier = lastCommitted.map(_ + 1).getOrElse(0L)
+    if (uptoBatch > frontier) sys.error(
+      s"compactIndex(uptoBatch=$uptoBatch) exceeds the commit frontier " +
+        s"$frontier of checkpoint '$checkpoint' (last committed batch: " +
+        s"${lastCommitted.getOrElse(-1L)}): batches at or beyond the " +
+        "frontier can still REPLAY, and a replayed batch must see the " +
+        "pre-compaction index — pass at most last-committed + 1")
+  }
+
+  private def compactIndexSub(spark: SparkSession, statePath: String,
+      sub: String, uptoBatch: Long): Unit = {
     val root = s"$statePath/$sub"
     val p = new org.apache.hadoop.fs.Path(root)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -51,6 +51,42 @@ class GraphStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("t91: over-headroom totals raise instead of wrapping (r12 advice)") {
+    import spark.implicits._
+    // synthetic pair row whose token total is past the int64 bound the
+    // scaladoc documents — the guarded expression must raise, because
+    // non-ANSI Spark would otherwise wrap while DuckDB promotes to
+    // HUGEINT and the engines silently diverge
+    val over = Seq((10L, 9300000000000L, 7L, 8L))
+      .toDF("c_ab", "t_uni", "c_a", "c_b")
+    val e = intercept[Exception] {
+      over.selectExpr(graft.queries.TrainingData.liftFpGuarded).collect()
+    }
+    assert(e.getMessage.contains("t91"))
+    // denominator overflow arm (c_a * c_b) fires independently
+    val overDen = Seq((10L, 1000L, 4000000000L, 4000000000L))
+      .toDF("c_ab", "t_uni", "c_a", "c_b")
+    val e2 = intercept[Exception] {
+      overDen.selectExpr(graft.queries.TrainingData.liftFpGuarded).collect()
+    }
+    assert(e2.getMessage.contains("c_a * c_b"))
+    // in-bounds values keep the exact unguarded arithmetic
+    val ok = Seq((10L, 1000L, 7L, 8L)).toDF("c_ab", "t_uni", "c_a", "c_b")
+    assert(ok.selectExpr(graft.queries.TrainingData.liftFpGuarded)
+      .collect().head.getLong(0) == 10L * 1000000 * 1000 / 56)
+  }
+
+  test("t92: mass headroom guard raises before the rounds (r12 advice)") {
+    val S = 1000000000000L
+    graft.queries.TrainingData.requirePagerankHeadroom(100000, S) // fits
+    val e = intercept[IllegalArgumentException] {
+      graft.queries.TrainingData.requirePagerankHeadroom(120000, S)
+    }
+    assert(e.getMessage.contains("t92"))
+    // scale-equivariance escape hatch: one decade down buys 10x nodes
+    graft.queries.TrainingData.requirePagerankHeadroom(1000000, S / 10)
+  }
+
   test("t92: driver-side PageRank recompute matches exactly") {
     val S = 1000000000000L
     val out = SparkEntry.queries("t92_dup_pagerank")(spark, sf).collect()
@@ -146,6 +182,40 @@ class GraphStatsSpec extends AnyFunSuite {
       "exactly user 1's last session (1 event) is held out")
     assert(out("train") == ((2L, 2L, 4L)),
       "user 1's first session and ALL of user 2 stay in train")
+  }
+
+  test("t97: merged ≡ direct sketch bit-for-bit; answers bound the exact quantiles") {
+    import graft.queries.TrainingData
+    val raw = graft.queries.Tables.t(spark, sf, "documents")
+      .select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getAs[Number](1).longValue()))
+    // driver-side reference sketch (pure Scala hdrIdx) — the third
+    // independent implementation beside the Spark query and the oracle
+    val direct = raw.groupBy { case (s, v) => (s, TrainingData.hdrIdx(v)) }
+      .view.mapValues(_.length.toLong).toMap
+    // merge theorem: shard-wise sketches summed elementwise == direct
+    val sharded = raw.zipWithIndex
+      .groupBy { case ((s, v), i) => (i % 4, s, TrainingData.hdrIdx(v)) }
+      .view.mapValues(_.length.toLong).toMap
+    val mergedFromShards = sharded.groupBy { case ((_, s, i), _) => (s, i) }
+      .view.mapValues(_.values.sum).toMap
+    assert(mergedFromShards == direct,
+      "counter addition must reproduce the direct sketch exactly")
+    // the query's answers: each q_ub bounds the exact ceil-rank
+    // quantile from below-bucket logic: exact <= ub <= exact + exact/8 + 1
+    val rows = SparkEntry.queries("t97_quantile_sketch")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val bySource = raw.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    rows.foreach { r =>
+      val (src, p, n, ub) =
+        (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))
+      val vs = bySource(src)
+      assert(n == vs.length)
+      val target = (p.toLong * n + 99) / 100 // ceil rank
+      val exact = vs((target - 1).toInt)
+      assert(exact <= ub && ub <= exact + exact / 8 + 1,
+        s"$src p$p: exact=$exact ub=$ub outside the 12.5% bucket bound")
+    }
   }
 
   test("t93: 50-cap truncates a degenerate session the fixture never has") {

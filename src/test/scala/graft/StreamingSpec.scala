@@ -528,6 +528,40 @@ class StreamingSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet == before)
   }
 
+  test("compaction frontier is bounded by the marker checkpoint's commits") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_frontier").toString
+    (0L to 3L).foreach { b =>
+      Streams.extendIndex(
+        Seq((b * 10, s"frontier batch $b tokens aa$b bb$b cc$b"))
+          .toDF("doc_id", "text"),
+        s"$tmp/state", b)
+    }
+    // stamp the index with a checkpoint whose commits log ends at 2:
+    // batch 3 is written to the index but NOT committed, so it can
+    // still replay — compacting past it must be refused
+    val ckpt = new java.io.File(s"$tmp/ckpt/commits")
+    assert(ckpt.mkdirs())
+    Seq("0", "1", "2", "2.tmp.crc").foreach(n =>
+      java.nio.file.Files.writeString(ckpt.toPath.resolve(n), "{}"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$tmp/state/_run_marker"), s"$tmp/ckpt")
+    val e = intercept[RuntimeException] {
+      Streams.compactIndex(spark, s"$tmp/state", uptoBatch = 4L)
+    }
+    assert(e.getMessage.contains("commit frontier"))
+    // nothing was touched by the refused call
+    val dirs = new java.io.File(s"$tmp/state/hashes").listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).toSet
+    assert(dirs == Set("batch=0", "batch=1", "batch=2", "batch=3"))
+    // at the frontier (last committed 2 → uptoBatch 3) it proceeds
+    Streams.compactIndex(spark, s"$tmp/state", uptoBatch = 3L)
+    val after = new java.io.File(s"$tmp/state/hashes").listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).toSet
+    assert(after == Set("batch=2", "batch=3"),
+      s"committed batches must compact, replayable ones survive: $after")
+  }
+
   test("a retained index with a fresh checkpoint fails fast, not silently") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
