@@ -888,6 +888,107 @@ object Pipelines {
              |  CAST(SUM(latest) AS BIGINT) AS checksum
              |FROM (SELECT MAX(event_id) AS latest FROM events
              |      GROUP BY user_id, event_type) t
-             |ORDER BY leg""".stripMargin))
+             |ORDER BY leg""".stripMargin)),
+
+    // ----------------------------------------------------------------- p19
+    // DELTA TIME TRAVEL through the gate — the last documented
+    // Deltatable approximation made real (r12 verdict #6): every commit
+    // appends a `_graft_log/<version>.json` manifest and destructive
+    // commits retire their files instead of deleting them
+    // (DeltaConnection scaladoc), so `VERSION AS OF n` in the tap's
+    // pseudo-SQL reconstructs any version exactly. The pipeline commits
+    // four versions — overwrite (v0), append (v1), TRUNCATE (v2),
+    // append (v3) — then taps v0, v1, v2 and the current table in one
+    // run and folds each into (ver, n, key_sum) rows. The v1 read only
+    // matches if the overwrite RETIRED v0's files and the append's
+    // manifest unions both writes; the v2 read proves an empty version
+    // reconstructs from its manifest schema alone.
+    "p19_pipeline_delta_timetravel" -> QueryDef(
+      (spark, dir) => {
+        val delta = Files.createTempDirectory("graft_p19").toString + "/t"
+        run(spark,
+          s"""
+             |- name: Nations
+             |  kind: tap
+             |  connection: {kind: Parquet, locator: $dir/nation.parquet}
+             |- name: SeedV0
+             |  kind: sink
+             |  connection:
+             |    kind: Deltatable
+             |    locator: $delta
+             |    data_mode: overwrite
+             |- name: RegionZero
+             |  kind: tap
+             |  connection: {kind: Parquet, locator: $dir/nation.parquet}
+             |  query: SELECT * FROM Parquet WHERE n_regionkey = 0
+             |- name: AppendV1
+             |  kind: sink
+             |  connection:
+             |    kind: Deltatable
+             |    locator: $delta
+             |    data_mode: append
+             |- name: TruncateV2
+             |  kind: sql
+             |  connection: {kind: Deltatable, locator: $delta}
+             |  query: TRUNCATE DELTATABLE
+             |- name: RegionZeroOne
+             |  kind: tap
+             |  connection: {kind: Parquet, locator: $dir/nation.parquet}
+             |  query: SELECT * FROM Parquet WHERE n_regionkey <= 1
+             |- name: AppendV3
+             |  kind: sink
+             |  connection:
+             |    kind: Deltatable
+             |    locator: $delta
+             |    data_mode: append
+             |- name: V0
+             |  kind: tap
+             |  connection: {kind: Deltatable, locator: $delta}
+             |  query: select * from Deltatable VERSION AS OF 0
+             |- name: V1
+             |  kind: tap
+             |  connection: {kind: Deltatable, locator: $delta}
+             |  query: select * from Deltatable VERSION AS OF 1
+             |- name: V2
+             |  kind: tap
+             |  connection: {kind: Deltatable, locator: $delta}
+             |  query: select * from Deltatable VERSION AS OF 2
+             |- name: Cur
+             |  kind: tap
+             |  connection: {kind: Deltatable, locator: $delta}
+             |  query: select * from Deltatable
+             |- name: Final
+             |  kind: transform
+             |  query: >
+             |    SELECT 'v0' AS ver, COUNT(*) AS n,
+             |      CAST(COALESCE(SUM(n_nationkey), 0) AS BIGINT) AS key_sum
+             |    FROM V0
+             |    UNION ALL
+             |    SELECT 'v1', COUNT(*),
+             |      CAST(COALESCE(SUM(n_nationkey), 0) AS BIGINT) FROM V1
+             |    UNION ALL
+             |    SELECT 'v2', COUNT(*),
+             |      CAST(COALESCE(SUM(n_nationkey), 0) AS BIGINT) FROM V2
+             |    UNION ALL
+             |    SELECT 'cur', COUNT(*),
+             |      CAST(COALESCE(SUM(n_nationkey), 0) AS BIGINT) FROM Cur
+             |    ORDER BY ver
+             |""".stripMargin)
+      },
+      Some("""SELECT 'v0' AS ver, CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(n_nationkey) AS BIGINT) AS key_sum FROM nation
+             |UNION ALL
+             |SELECT 'v1', CAST(COUNT(*) AS BIGINT),
+             |  CAST(SUM(n_nationkey) AS BIGINT)
+             |FROM (SELECT n_nationkey FROM nation
+             |      UNION ALL
+             |      SELECT n_nationkey FROM nation WHERE n_regionkey = 0)
+             |UNION ALL
+             |SELECT 'v2', CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+             |UNION ALL
+             |SELECT 'cur', CAST(COUNT(*) AS BIGINT),
+             |  CAST(SUM(n_nationkey) AS BIGINT)
+             |FROM nation WHERE n_regionkey <= 1
+             |ORDER BY ver""".stripMargin))
   )
 }

@@ -42,12 +42,27 @@ object Streams {
       .groupBy(window(col("ts"), window_, slide), col("user_id"))
       .agg(count(lit(1)).as("n"))
 
+  /** One event of a session's capped leading sequence (t93's corpus
+    * unit), kept orderable by the batch twin's (us, event_id) total
+    * order. */
+  final case class SeqEv(us: Long, eventId: Long, eventType: String)
+
+  /** [[Session]] plus t93's capped event-type sequence — what
+    * [[sessionizeSeq]] emits at session close. */
+  final case class SessionSeq(user_id: Long, n_events: Int,
+      total_value: Double, started: java.sql.Timestamp,
+      ended: java.sql.Timestamp, seq: String)
+
   /** Session state held per user between micro-batches (public: the state
     * store encoder codegen needs accessible accessors). Value totals
     * accumulate as fixed-point 1e-4 longs (the q21 batch twin's recipe),
-    * so the emitted double is independent of arrival/batch order. */
+    * so the emitted double is independent of arrival/batch order. `head`
+    * is the capped leading (us, event_id)-ordered event buffer backing
+    * t93's sequences: ≤ cap entries per key, so state stays bounded under
+    * degenerate never-gapping sessions — the same reason batch t93
+    * enforces its 50-cap INSIDE the aggregation. */
   final case class SessionState(nEvents: Int, totalFp: Long,
-      startedUs: Long, lastUs: Long)
+      startedUs: Long, lastUs: Long, head: Seq[SeqEv])
 
   /** Timestamp → epoch MICROseconds (getTime alone is ms-truncated; the
     * events fixture carries sub-ms precision and the batch twin compares
@@ -100,15 +115,35 @@ object Streams {
   def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L)(
       implicit spark: SparkSession): Dataset[Session] = {
     import spark.implicits._
+    sessionizeSeq(events, gapMs).map(x =>
+      Session(x.user_id, x.n_events, x.total_value, x.started, x.ended))
+  }
+
+  /** [[sessionize]] with t93's behavioral-corpus payload: each closed
+    * session also carries its '>'-joined event-type sequence, capped to
+    * the first `seqCap` events in (event-time, event_id) order — the
+    * streaming twin of batch `t93_session_sequences` (StreamingSpec pins
+    * stream ≡ batch on the fixture, session_seq assigned by start
+    * order). The cap bounds BOTH the state row (≤ seqCap small structs
+    * per open session) and the per-event upkeep (an insertion into a
+    * ≤ seqCap buffer); merges between a stale run and the open session
+    * concatenate two capped buffers and re-cap — all O(seqCap). */
+  def sessionizeSeq(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L,
+      seqCap: Int = 50)(
+      implicit spark: SparkSession): Dataset[SessionSeq] = {
+    import spark.implicits._
     val gapUs = gapMs * 1000L
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) => {
           def fp(v: Double): Long = math.floor(v * 1e4 + 0.5).toLong
-          def close(s: SessionState): Session =
-            Session(userId, s.nEvents, s.totalFp / 1e4,
-              toTs(s.startedUs), toTs(s.lastUs))
+          def capped(a: Seq[SeqEv], b: Seq[SeqEv]): Seq[SeqEv] =
+            (a ++ b).sortBy(e => (e.us, e.eventId)).take(seqCap)
+          def close(s: SessionState): SessionSeq =
+            SessionSeq(userId, s.nEvents, s.totalFp / 1e4,
+              toTs(s.startedUs), toTs(s.lastUs),
+              s.head.map(_.eventType).mkString(">"))
           val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
           var cur = state.getOption
           // accumulator for the current run of STALE arrivals (older than
@@ -116,7 +151,7 @@ object Streams {
           // contiguous prefix relative to the carried state and can be
           // grouped by the same gap rule without re-sorting history
           var stale: Option[SessionState] = None
-          val out = Seq.newBuilder[Session]
+          val out = Seq.newBuilder[SessionSeq]
           // resolve the pending stale run against the open session the
           // moment the session's start is FINAL (its emission, or batch
           // end): in-gap batch events may have widened started downward
@@ -131,7 +166,8 @@ object Streams {
             val merged = stale match {
               case Some(st) if st.lastUs + gapUs >= s.startedUs =>
                 SessionState(s.nEvents + st.nEvents,
-                  s.totalFp + st.totalFp, st.startedUs, s.lastUs)
+                  s.totalFp + st.totalFp, st.startedUs, s.lastUs,
+                  capped(st.head, s.head))
               case Some(st) => out += close(st); s
               case None => s
             }
@@ -151,26 +187,31 @@ object Streams {
                   case Some(st) if us <= st.lastUs + gapUs =>
                     stale = Some(SessionState(st.nEvents + 1,
                       st.totalFp + fp(e.value),
-                      st.startedUs, math.max(st.lastUs, us)))
+                      st.startedUs, math.max(st.lastUs, us),
+                      capped(st.head, Seq(SeqEv(us, e.event_id, e.event_type)))))
                   case _ =>
                     stale.foreach(out += close(_))
-                    stale = Some(SessionState(1, fp(e.value), us, us))
+                    stale = Some(SessionState(1, fp(e.value), us, us,
+                  Seq(SeqEv(us, e.event_id, e.event_type))))
                 }
               case Some(s) if us > s.lastUs + gapUs =>
                 // beyond the frontier's gap: the open session is proven
                 // closed — resolve any stale run against its final
                 // start, emit, open a new one
                 out += close(resolveStale(s))
-                cur = Some(SessionState(1, fp(e.value), us, us))
+                cur = Some(SessionState(1, fp(e.value), us, us,
+                  Seq(SeqEv(us, e.event_id, e.event_type))))
               case Some(s) =>
                 // within [started - gap, last + gap]: merge; frontier
                 // and start only widen, so a late in-gap arrival cannot
                 // rewind the frontier and split the session
                 cur = Some(SessionState(s.nEvents + 1,
                   s.totalFp + fp(e.value),
-                  math.min(s.startedUs, us), math.max(s.lastUs, us)))
+                  math.min(s.startedUs, us), math.max(s.lastUs, us),
+                  capped(s.head, Seq(SeqEv(us, e.event_id, e.event_type)))))
               case None =>
-                cur = Some(SessionState(1, fp(e.value), us, us))
+                cur = Some(SessionState(1, fp(e.value), us, us,
+                  Seq(SeqEv(us, e.event_id, e.event_type))))
             }
           }
           // batch end: the open session's start is final for this batch —

@@ -134,6 +134,87 @@ class FlowSpec extends AnyFunSuite {
     assert(spark.table("Read_Delta").count() == 25)
   }
 
+  test("delta time travel: vacuum makes old versions error loudly; partitioned tables refuse AS OF") {
+    val delta = tmpDir() + "/delta_tt"
+    Flow.runYaml(spark,
+      s"""
+         |- name: Nations
+         |  kind: tap
+         |  connection: {kind: Parquet, locator: $sf/nation.parquet}
+         |- name: V0
+         |  kind: sink
+         |  connection: {kind: Deltatable, locator: $delta, data_mode: overwrite}
+         |- name: V1
+         |  kind: sink
+         |  connection: {kind: Deltatable, locator: $delta, data_mode: overwrite}
+         |""".stripMargin)
+    // v0's files are retired, not deleted: travel works pre-vacuum
+    assert(Flow.runYaml(spark,
+      s"""
+         |- name: Old
+         |  kind: tap
+         |  connection: {kind: Deltatable, locator: $delta}
+         |  query: select * from Deltatable VERSION AS OF 0
+         |""".stripMargin).df().count() == 25)
+    // unknown version names the known ones
+    val unknown = intercept[RuntimeException](Flow.runYaml(spark,
+      s"""
+         |- name: Nope
+         |  kind: tap
+         |  connection: {kind: Deltatable, locator: $delta}
+         |  query: select * from Deltatable VERSION AS OF 9
+         |""".stripMargin))
+    assert(unknown.getMessage.contains("no version 9"))
+    // vacuum with zero retention deletes the retired files → v0 now
+    // errors loudly instead of silently rereading current data
+    Flow.runYaml(spark,
+      s"""
+         |- name: Vac
+         |  kind: sql
+         |  connection: {kind: Deltatable, locator: $delta}
+         |  query: OPTIMIZE DELTATABLE VACUUM AGE=0h
+         |""".stripMargin)
+    val vacuumed = intercept[RuntimeException](Flow.runYaml(spark,
+      s"""
+         |- name: Old2
+         |  kind: tap
+         |  connection: {kind: Deltatable, locator: $delta}
+         |  query: select * from Deltatable VERSION AS OF 0
+         |""".stripMargin))
+    assert(vacuumed.getMessage.contains("vacuumed"))
+    // current state is untouched by the failed travels
+    assert(Flow.runYaml(spark,
+      s"""
+         |- name: Cur
+         |  kind: tap
+         |  connection: {kind: Deltatable, locator: $delta}
+         |  query: select * from Deltatable
+         |""".stripMargin).df().count() == 25)
+    // partitioned tables: manifest records it, AS OF refuses
+    val part = tmpDir() + "/delta_part"
+    Flow.runYaml(spark,
+      s"""
+         |- name: Nations
+         |  kind: tap
+         |  connection: {kind: Parquet, locator: $sf/nation.parquet}
+         |- name: W
+         |  kind: sink
+         |  connection:
+         |    kind: Deltatable
+         |    locator: $part
+         |    data_mode: overwrite
+         |    partition: [n_regionkey]
+         |""".stripMargin)
+    val refused = intercept[RuntimeException](Flow.runYaml(spark,
+      s"""
+         |- name: T
+         |  kind: tap
+         |  connection: {kind: Deltatable, locator: $part}
+         |  query: select * from Deltatable VERSION AS OF 0
+         |""".stripMargin))
+    assert(refused.getMessage.contains("partitioned"))
+  }
+
   test("Stages.load accepts a file path in place of YAML text") {
     val p = java.nio.file.Files.createTempFile("graft_stages", ".yaml")
     java.nio.file.Files.write(p,
@@ -248,8 +329,11 @@ class FlowSpec extends AnyFunSuite {
          |  connection: {kind: Deltatable, locator: $delta, data_mode: append}
          |""".stripMargin)
     append(); append()
+    // LIVE files only: retired history under _graft_log is delta's
+    // vacuum-able past, not the table (same as _delta_log in real delta)
     def files = java.nio.file.Files.walk(java.nio.file.Paths.get(delta))
-      .filter(_.toString.endsWith(".parquet")).count()
+      .filter(f => f.toString.endsWith(".parquet") &&
+        !f.toString.contains("_graft_log")).count()
     val before = files
     Flow.runYaml(spark,
       s"""
@@ -268,6 +352,18 @@ class FlowSpec extends AnyFunSuite {
          |""".stripMargin)
     assert(files < before)
     assert(spark.read.parquet(delta).count() == 50) // 25 nations × 2 appends
+    // vacuum with zero retention clears the retired history
+    Flow.runYaml(spark,
+      s"""
+         |- name: Vac
+         |  kind: sql
+         |  connection: {kind: Deltatable, locator: $delta}
+         |  query: OPTIMIZE DELTATABLE VACUUM AGE=0h
+         |""".stripMargin)
+    val retained = java.nio.file.Paths.get(s"$delta/_graft_log/retained")
+    assert(!java.nio.file.Files.isDirectory(retained) ||
+      java.nio.file.Files.walk(retained)
+        .filter(java.nio.file.Files.isRegularFile(_)).count() == 0)
   }
 
   test("delta sink with partition columns lays out hive-style dirs") {
@@ -288,7 +384,8 @@ class FlowSpec extends AnyFunSuite {
          |""".stripMargin
     Flow.runYaml(spark, yaml)
     val parts = new java.io.File(s"$dir/t").listFiles()
-      .filter(_.isDirectory).map(_.getName).sorted
+      .filter(_.isDirectory).map(_.getName)
+      .filter(_ != "_graft_log").sorted // version log ≈ delta's _delta_log
     assert(parts.forall(_.startsWith("o_orderstatus=")))
     assert(parts.length >= 2, "expected one dir per status value")
     // read back with a partition filter → pruned scan

@@ -235,6 +235,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("streaming session sequences equal batch t93 on the events fixture") {
+    // sessionizeSeq must reproduce batch t93's behavioral corpus rows
+    // exactly: same sessions (q21's gap rule), same 50-capped
+    // (us, event_id)-ordered '>'-joined event-type sequences. The stream
+    // has no global session ordinal, so session_seq is assigned here by
+    // per-user start order — valid because the gap rule makes session
+    // starts strictly increasing per user.
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.queries.Tables.t(spark, dir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect().toSeq
+    val maxMs = ev.map(_.ts.getTime).max
+    val input = MemoryStream[Event]
+    val q = Streams.sessionizeSeq(input.toDS())
+      .writeStream.format("memory").queryName("session_seqs_eq")
+      .outputMode(OutputMode.Append).start()
+    val got = try {
+      // two batches split mid-stream so sequences must survive state
+      // round trips, plus far-future sentinels to flush trailing sessions
+      val (b0, b1) = ev.sortBy(e => (e.ts.getTime, e.event_id))
+        .splitAt(ev.length / 2)
+      input.addData(b0); q.processAllAvailable()
+      input.addData(b1); q.processAllAvailable()
+      val sentinels = ev.map(_.user_id).distinct.zipWithIndex.map {
+        case (u, i) =>
+          Event(-1L - i, new Timestamp(maxMs + 24L * 3600 * 1000), u, "flush", 0.0)
+      }
+      input.addData(sentinels)
+      q.processAllAvailable()
+      spark.table("session_seqs_eq").as[Streams.SessionSeq].collect()
+        .groupBy(_.user_id).toSeq.flatMap { case (u, ss) =>
+          ss.sortBy(_.started.getTime).zipWithIndex.map { case (x, i) =>
+            val durUs = x.ended.toInstant.toEpochMilli * 1000 +
+              x.ended.getNanos / 1000 % 1000 -
+              (x.started.toInstant.toEpochMilli * 1000 +
+                x.started.getNanos / 1000 % 1000)
+            (u, (i + 1).toLong, x.n_events.toLong, durUs, x.seq)
+          }
+        }.sorted
+    } finally q.stop()
+    val want = SparkEntry.queries("t93_session_sequences")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSeq.sorted
+    assert(got.size == want.size)
+    assert(got == want)
+  }
+
   test("streaming rate anomaly equals batch t68 on the events fixture") {
     // same 2σ rule, same arithmetic: the streamed hourly windows flagged
     // against batch-derived thresholds must reproduce exactly the batch
