@@ -1,0 +1,70 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev lab (r12 verdict stretch): measure wall-time SCALING of the
+  * heaviest t-ops by generating a one-off 10× documents fixture and
+  * timing each query at sf0.1 vs 10×. NOT a gate — the fixture is
+  * derived, not driver-generated.
+  *
+  * The 10× corpus is 10 word-ROTATED copies of sf0.1's documents (copy
+  * k rotates each text by 7k+3 words, k=0 keeps the original): rotation
+  * preserves the word/token distribution (t87's BPE and unigram stats
+  * stay realistic) while destroying shingle continuity, so copies do
+  * NOT minhash-near-dup against each other — a naive 10× duplication
+  * would manufacture 10-cliques in the dup graph and quadratically
+  * inflate t15/t92/t94's pair lists, probing the wrong curve.
+  *
+  * Usage: runMain graft.tools.ScaleProbe [outDir]
+  */
+object ScaleProbe {
+  private val Queries = Seq("t15_dedup_components", "t87_bpe_trainer",
+    "t92_dup_pagerank", "t94_kmv_merge")
+
+  def main(args: Array[String]): Unit = {
+    val out = if (args.nonEmpty) args(0) else "/tmp/graft_sf1"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val src = "/root/testdata/sf0.1"
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val n = docs.agg(max("doc_id")).head.getLong(0) + 1
+    val copies = (0 until 10).map { k =>
+      val rotated =
+        if (k == 0) docs
+        else docs.withColumn("text", expr(
+          s"""concat_ws(' ',
+             |  slice(split(text, ' '), pmod(${7 * k + 3}, greatest(size(split(text, ' ')), 1)) + 1,
+             |        size(split(text, ' '))),
+             |  slice(split(text, ' '), 1, pmod(${7 * k + 3}, greatest(size(split(text, ' ')), 1))))
+             |""".stripMargin))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+      rotated.withColumn("doc_id", col("doc_id") + lit(k * n))
+    }
+    copies.reduce(_ unionAll _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    println(s"probe fixture: ${spark.read.parquet(s"$out/documents.parquet").count()} docs at $out")
+
+    def time(name: String, dir: String): Double = {
+      val runs = (1 to 3).map { _ =>
+        spark.sharedState.cacheManager.clearCache()
+        val t0 = System.nanoTime()
+        graft.SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      runs.min
+    }
+    Queries.foreach { q =>
+      val base = time(q, src)
+      val big = time(q, out)
+      println(f"$q%-24s sf0.1 $base%6.2f s   10x $big%6.2f s   ratio ${big / base}%5.2f")
+    }
+    spark.stop()
+  }
+}
