@@ -153,11 +153,18 @@ abstract class ExternalSqlConnection(ctx: ConnContext) extends Connection(ctx) {
   }
 
   /** Build the full remote statement: placeholder swap + remote ranking +
-    * limit — all pushed to the source. */
+    * limit — all pushed to the source. The limit clause is dialect-aware:
+    * ANSI `FETCH FIRST n ROWS ONLY` for engines that lack LIMIT (Derby),
+    * `LIMIT n` elsewhere (ClickHouse has no FETCH FIRST). */
   def remoteQuery(query: String, limit: Option[Int]): String = {
     SqlBridge.validateSimpleQuery(query)
     val ranked = RemoteRank(query, locatedTable, conn.version, conn.keys, idQuote)
-    limit.map(n => s"SELECT * FROM ($ranked) AS graft_limited LIMIT $n").getOrElse(ranked)
+    limit.map { n =>
+      val clause =
+        if (jdbcUrl.startsWith("jdbc:derby:")) s"FETCH FIRST $n ROWS ONLY"
+        else s"LIMIT $n"
+      s"SELECT * FROM ($ranked) AS graft_limited $clause"
+    }.getOrElse(ranked)
   }
 
   override def tap(query: Option[String], limit: Option[Int]): DataFrame = {

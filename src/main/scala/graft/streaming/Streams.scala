@@ -138,8 +138,17 @@ object Streams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) => {
           def fp(v: Double): Long = math.floor(v * 1e4 + 0.5).toLong
-          def capped(a: Seq[SeqEv], b: Seq[SeqEv]): Seq[SeqEv] =
-            (a ++ b).sortBy(e => (e.us, e.eventId)).take(seqCap)
+          // `a` is always (us, eventId)-sorted (construction invariant);
+          // once it is full, the common in-order case — every incoming
+          // event later than the kept head — is a no-op instead of a
+          // re-sort, so steady-state per-event upkeep is O(cap) compares
+          // only while the buffer is filling
+          def capped(a: Seq[SeqEv], b: Seq[SeqEv]): Seq[SeqEv] = {
+            def key(e: SeqEv) = (e.us, e.eventId)
+            if (a.lengthCompare(seqCap) >= 0 &&
+              b.forall(e => Ordering[(Long, Long)].gteq(key(e), key(a.last)))) a
+            else (a ++ b).sortBy(key).take(seqCap)
+          }
           def close(s: SessionState): SessionSeq =
             SessionSeq(userId, s.nEvents, s.totalFp / 1e4,
               toTs(s.startedUs), toTs(s.lastUs),

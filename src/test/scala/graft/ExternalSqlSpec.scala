@@ -89,4 +89,22 @@ class ExternalSqlSpec extends AnyFunSuite {
     assert(IdQuote.doubleQuote("a\"b") == "\"a\"\"b\"")
     assert(IdQuote.backtick("a`b") == "`a``b`")
   }
+
+  test("remote limit clause is dialect-aware (Derby has no LIMIT)") {
+    import graft.connections.{ClickhouseConnection, ConnContext, FlowConfig}
+    import graft.model.ConnectionDef
+    import graft.sqlbridge.SqlBridge
+    def conn(url: String) = new ClickhouseConnection(ConnContext(
+      SparkSuite.spark,
+      ConnectionDef("clickhouse", Some("t"),
+        Map("config" -> Map[String, Any]("jdbc_url" -> url, "database" -> "db"))),
+      FlowConfig(), scala.collection.mutable.Map.empty,
+      new SqlBridge.NameRegistry))
+    val derby = conn("jdbc:derby:/x/db")
+      .remoteQuery("SELECT a FROM Clickhouse", Some(7))
+    assert(derby.endsWith("FETCH FIRST 7 ROWS ONLY"), derby)
+    val ch = conn("jdbc:clickhouse://h:8123")
+      .remoteQuery("SELECT a FROM Clickhouse", Some(7))
+    assert(ch.endsWith("LIMIT 7"), ch)
+  }
 }

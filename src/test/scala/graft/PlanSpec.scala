@@ -946,6 +946,19 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("t97: one corpus scan; windows run on the bounded histogram frame") {
+    val p = plan("t97_quantile_sketch")
+    assert("FileScan".r.findAllIn(p).size == 1,
+      "shard sketches, merge, cumsum and quantile pick must all chain " +
+        "off ONE documents scan")
+    assert(p.contains("Window"),
+      "the cumulative walk is a window over the histogram frame")
+    assert(!p.contains("CartesianProduct"),
+      "the 3-row percentile fan-out must broadcast")
+    assert(p.contains("partial_count"),
+      "histogram counts must map-side combine before the shuffle")
+  }
+
   test("whole-stage codegen covers the relational hot paths") {
     // AQE finalizes the plan lazily; execute first, then inspect.
     val df = SparkEntry.queries("q01_agg_pricing")(spark, sf)

@@ -286,6 +286,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("sessionizeSeq: a degenerate never-gapping session caps at 50 sequence entries") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = 1700000000000L
+    // 60 events, 1 min apart (never gapping), across two micro-batches
+    val ev = (0 until 60).map(i => Event(i.toLong,
+      new Timestamp(base + i * 60000L), 7L, s"e$i", 1.0))
+    val input = MemoryStream[Event]
+    val q = Streams.sessionizeSeq(input.toDS(), gapMs = 15 * 60 * 1000L)
+      .writeStream.format("memory").queryName("seq_cap")
+      .outputMode(OutputMode.Append).start()
+    val got = try {
+      input.addData(ev.take(30)); q.processAllAvailable()
+      input.addData(ev.drop(30)); q.processAllAvailable()
+      input.addData(Seq(Event(-1L,
+        new Timestamp(base + 10L * 24 * 3600 * 1000), 7L, "flush", 0.0)))
+      q.processAllAvailable()
+      spark.table("seq_cap").as[Streams.SessionSeq].collect()
+    } finally q.stop()
+    assert(got.length == 1)
+    assert(got.head.n_events == 60, "the count must NOT be capped")
+    val seq = got.head.seq.split(">")
+    assert(seq.length == 50, "the sequence must cap at 50")
+    assert(seq.toSeq == (0 until 50).map(i => s"e$i"),
+      "capped entries must be the FIRST 50 in event-time order")
+  }
+
   test("streaming rate anomaly equals batch t68 on the events fixture") {
     // same 2σ rule, same arithmetic: the streamed hourly windows flagged
     // against batch-derived thresholds must reproduce exactly the batch
