@@ -34,6 +34,26 @@ object Streams {
       .groupBy(window(col("ts"), window_), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
 
+  /** Streaming twin of t97's quantile-sketch BUILD: per-(source, bucket)
+    * counters over an unbounded document stream, bucketed by the same
+    * deterministic HdrHistogram-style log rule
+    * ([[graft.queries.TrainingData.hdrIdxExpr]]). The sketch's
+    * mergeability is exactly what makes it streamable — each micro-batch
+    * merges by counter addition, so the running aggregation state IS the
+    * sketch, bounded at |sources| × ~170 rows no matter how much data
+    * streams through (no watermark needed: the state can't grow).
+    * Complete-mode emissions at any instant equal the batch sketch over
+    * everything seen so far — pinned bit-for-bit in StreamingSpec;
+    * quantile answers follow from the cumulative walk exactly as in
+    * batch t97. */
+  def streamingLengthSketch(docs: DataFrame, sourceCol: String,
+      lenCol: String): DataFrame =
+    docs
+      .select(col(sourceCol).as("source"), col(lenCol).cast("long").as("v"))
+      .withColumn("idx", expr(graft.queries.TrainingData.hdrIdxExpr))
+      .groupBy("source", "idx")
+      .agg(count(lit(1)).as("c"))
+
   /** Sliding-window per-user activity rate. */
   def slidingActivity(events: DataFrame, window_ : String = "1 hour",
       slide: String = "15 minutes", watermark: String = "2 hours"): DataFrame =

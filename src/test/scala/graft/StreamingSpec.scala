@@ -2,7 +2,7 @@ package graft
 
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{col, count, date_trunc, lit, sqrt, sum}
+import org.apache.spark.sql.functions.{col, count, date_trunc, expr, lit, sqrt, sum}
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 import graft.streaming.Streams
@@ -283,6 +283,37 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getString(4))).toSeq.sorted
     assert(got.size == want.size)
+    assert(got == want)
+  }
+
+  test("streaming length sketch equals the batch t97 sketch bit-for-bit") {
+    // counter addition is the merge law — two micro-batches must land on
+    // exactly the histogram a single batch pass builds
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.queries.Tables.t(spark, dir, "documents")
+      .select("source", "n_chars")
+    val want = docs
+      .select(col("source"), col("n_chars").cast("long").as("v"))
+      .withColumn("idx", expr(graft.queries.TrainingData.hdrIdxExpr))
+      .groupBy("source", "idx").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val rows = docs.collect().map(r =>
+      (r.getString(0), r.getAs[Number](1).longValue()))
+    val input = MemoryStream[(String, Long)]
+    val q = Streams.streamingLengthSketch(
+      input.toDF().toDF("source", "n_chars"), "source", "n_chars")
+      .writeStream.format("memory").queryName("len_sketch")
+      .outputMode(OutputMode.Complete).start()
+    val got = try {
+      val (b0, b1) = rows.partition(_._2 % 2 == 0)
+      input.addData(b0.toSeq); q.processAllAvailable()
+      input.addData(b1.toSeq); q.processAllAvailable()
+      spark.table("len_sketch").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    } finally q.stop()
     assert(got == want)
   }
 
