@@ -16,14 +16,16 @@ import org.apache.spark.sql.functions._
   * would manufacture 10-cliques in the dup graph and quadratically
   * inflate t15/t92/t94's pair lists, probing the wrong curve.
   *
-  * Usage: runMain graft.tools.ScaleProbe [outDir]
+  * Usage: runMain graft.tools.ScaleProbe [outDir [query,query,...]]
   */
 object ScaleProbe {
-  private val Queries = Seq("t15_dedup_components", "t87_bpe_trainer",
+  private val Default = Seq("t15_dedup_components", "t87_bpe_trainer",
     "t92_dup_pagerank", "t94_kmv_merge")
 
   def main(args: Array[String]): Unit = {
     val out = if (args.nonEmpty) args(0) else "/tmp/graft_sf1"
+    val queries =
+      if (args.length > 1) args(1).split(",").toSeq else Default
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
@@ -48,7 +50,23 @@ object ScaleProbe {
     copies.reduce(_ unionAll _)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
-    println(s"probe fixture: ${spark.read.parquet(s"$out/documents.parquet").count()} docs at $out")
+    // embeddings: 10 copies with ELEMENT-ROTATED vectors — rotation
+    // preserves the norm but moves the direction, so copies don't
+    // collapse into artificial cosine-duplicate clusters
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val ne = emb.agg(max("vec_id")).head.getLong(0) + 1
+    (0 until 10).map { k =>
+      val rotated =
+        if (k == 0) emb
+        else emb.withColumn("embedding", expr(
+          s"concat(slice(embedding, ${k + 1}, size(embedding)), " +
+            s"slice(embedding, 1, $k))"))
+      rotated.withColumn("vec_id", col("vec_id") + lit(k * ne))
+    }.reduce(_ unionAll _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    println(s"probe fixture: ${spark.read.parquet(s"$out/documents.parquet").count()} docs, " +
+      s"${spark.read.parquet(s"$out/embeddings.parquet").count()} vecs at $out")
 
     def time(name: String, dir: String): Double = {
       val runs = (1 to 3).map { _ =>
@@ -60,7 +78,7 @@ object ScaleProbe {
       }
       runs.min
     }
-    Queries.foreach { q =>
+    queries.foreach { q =>
       val base = time(q, src)
       val big = time(q, out)
       println(f"$q%-24s sf0.1 $base%6.2f s   10x $big%6.2f s   ratio ${big / base}%5.2f")
