@@ -1952,6 +1952,63 @@ object TrainingData {
              |    ELSE ((qidx - (qidx // 8 - 1) * 8 + 1)::BIGINT
              |          << (qidx // 8 - 1)) - 1
              |  END AS BIGINT) AS q_ub
-             |FROM q ORDER BY source, p""".stripMargin))
+             |FROM q ORDER BY source, p""".stripMargin)),
+
+    // ----------------------------------------------------------------- t98
+    // SEMANTIC DECONTAMINATION — the third leg of the decon triad
+    // (t19/t54 exact n-gram membership, t43 bloom-prefiltered): drop
+    // corpus items whose EMBEDDING sits too close to any eval item,
+    // catching paraphrased/reworded benchmark leakage that no n-gram
+    // overlap rule can see. Every (corpus, eval) cosine is computed
+    // against the broadcast eval side and each corpus vector reports
+    // its hit count + max similarity — the audit columns a curation
+    // run logs before dropping.
+    //
+    // Scale shape: eval corpora are benchmark-sized (same bounded-
+    // broadcast justification as t19/t54), so this is a map-side
+    // broadcast nested-loop — O(|corpus|·|eval|) codegen'd float_dot
+    // flops, ZERO shuffle of the corpus, no candidate blowup; the
+    // per-vector agg is map-side combinable on vec_id. For an eval
+    // side too big to broadcast, route through t13/t64's IVF cells
+    // (probe only same-cell evals) — the documented escalation path.
+    // Cosines are bit-identical across engines (float_dot ≡
+    // list_reduce ascending fold, the t05/t12 law).
+    "t98_semantic_decontaminate" -> QueryDef(
+      (spark, dir) => {
+        val emb = t(spark, dir, "embeddings")
+        val evalSet = emb.filter(pmod(col("vec_id"), lit(20)) === 0)
+          .select(col("vec_id").as("eval_id"), col("embedding").as("ev"))
+        val corpus = emb.filter(pmod(col("vec_id"), lit(20)) =!= 0)
+        corpus.crossJoin(broadcast(evalSet))
+          .withColumn("cos",
+            dotCol(col("embedding"), col("ev")).cast("double") /
+              (sqrt(dotCol(col("embedding"), col("embedding")).cast("double")) *
+                sqrt(dotCol(col("ev"), col("ev")).cast("double"))))
+          .groupBy("vec_id")
+          .agg(sum(when(col("cos") >= 0.2, 1L).otherwise(0L)).as("n_hits"),
+            max("cos").as("max_cos"))
+          .withColumn("verdict",
+            when(col("n_hits") > 0, "drop").otherwise("keep"))
+          .select(col("vec_id"), col("n_hits"), col("max_cos"), col("verdict"))
+          .orderBy("vec_id")
+      },
+      Some {
+        val cos =
+          s"""(${dotDuck("c.embedding", "e.ev")}
+             |  / (sqrt(${dotDuck("c.embedding", "c.embedding")})
+             |     * sqrt(${dotDuck("e.ev", "e.ev")})))""".stripMargin
+        s"""WITH e AS (
+           |  SELECT vec_id AS eval_id, embedding AS ev FROM embeddings
+           |  WHERE vec_id % 20 = 0),
+           |c AS (
+           |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 <> 0),
+           |sc AS (SELECT c.vec_id, $cos AS cos FROM c, e)
+           |SELECT vec_id,
+           |  CAST(SUM(CASE WHEN cos >= 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           |  MAX(cos) AS max_cos,
+           |  CASE WHEN SUM(CASE WHEN cos >= 0.2 THEN 1 ELSE 0 END) > 0
+           |    THEN 'drop' ELSE 'keep' END AS verdict
+           |FROM sc GROUP BY vec_id ORDER BY vec_id""".stripMargin
+      })
   )
 }

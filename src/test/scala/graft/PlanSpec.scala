@@ -959,6 +959,17 @@ class PlanSpec extends AnyFunSuite {
       "histogram counts must map-side combine before the shuffle")
   }
 
+  test("t98: eval side broadcasts; the corpus is never shuffled before the agg") {
+    val p = plan("t98_semantic_decontaminate")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the benchmark-sized eval side must broadcast into a map-side loop")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("floatdot"),
+      "cosines must run on the codegen'd kernel")
+    assert(p.contains("partial_sum") || p.contains("partial_max"),
+      "per-vector hit counts must map-side combine")
+  }
+
   test("whole-stage codegen covers the relational hot paths") {
     // AQE finalizes the plan lazily; execute first, then inspect.
     val df = SparkEntry.queries("q01_agg_pricing")(spark, sf)
