@@ -218,6 +218,38 @@ class GraphStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("t98: driver-side cosine recompute matches exactly") {
+    // third independent implementation (plain Scala ascending-fold dots)
+    // beside the Spark query and the DuckDB oracle — drift in the
+    // float_dot kernel, the eval split, or the threshold shows here
+    val emb = graft.queries.Tables.t(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val evs = emb.filter(_._1 % 20 == 0)
+    val corpus = emb.filter(_._1 % 20 != 0)
+    val want = corpus.map { case (id, v) =>
+      val cs = evs.map { case (_, e) =>
+        dot(v, e) / (math.sqrt(dot(v, v)) * math.sqrt(dot(e, e))) }
+      id -> ((cs.count(_ >= 0.2).toLong, cs.max))
+    }.toMap
+    val rows = SparkEntry.queries("t98_semantic_decontaminate")(spark, sf)
+      .collect()
+    assert(rows.length == corpus.length)
+    rows.foreach { r =>
+      val (id, hits, mc, verdict) =
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3))
+      val (wHits, wMax) = want(id)
+      assert(hits == wHits, s"vec $id hits")
+      assert(mc == wMax, s"vec $id max_cos: $mc vs $wMax (must be EXACT)")
+      assert(verdict == (if (wHits > 0) "drop" else "keep"))
+    }
+  }
+
   test("t93: 50-cap truncates a degenerate session the fixture never has") {
     // the fixture's longest session is 3 events, so the cap branch only
     // runs here: 60 events 1 min apart (one session), then a >30-min gap
