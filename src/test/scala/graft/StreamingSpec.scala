@@ -286,6 +286,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("sessionizeSeq: a bridging stale run's events enter the sequence in event-time order") {
+    // the capped buffer must merge correctly through the trickiest
+    // state path: a stale run folding into the open session after an
+    // in-gap arrival widened the session start downward
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = Streams.sessionizeSeq(input.toDS(), gapMs = 15 * 60 * 1000L)
+      .writeStream.format("memory").queryName("stale_seq")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(Event(1, ts(30), 1, "c", 1.0), Event(2, ts(40), 1, "d", 1.0))
+      q.processAllAvailable()
+      // 10:02/10:06 are stale (< started - gap = 10:15) but 10:18 widens
+      // the session start to 10:18... no — 10:18 is in-gap, widening
+      // started to 10:18; the stale run ends 10:06, within gap of 10:18
+      // → folds in. Final session: 10:02..10:40, seq in time order.
+      input.addData(
+        Event(3, ts(2), 1, "a", 1.0),
+        Event(4, ts(6), 1, "b", 1.0),
+        Event(5, ts(18), 1, "cc", 1.0))
+      q.processAllAvailable()
+      input.addData(Event(6, ts(59), 1, "z", 0.0)) // > gap: closes it
+      q.processAllAvailable()
+      val got = spark.table("stale_seq").as[Streams.SessionSeq].collect()
+      assert(got.length == 1)
+      assert(got.head.n_events == 5)
+      assert(got.head.seq == "a>b>cc>c>d",
+        s"stale-run events must interleave by (us, event_id): ${got.head.seq}")
+      assert(got.head.started == ts(2) && got.head.ended == ts(40))
+    } finally q.stop()
+  }
+
   test("streaming length sketch equals the batch t97 sketch bit-for-bit") {
     // counter addition is the merge law — two micro-batches must land on
     // exactly the histogram a single batch pass builds
