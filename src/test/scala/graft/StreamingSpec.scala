@@ -300,10 +300,11 @@ class StreamingSpec extends AnyFunSuite {
     try {
       input.addData(Event(1, ts(30), 1, "c", 1.0), Event(2, ts(40), 1, "d", 1.0))
       q.processAllAvailable()
-      // 10:02/10:06 are stale (< started - gap = 10:15) but 10:18 widens
-      // the session start to 10:18... no — 10:18 is in-gap, widening
-      // started to 10:18; the stale run ends 10:06, within gap of 10:18
-      // → folds in. Final session: 10:02..10:40, seq in time order.
+      // 10:02/10:06 are stale (older than started - gap = 10:15) and
+      // form one run; 10:18 is in-gap and widens the session start to
+      // 10:18. At batch end the run's end (10:06) sits within gap of
+      // the widened start → the run FOLDS into the still-open session.
+      // Final session: 10:02..10:40, sequence in (us, event_id) order.
       input.addData(
         Event(3, ts(2), 1, "a", 1.0),
         Event(4, ts(6), 1, "b", 1.0),
