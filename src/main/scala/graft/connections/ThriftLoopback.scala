@@ -28,31 +28,47 @@ object ThriftLoopback {
 
   def ensure(spark: SparkSession): Int = synchronized {
     if (boundPort > 0) return boundPort
-    val port = {
-      val ss = new java.net.ServerSocket(0)
-      try ss.getLocalPort finally ss.close()
-    }
-    spark.sqlContext.setConf("hive.server2.thrift.bind.host", "127.0.0.1")
-    spark.sqlContext.setConf("hive.server2.thrift.port", port.toString)
-    HiveThriftServer2.startWithContext(spark.sqlContext)
-    // HiveServer2 binds asynchronously; poll until a real JDBC handshake
-    // succeeds so callers never race the startup.
-    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
-    var ok = false
-    while (!ok) {
-      try {
-        val c = DriverManager.getConnection(
-          s"jdbc:hive2://127.0.0.1:$port/default", "anonymous", "")
-        c.close()
-        ok = true
-      } catch {
-        case e: Exception if System.nanoTime() < deadline => Thread.sleep(200)
-        case e: Exception =>
-          throw new IllegalStateException(
-            s"loopback thrift server failed to come up on port $port", e)
+    // the free-port grab is race-prone (another process can take it
+    // between close() and HiveServer2's bind), and a failed bind would
+    // fail a whole gate run — so the start + handshake gets a retry on
+    // a fresh port before giving up
+    var lastErr: Throwable = null
+    (1 to 2).foreach { attempt =>
+      if (boundPort < 0) {
+        val port = {
+          val ss = new java.net.ServerSocket(0)
+          try ss.getLocalPort finally ss.close()
+        }
+        try {
+          spark.sqlContext.setConf("hive.server2.thrift.bind.host", "127.0.0.1")
+          spark.sqlContext.setConf("hive.server2.thrift.port", port.toString)
+          HiveThriftServer2.startWithContext(spark.sqlContext)
+          // HiveServer2 binds asynchronously; poll until a real JDBC
+          // handshake succeeds so callers never race the startup
+          val deadline = System.nanoTime() + 45L * 1000 * 1000 * 1000
+          var ok = false
+          while (!ok) {
+            try {
+              val c = DriverManager.getConnection(
+                s"jdbc:hive2://127.0.0.1:$port/default", "anonymous", "")
+              c.close()
+              ok = true
+            } catch {
+              case e: Exception if System.nanoTime() < deadline =>
+                Thread.sleep(200)
+              case e: Exception => throw new IllegalStateException(
+                s"loopback thrift handshake timed out on port $port", e)
+            }
+          }
+          boundPort = port
+        } catch {
+          case e: Throwable => lastErr = e
+        }
       }
     }
-    boundPort = port
-    port
+    if (boundPort < 0)
+      throw new IllegalStateException(
+        "loopback thrift server failed to come up", lastErr)
+    boundPort
   }
 }

@@ -250,6 +250,49 @@ class GraphStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("t77: driver-side CMS recompute matches; shard-summed cells equal direct (merge law)") {
+    // completes the sketch-triad merge pins (t94 KMV, t97 histogram):
+    // CMS cells are counters, so sketches over disjoint sub-corpora
+    // must sum to the whole corpus's sketch — and a plain-Scala CMS
+    // (third implementation) must reproduce t77's estimates exactly
+    val texts = graft.queries.Tables.t(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def buckets(w: String): Seq[(Int, Long)] = {
+      val h = md5hex(w)
+      (0 until 4).map(r =>
+        r -> java.lang.Long.parseLong(h.substring(r * 8, r * 8 + 8), 16) % 1024)
+    }
+    def cellsOf(docs: Seq[(Long, String)]): Map[(Int, Long), Long] = {
+      val m = new scala.collection.mutable.HashMap[(Int, Long), Long]()
+      docs.foreach { case (_, t) =>
+        t.split(" ", -1).foreach(w =>
+          buckets(w).foreach(b => m(b) = m.getOrElse(b, 0L) + 1))
+      }
+      m.toMap
+    }
+    val direct = cellsOf(texts.toSeq)
+    val shardSummed = (0 until 3)
+      .map(k => cellsOf(texts.filter(_._1 % 3 == k).toSeq))
+      .reduce { (a, b) =>
+        (a.keySet ++ b.keySet).map(k =>
+          k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap
+      }
+    assert(shardSummed == direct,
+      "counter addition over shards must reproduce the direct CMS")
+    // t77's estimates: min over the word's 4 cells of the DIRECT sketch
+    val rows = SparkEntry.queries("t77_cms_heavyhitters")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, nEst) = (r.getString(0), r.getLong(2))
+      val est = buckets(w).map(direct).min
+      assert(nEst == est, s"'$w': spark $nEst vs driver $est")
+    }
+  }
+
   test("t93: 50-cap truncates a degenerate session the fixture never has") {
     // the fixture's longest session is 3 events, so the cap branch only
     // runs here: 60 events 1 min apart (one session), then a >30-min gap
