@@ -70,13 +70,12 @@ object Main {
       catch {
         case e: Exception => System.err.println(e.getMessage); sys.exit(2)
       }
-    val spark = SparkSession.builder()
+    // production defaults (AQE + skew join + scan sizing) from
+    // GraftSession; the CLI only pins what's host-specific
+    val spark = graft.core.GraftSession.builder("graft")
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
-      .appName("graft")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
