@@ -2009,6 +2009,98 @@ object TrainingData {
            |  CASE WHEN SUM(CASE WHEN cos >= 0.2 THEN 1 ELSE 0 END) > 0
            |    THEN 'drop' ELSE 'keep' END AS verdict
            |FROM sc GROUP BY vec_id ORDER BY vec_id""".stripMargin
+      }),
+
+    // ----------------------------------------------------------------- t99
+    // FEDERATED HEAVY HITTERS — the standard distributed top-k protocol
+    // (candidate-union + merged sketch), gating CMS mergeability at the
+    // query level the way t94 gates KMV's and t97 the histogram's:
+    // each shard nominates its LOCAL top-25 words (no shard can be
+    // outvoted below the global top-20 without surfacing in some
+    // shard's top-25 under hash sharding — GraphStatsSpec pins the
+    // protocol's answer equal to the exact global top-20 on the
+    // fixture), the CMS cells merge by counter addition, and the
+    // nominated candidates are scored against the MERGED sketch — no
+    // second exact pass over the corpus, which is the point: shards
+    // ship 25 words + 4096 counters each, never their token streams.
+    //
+    // Scale shape: the shard-local nomination rides boundedTopK
+    // (t34's law — partition-local 25-entry heaps before the per-shard
+    // window); the cells agg is map-side combinable (counter addition
+    // IS the merge, performed by Spark's partial aggregation exactly
+    // where a federation would run it); the candidate scoring joins a
+    // ≤4·|shards|·25-row probe against the broadcast 4096-cell sketch;
+    // the final top-20 is a TakeOrderedAndProject.
+    "t99_federated_heavyhitters" -> QueryDef(
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import spark.implicits._
+        def bucket(r: Int, hCol: Column): Column =
+          conv(substring(hCol, r * 8 + 1, 8), 16, 10).cast("long") % 1024
+        def rbExplode(hCol: Column): Column =
+          explode(array((0 until 4).map(r => struct(lit(r).as("r"),
+            bucket(r, hCol).as("bucket"))): _*))
+        val words = withWords(t(spark, dir, "documents")
+            .withColumn("shard", pmod(col("doc_id"), lit(4)).cast("int")))
+          .select(col("shard"), explode(col("words")).as("w"))
+        val cells = words
+          .select(md5(col("w").cast("binary")).as("h"))
+          .select(rbExplode(col("h")).as("rb"))
+          .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+          .agg(count(lit(1)).as("c"))
+        val localCounts = words.groupBy("shard", "w")
+          .agg(count(lit(1)).as("c"))
+        val pre = Curation.localVocabTopK(
+          localCounts.select(col("shard").cast("string"), col("w"), col("c"))
+            .as[(String, String, Long)], 25)
+          .toDF("shard", "w", "c")
+        val wnd = Window.partitionBy("shard").orderBy(col("c").desc, col("w"))
+        val candidates = pre.withColumn("rn", row_number().over(wnd))
+          .filter(col("rn") <= 25)
+          .groupBy("w").agg(count(lit(1)).as("n_shards"))
+        candidates
+          .withColumn("h", md5(col("w").cast("binary")))
+          .select(col("w"), col("n_shards"), rbExplode(col("h")).as("rb"))
+          .select(col("w"), col("n_shards"), col("rb.r").as("r"),
+            col("rb.bucket").as("bucket"))
+          .join(broadcast(cells), Seq("r", "bucket"))
+          .groupBy("w", "n_shards").agg(min("c").as("est"))
+          .select(col("w").as("word"), col("est"), col("n_shards"))
+          .orderBy(col("est").desc, col("word"))
+          .limit(20)
+      },
+      Some {
+        def hb(off: Int): String = (1 to 8).map { i =>
+          s"(instr('0123456789abcdef', substr(h, ${off + i}, 1)) - 1) * ${1L << (4 * (8 - i))}"
+        }.mkString("(", " + ", ")")
+        val buckets = (0 until 4).map(r =>
+          s"SELECT h, $r AS r, CAST(${hb(r * 8)} AS BIGINT) % 1024 AS bucket FROM hashed")
+          .mkString("\n  UNION ALL ")
+        val probes = (0 until 4).map(r =>
+          s"SELECT w, n_shards, $r AS r, CAST(${hb(r * 8)} AS BIGINT) % 1024 AS bucket FROM ch")
+          .mkString("\n  UNION ALL ")
+        s"""WITH w AS (
+           |  SELECT doc_id % 4 AS shard,
+           |    unnest(string_split(text, ' ')) AS w
+           |  FROM documents),
+           |hashed AS (SELECT md5(w) AS h FROM w),
+           |rb AS (
+           |  $buckets),
+           |cells AS (
+           |  SELECT r, bucket, COUNT(*) AS c FROM rb GROUP BY 1, 2),
+           |lc AS (SELECT shard, w, COUNT(*) AS c FROM w GROUP BY 1, 2),
+           |cand AS (
+           |  SELECT w, COUNT(*) AS n_shards FROM (
+           |    SELECT shard, w,
+           |      ROW_NUMBER() OVER (PARTITION BY shard ORDER BY c DESC, w) AS rn
+           |    FROM lc) WHERE rn <= 25 GROUP BY w),
+           |ch AS (SELECT w, n_shards, md5(w) AS h FROM cand),
+           |probe AS (
+           |  $probes)
+           |SELECT p.w AS word, CAST(MIN(c.c) AS BIGINT) AS est,
+           |  CAST(MAX(p.n_shards) AS BIGINT) AS n_shards
+           |FROM probe p JOIN cells c USING (r, bucket)
+           |GROUP BY p.w ORDER BY est DESC, word LIMIT 20""".stripMargin
       })
   )
 }

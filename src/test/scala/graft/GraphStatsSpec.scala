@@ -293,6 +293,33 @@ class GraphStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("t99: protocol answer equals the exact global top-20; estimates bound counts; CMS ≡ t77's") {
+    val texts = graft.queries.Tables.t(spark, sf, "documents")
+      .select("text").collect().map(_.getString(0))
+    val exact = new scala.collection.mutable.HashMap[String, Long]()
+    texts.foreach(_.split(" ", -1).foreach(w =>
+      exact(w) = exact.getOrElse(w, 0L) + 1))
+    val exactTop = exact.toSeq.sortBy { case (w, c) => (-c, w) }.take(20)
+    val rows = SparkEntry.queries("t99_federated_heavyhitters")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 20)
+    // CMS never undercounts
+    rows.foreach { case (w, est, _) =>
+      assert(est >= exact(w), s"'$w': est $est < exact ${exact(w)}") }
+    // the candidate-union lemma holds on the fixture: the protocol's
+    // top-20 IS the exact global top-20 (word sets equal)
+    assert(rows.map(_._1).toSet == exactTop.map(_._1).toSet,
+      s"protocol missed: ${exactTop.map(_._1).toSet -- rows.map(_._1).toSet}")
+    // the merged sketch is THE sketch: estimates agree with t77's for
+    // every word both report
+    val t77est = SparkEntry.queries("t77_cms_heavyhitters")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    rows.foreach { case (w, est, _) =>
+      t77est.get(w).foreach(e => assert(e == est, s"'$w': $est vs t77 $e")) }
+    // every shard nomination count is within [1, 4]
+    rows.foreach { case (_, _, ns) => assert(ns >= 1 && ns <= 4) }
+  }
+
   test("t93: 50-cap truncates a degenerate session the fixture never has") {
     // the fixture's longest session is 3 events, so the cap branch only
     // runs here: 60 events 1 min apart (one session), then a >30-min gap
