@@ -2024,13 +2024,17 @@ object TrainingData {
     // second exact pass over the corpus, which is the point: shards
     // ship 25 words + 4096 counters each, never their token streams.
     //
-    // Scale shape: the shard-local nomination rides boundedTopK
-    // (t34's law — partition-local 25-entry heaps before the per-shard
-    // window); the cells agg is map-side combinable (counter addition
-    // IS the merge, performed by Spark's partial aggregation exactly
-    // where a federation would run it); the candidate scoring joins a
-    // ≤4·|shards|·25-row probe against the broadcast 4096-cell sketch;
-    // the final top-20 is a TakeOrderedAndProject.
+    // Scale shape: ONE corpus scan — the (shard, word) counts are the
+    // only token-stream aggregation (localCheckpointed; plan-pinned no
+    // re-scan), and the CMS cells derive from the VOCABULARY-sized
+    // count table (each distinct word hashed once, weighted by its
+    // count — counter addition makes this identical to hashing every
+    // occurrence, at a tokens/vocab fraction of the md5 work). The
+    // shard-local nomination rides boundedTopK (t34's law —
+    // partition-local 25-entry heaps before the per-shard window); the
+    // candidate scoring joins a ≤4·|shards|·25-row probe against the
+    // broadcast 4096-cell sketch; the final top-20 is a
+    // TakeOrderedAndProject.
     "t99_federated_heavyhitters" -> QueryDef(
       (spark, dir) => {
         import org.apache.spark.sql.expressions.Window
@@ -2043,13 +2047,14 @@ object TrainingData {
         val words = withWords(t(spark, dir, "documents")
             .withColumn("shard", pmod(col("doc_id"), lit(4)).cast("int")))
           .select(col("shard"), explode(col("words")).as("w"))
-        val cells = words
-          .select(md5(col("w").cast("binary")).as("h"))
-          .select(rbExplode(col("h")).as("rb"))
-          .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
-          .agg(count(lit(1)).as("c"))
         val localCounts = words.groupBy("shard", "w")
           .agg(count(lit(1)).as("c"))
+          .localCheckpoint()
+        val cells = localCounts.groupBy("w").agg(sum("c").as("c"))
+          .select(md5(col("w").cast("binary")).as("h"), col("c"))
+          .select(rbExplode(col("h")).as("rb"), col("c"))
+          .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+          .agg(sum("c").as("c"))
         val pre = Curation.localVocabTopK(
           localCounts.select(col("shard").cast("string"), col("w"), col("c"))
             .as[(String, String, Long)], 25)
@@ -2074,7 +2079,7 @@ object TrainingData {
           s"(instr('0123456789abcdef', substr(h, ${off + i}, 1)) - 1) * ${1L << (4 * (8 - i))}"
         }.mkString("(", " + ", ")")
         val buckets = (0 until 4).map(r =>
-          s"SELECT h, $r AS r, CAST(${hb(r * 8)} AS BIGINT) % 1024 AS bucket FROM hashed")
+          s"SELECT c, $r AS r, CAST(${hb(r * 8)} AS BIGINT) % 1024 AS bucket FROM hashed")
           .mkString("\n  UNION ALL ")
         val probes = (0 until 4).map(r =>
           s"SELECT w, n_shards, $r AS r, CAST(${hb(r * 8)} AS BIGINT) % 1024 AS bucket FROM ch")
@@ -2083,12 +2088,14 @@ object TrainingData {
            |  SELECT doc_id % 4 AS shard,
            |    unnest(string_split(text, ' ')) AS w
            |  FROM documents),
-           |hashed AS (SELECT md5(w) AS h FROM w),
+           |lc AS (SELECT shard, w, COUNT(*) AS c FROM w GROUP BY 1, 2),
+           |hashed AS (
+           |  SELECT md5(w) AS h, SUM(c) AS c FROM lc GROUP BY w),
            |rb AS (
            |  $buckets),
            |cells AS (
-           |  SELECT r, bucket, COUNT(*) AS c FROM rb GROUP BY 1, 2),
-           |lc AS (SELECT shard, w, COUNT(*) AS c FROM w GROUP BY 1, 2),
+           |  SELECT r, bucket, CAST(SUM(c) AS BIGINT) AS c
+           |  FROM rb GROUP BY 1, 2),
            |cand AS (
            |  SELECT w, COUNT(*) AS n_shards FROM (
            |    SELECT shard, w,

@@ -970,6 +970,17 @@ class PlanSpec extends AnyFunSuite {
       "per-vector hit counts must map-side combine")
   }
 
+  test("t99: every protocol stage reads the checkpointed shard counts, never the corpus") {
+    val p = plan("t99_federated_heavyhitters")
+    assert(p.contains("Scan ExistingRDD"),
+      "cells and nominations must derive from the checkpointed counts")
+    assert(!p.contains("Scan parquet"),
+      "t99 re-scans the corpus past its checkpoint")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the final top-20 must be partition-local heaps")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("whole-stage codegen covers the relational hot paths") {
     // AQE finalizes the plan lazily; execute first, then inspect.
     val df = SparkEntry.queries("q01_agg_pricing")(spark, sf)
