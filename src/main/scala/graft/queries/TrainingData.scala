@@ -1577,13 +1577,21 @@ object TrainingData {
           conv(substring(hCol, r * 8 + 1, 8), 16, 10).cast("long") % 1024
         val words = withWords(t(spark, dir, "documents"))
           .select(explode(col("words")).as("w"))
-        val hashed = words.select(md5(col("w").cast("binary")).as("h"))
-        val cms = hashed
+        // ONE corpus scan: the vocabulary-sized count table feeds both
+        // the sketch build and the exact top-20, and the cells hash each
+        // DISTINCT word once weighted by its count — counter addition
+        // makes that identical to hashing every occurrence, at a
+        // tokens/vocab fraction of the md5 + 4-way-explode work (the
+        // same derivation t99's federation uses)
+        val counts = words.groupBy("w").agg(count(lit(1)).as("n_exact"))
+          .localCheckpoint()
+        val cms = counts
+          .select(md5(col("w").cast("binary")).as("h"), col("n_exact"))
           .select(explode(array((0 until 4).map(r => struct(lit(r).as("r"),
-            bucket(r, col("h")).as("bucket"))): _*)).as("rb"))
+            bucket(r, col("h")).as("bucket"))): _*)).as("rb"), col("n_exact"))
           .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
-          .agg(count(lit(1)).as("c"))
-        val top = words.groupBy("w").agg(count(lit(1)).as("n_exact"))
+          .agg(sum("n_exact").as("c"))
+        val top = counts
           .orderBy(col("n_exact").desc, col("w")).limit(20)
         top
           .withColumn("h", md5(col("w").cast("binary")))
@@ -1604,17 +1612,19 @@ object TrainingData {
           s"(instr('0123456789abcdef', substr(h, ${off + i}, 1)) - 1) * ${1L << (4 * (8 - i))}"
         }.mkString("(", " + ", ")")
         val buckets = (0 until 4).map(r =>
-          s"SELECT h, $r AS r, CAST(${hb(r * 8)} AS BIGINT) % 1024 AS bucket FROM hashed")
+          s"SELECT n_exact, $r AS r, CAST(${hb(r * 8)} AS BIGINT) % 1024 AS bucket FROM hashed")
           .mkString("\n  UNION ALL ")
         s"""WITH w AS (
            |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
-           |hashed AS (SELECT md5(w) AS h FROM w),
+           |counts AS (SELECT w, COUNT(*) AS n_exact FROM w GROUP BY w),
+           |hashed AS (SELECT md5(w) AS h, n_exact FROM counts),
            |rb AS (
            |  $buckets),
            |cells AS (
-           |  SELECT r, bucket, COUNT(*) AS c FROM rb GROUP BY 1, 2),
+           |  SELECT r, bucket, CAST(SUM(n_exact) AS BIGINT) AS c
+           |  FROM rb GROUP BY 1, 2),
            |top AS (
-           |  SELECT w, COUNT(*) AS n_exact FROM w GROUP BY w
+           |  SELECT w, n_exact FROM counts
            |  ORDER BY n_exact DESC, w LIMIT 20),
            |toph AS (SELECT w, n_exact, md5(w) AS h FROM top),
            |probe AS (
