@@ -31,9 +31,25 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
   * live or retired — delta's time travel on plain parquet. `OPTIMIZE ..
   * VACUUM` deletes retired files past the retention age (delta's vacuum:
   * travel to a vacuumed version errors loudly); DROP removes table and
-  * history. Time travel is scoped to non-partitioned tables: hive-style
-  * partition values live in directory names, which a by-file read cannot
-  * reconstruct (a real delta log stores them in metadata).
+  * history. PARTITIONED tables time-travel too: manifests record the
+  * table's partition columns, retirement preserves the hive-style
+  * `col=value/` layout under `_graft_log/retained/`, and a versioned
+  * read reconstructs partition values via Spark's `basePath` partition
+  * discovery over each location class (live vs retained), unioned by
+  * name — the by-file analogue of a real delta log's per-file partition
+  * metadata (reference partition write: delta.py:461-520).
+  *
+  * CRASH ORDERING: every commit stages its Spark write in a sibling
+  * `<table>__graft_commit_tmp` directory first; only after the write
+  * succeeds are the previous files retired, the staged files moved into
+  * the table root, and the manifest appended — so a failed or killed
+  * write leaves the table AND its version log untouched (a leftover tmp
+  * dir is overwritten by the next commit). The residual window is
+  * between retire and manifest: a crash there can leave the latest
+  * files split across live/retained until the next commit, but every
+  * MANIFESTED version stays readable because versioned reads resolve
+  * both locations. Legacy log stashes from the pre-r14 protocol
+  * (`<table>__graft_log_stash`) are detected and restored on open.
   *
   * The interface matches the Connection trait, so a real delta-spark
   * implementation can drop in when the jar is available.
@@ -85,14 +101,18 @@ final class DeltaConnection(ctx: ConnContext) extends Connection(ctx) {
   }
 
   /** Append the next manifest: the table's file snapshot after `action`
-    * committed. Written via temp-file + atomic move so a concurrent
-    * reader never sees a torn manifest. */
+    * committed, plus the partition columns the snapshot is laid out by
+    * (empty = unpartitioned) — the metadata a versioned read needs to
+    * reconstruct hive-style partition values. Written via temp-file +
+    * atomic move so a concurrent reader never sees a torn manifest. */
   private def commitManifest(action: String, schemaDdl: String,
-      partitioned: Boolean): Long = {
+      partitionCols: Seq[String]): Long = {
     Files.createDirectories(logDir)
     val v = manifestVersions.lastOption.map(_ + 1).getOrElse(0L)
     val body = graft.template.Json.write(scala.collection.immutable.ListMap(
-      "version" -> v, "action" -> action, "partitioned" -> partitioned,
+      "version" -> v, "action" -> action,
+      "partitioned" -> partitionCols.nonEmpty,
+      "partition_cols" -> partitionCols.toList,
       "schema" -> schemaDdl, "files" -> liveFiles.sorted.toList))
     val tmp = logDir.resolve(s".$v.json.tmp")
     Files.writeString(tmp, body)
@@ -100,6 +120,16 @@ final class DeltaConnection(ctx: ConnContext) extends Connection(ctx) {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     v
   }
+
+  /** Partition columns of the latest committed version (empty when the
+    * table is unpartitioned or has no manifest yet). */
+  private def latestPartitionCols: Seq[String] =
+    manifestVersions.lastOption.toSeq.flatMap { v =>
+      readManifest(v).getOrElse("partition_cols", Nil) match {
+        case l: List[_] => l.map(_.toString)
+        case _ => Nil
+      }
+    }
 
   /** Move the current data files into the retention area instead of
     * deleting them, so older manifests stay readable. Relative paths are
@@ -111,44 +141,90 @@ final class DeltaConnection(ctx: ConnContext) extends Connection(ctx) {
     Files.move(root.resolve(rel), dst)
   }
 
-  /** Run `write` (which may clear the table directory — Spark's
-    * SaveMode.Overwrite deletes the whole output path) with the version
-    * log stashed safely beside the table, then restore it. */
-  private def withStashedLog[A](write: => A): A = {
-    val hasLog = Files.isDirectory(logDir)
+  private def commitTmp: java.nio.file.Path =
+    root.resolveSibling(root.getFileName.toString + "__graft_commit_tmp")
+
+  /** Restore a version log stranded by a crash inside the pre-r14
+    * stash-and-restore write protocol (the stash dir hid the whole
+    * history until manual recovery — now healed on every open). */
+  private def recoverStash(): Unit = {
     val stash = root.resolveSibling(root.getFileName.toString + "__graft_log_stash")
-    if (hasLog) Files.move(logDir, stash)
-    try write
-    finally if (hasLog) {
+    if (Files.isDirectory(stash) && !Files.isDirectory(logDir)) {
       Files.createDirectories(root)
       Files.move(stash, logDir)
+      log.warn(s"restored stranded version log for $path from $stash")
     }
+  }
+
+  /** Crash-ordered commit: run `write` against a staged tmp dir (the
+    * table root is never touched by Spark, so the version log needs no
+    * stashing and a failed write changes nothing), then retire the
+    * files the commit replaces (overwrite/truncate/optimize) and move
+    * the staged files in, preserving relative layout so hive-style
+    * partition dirs merge. An empty stage (zero part files — Spark
+    * writes none for a 0-partition DataFrame) still retires on request:
+    * that IS the truncate semantics. */
+  private def stagedCommit(retireFirst: Boolean)(
+      write: String => Unit): Unit = {
+    val tmp = commitTmp
+    deleteTree(tmp) // leftover from a crashed commit: superseded
+    write(tmp.toString)
+    val stream = Files.walk(tmp)
+    val staged =
+      try stream.iterator().asScala.filter(Files.isRegularFile(_))
+        .filterNot { f =>
+          val n = f.getFileName.toString
+          n.startsWith("_") || n.startsWith(".") // _SUCCESS, .crc markers
+        }.toSeq
+      finally stream.close()
+    if (retireFirst) retireLiveFiles()
+    Files.createDirectories(root)
+    staged.foreach { f =>
+      val dst = root.resolve(tmp.relativize(f))
+      Files.createDirectories(dst.getParent)
+      Files.move(f, dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    deleteTree(tmp)
   }
 
   /** Resolve a manifest's file list against live + retained locations
     * and build the version's DataFrame. */
   private def readVersion(v: Long): DataFrame = {
     val m = readManifest(v)
-    if (m.get("partitioned").contains(true)) sys.error(
-      s"Deltatable at $path: VERSION AS OF is not supported for " +
-        "partitioned emulated tables (partition values live in directory " +
-        "names; a real delta log records them in metadata)")
     val files = m.getOrElse("files", Nil).asInstanceOf[List[Any]].map(_.toString)
-    val resolved = files.map { rel =>
-      val live = root.resolve(rel)
-      val retired = retainedDir.resolve(rel)
-      if (Files.exists(live)) live.toString
-      else if (Files.exists(retired)) retired.toString
-      else sys.error(
-        s"Deltatable at $path: version $v file '$rel' was vacuumed; " +
-          "time travel to this version is no longer possible")
-    }
-    if (resolved.isEmpty)
+    // resolve each manifest file to where it lives NOW — still in the
+    // table (live) or moved to the retention area by a later commit —
+    // keeping the two classes separate: partition discovery needs one
+    // basePath per class (retirement preserves the `col=value/` layout)
+    val (liveRels, rest) = files.partition(rel => Files.exists(root.resolve(rel)))
+    val (retiredRels, gone) =
+      rest.partition(rel => Files.exists(retainedDir.resolve(rel)))
+    if (gone.nonEmpty) sys.error(
+      s"Deltatable at $path: version $v file '${gone.head}' was vacuumed; " +
+        "time travel to this version is no longer possible")
+    if (files.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(
           m.getOrElse("schema", "").toString))
-    else spark.read.option("mergeSchema", "true").parquet(resolved: _*)
+    else if (!m.get("partitioned").contains(true))
+      spark.read.option("mergeSchema", "true").parquet(
+        (liveRels.map(root.resolve(_).toString) ++
+          retiredRels.map(retainedDir.resolve(_).toString)): _*)
+    else {
+      // partitioned: `basePath` makes Spark reconstruct partition values
+      // from the dirs between the base and each listed file — the
+      // by-file analogue of delta's per-file partition metadata
+      def readAt(base: java.nio.file.Path, rels: Seq[String]) =
+        spark.read.option("mergeSchema", "true")
+          .option("basePath", base.toString)
+          .parquet(rels.map(base.resolve(_).toString): _*)
+      val frames =
+        (if (liveRels.nonEmpty) Seq(readAt(root, liveRels)) else Nil) ++
+          (if (retiredRels.nonEmpty) Seq(readAt(retainedDir, retiredRels)) else Nil)
+      frames.reduce(_.unionByName(_, allowMissingColumns = true))
+    }
   }
 
   /** Split `VERSION AS OF n` out of the tap's pseudo-SQL (the one
@@ -174,6 +250,7 @@ final class DeltaConnection(ctx: ConnContext) extends Connection(ctx) {
   }
 
   override def tap(query: Option[String], limit: Option[Int]): DataFrame = {
+    recoverStash()
     val (stripped, version) = extractVersion(query)
     val raw = version match {
       case Some(v) => readVersion(v)
@@ -185,6 +262,7 @@ final class DeltaConnection(ctx: ConnContext) extends Connection(ctx) {
   }
 
   override def sink(from: DataFrame): Unit = {
+    recoverStash()
     val hasRows = !from.isEmpty
     val declared = conn.fields
     val dataMode = conn.str("data_mode").getOrElse("append")
@@ -196,32 +274,36 @@ final class DeltaConnection(ctx: ConnContext) extends Connection(ctx) {
     }
     if (hasRows) {
       val partitions = conn.strList("partition")
-      // overwrite logically REMOVES the current files: retire them so
-      // older versions stay travelable, and stash the log out of the
-      // way of Spark's output-path delete
-      if (mode == SaveMode.Overwrite) retireLiveFiles()
-      withStashedLog {
-        val writer = from.write.mode(mode)
+      if (mode == SaveMode.ErrorIfExists && exists)
+        sys.error(s"Deltatable at $path already exists (data_mode: error)")
+      // overwrite logically REMOVES the current files: retire them (so
+      // older versions stay travelable) only AFTER the staged write
+      // succeeded — a failed write must leave the table intact
+      stagedCommit(retireFirst = mode == SaveMode.Overwrite) { tmp =>
+        val writer = from.write.mode(SaveMode.Overwrite)
         val w2 = if (partitions.nonEmpty) writer.partitionBy(partitions: _*) else writer
-        w2.parquet(path)
+        w2.parquet(tmp)
       }
-      commitManifest(dataMode, from.schema.toDDL, partitions.nonEmpty)
+      commitManifest(dataMode, from.schema.toDDL, partitions)
     } else if (declared.nonEmpty && !exists) {
       // CREATE: empty table materialized from the declared schema
       val schema = SchemaUtil.toStruct(declared)
-      withStashedLog {
+      stagedCommit(retireFirst = false) { tmp =>
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          schema).write.mode(SaveMode.Overwrite).parquet(path)
+          schema).write.mode(SaveMode.Overwrite).parquet(tmp)
       }
-      commitManifest("create", schema.toDDL, partitioned = false)
+      commitManifest("create", schema.toDDL, Nil)
     } // else SKIP (delta.py:368-382)
   }
 
-  override def showSchema(): org.apache.spark.sql.types.StructType =
+  override def showSchema(): org.apache.spark.sql.types.StructType = {
+    recoverStash()
     if (exists) spark.read.parquet(path).schema
     else SchemaUtil.toStruct(conn.fields)
+  }
 
   override def sqlStmt(stmt: String): Option[DataFrame] = {
+    recoverStash()
     val s = stmt.trim.toUpperCase.replaceAll("\\s+", " ")
     if (s.startsWith("DROP DELTATABLE")) {
       deleteRecursively(path) // table AND history die together
@@ -233,13 +315,14 @@ final class DeltaConnection(ctx: ConnContext) extends Connection(ctx) {
       else None
       schema match {
         case Some(sch) =>
-          retireLiveFiles() // pre-truncate versions stay travelable
-          withStashedLog {
+          // pre-truncate versions stay travelable: stagedCommit retires
+          // the live files (an empty stage writes no part files)
+          stagedCommit(retireFirst = true) { tmp =>
             spark.createDataFrame(
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
-              .write.mode(SaveMode.Overwrite).parquet(path)
+              .write.mode(SaveMode.Overwrite).parquet(tmp)
           }
-          commitManifest("truncate", sch.toDDL, partitioned = false)
+          commitManifest("truncate", sch.toDDL, Nil)
         case None => deleteRecursively(path)
       }
       None
@@ -248,24 +331,24 @@ final class DeltaConnection(ctx: ConnContext) extends Connection(ctx) {
       log.info(s"OPTIMIZE $path: $flags")
       if (exists && !flags.dryRun && flags.compact) {
         // compaction rewrite: same rows, fewer files; the replaced files
-        // retire so earlier versions stay travelable until vacuumed
+        // retire so earlier versions stay travelable until vacuumed. A
+        // partitioned table keeps its layout: re-written under the same
+        // partitionBy, hash-clustered on the partition columns so each
+        // hive partition lands in ~1 file
         val df = spark.read.option("mergeSchema", "true").parquet(path)
-        val tmp = path.stripSuffix("/") + "__compact_tmp"
-        df.repartition(math.max(1, (df.count() / 5000000L).toInt))
-          .write.mode(SaveMode.Overwrite).parquet(tmp)
+        val parts = latestPartitionCols
+        val n = math.max(1, (df.count() / 5000000L).toInt)
+        val clustered =
+          if (parts.nonEmpty)
+            df.repartition(n, parts.map(org.apache.spark.sql.functions.col): _*)
+          else df.repartition(n)
         val schemaDdl = df.schema.toDDL
-        retireLiveFiles()
-        withStashedLog {
-          val stream = Files.list(root)
-          try stream.iterator().asScala.toSeq.foreach(deleteTree)
-          finally stream.close()
-          val moved = Files.list(Paths.get(tmp))
-          try moved.iterator().asScala.toSeq
-            .foreach(f => Files.move(f, root.resolve(f.getFileName)))
-          finally moved.close()
-          Files.delete(Paths.get(tmp))
+        stagedCommit(retireFirst = true) { tmp =>
+          val w = clustered.write.mode(SaveMode.Overwrite)
+          val w2 = if (parts.nonEmpty) w.partitionBy(parts: _*) else w
+          w2.parquet(tmp)
         }
-        commitManifest("optimize", schemaDdl, partitioned = false)
+        commitManifest("optimize", schemaDdl, parts)
       }
       if (!flags.dryRun && flags.vacuum)
         // delta's vacuum: retired files older than the retention age are

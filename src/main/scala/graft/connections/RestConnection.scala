@@ -98,7 +98,12 @@ final class RestConnection(ctx: ConnContext) extends Connection(ctx) {
             if (h.isPresent) scala.util.Try(h.get.toDouble).toOption else None
           }
           retryAfter match {
-            case Some(sec) => Thread.sleep((sec * 1000).toLong)
+            case Some(sec) =>
+              // clamp untrusted header input: a negative value would make
+              // Thread.sleep throw, a huge one would park the thread for
+              // hours — [0, 300 s] covers every sane rate limiter
+              val ms = math.min(math.max(0.0, sec), 300.0) * 1000
+              Thread.sleep(ms.toLong)
             case None =>
               Thread.sleep((rateWait * 1000).toLong)
               rateWait *= 2 // doubles per retry (rest/server.py:369-374)

@@ -62,7 +62,17 @@ object ThriftLoopback {
           }
           boundPort = port
         } catch {
-          case e: Throwable => lastErr = e
+          // retry ONLY a lost port race (BindException anywhere in the
+          // cause chain): HiveServer2 holds JVM-global service state, so
+          // re-running startWithContext after a server that got PAST its
+          // bind (e.g. a handshake timeout) could leak a half-started
+          // instance that still owns its port — those failures are final
+          case e: Throwable =>
+            val bindRace = Iterator.iterate(e: Throwable)(_.getCause)
+              .takeWhile(_ != null).take(16)
+              .exists(_.isInstanceOf[java.net.BindException])
+            if (!bindRace) throw e
+            lastErr = e
         }
       }
     }

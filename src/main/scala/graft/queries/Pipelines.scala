@@ -989,6 +989,147 @@ object Pipelines {
              |SELECT 'cur', CAST(COUNT(*) AS BIGINT),
              |  CAST(SUM(n_nationkey) AS BIGINT)
              |FROM nation WHERE n_regionkey <= 1
+             |ORDER BY ver""".stripMargin)),
+
+    // ----------------------------------------------------------------- p21
+    // PARTITIONED-TABLE TIME TRAVEL — closes the last documented
+    // Deltatable approximation (r13 verdict residual #1): manifests now
+    // record partition columns, retirement preserves the hive-style
+    // `n_regionkey=<v>/` layout, and `VERSION AS OF n` reconstructs
+    // partition VALUES via basePath discovery (DeltaConnection
+    // scaladoc). The pipeline commits five versions on a table
+    // partitioned by n_regionkey — overwrite (v0), append (v1),
+    // OPTIMIZE COMPACT (v2, exercises the partition-preserving
+    // compaction rewrite), overwrite (v3), append (v4) — then taps
+    // v0..v3 and the current table. Each fold SUMS n_regionkey, a
+    // column that exists ONLY in directory names on disk: the sums
+    // match the oracle only if every versioned read reconstructs the
+    // partition values correctly (v1/v2 from fully-retired files,
+    // v3/cur from live ones, v2 additionally proving compaction kept
+    // rows AND layout).
+    "p21_pipeline_delta_partitioned_timetravel" -> QueryDef(
+      (spark, dir) => {
+        val delta = Files.createTempDirectory("graft_p21").toString + "/t"
+        run(spark,
+          s"""
+             |- name: Nations
+             |  kind: tap
+             |  connection: {kind: Parquet, locator: $dir/nation.parquet}
+             |- name: SeedV0
+             |  kind: sink
+             |  connection:
+             |    kind: Deltatable
+             |    locator: $delta
+             |    data_mode: overwrite
+             |    partition: [n_regionkey]
+             |- name: RegionZero
+             |  kind: tap
+             |  connection: {kind: Parquet, locator: $dir/nation.parquet}
+             |  query: SELECT * FROM Parquet WHERE n_regionkey = 0
+             |- name: AppendV1
+             |  kind: sink
+             |  connection:
+             |    kind: Deltatable
+             |    locator: $delta
+             |    data_mode: append
+             |    partition: [n_regionkey]
+             |- name: CompactV2
+             |  kind: sql
+             |  connection: {kind: Deltatable, locator: $delta}
+             |  query: OPTIMIZE DELTATABLE COMPACT
+             |- name: RegionZeroOne
+             |  kind: tap
+             |  connection: {kind: Parquet, locator: $dir/nation.parquet}
+             |  query: SELECT * FROM Parquet WHERE n_regionkey <= 1
+             |- name: OverwriteV3
+             |  kind: sink
+             |  connection:
+             |    kind: Deltatable
+             |    locator: $delta
+             |    data_mode: overwrite
+             |    partition: [n_regionkey]
+             |- name: RegionTwo
+             |  kind: tap
+             |  connection: {kind: Parquet, locator: $dir/nation.parquet}
+             |  query: SELECT * FROM Parquet WHERE n_regionkey = 2
+             |- name: AppendV4
+             |  kind: sink
+             |  connection:
+             |    kind: Deltatable
+             |    locator: $delta
+             |    data_mode: append
+             |    partition: [n_regionkey]
+             |- name: V0
+             |  kind: tap
+             |  connection: {kind: Deltatable, locator: $delta}
+             |  query: select * from Deltatable VERSION AS OF 0
+             |- name: V1
+             |  kind: tap
+             |  connection: {kind: Deltatable, locator: $delta}
+             |  query: select * from Deltatable VERSION AS OF 1
+             |- name: V2
+             |  kind: tap
+             |  connection: {kind: Deltatable, locator: $delta}
+             |  query: select * from Deltatable VERSION AS OF 2
+             |- name: V3
+             |  kind: tap
+             |  connection: {kind: Deltatable, locator: $delta}
+             |  query: select * from Deltatable VERSION AS OF 3
+             |- name: Cur
+             |  kind: tap
+             |  connection: {kind: Deltatable, locator: $delta}
+             |  query: select * from Deltatable
+             |- name: Final
+             |  kind: transform
+             |  query: >
+             |    SELECT 'v0' AS ver, COUNT(*) AS n,
+             |      CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+             |      CAST(SUM(n_regionkey) AS BIGINT) AS reg_sum
+             |    FROM V0
+             |    UNION ALL
+             |    SELECT 'v1', COUNT(*), CAST(SUM(n_nationkey) AS BIGINT),
+             |      CAST(SUM(n_regionkey) AS BIGINT) FROM V1
+             |    UNION ALL
+             |    SELECT 'v2', COUNT(*), CAST(SUM(n_nationkey) AS BIGINT),
+             |      CAST(SUM(n_regionkey) AS BIGINT) FROM V2
+             |    UNION ALL
+             |    SELECT 'v3', COUNT(*), CAST(SUM(n_nationkey) AS BIGINT),
+             |      CAST(SUM(n_regionkey) AS BIGINT) FROM V3
+             |    UNION ALL
+             |    SELECT 'cur', COUNT(*), CAST(SUM(n_nationkey) AS BIGINT),
+             |      CAST(SUM(n_regionkey) AS BIGINT) FROM Cur
+             |    ORDER BY ver
+             |""".stripMargin)
+      },
+      Some("""WITH v1 AS (SELECT n_nationkey, n_regionkey FROM nation
+             |            UNION ALL
+             |            SELECT n_nationkey, n_regionkey FROM nation
+             |            WHERE n_regionkey = 0),
+             |cur AS (SELECT n_nationkey, n_regionkey FROM nation
+             |        WHERE n_regionkey <= 1
+             |        UNION ALL
+             |        SELECT n_nationkey, n_regionkey FROM nation
+             |        WHERE n_regionkey = 2)
+             |SELECT 'v0' AS ver, CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+             |  CAST(SUM(n_regionkey) AS BIGINT) AS reg_sum FROM nation
+             |UNION ALL
+             |SELECT 'v1', CAST(COUNT(*) AS BIGINT),
+             |  CAST(SUM(n_nationkey) AS BIGINT),
+             |  CAST(SUM(n_regionkey) AS BIGINT) FROM v1
+             |UNION ALL
+             |SELECT 'v2', CAST(COUNT(*) AS BIGINT),
+             |  CAST(SUM(n_nationkey) AS BIGINT),
+             |  CAST(SUM(n_regionkey) AS BIGINT) FROM v1
+             |UNION ALL
+             |SELECT 'v3', CAST(COUNT(*) AS BIGINT),
+             |  CAST(SUM(n_nationkey) AS BIGINT),
+             |  CAST(SUM(n_regionkey) AS BIGINT)
+             |FROM nation WHERE n_regionkey <= 1
+             |UNION ALL
+             |SELECT 'cur', CAST(COUNT(*) AS BIGINT),
+             |  CAST(SUM(n_nationkey) AS BIGINT),
+             |  CAST(SUM(n_regionkey) AS BIGINT) FROM cur
              |ORDER BY ver""".stripMargin))
   )
 }

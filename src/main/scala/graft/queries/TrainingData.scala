@@ -2025,11 +2025,14 @@ object TrainingData {
     // FEDERATED HEAVY HITTERS — the standard distributed top-k protocol
     // (candidate-union + merged sketch), gating CMS mergeability at the
     // query level the way t94 gates KMV's and t97 the histogram's:
-    // each shard nominates its LOCAL top-25 words (no shard can be
-    // outvoted below the global top-20 without surfacing in some
-    // shard's top-25 under hash sharding — GraphStatsSpec pins the
-    // protocol's answer equal to the exact global top-20 on the
-    // fixture), the CMS cells merge by counter addition, and the
+    // each shard nominates its LOCAL top-25 words (the local k=25
+    // cover is VALIDATED ON THE FIXTURE — GraphStatsSpec pins the
+    // protocol's answer equal to the exact global top-20 — not a
+    // theorem: pathologically skewed word-to-shard distributions can
+    // keep a global top-20 word out of every shard's top-25, which is
+    // the protocol's documented approximation; both engines run the
+    // same protocol, so oracle parity holds regardless), the CMS
+    // cells merge by counter addition, and the
     // nominated candidates are scored against the MERGED sketch — no
     // second exact pass over the corpus, which is the point: shards
     // ship 25 words + 4096 counters each, never their token streams.

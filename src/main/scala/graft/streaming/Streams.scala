@@ -603,11 +603,15 @@ object Streams {
     val checkpoint =
       try new String(in.readAllBytes(), "UTF-8") finally in.close()
     val commits = new org.apache.hadoop.fs.Path(s"$checkpoint/commits")
+    // the checkpoint may live on a DIFFERENT filesystem/scheme than the
+    // index (a qualified hdfs:// marker vs a file:// index would make
+    // the index fs throw "Wrong FS") — resolve with the checkpoint's own
+    val cfs = commits.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // commit files are plain batch ids ("0", "1", …); in-flight temp
     // files and metadata (".tmp", "metadata") parse as None and drop out
     val lastCommitted =
-      if (!fs.exists(commits)) None
-      else fs.listStatus(commits).toSeq
+      if (!cfs.exists(commits)) None
+      else cfs.listStatus(commits).toSeq
         .flatMap(s => s.getPath.getName.toLongOption).maxOption
     val frontier = lastCommitted.map(_ + 1).getOrElse(0L)
     if (uptoBatch > frontier) sys.error(
