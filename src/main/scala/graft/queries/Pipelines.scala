@@ -1,6 +1,7 @@
 package graft.queries
 
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.core.Flow
 
@@ -990,6 +991,97 @@ object Pipelines {
              |  CAST(SUM(n_nationkey) AS BIGINT)
              |FROM nation WHERE n_regionkey <= 1
              |ORDER BY ver""".stripMargin)),
+
+    // ----------------------------------------------------------------- p20
+    // STREAMING ENGINE THROUGH THE ORACLE GATE — the one subsystem whose
+    // correctness previously rested on StreamingSpec's stream≡batch pins
+    // alone (r13 verdict residual #3). This entry EXECUTES the streaming
+    // engine (file source → flatMapGroupsWithState sessionization →
+    // parquet sink under Trigger.AvailableNow, a real multi-micro-batch
+    // incremental run with per-key state round-tripping the state store
+    // between batches) and hashes its emitted frame against batch t93's
+    // DuckDB oracle verbatim.
+    //
+    // Fixture prep (NOT the measured operator): the events fixture is
+    // split into 8 time-ordered chunk files with increasing modification
+    // times, so the file source replays them as 8 ordered micro-batches
+    // (maxFilesPerTrigger=1) — the per-key in-order cross-batch delivery
+    // sessionizeSeq's equivalence contract requires (in-batch order is
+    // free: it sorts each batch). A 9th sentinel file (one far-future
+    // 'flush' event per user) closes every trailing session; sentinel
+    // sessions themselves never close, so append mode never emits them.
+    // The stream has no global session ordinal — session_seq is assigned
+    // post-hoc per user by start order, valid because the gap rule makes
+    // session starts strictly increasing per user (same rule as
+    // StreamingSpec's pin).
+    "p20_pipeline_streaming_sessionize" -> QueryDef(
+      (spark, dir) => {
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.expressions.Window
+        import spark.implicits._
+        implicit val s: SparkSession = spark
+        val ev = Tables.t(spark, dir, "events")
+          .select("event_id", "ts", "user_id", "event_type", "value")
+        val tmp = Files.createTempDirectory("graft_p20")
+        val inDir = tmp.resolve("in"); Files.createDirectories(inDir)
+        val chunked = ev.withColumn("__c",
+          ntile(8).over(Window.orderBy(col("ts"), col("event_id"))))
+        val maxTs = ev.agg(max("ts")).head.getTimestamp(0)
+        val sentinels = ev.select(col("user_id")).distinct()
+          .withColumn("event_id",
+            -row_number().over(Window.orderBy("user_id")).cast("long"))
+          .withColumn("ts",
+            lit(new java.sql.Timestamp(maxTs.getTime + 86400000L)))
+          .withColumn("event_type", lit("flush"))
+          .withColumn("value", lit(0.0))
+          .select("event_id", "ts", "user_id", "event_type", "value")
+        val frames = (1 to 8).map(i =>
+          chunked.filter(col("__c") === i).drop("__c")) :+ sentinels
+        frames.zipWithIndex.foreach { case (f, i) =>
+          val scratch = tmp.resolve(s"scratch$i")
+          f.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+          val part = Files.list(scratch).iterator().asScala
+            .find(_.getFileName.toString.endsWith(".parquet")).get
+          val dst = inDir.resolve(f"chunk-$i%02d.parquet")
+          Files.move(part, dst)
+          // modification time is the file source's replay order
+          dst.toFile.setLastModified(maxTs.getTime + i * 60000L)
+        }
+        val outDir = tmp.resolve("out").toString
+        val q = graft.streaming.Streams.sessionizeSeq(
+            spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(inDir.toString).as[graft.streaming.Streams.Event])
+          .writeStream.format("parquet")
+          .option("path", outDir)
+          .option("checkpointLocation", tmp.resolve("ckpt").toString)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val wn = Window.partitionBy("user_id").orderBy("started", "ended")
+        spark.read.parquet(outDir)
+          .withColumn("session_seq", row_number().over(wn).cast("long"))
+          .select(col("user_id"), col("session_seq"),
+            col("n_events").cast("long").as("n_events"),
+            (unix_micros(col("ended")) - unix_micros(col("started")))
+              .as("dur_us"),
+            col("seq"))
+          .orderBy("user_id", "session_seq")
+      },
+      // batch t93's oracle VERBATIM — the whole point of the gate
+      Some(s"""WITH ${graft.queries.Relational.sessionizedDuck(Seq("event_type"))},
+             |n AS (
+             |  SELECT *, ROW_NUMBER() OVER (
+             |      PARTITION BY user_id, session_seq
+             |      ORDER BY us, event_id) AS wn
+             |  FROM s)
+             |SELECT user_id, session_seq, COUNT(*) AS n_events,
+             |  CAST(MAX(us) - MIN(us) AS BIGINT) AS dur_us,
+             |  COALESCE(string_agg(event_type, '>' ORDER BY us, event_id)
+             |    FILTER (WHERE wn <= 50), '') AS seq
+             |FROM n GROUP BY user_id, session_seq
+             |ORDER BY user_id, session_seq""".stripMargin)),
 
     // ----------------------------------------------------------------- p21
     // PARTITIONED-TABLE TIME TRAVEL — closes the last documented
