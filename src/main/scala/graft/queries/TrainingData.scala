@@ -2121,6 +2121,96 @@ object TrainingData {
            |  CAST(MAX(p.n_shards) AS BIGINT) AS n_shards
            |FROM probe p JOIN cells c USING (r, bucket)
            |GROUP BY p.w ORDER BY est DESC, word LIMIT 20""".stripMargin
+      }),
+
+    // ---------------------------------------------------------------- t100
+    // IVF-CELLED SEMANTIC DECONTAMINATION — t98's documented escalation
+    // path as a first-class op (what t64 is to t57): when the eval side
+    // is too big to broadcast whole, both sides are assigned to t13's 8
+    // IVF cells (argmax centroid dot, same salted LCG centroid family)
+    // and each corpus vector is scored ONLY against evals indexed in
+    // its cell. Evals index into their 2 best cells (t13's 2-probe,
+    // applied from the eval side so the corpus — the big side — still
+    // maps once, shuffle-free), trading ~2/8 of the pair work for most
+    // of the recall; the measured recall floor vs exact t98 is pinned
+    // in HardNegativeSpec (the t31/t64 discipline: approximate paths
+    // ship with a number, not a hope).
+    //
+    // Scale shape: the corpus side is ONE narrow map pass (cell
+    // assignment is a codegen'd literal-centroid expression, as t13) —
+    // no corpus shuffle; the eval-side (eval_id, cell) index is
+    // benchmark-sized × 2 and broadcasts exactly like t98's eval set,
+    // but each corpus row now meets only the ~1/8 of evals sharing its
+    // cell instead of all of them: the BroadcastNestedLoop's per-row
+    // flop count drops 8×, which is the whole point at an eval scale
+    // where t98's full product stops fitting the flop budget. Per-vec
+    // agg stays map-side combinable on vec_id. Cosines are
+    // bit-identical across engines (float_dot ≡ list_reduce ascending
+    // fold, the t05/t12 law); corpus vectors whose cell holds no eval
+    // keep NULL max_cos in both engines.
+    "t100_semantic_decontaminate_ivf" -> QueryDef(
+      (spark, dir) => {
+        val emb = t(spark, dir, "embeddings")
+        val cdots = array((1 to 8)
+          .map(k => dotCol(col("embedding"), planeCol(k + 100))): _*)
+        val assigned = emb
+          .withColumn("cdots", cdots)
+          .withColumn("cell",
+            expr("array_position(cdots, array_max(cdots))").cast("int"))
+        val corpus = assigned.filter(pmod(col("vec_id"), lit(20)) =!= 0)
+          .select(col("vec_id"), col("embedding"), col("cell"))
+        val evalCells = assigned.filter(pmod(col("vec_id"), lit(20)) === 0)
+          .withColumn("p2",
+            expr("array_position(cdots, element_at(array_sort(cdots), 7))")
+              .cast("int"))
+          .select(col("vec_id").as("eval_id"), col("embedding").as("ev"),
+            explode(array(col("cell"), col("p2"))).as("cell"))
+          .distinct() // a centroid-dot tie could make p1 = p2
+        corpus.join(broadcast(evalCells), Seq("cell"), "left")
+          .withColumn("cos",
+            dotCol(col("embedding"), col("ev")).cast("double") /
+              (sqrt(dotCol(col("embedding"), col("embedding")).cast("double")) *
+                sqrt(dotCol(col("ev"), col("ev")).cast("double"))))
+          .groupBy("vec_id")
+          .agg(sum(when(col("cos") >= 0.2, 1L).otherwise(0L)).as("n_hits"),
+            max("cos").as("max_cos"))
+          .withColumn("verdict",
+            when(col("n_hits") > 0, "drop").otherwise("keep"))
+          .select(col("vec_id"), col("n_hits"), col("max_cos"), col("verdict"))
+          .orderBy("vec_id")
+      },
+      Some {
+        def centList(k: Int): String =
+          s"list_transform(range(1, 65), d -> ${planeSql(k + 100, "d")})"
+        val cdots = (1 to 8)
+          .map(k => dotDuck("embedding", s"(${centList(k)})"))
+          .mkString("[", ", ", "]")
+        val cos =
+          s"""(${dotDuck("c.embedding", "e.ev")}
+             |  / (sqrt(${dotDuck("c.embedding", "c.embedding")})
+             |     * sqrt(${dotDuck("e.ev", "e.ev")})))""".stripMargin
+        s"""WITH a AS (
+           |  SELECT vec_id, embedding, cdots,
+           |    CAST(list_position(cdots, list_max(cdots)) AS INTEGER) AS cell
+           |  FROM (SELECT vec_id, embedding, $cdots AS cdots FROM embeddings)),
+           |c AS (
+           |  SELECT vec_id, embedding, cell FROM a WHERE vec_id % 20 <> 0),
+           |e0 AS (
+           |  SELECT vec_id AS eval_id, embedding AS ev, cell AS p1,
+           |    CAST(list_position(cdots, list_sort(cdots)[7]) AS INTEGER) AS p2
+           |  FROM a WHERE vec_id % 20 = 0),
+           |e AS (
+           |  SELECT DISTINCT eval_id, ev, cell FROM (
+           |    SELECT eval_id, ev, p1 AS cell FROM e0
+           |    UNION ALL SELECT eval_id, ev, p2 FROM e0)),
+           |sc AS (SELECT c.vec_id, $cos AS cos
+           |       FROM c LEFT JOIN e ON c.cell = e.cell)
+           |SELECT vec_id,
+           |  CAST(SUM(CASE WHEN cos >= 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           |  MAX(cos) AS max_cos,
+           |  CASE WHEN SUM(CASE WHEN cos >= 0.2 THEN 1 ELSE 0 END) > 0
+           |    THEN 'drop' ELSE 'keep' END AS verdict
+           |FROM sc GROUP BY vec_id ORDER BY vec_id""".stripMargin
       })
   )
 }

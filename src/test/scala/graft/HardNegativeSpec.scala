@@ -37,4 +37,24 @@ class HardNegativeSpec extends AnyFunSuite {
     // to ~0, which is what the floor exists to catch.
     assert(recall >= 0.15, f"IVF recall vs exact dropped to $recall%.2f")
   }
+
+  test("t100: IVF-celled decontamination keeps a measured fraction of exact t98 drops") {
+    def drops(name: String): Set[Long] =
+      SparkEntry.queries(name)(spark, sf).collect()
+        .filter(_.getString(3) == "drop").map(_.getLong(0)).toSet
+    val exact = drops("t98_semantic_decontaminate")
+    val approx = drops("t100_semantic_decontaminate_ivf")
+    assert(exact.nonEmpty)
+    // soundness: a cell-probed hit is a real hit — the approximate path
+    // can only MISS contaminated vectors, never invent them
+    assert(approx.subsetOf(exact),
+      s"t100 dropped vectors exact t98 keeps: ${(approx -- exact).take(5)}")
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    // measured at authoring time: 0.54 at sf0.001 (197/365 drops kept,
+    // 2/8 cells probed from the eval side). 0.30 is the regression
+    // FLOOR, not the expectation — a cell-assignment or probe bug
+    // craters this to ~0, which is what the floor exists to catch.
+    assert(recall >= 0.30, f"t100 recall vs exact t98 dropped to $recall%.2f")
+    info(f"t100 recall vs exact t98: $recall%.2f (${approx.size}/${exact.size} drops)")
+  }
 }

@@ -970,6 +970,20 @@ class PlanSpec extends AnyFunSuite {
       "per-vector hit counts must map-side combine")
   }
 
+  test("t100: eval cell-index broadcasts; the corpus maps once, no shuffle before the agg") {
+    val p = plan("t100_semantic_decontaminate_ivf")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "the (eval, cell) index must broadcast into a map-side join")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("floatdot"),
+      "cell assignment and cosines must run on the codegen'd kernel")
+    assert(p.contains("partial_sum") || p.contains("partial_max"),
+      "per-vector hit counts must map-side combine")
+    // the corpus side: exactly one scan feeds cell-assign + probe + agg
+    assert("FileScan".r.findAllIn(p).size <= 2,
+      "corpus and eval must each be read once (no third scan)")
+  }
+
   test("t99: every protocol stage reads the checkpointed shard counts, never the corpus") {
     val p = plan("t99_federated_heavyhitters")
     assert(p.contains("Scan ExistingRDD"),
