@@ -32,13 +32,28 @@ import org.apache.spark.sql.SparkSession
   *    date_trunc buckets.
   */
 object GraftSession {
+
+  /** The profile as data — all runtime SQL confs, so they can also be
+    * applied to an existing session (`spark.newSession()` + set), which
+    * is how ClusterProfileSpec re-runs the suite's shuffle-heavy
+    * queries under the production profile. */
+  val confs: Seq[(String, String)] = Seq(
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+    "spark.sql.adaptive.coalescePartitions.initialPartitionNum" -> "1024",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    "spark.sql.files.maxPartitionBytes" -> (256L * 1024 * 1024).toString,
+    "spark.sql.session.timeZone" -> "UTC")
+
   def builder(appName: String = "graft"): SparkSession.Builder =
-    SparkSession.builder()
-      .appName(appName)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "1024")
-      .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .config("spark.sql.files.maxPartitionBytes", 256L * 1024 * 1024)
-      .config("spark.sql.session.timeZone", "UTC")
+    confs.foldLeft(SparkSession.builder().appName(appName)) {
+      case (b, (k, v)) => b.config(k, v)
+    }
+
+  /** Apply the profile to a session (runtime confs — every key above is
+    * session-settable). */
+  def applyTo(spark: SparkSession): SparkSession = {
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    spark
+  }
 }
