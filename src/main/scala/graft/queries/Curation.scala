@@ -854,74 +854,96 @@ object Curation {
         import spark.implicits._
         import TrainingData.planeCol
         val emb = t(spark, dir, "embeddings")
-        val exact = TrainingData.defs("t05_cosine_topk")
-          .build(spark, dir).select("vec_id")
-        // the query self-norm nq rides the 1-row broadcast (computed
-        // once), not the candidate side — lshLeg(8)'s 1-bit bands pass
-        // nearly the whole corpus, so a per-candidate nq would re-run a
-        // 64-dim dot corpus-many times for a constant
-        def cosTop10(cands: DataFrame): DataFrame = cands
-          .withColumn("dot", expr(dotSql("embedding", "q_emb")))
-          .withColumn("na", expr(dotSql("embedding", "embedding")))
-          .select(col("vec_id"),
-            (col("dot").cast("double") /
-              (sqrt(col("na").cast("double")) * sqrt(col("nq").cast("double"))))
-              .as("cosine"))
-          .orderBy(col("cosine").desc, col("vec_id"))
-          .limit(10)
-          .select("vec_id")
-        // t06's 8-plane signature; bands of 8/b bits, match on ANY band
+        // FUSED SWEEP (r13 verdict stretch): the six legs used to run as
+        // six separate jobs — six corpus passes, six TakeOrdered floors
+        // (1.34 s total at sf0.1, the closest any data-scaling query
+        // came to parity loss on pure job-floor constants). The three
+        // LSH legs share one signature and the three IVF legs share one
+        // cell assignment, so ONE pass now computes sig + cdots + cell,
+        // broadcasts one 1-row query frame (q_sig, q_emb, nq, p1..p4),
+        // evaluates all seven match predicates per row as an array of
+        // (method, param, matched) structs — the t05 ground-truth leg
+        // rides along as an always-matching "exact" config, so its
+        // brute-force top-10 shares the same scan instead of re-reading
+        // the corpus — computes the exact cosine ONCE per row, and
+        // explodes the matching configs. Per-config top-10 follows
+        // t34/t99's law: partition-local bounded 10-heaps (no shuffle),
+        // then the exact global pick on the ≤ 7·10·partitions survivors
+        // — the same (cosine DESC, vec_id) total order the per-leg
+        // TakeOrdered used, so the result is row-identical to the
+        // unfused sweep. The heap output is bounded at 7·10·partitions
+        // rows NO MATTER the corpus size, so the global pick + recall
+        // join finish on the driver (the same bounded-collect finish
+        // TakeOrderedAndProject itself performs) — the whole sweep is
+        // one corpus job plus the 1-row query-frame broadcast job.
         val planeDots = (1 to 8).map { j =>
           when(dotCol(col("embedding"), planeCol(j)) > 0, 1 << (j - 1))
             .otherwise(0)
         }
-        val sigged = emb.withColumn("sig",
-          planeDots.reduce(_ + _).cast("int"))
-        def lshLeg(bands: Int): DataFrame = {
+        val cdots = array((1 to 8)
+          .map(k => dotCol(col("embedding"), planeCol(k + 100))): _*)
+        val prepared = emb
+          .withColumn("sig", planeDots.reduce(_ + _).cast("int"))
+          .withColumn("cdots", cdots)
+          .withColumn("cell",
+            expr("array_position(cdots, array_max(cdots))").cast("int"))
+        val q = prepared.filter(col("vec_id") === 0)
+          .select(Seq(col("embedding").as("q_emb"), col("sig").as("q_sig"),
+            expr(dotSql("embedding", "embedding")).as("nq")) ++
+            (1 to 4).map(i =>
+              expr(s"array_position(cdots, element_at(array_sort(cdots), ${9 - i}))")
+                .cast("int").as(s"p$i")): _*)
+        // t06's banded signature match: bands of 8/b bits, ANY band equal
+        def lshMatch(bands: Int): Column = {
           val w = 8 / bands
-          val q = sigged.filter(col("vec_id") === 0)
-            .select(col("embedding").as("q_emb"), col("sig").as("q_sig"),
-              expr(dotSql("embedding", "embedding")).as("nq"))
-          val cond = (0 until bands).map { b =>
+          (0 until bands).map(b =>
             expr(s"(sig div ${1 << (b * w)}) % ${1 << w}") ===
-              expr(s"(q_sig div ${1 << (b * w)}) % ${1 << w}")
-          }.reduce(_ || _)
-          cosTop10(sigged.crossJoin(broadcast(q))
-            .filter(cond && col("vec_id") =!= 0))
-        }
-        // t13's 8 LCG centroids; the query probes its top-p cells
-        def ivfLeg(probe: Int): DataFrame = {
-          val cdots = array((1 to 8)
-            .map(k => dotCol(col("embedding"), planeCol(k + 100))): _*)
-          val assigned = emb.withColumn("cdots", cdots)
-            .withColumn("cell",
-              expr("array_position(cdots, array_max(cdots))").cast("int"))
-          val probes = (1 to probe).map(i =>
-            expr(s"array_position(cdots, element_at(array_sort(cdots), ${9 - i}))")
-              .cast("int").as(s"p$i"))
-          val q = assigned.filter(col("vec_id") === 0)
-            .select(col("embedding").as("q_emb") +:
-              expr(dotSql("embedding", "embedding")).as("nq") +: probes: _*)
-          val cond = (1 to probe).map(i => col("cell") === col(s"p$i"))
+              expr(s"(q_sig div ${1 << (b * w)}) % ${1 << w}"))
             .reduce(_ || _)
-          cosTop10(assigned.join(broadcast(q), cond)
-            .filter(col("vec_id") =!= 0))
         }
-        val legs =
-          Seq(2, 4, 8).map(b => lshLeg(b)
-            .withColumn("method", lit("lsh_ann")).withColumn("param", lit(b))) ++
-          Seq(1, 2, 4).map(p => ivfLeg(p)
-            .withColumn("method", lit("ivf_ann")).withColumn("param", lit(p)))
-        val hits = legs.reduce(_ unionByName _)
-          .join(broadcast(exact), "vec_id")
-          .groupBy("method", "param").agg(count(lit(1)).as("hits"))
-        Seq(("ivf_ann", 1), ("ivf_ann", 2), ("ivf_ann", 4),
-            ("lsh_ann", 2), ("lsh_ann", 4), ("lsh_ann", 8))
-          .toDF("method", "param")
-          .join(hits, Seq("method", "param"), "left")
-          .select(col("method"), col("param"),
-            coalesce(col("hits"), lit(0L)).as("n_hits"),
-            (coalesce(col("hits"), lit(0L)).cast("double") / 10.0).as("recall"))
+        // t13's cells: candidate's cell among the query's top-p probes
+        def ivfMatch(probe: Int): Column =
+          (1 to probe).map(i => col("cell") === col(s"p$i")).reduce(_ || _)
+        val configs =
+          Seq(2, 4, 8).map(b => ("lsh_ann", b, lshMatch(b))) ++
+            Seq(1, 2, 4).map(pr => ("ivf_ann", pr, ivfMatch(pr))) :+
+            (("exact", 0, lit(true)))
+        // the "exact" config matches every row, so no pre-cosine filter:
+        // every candidate scores (exactly t05's brute-force cost) and the
+        // approx configs just tag which subset they would have admitted
+        val cands = prepared.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= 0)
+          .withColumn("cfgs", array(configs.map { case (m, pr, c) =>
+            struct(lit(m).as("method"), lit(pr).as("param"),
+              c.as("matched")) }: _*))
+          .withColumn("dot", expr(dotSql("embedding", "q_emb")))
+          .withColumn("na", expr(dotSql("embedding", "embedding")))
+          .withColumn("cosine", col("dot").cast("double") /
+            (sqrt(col("na").cast("double")) * sqrt(col("nq").cast("double"))))
+          .select(explode(expr("filter(cfgs, x -> x.matched)")).as("cfg"),
+            col("vec_id"), col("cosine"))
+          .select(concat(col("cfg.method"), lit("|"), col("cfg.param"))
+            .as("grp"), col("vec_id"), col("cosine"))
+        // entries are (negated cosine, vec_id): plain tuple order ==
+        // the final pick's (cosine DESC, vec_id ASC); IEEE negation is
+        // exact, so the round trip changes no value
+        val survivors = cands.as[(String, Long, Double)]
+          .mapPartitions { it =>
+            boundedTopK(it.map { case (g, v, c) => (g, (-c, v)) }, 10)
+              .map { case (g, (nc, v)) => (g, v, -nc) }
+          }.collect()
+        val top10 = survivors.groupBy(_._1).map { case (g, rows) =>
+          g -> rows.map { case (_, v, c) => (-c, v) }.sorted.take(10)
+            .map(_._2).toSet
+        }
+        val exactIds = top10.getOrElse("exact|0", Set.empty[Long])
+        val grid = Seq(("ivf_ann", 1), ("ivf_ann", 2), ("ivf_ann", 4),
+          ("lsh_ann", 2), ("lsh_ann", 4), ("lsh_ann", 8))
+        grid.map { case (m, p) =>
+          val nHits = top10.getOrElse(s"$m|$p", Set.empty[Long])
+            .count(exactIds.contains).toLong
+          (m, p, nHits, nHits.toDouble / 10.0)
+        }.toDF("method", "param", "n_hits", "recall")
           .orderBy("method", "param")
       },
       Some {

@@ -3,10 +3,13 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Dev lab (r12 verdict stretch): measure wall-time SCALING of the
-  * heaviest t-ops by generating a one-off 10× documents fixture and
-  * timing each query at sf0.1 vs 10×. NOT a gate — the fixture is
-  * derived, not driver-generated.
+/** Dev lab (r12 verdict stretch; factor arg added in r14): measure
+  * wall-time SCALING of the heaviest t-ops by generating a one-off N×
+  * documents fixture and timing each query at sf0.1 vs N×. NOT a gate —
+  * the fixture is derived, not driver-generated. The r13 verdict asked
+  * for a 30× point on the density-sensitive pair-list ops (t12 t31 t03
+  * t89 t42): their 10× ratios grow with dup-graph density, so 10× alone
+  * cannot separate sub-quadratic from quadratic — a 30× point can.
   *
   * The 10× corpus is 10 word-ROTATED copies of sf0.1's documents (copy
   * k rotates each text by 7k+3 words, k=0 keeps the original): rotation
@@ -16,7 +19,7 @@ import org.apache.spark.sql.functions._
   * would manufacture 10-cliques in the dup graph and quadratically
   * inflate t15/t92/t94's pair lists, probing the wrong curve.
   *
-  * Usage: runMain graft.tools.ScaleProbe [outDir [query,query,...]]
+  * Usage: runMain graft.tools.ScaleProbe [outDir [query,query,...] [factor]]
   */
 object ScaleProbe {
   private val Default = Seq("t15_dedup_components", "t87_bpe_trainer",
@@ -26,6 +29,7 @@ object ScaleProbe {
     val out = if (args.nonEmpty) args(0) else "/tmp/graft_sf1"
     val queries =
       if (args.length > 1) args(1).split(",").toSeq else Default
+    val factor = if (args.length > 2) args(2).toInt else 10
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
@@ -35,7 +39,7 @@ object ScaleProbe {
     val src = "/root/testdata/sf0.1"
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val n = docs.agg(max("doc_id")).head.getLong(0) + 1
-    val copies = (0 until 10).map { k =>
+    val copies = (0 until factor).map { k =>
       val rotated =
         if (k == 0) docs
         else docs.withColumn("text", expr(
@@ -50,12 +54,12 @@ object ScaleProbe {
     copies.reduce(_ unionAll _)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
-    // embeddings: 10 copies with ELEMENT-ROTATED vectors — rotation
+    // embeddings: factor copies with ELEMENT-ROTATED vectors — rotation
     // preserves the norm but moves the direction, so copies don't
     // collapse into artificial cosine-duplicate clusters
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     val ne = emb.agg(max("vec_id")).head.getLong(0) + 1
-    (0 until 10).map { k =>
+    (0 until factor).map { k =>
       val rotated =
         if (k == 0) emb
         else emb.withColumn("embedding", expr(
@@ -81,7 +85,7 @@ object ScaleProbe {
     queries.foreach { q =>
       val base = time(q, src)
       val big = time(q, out)
-      println(f"$q%-24s sf0.1 $base%6.2f s   10x $big%6.2f s   ratio ${big / base}%5.2f")
+      println(f"$q%-24s sf0.1 $base%6.2f s   ${factor}x $big%6.2f s   ratio ${big / base}%5.2f")
     }
     spark.stop()
   }
