@@ -1003,13 +1003,16 @@ object Pipelines {
     // DuckDB oracle verbatim.
     //
     // Fixture prep (NOT the measured operator): the events fixture is
-    // split into 8 time-ordered chunk files with increasing modification
-    // times, so the file source replays them as 8 ordered micro-batches
+    // split into 4 time-ordered chunk files with increasing modification
+    // times, so the file source replays them as 4 ordered micro-batches
     // (maxFilesPerTrigger=1) — the per-key in-order cross-batch delivery
     // sessionizeSeq's equivalence contract requires (in-batch order is
-    // free: it sorts each batch). A 9th sentinel file (one far-future
-    // 'flush' event per user) closes every trailing session; sentinel
-    // sessions themselves never close, so append mode never emits them.
+    // free: it sorts each batch). Four batches exercise every state
+    // transition the contract has (carry, merge, close, multi-batch
+    // accumulate) while each extra batch only re-pays the micro-batch
+    // floor. A 5th sentinel file (one far-future 'flush' event per
+    // user) closes every trailing session; sentinel sessions themselves
+    // never close, so append mode never emits them.
     // The stream has no global session ordinal — session_seq is assigned
     // post-hoc per user by start order, valid because the gap rule makes
     // session starts strictly increasing per user (same rule as
@@ -1025,7 +1028,7 @@ object Pipelines {
         val tmp = Files.createTempDirectory("graft_p20")
         val inDir = tmp.resolve("in"); Files.createDirectories(inDir)
         val chunked = ev.withColumn("__c",
-          ntile(8).over(Window.orderBy(col("ts"), col("event_id"))))
+          ntile(4).over(Window.orderBy(col("ts"), col("event_id"))))
         val maxTs = ev.agg(max("ts")).head.getTimestamp(0)
         val sentinels = ev.select(col("user_id")).distinct()
           .withColumn("event_id",
@@ -1035,30 +1038,50 @@ object Pipelines {
           .withColumn("event_type", lit("flush"))
           .withColumn("value", lit(0.0))
           .select("event_id", "ts", "user_id", "event_type", "value")
-        val frames = (1 to 8).map(i =>
-          chunked.filter(col("__c") === i).drop("__c")) :+ sentinels
-        frames.zipWithIndex.foreach { case (f, i) =>
-          val scratch = tmp.resolve(s"scratch$i")
-          f.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
-          val part = Files.list(scratch).iterator().asScala
-            .find(_.getFileName.toString.endsWith(".parquet")).get
+        // ONE partitioned write emits all five chunk files (the old
+        // per-chunk coalesce(1) loop paid nine separate job floors for
+        // fixture prep that is not the measured operator); partitionBy
+        // drops __c from the data files, so every chunk carries the
+        // plain event schema.
+        val scratch = tmp.resolve("scratch")
+        chunked.unionByName(sentinels.withColumn("__c", lit(5)))
+          .repartition(5, col("__c"))
+          .write.partitionBy("__c").mode("overwrite")
+          .parquet(scratch.toString)
+        (1 to 5).foreach { i =>
+          val part = Files.list(scratch.resolve(s"__c=$i")).iterator()
+            .asScala.find(_.getFileName.toString.endsWith(".parquet")).get
           val dst = inDir.resolve(f"chunk-$i%02d.parquet")
           Files.move(part, dst)
           // modification time is the file source's replay order
           dst.toFile.setLastModified(maxTs.getTime + i * 60000L)
         }
         val outDir = tmp.resolve("out").toString
-        val q = graft.streaming.Streams.sessionizeSeq(
-            spark.readStream.schema(ev.schema)
-              .option("maxFilesPerTrigger", 1)
-              .parquet(inDir.toString).as[graft.streaming.Streams.Event])
-          .writeStream.format("parquet")
-          .option("path", outDir)
-          .option("checkpointLocation", tmp.resolve("ckpt").toString)
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        // Stateful-operator cost per micro-batch scales with the number
+        // of state-store partitions (one delta file committed per
+        // partition per batch — 9 batches × 32 partitions was ~300
+        // state commits for a fixture-sized key space). The gate's semantics
+        // (per-key state crossing batches) are partition-count-invariant,
+        // so the stream runs at 4 state partitions; a production cluster
+        // sizes this to cores via GraftSession, not the test harness
+        // default. The conf is restored after the run: the state
+        // partition count is baked into the checkpoint at first batch,
+        // not the session.
+        val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try {
+          val q = graft.streaming.Streams.sessionizeSeq(
+              spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(inDir.toString).as[graft.streaming.Streams.Event])
+            .writeStream.format("parquet")
+            .option("path", outDir)
+            .option("checkpointLocation", tmp.resolve("ckpt").toString)
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
         val wn = Window.partitionBy("user_id").orderBy("started", "ended")
         spark.read.parquet(outDir)
           .withColumn("session_seq", row_number().over(wn).cast("long"))

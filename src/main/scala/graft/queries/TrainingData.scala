@@ -1980,9 +1980,15 @@ object TrainingData {
     // flops, ZERO shuffle of the corpus, no candidate blowup; the
     // per-vector agg is map-side combinable on vec_id. For an eval
     // side too big to broadcast, route through t13/t64's IVF cells
-    // (probe only same-cell evals) — the documented escalation path.
-    // Cosines are bit-identical across engines (float_dot ≡
+    // (probe only same-cell evals) — the escalation path implemented
+    // as t100. Cosines are bit-identical across engines (float_dot ≡
     // list_reduce ascending fold, the t05/t12 law).
+    //
+    // The trailing ORDER BY vec_id exists ONLY for the deterministic
+    // oracle hash (t27's rule): it RangePartitions a corpus-sized
+    // frame. A production curation run consumes the verdict column
+    // straight off the shuffle-free scoring agg — drop the sort when
+    // embedding this stage in a pipeline.
     "t98_semantic_decontaminate" -> QueryDef(
       (spark, dir) => {
         val emb = t(spark, dir, "embeddings")
