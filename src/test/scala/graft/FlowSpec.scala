@@ -134,7 +134,7 @@ class FlowSpec extends AnyFunSuite {
     assert(spark.table("Read_Delta").count() == 25)
   }
 
-  test("delta time travel: vacuum makes old versions error loudly; partitioned tables refuse AS OF") {
+  test("delta time travel: vacuum makes old versions error loudly; partitioned tables travel with reconstructed partition values") {
     val delta = tmpDir() + "/delta_tt"
     Flow.runYaml(spark,
       s"""
@@ -190,14 +190,28 @@ class FlowSpec extends AnyFunSuite {
          |  connection: {kind: Deltatable, locator: $delta}
          |  query: select * from Deltatable
          |""".stripMargin).df().count() == 25)
-    // partitioned tables: manifest records it, AS OF refuses
+    // partitioned tables travel too (r14/p21): version 0's hive-style
+    // `n_regionkey=…/` layout is preserved through retirement, and a
+    // versioned read reconstructs the partition values via basePath
+    // discovery — so AS OF 0 returns the FULL original rows even after
+    // an overwrite shrank the live table
     val part = tmpDir() + "/delta_part"
     Flow.runYaml(spark,
       s"""
          |- name: Nations
          |  kind: tap
          |  connection: {kind: Parquet, locator: $sf/nation.parquet}
-         |- name: W
+         |- name: V0
+         |  kind: sink
+         |  connection:
+         |    kind: Deltatable
+         |    locator: $part
+         |    data_mode: overwrite
+         |    partition: [n_regionkey]
+         |- name: OneRegion
+         |  kind: transform
+         |  query: select * from Nations where n_regionkey = 0
+         |- name: V1
          |  kind: sink
          |  connection:
          |    kind: Deltatable
@@ -205,14 +219,46 @@ class FlowSpec extends AnyFunSuite {
          |    data_mode: overwrite
          |    partition: [n_regionkey]
          |""".stripMargin)
-    val refused = intercept[RuntimeException](Flow.runYaml(spark,
+    val v0 = Flow.runYaml(spark,
       s"""
          |- name: T
          |  kind: tap
          |  connection: {kind: Deltatable, locator: $part}
          |  query: select * from Deltatable VERSION AS OF 0
+         |""".stripMargin).df()
+    assert(v0.count() == 25)
+    // partition values are reconstructed, not null: all 5 region keys
+    // present with the original 5 nations each
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    assert(v0.agg(countDistinct(col("n_regionkey"))).head.getLong(0) == 5)
+    assert(v0.where(col("n_regionkey") === 2).count() == 5)
+    // current state is the overwrite, also with reconstructed values
+    val cur = Flow.runYaml(spark,
+      s"""
+         |- name: C
+         |  kind: tap
+         |  connection: {kind: Deltatable, locator: $part}
+         |  query: select * from Deltatable
+         |""".stripMargin).df()
+    assert(cur.count() == 5 &&
+      cur.where(col("n_regionkey") === 0).count() == 5)
+    // vacuum on a partitioned table deletes retired partition dirs →
+    // travel to v0 errors loudly, never silently rereads current data
+    Flow.runYaml(spark,
+      s"""
+         |- name: VacP
+         |  kind: sql
+         |  connection: {kind: Deltatable, locator: $part}
+         |  query: OPTIMIZE DELTATABLE VACUUM AGE=0h
+         |""".stripMargin)
+    val goneP = intercept[RuntimeException](Flow.runYaml(spark,
+      s"""
+         |- name: T2
+         |  kind: tap
+         |  connection: {kind: Deltatable, locator: $part}
+         |  query: select * from Deltatable VERSION AS OF 0
          |""".stripMargin))
-    assert(refused.getMessage.contains("partitioned"))
+    assert(goneP.getMessage.contains("vacuumed"))
   }
 
   test("Stages.load accepts a file path in place of YAML text") {
