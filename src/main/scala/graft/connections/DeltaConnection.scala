@@ -39,16 +39,21 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
   * name — the by-file analogue of a real delta log's per-file partition
   * metadata (reference partition write: delta.py:461-520).
   *
-  * CRASH ORDERING: every commit stages its Spark write in a sibling
-  * `<table>__graft_commit_tmp` directory first; only after the write
-  * succeeds are the previous files retired, the staged files moved into
-  * the table root, and the manifest appended — so a failed or killed
-  * write leaves the table AND its version log untouched (a leftover tmp
-  * dir is overwritten by the next commit). The residual window is
-  * between retire and manifest: a crash there can leave the latest
-  * files split across live/retained until the next commit, but every
-  * MANIFESTED version stays readable because versioned reads resolve
-  * both locations. Legacy log stashes from the pre-r14 protocol
+  * CRASH ORDERING (r15 protocol): every commit stages its Spark write
+  * in a sibling `<table>__graft_commit_tmp` directory first (the table
+  * root is never touched by Spark, so a failed write changes nothing);
+  * then the replaced files are retired, the NEW manifest is appended
+  * with the commit's final file list, and only then are the staged
+  * files moved into the table root and the tmp dir removed. Versioned
+  * reads resolve each manifest file across all three locations (live,
+  * retained, staged), so EVERY manifested version stays readable no
+  * matter where a crash lands. A leftover tmp dir is the crash marker:
+  * `recoverCommit()` runs on every open and either COMPLETES the
+  * commit (manifest was appended → finish moving its files in) or
+  * ROLLS it BACK (manifest missing → restore the just-retired files of
+  * the previous version to the table root and discard the stage), so
+  * current non-versioned reads are healed to a consistent version
+  * boundary too. Legacy log stashes from the pre-r14 protocol
   * (`<table>__graft_log_stash`) are detected and restored on open.
   *
   * The interface matches the Connection trait, so a real delta-spark
@@ -100,20 +105,22 @@ final class DeltaConnection(ctx: ConnContext) extends Connection(ctx) {
       .asInstanceOf[Map[String, Any]]
   }
 
-  /** Append the next manifest: the table's file snapshot after `action`
-    * committed, plus the partition columns the snapshot is laid out by
-    * (empty = unpartitioned) — the metadata a versioned read needs to
-    * reconstruct hive-style partition values. Written via temp-file +
-    * atomic move so a concurrent reader never sees a torn manifest. */
+  /** Append the next manifest: the commit's FINAL file snapshot (passed
+    * explicitly — at manifest time the staged files haven't moved into
+    * the table root yet), plus the partition columns the snapshot is
+    * laid out by (empty = unpartitioned) — the metadata a versioned
+    * read needs to reconstruct hive-style partition values. Written via
+    * temp-file + atomic move so a concurrent reader never sees a torn
+    * manifest. */
   private def commitManifest(action: String, schemaDdl: String,
-      partitionCols: Seq[String]): Long = {
+      partitionCols: Seq[String], files: Seq[String]): Long = {
     Files.createDirectories(logDir)
     val v = manifestVersions.lastOption.map(_ + 1).getOrElse(0L)
     val body = graft.template.Json.write(scala.collection.immutable.ListMap(
       "version" -> v, "action" -> action,
       "partitioned" -> partitionCols.nonEmpty,
       "partition_cols" -> partitionCols.toList,
-      "schema" -> schemaDdl, "files" -> liveFiles.sorted.toList))
+      "schema" -> schemaDdl, "files" -> files.sorted.toList))
     val tmp = logDir.resolve(s".$v.json.tmp")
     Files.writeString(tmp, body)
     Files.move(tmp, logDir.resolve(s"$v.json"),
@@ -156,16 +163,20 @@ final class DeltaConnection(ctx: ConnContext) extends Connection(ctx) {
     }
   }
 
-  /** Crash-ordered commit: run `write` against a staged tmp dir (the
-    * table root is never touched by Spark, so the version log needs no
-    * stashing and a failed write changes nothing), then retire the
-    * files the commit replaces (overwrite/truncate/optimize) and move
-    * the staged files in, preserving relative layout so hive-style
-    * partition dirs merge. An empty stage (zero part files — Spark
+  /** Crash-ordered commit (see CRASH ORDERING in the class doc): run
+    * `write` against a staged tmp dir, retire the files the commit
+    * replaces (overwrite/truncate/optimize), append the manifest with
+    * the commit's FINAL file list, and only then move the staged files
+    * into the table root, preserving relative layout so hive-style
+    * partition dirs merge. Manifest-before-move means a crash anywhere
+    * leaves every manifested version readable (readVersion resolves
+    * staged files too) and recoverCommit can finish or roll back the
+    * commit deterministically. An empty stage (zero part files — Spark
     * writes none for a 0-partition DataFrame) still retires on request:
     * that IS the truncate semantics. */
-  private def stagedCommit(retireFirst: Boolean)(
-      write: String => Unit): Unit = {
+  private def stagedCommit(action: String, schemaDdl: String,
+      partitionCols: Seq[String], retireFirst: Boolean)(
+      write: String => Unit): Long = {
     val tmp = commitTmp
     deleteTree(tmp) // leftover from a crashed commit: superseded
     write(tmp.toString)
@@ -177,13 +188,50 @@ final class DeltaConnection(ctx: ConnContext) extends Connection(ctx) {
           n.startsWith("_") || n.startsWith(".") // _SUCCESS, .crc markers
         }.toSeq
       finally stream.close()
+    val survivors = if (retireFirst) Nil else liveFiles
     if (retireFirst) retireLiveFiles()
+    val stagedRels = staged.map(f => tmp.relativize(f).toString)
+    val v = commitManifest(action, schemaDdl, partitionCols,
+      survivors ++ stagedRels.filter(_.endsWith(".parquet")))
     Files.createDirectories(root)
     staged.foreach { f =>
       val dst = root.resolve(tmp.relativize(f))
       Files.createDirectories(dst.getParent)
       Files.move(f, dst,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    deleteTree(tmp)
+    v
+  }
+
+  /** Heal a commit crashed at any point. A leftover tmp dir is the
+    * crash marker (deleteTree(tmp) is a healthy commit's last act). For
+    * every file of the LATEST manifest missing from the table root,
+    * pull it back in from wherever it sits — the stage (crash after
+    * manifest, before move-in → the commit COMPLETES) or the retention
+    * area (crash after retire, before manifest: the latest manifest is
+    * still the previous version, whose files were just retired → the
+    * commit ROLLS BACK) — then discard the tmp dir. Either way the
+    * table root lands exactly on a manifested version boundary. */
+  private def recoverCommit(): Unit = {
+    val tmp = commitTmp
+    if (!Files.isDirectory(tmp)) return
+    manifestVersions.lastOption.foreach { last =>
+      val files = readManifest(last).getOrElse("files", Nil)
+        .asInstanceOf[List[Any]].map(_.toString)
+      var healed = 0
+      files.foreach { rel =>
+        val dst = root.resolve(rel)
+        if (!Files.exists(dst))
+          Seq(tmp.resolve(rel), retainedDir.resolve(rel))
+            .find(Files.exists(_)).foreach { src =>
+              Files.createDirectories(dst.getParent)
+              Files.move(src, dst)
+              healed += 1
+            }
+      }
+      if (healed > 0)
+        log.warn(s"recovered $healed file(s) of a crashed commit for $path")
     }
     deleteTree(tmp)
   }
@@ -194,12 +242,15 @@ final class DeltaConnection(ctx: ConnContext) extends Connection(ctx) {
     val m = readManifest(v)
     val files = m.getOrElse("files", Nil).asInstanceOf[List[Any]].map(_.toString)
     // resolve each manifest file to where it lives NOW — still in the
-    // table (live) or moved to the retention area by a later commit —
-    // keeping the two classes separate: partition discovery needs one
-    // basePath per class (retirement preserves the `col=value/` layout)
+    // table (live), moved to the retention area by a later commit, or
+    // sitting in the stage of a crashed post-manifest commit — keeping
+    // the classes separate: partition discovery needs one basePath per
+    // class (retire and stage both preserve the `col=value/` layout)
     val (liveRels, rest) = files.partition(rel => Files.exists(root.resolve(rel)))
-    val (retiredRels, gone) =
+    val (retiredRels, rest2) =
       rest.partition(rel => Files.exists(retainedDir.resolve(rel)))
+    val (stagedRels, gone) =
+      rest2.partition(rel => Files.exists(commitTmp.resolve(rel)))
     if (gone.nonEmpty) sys.error(
       s"Deltatable at $path: version $v file '${gone.head}' was vacuumed; " +
         "time travel to this version is no longer possible")
@@ -211,7 +262,8 @@ final class DeltaConnection(ctx: ConnContext) extends Connection(ctx) {
     else if (!m.get("partitioned").contains(true))
       spark.read.option("mergeSchema", "true").parquet(
         (liveRels.map(root.resolve(_).toString) ++
-          retiredRels.map(retainedDir.resolve(_).toString)): _*)
+          retiredRels.map(retainedDir.resolve(_).toString) ++
+          stagedRels.map(commitTmp.resolve(_).toString)): _*)
     else {
       // partitioned: `basePath` makes Spark reconstruct partition values
       // from the dirs between the base and each listed file — the
@@ -222,7 +274,8 @@ final class DeltaConnection(ctx: ConnContext) extends Connection(ctx) {
           .parquet(rels.map(base.resolve(_).toString): _*)
       val frames =
         (if (liveRels.nonEmpty) Seq(readAt(root, liveRels)) else Nil) ++
-          (if (retiredRels.nonEmpty) Seq(readAt(retainedDir, retiredRels)) else Nil)
+          (if (retiredRels.nonEmpty) Seq(readAt(retainedDir, retiredRels)) else Nil) ++
+          (if (stagedRels.nonEmpty) Seq(readAt(commitTmp, stagedRels)) else Nil)
       frames.reduce(_.unionByName(_, allowMissingColumns = true))
     }
   }
@@ -250,7 +303,7 @@ final class DeltaConnection(ctx: ConnContext) extends Connection(ctx) {
   }
 
   override def tap(query: Option[String], limit: Option[Int]): DataFrame = {
-    recoverStash()
+    recoverStash(); recoverCommit()
     val (stripped, version) = extractVersion(query)
     val raw = version match {
       case Some(v) => readVersion(v)
@@ -262,7 +315,7 @@ final class DeltaConnection(ctx: ConnContext) extends Connection(ctx) {
   }
 
   override def sink(from: DataFrame): Unit = {
-    recoverStash()
+    recoverStash(); recoverCommit()
     val hasRows = !from.isEmpty
     val declared = conn.fields
     val dataMode = conn.str("data_mode").getOrElse("append")
@@ -279,31 +332,30 @@ final class DeltaConnection(ctx: ConnContext) extends Connection(ctx) {
       // overwrite logically REMOVES the current files: retire them (so
       // older versions stay travelable) only AFTER the staged write
       // succeeded — a failed write must leave the table intact
-      stagedCommit(retireFirst = mode == SaveMode.Overwrite) { tmp =>
+      stagedCommit(dataMode, from.schema.toDDL, partitions,
+          retireFirst = mode == SaveMode.Overwrite) { tmp =>
         val writer = from.write.mode(SaveMode.Overwrite)
         val w2 = if (partitions.nonEmpty) writer.partitionBy(partitions: _*) else writer
         w2.parquet(tmp)
       }
-      commitManifest(dataMode, from.schema.toDDL, partitions)
     } else if (declared.nonEmpty && !exists) {
       // CREATE: empty table materialized from the declared schema
       val schema = SchemaUtil.toStruct(declared)
-      stagedCommit(retireFirst = false) { tmp =>
+      stagedCommit("create", schema.toDDL, Nil, retireFirst = false) { tmp =>
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           schema).write.mode(SaveMode.Overwrite).parquet(tmp)
       }
-      commitManifest("create", schema.toDDL, Nil)
     } // else SKIP (delta.py:368-382)
   }
 
   override def showSchema(): org.apache.spark.sql.types.StructType = {
-    recoverStash()
+    recoverStash(); recoverCommit()
     if (exists) spark.read.parquet(path).schema
     else SchemaUtil.toStruct(conn.fields)
   }
 
   override def sqlStmt(stmt: String): Option[DataFrame] = {
-    recoverStash()
+    recoverStash(); recoverCommit()
     val s = stmt.trim.toUpperCase.replaceAll("\\s+", " ")
     if (s.startsWith("DROP DELTATABLE")) {
       deleteRecursively(path) // table AND history die together
@@ -317,12 +369,11 @@ final class DeltaConnection(ctx: ConnContext) extends Connection(ctx) {
         case Some(sch) =>
           // pre-truncate versions stay travelable: stagedCommit retires
           // the live files (an empty stage writes no part files)
-          stagedCommit(retireFirst = true) { tmp =>
+          stagedCommit("truncate", sch.toDDL, Nil, retireFirst = true) { tmp =>
             spark.createDataFrame(
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
               .write.mode(SaveMode.Overwrite).parquet(tmp)
           }
-          commitManifest("truncate", sch.toDDL, Nil)
         case None => deleteRecursively(path)
       }
       None
@@ -343,12 +394,11 @@ final class DeltaConnection(ctx: ConnContext) extends Connection(ctx) {
             df.repartition(n, parts.map(org.apache.spark.sql.functions.col): _*)
           else df.repartition(n)
         val schemaDdl = df.schema.toDDL
-        stagedCommit(retireFirst = true) { tmp =>
+        stagedCommit("optimize", schemaDdl, parts, retireFirst = true) { tmp =>
           val w = clustered.write.mode(SaveMode.Overwrite)
           val w2 = if (parts.nonEmpty) w.partitionBy(parts: _*) else w
           w2.parquet(tmp)
         }
-        commitManifest("optimize", schemaDdl, parts)
       }
       if (!flags.dryRun && flags.vacuum)
         // delta's vacuum: retired files older than the retention age are
