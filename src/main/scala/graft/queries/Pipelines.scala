@@ -1245,6 +1245,119 @@ object Pipelines {
              |SELECT 'cur', CAST(COUNT(*) AS BIGINT),
              |  CAST(SUM(n_nationkey) AS BIGINT),
              |  CAST(SUM(n_regionkey) AS BIGINT) FROM cur
-             |ORDER BY ver""".stripMargin))
+             |ORDER BY ver""".stripMargin)),
+
+    // ----------------------------------------------------------------- p22
+    // STREAMING NEAR-DUP INGEST PATH THROUGH THE ORACLE GATE — p20's
+    // pattern applied to the two ingest operators that were still only
+    // test-pinned (r14 verdict residual #2): `streamingDedup`
+    // (dropDuplicatesWithinWatermark — digest state in the state store)
+    // and `streamingDecontaminate` (broadcast 13-gram ANY-hit filter),
+    // fused into ONE streaming query so one engine run gates both.
+    //
+    // The documents fixture has NO exact duplicates (t01 is the proof:
+    // one group per document), so a dedup replay over it would be
+    // vacuous. Fixture prep therefore INJECTS clones: every training doc
+    // with doc_id % 7 == 3 is duplicated verbatim under doc_id + N. The
+    // stream replays 3 time-ordered micro-batches (maxFilesPerTrigger=1,
+    // chunks by doc_id order, clones all in the LAST batch with later
+    // event times), so every clone arrives a batch AFTER its original
+    // and survives ONLY if the digest state failed to cross the state
+    // store — the gate asserts n_kept = 1 per content hash, which a
+    // single leaked duplicate breaks. Eval docs (doc_id % 50 == 0, t54's
+    // split) never enter the stream; they feed the decontaminator's
+    // broadcast gram set, so contaminated training docs must be dropped
+    // at the door. Gating on the digest set (not kept doc_ids) is
+    // deliberate: within one micro-batch dropDuplicatesWithinWatermark
+    // keeps whichever copy a task sees first — the KEPT-ONE-PER-DIGEST
+    // contract is deterministic, the surviving doc_id is not (duplicates
+    // are verbatim clones, so every downstream property is digest-level
+    // anyway). No sentinel batch: dedup emits kept rows immediately in
+    // append mode, unlike p20's sessions which need closing.
+    "p22_pipeline_streaming_dedup_decon" -> QueryDef(
+      (spark, dir) => {
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.expressions.Window
+        import spark.implicits._
+        val docs = Tables.t(spark, dir, "documents")
+          .filter(col("doc_id") % 50 =!= 0) // eval docs never ingest
+          .select(col("doc_id"), col("text"))
+        val evalDocs = Tables.t(spark, dir, "documents")
+          .filter(col("doc_id") % 50 === 0).select("text")
+        val maxId = docs.agg(max("doc_id")).head.getLong(0) + 1
+        val clones = docs.filter(col("doc_id") % 7 === 3)
+          .withColumn("doc_id", col("doc_id") + lit(maxId))
+        // event time = doc_id seconds since epoch: clones are strictly
+        // later arrivals than every original
+        val chunked = docs
+          .withColumn("__c", ntile(2).over(Window.orderBy("doc_id")))
+          .unionByName(clones.withColumn("__c", lit(3)))
+          .withColumn("ts", col("doc_id").cast("timestamp"))
+          .select(col("__c"), col("ts"), col("doc_id"), col("text"))
+        val tmp = Files.createTempDirectory("graft_p22")
+        val inDir = tmp.resolve("in"); Files.createDirectories(inDir)
+        val scratch = tmp.resolve("scratch")
+        chunked.repartition(3, col("__c"))
+          .write.partitionBy("__c").mode("overwrite")
+          .parquet(scratch.toString)
+        (1 to 3).foreach { i =>
+          val part = Files.list(scratch.resolve(s"__c=$i")).iterator()
+            .asScala.find(_.getFileName.toString.endsWith(".parquet")).get
+          val dst = inDir.resolve(f"chunk-$i%02d.parquet")
+          Files.move(part, dst)
+          dst.toFile.setLastModified(1700000000000L + i * 60000L)
+        }
+        val outDir = tmp.resolve("out").toString
+        // same state-partition sizing rationale as p20 (conf restored)
+        val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try {
+          val stream = spark.readStream
+            .schema(chunked.drop("__c").schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(inDir.toString)
+          // watermark delay far past the fixture's event-time span at
+          // any SF: digest state must survive the whole replay — eager
+          // eviction would itself leak duplicates through the gate
+          val deduped = graft.streaming.Streams.streamingDedup(
+            stream, "ts", "text", watermark = "3650 days")
+          val clean = graft.streaming.Streams.streamingDecontaminate(
+            deduped, "text", evalDocs, "text")
+          val q = clean.writeStream.format("parquet")
+            .option("path", outDir)
+            .option("checkpointLocation", tmp.resolve("ckpt").toString)
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        spark.read.parquet(outDir)
+          .groupBy(md5(col("text").cast("binary")).as("content_hash"))
+          .agg(count(lit(1)).as("n_kept"))
+          .orderBy("content_hash")
+      },
+      // t01's digest + t54's eval split and ANY-hit gram rule, fused:
+      // the expected kept set is one row per distinct clean training
+      // digest — n_kept hard-codes 1 because that IS the contract
+      Some("""WITH d AS (
+             |  SELECT doc_id, text, string_split(text, ' ') AS words,
+             |         len(string_split(text, ' ')) AS n_words
+             |  FROM documents),
+             |pos AS (
+             |  SELECT doc_id, words, unnest(range(1, n_words - 11)) AS p
+             |  FROM d WHERE n_words >= 13),
+             |ng AS (
+             |  SELECT doc_id, array_to_string(words[p:p+12], ' ') AS g
+             |  FROM pos),
+             |ev AS (SELECT DISTINCT g FROM ng WHERE doc_id % 50 = 0),
+             |dirty AS (
+             |  SELECT DISTINCT n.doc_id FROM ng n JOIN ev USING (g)
+             |  WHERE n.doc_id % 50 <> 0)
+             |SELECT DISTINCT md5(text) AS content_hash,
+             |  CAST(1 AS BIGINT) AS n_kept
+             |FROM d
+             |WHERE doc_id % 50 <> 0
+             |  AND doc_id NOT IN (SELECT doc_id FROM dirty)
+             |ORDER BY content_hash""".stripMargin))
   )
 }
