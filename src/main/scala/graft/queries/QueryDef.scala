@@ -4,14 +4,37 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** A named query exposed through [[graft.SparkEntry]].
   *
-  * @param build  builds the result DataFrame from a scale-factor directory
-  *               containing the driver-generated parquet tables
-  * @param oracle equivalent DuckDB SQL over the same tables (None → the
-  *               driver records a weaker rows-only check)
+  * @param build     builds the result DataFrame from a scale-factor
+  *                  directory containing the driver-generated parquet
+  *                  tables — the PRODUCTION shape, without any trailing
+  *                  sort that exists only for hash determinism
+  * @param oracle    equivalent DuckDB SQL over the same tables (None →
+  *                  the driver records a weaker rows-only check)
+  * @param hashOrder columns of the corpus-wide ORDER BY the driver's
+  *                  deterministic hash compare needs (t27's rule). Kept
+  *                  OUT of `build` when the sort is pure gate overhead —
+  *                  it RangePartitions a corpus-sized frame a production
+  *                  pipeline would consume unsorted — and applied by
+  *                  [[gated]] only. Empty = `build` already returns the
+  *                  gate shape (its order is part of the semantics, or
+  *                  the output is small enough that the sort is free).
   */
 final case class QueryDef(
     build: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: Option[String],
+    hashOrder: Seq[String] = Nil) {
+
+  /** Gate shape: the production frame plus the deterministic sort the
+    * oracle-hash compare requires. This is what the driver runs. */
+  def gated: (SparkSession, String) => DataFrame =
+    if (hashOrder.isEmpty) build
+    else (s, d) => build(s, d)
+      .orderBy(hashOrder.map(org.apache.spark.sql.functions.col): _*)
+
+  /** Production shape: no gate-only corpus-wide sort. Library users
+    * embedding the stage in a pipeline consume this one. */
+  def production: (SparkSession, String) => DataFrame = build
+}
 
 object Tables {
   val all: Seq[String] = Seq(

@@ -106,7 +106,7 @@ object TrainingData {
 
   /** t03 shingle document-frequency cap: shingles in more than this many
     * documents are dropped before the pair join (f² candidate bound). */
-  private val DfCap = 100
+  private val DfCap = 16
 
   /** MinHash LSH band table (doc_id, band, bucket) for a documents frame:
     * shingle → 8 minhash sigs (one compiled pass, native
@@ -1984,11 +1984,11 @@ object TrainingData {
     // as t100. Cosines are bit-identical across engines (float_dot ≡
     // list_reduce ascending fold, the t05/t12 law).
     //
-    // The trailing ORDER BY vec_id exists ONLY for the deterministic
-    // oracle hash (t27's rule): it RangePartitions a corpus-sized
-    // frame. A production curation run consumes the verdict column
-    // straight off the shuffle-free scoring agg — drop the sort when
-    // embedding this stage in a pipeline.
+    // The ORDER BY vec_id exists ONLY for the deterministic oracle
+    // hash (t27's rule): it RangePartitions a corpus-sized frame, so it
+    // lives in the QueryDef's hashOrder knob, NOT in the build — the
+    // production shape consumes the verdict column straight off the
+    // shuffle-free scoring agg.
     "t98_semantic_decontaminate" -> QueryDef(
       (spark, dir) => {
         val emb = t(spark, dir, "embeddings")
@@ -2006,7 +2006,6 @@ object TrainingData {
           .withColumn("verdict",
             when(col("n_hits") > 0, "drop").otherwise("keep"))
           .select(col("vec_id"), col("n_hits"), col("max_cos"), col("verdict"))
-          .orderBy("vec_id")
       },
       Some {
         val cos =
@@ -2025,7 +2024,8 @@ object TrainingData {
            |  CASE WHEN SUM(CASE WHEN cos >= 0.2 THEN 1 ELSE 0 END) > 0
            |    THEN 'drop' ELSE 'keep' END AS verdict
            |FROM sc GROUP BY vec_id ORDER BY vec_id""".stripMargin
-      }),
+      },
+      hashOrder = Seq("vec_id")),
 
     // ----------------------------------------------------------------- t99
     // FEDERATED HEAVY HITTERS — the standard distributed top-k protocol
@@ -2183,7 +2183,6 @@ object TrainingData {
           .withColumn("verdict",
             when(col("n_hits") > 0, "drop").otherwise("keep"))
           .select(col("vec_id"), col("n_hits"), col("max_cos"), col("verdict"))
-          .orderBy("vec_id")
       },
       Some {
         def centList(k: Int): String =
@@ -2217,6 +2216,7 @@ object TrainingData {
            |  CASE WHEN SUM(CASE WHEN cos >= 0.2 THEN 1 ELSE 0 END) > 0
            |    THEN 'drop' ELSE 'keep' END AS verdict
            |FROM sc GROUP BY vec_id ORDER BY vec_id""".stripMargin
-      })
+      },
+      hashOrder = Seq("vec_id"))
   )
 }
