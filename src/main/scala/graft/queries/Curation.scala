@@ -528,10 +528,10 @@ object Curation {
     // driver actions, and both are BOUNDED at extreme N: k caps at
     // [[semdedupMaxCells]] (4096 → ≤2 MB collected/broadcast, the
     // published-SemDeDup fixed-cluster-count regime; PlanSpec pins
-    // growth below the cap and the ceiling above it). The pair
-    // join shuffles (cell, embedding) once per side; verdicts aggregate
-    // per dropped id so the output is a dedup decision, not a candidate
-    // list.
+    // growth below the cap and the ceiling above it). The corpus
+    // shuffles ONCE on cell; pairs unfold and fold to per-dropped-id
+    // verdicts inside each collected cell (r15 — see the inline note),
+    // so the output is a dedup decision, not a candidate list.
     "t26_semdedup" -> QueryDef(
       (spark, dir) => {
         import org.apache.spark.sql.Row
@@ -562,25 +562,45 @@ object Curation {
               (0 until 64).map(i => r.getLong(i + 2) / 1e6 / n).toIndexedSeq
           }.sortBy(_._1).toSeq
         // self-norms hoisted to the assignment pass: one float_dot per
-        // VECTOR here instead of two per PAIR in the join (the pair side
-        // is quadratic within cells); same doubles, just computed once
+        // VECTOR here instead of two per PAIR (the pair side is
+        // quadratic within cells); same doubles, just computed once
         val assigned = assign(learned)
           .withColumn("nrm", expr(dotSql("embedding", "embedding")))
           .select("vec_id", "cell", "embedding", "nrm")
-        val pairs = assigned.as("a").join(assigned.as("b"),
-            col("a.cell") === col("b.cell") &&
-              col("a.vec_id") < col("b.vec_id"))
-          .withColumn("dot", expr(dotSql("a.embedding", "b.embedding")))
-          .select(col("a.vec_id").as("keep_id"), col("b.vec_id").as("drop_id"),
-            col("a.cell").as("cell"),
-            (col("dot").cast("double") /
-              (sqrt(col("a.nrm").cast("double")) * sqrt(col("b.nrm").cast("double"))))
-              .as("cosine"))
-          .filter(col("cosine") >= 0.3)
-        pairs.groupBy(col("drop_id").as("vec_id"), col("cell"))
-          .agg(min("keep_id").as("dup_of"), count(lit(1)).as("n_near"))
-          .select("vec_id", "cell", "dup_of", "n_near")
-          .orderBy("vec_id")
+        // within-cell pairs unfold INSIDE the cell's collected member
+        // list (t31's fusion discipline, r15): pairs only exist within a
+        // cell, so the per-drop-id verdict (min keep_id + match count)
+        // is a cell-local fold — groupBy(cell) + HOF replaces the
+        // self-join's second corpus exchange + SortMergeJoin + pair
+        // re-shuffle with ONE exchange (measured 0.85→0.41 s for the
+        // pair job at sf0.1, T26Probe; same rows, same hash).
+        // sort_array orders members by vec_id (unique first struct
+        // field), so slice(ms, 1, i) enumerates exactly the p < m
+        // candidates and `least` folds the min keep id. The cosine
+        // kernel stays the compiled float_dot either way — the lambda
+        // dispatch around it is interpreted, a constant per pair that
+        // the saved exchange dwarfs until cells outgrow the
+        // [[semdedupMaxCells]] regime, where Σ|cell|² flops dominate
+        // both shapes equally.
+        val cells = assigned.groupBy("cell")
+          .agg(sort_array(collect_list(struct(
+            col("vec_id"), col("embedding"), col("nrm")))).as("ms"))
+        cells.select(col("cell"), explode(expr(
+          """filter(
+            |  transform(ms, (m, i) ->
+            |    (aggregate(
+            |       filter(slice(ms, 1, i),
+            |         p -> CAST(float_dot(p.embedding, m.embedding) AS DOUBLE)
+            |              / (sqrt(CAST(p.nrm AS DOUBLE))
+            |                 * sqrt(CAST(m.nrm AS DOUBLE))) >= 0.3D),
+            |       struct(CAST(NULL AS BIGINT) AS dup_of, 0L AS n_near),
+            |       (acc, p) -> struct(
+            |         least(coalesce(acc.dup_of, p.vec_id), p.vec_id) AS dup_of,
+            |         acc.n_near + 1L AS n_near),
+            |       acc -> struct(m.vec_id AS vec_id, acc.dup_of, acc.n_near)))),
+            |  v -> v.n_near > 0L)""".stripMargin)).as("v"))
+          .select(col("v.vec_id").as("vec_id"), col("cell"),
+            col("v.dup_of").as("dup_of"), col("v.n_near").as("n_near"))
       },
       Some({
         s"""WITH nk AS (
@@ -649,7 +669,8 @@ object Curation {
            |FROM pairs WHERE cosine >= 0.3
            |GROUP BY drop_id, cell
            |ORDER BY vec_id""".stripMargin
-      })),
+      }),
+      hashOrder = Seq("vec_id")),
 
     // ----------------------------------------------------------------- t27
     // Deterministic TRAINING ORDER: a reproducible global shuffle that

@@ -220,10 +220,15 @@ class PlanSpec extends AnyFunSuite {
       "one shuffle for the digest groups at most")
   }
 
-  test("t26: semantic pairs form only inside cells (keyed join, no blow-up)") {
+  test("t26: semantic pairs form only inside collected cells (one corpus exchange, no join)") {
     val p = plan("t26_semdedup")
-    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
-      "the pair join must be an equi-join on the cell id")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      "r15 fused the within-cell pair join into a cell-local fold — " +
+        "no join operator belongs in this plan")
+    assert("hashpartitioning".r.findAllIn(p).size == 1,
+      "the corpus must cross exactly ONE hash exchange (on cell)")
+    assert(p.contains("floatdot"),
+      "pair cosines must run on the compiled dot kernel")
   }
 
   test("t26: broadcast-table assignment equals the literal-expression form") {
