@@ -18,11 +18,14 @@ class ClusterProfileSpec extends AnyFunSuite {
   private lazy val spark = SparkSuite.spark
   private val sf = "/root/testdata/sf0.001"
 
-  // the five heaviest shuffle/plan shapes: iterative components (t15),
+  // the heaviest shuffle/plan shapes: iterative components (t15),
   // BPE corpus loop (t87), PageRank fixed point (t92), sessionization
-  // windows (q21), LSH band self-join (t03)
+  // windows (q21), LSH band self-join (t03), and the r15 cell-local
+  // pair fold (t26 — its collect_list cells + HOF unfold must survive
+  // AQE's coalesced exchanges)
   private val names = Seq("t15_dedup_components", "t87_bpe_trainer",
-    "t92_dup_pagerank", "q21_sessionize", "t03_ngram_jaccard")
+    "t92_dup_pagerank", "q21_sessionize", "t03_ngram_jaccard",
+    "t26_semdedup")
 
   test("shuffle-heavy queries return identical rows under the production AQE profile") {
     val prod = graft.core.GraftSession.applyTo(spark.newSession())
