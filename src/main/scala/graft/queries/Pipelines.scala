@@ -1258,9 +1258,9 @@ object Pipelines {
     // The documents fixture has NO exact duplicates (t01 is the proof:
     // one group per document), so a dedup replay over it would be
     // vacuous. Fixture prep therefore INJECTS clones: every training doc
-    // with doc_id % 7 == 3 is duplicated verbatim under doc_id + N. The
-    // stream replays 3 time-ordered micro-batches (maxFilesPerTrigger=1,
-    // chunks by doc_id order, clones all in the LAST batch with later
+    // with doc_id % 7 == 3 is duplicated verbatim under a far-offset id.
+    // The stream replays 3 micro-batches (maxFilesPerTrigger=1, original
+    // docs split by id parity, clones all in the LAST batch with later
     // event times), so every clone arrives a batch AFTER its original
     // and survives ONLY if the digest state failed to cross the state
     // store — the gate asserts n_kept = 1 per content hash, which a
@@ -1284,13 +1284,18 @@ object Pipelines {
           .select(col("doc_id"), col("text"))
         val evalDocs = Tables.t(spark, dir, "documents")
           .filter(col("doc_id") % 50 === 0).select("text")
-        val maxId = docs.agg(max("doc_id")).head.getLong(0) + 1
+        // clone ids offset by a constant far past any fixture id (no
+        // max(doc_id) job — the gate only needs clone ids DISJOINT from
+        // and event-times LATER than every original)
+        val cloneOff = 1000000000000L
         val clones = docs.filter(col("doc_id") % 7 === 3)
-          .withColumn("doc_id", col("doc_id") + lit(maxId))
-        // event time = doc_id seconds since epoch: clones are strictly
-        // later arrivals than every original
+          .withColumn("doc_id", col("doc_id") + lit(cloneOff))
+        // batch split by id parity (no global ntile window: originals
+        // are all-distinct texts, so WHICH original batch a doc lands in
+        // is immaterial — only originals-before-clones is); event time =
+        // doc_id seconds since epoch, so clones arrive strictly later
         val chunked = docs
-          .withColumn("__c", ntile(2).over(Window.orderBy("doc_id")))
+          .withColumn("__c", (pmod(col("doc_id"), lit(2)) + 1).cast("int"))
           .unionByName(clones.withColumn("__c", lit(3)))
           .withColumn("ts", col("doc_id").cast("timestamp"))
           .select(col("__c"), col("ts"), col("doc_id"), col("text"))
