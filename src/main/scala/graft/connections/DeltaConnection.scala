@@ -176,18 +176,33 @@ final class DeltaConnection(ctx: ConnContext) extends Connection(ctx) {
     * that IS the truncate semantics. */
   private def stagedCommit(action: String, schemaDdl: String,
       partitionCols: Seq[String], retireFirst: Boolean)(
-      write: String => Unit): Long = {
+      write: String => Unit): Long =
+    commitStaged(action, schemaDdl, partitionCols, retireFirst,
+      stageWrite(write))
+
+  /** First half of a staged commit: run `write` against the tmp dir and
+    * return the staged data files (markers excluded). The caller may
+    * still abandon the commit (deleteTree the tmp) — nothing visible
+    * has changed yet. */
+  private def stageWrite(write: String => Unit): Seq[java.nio.file.Path] = {
     val tmp = commitTmp
     deleteTree(tmp) // leftover from a crashed commit: superseded
     write(tmp.toString)
     val stream = Files.walk(tmp)
-    val staged =
-      try stream.iterator().asScala.filter(Files.isRegularFile(_))
-        .filterNot { f =>
-          val n = f.getFileName.toString
-          n.startsWith("_") || n.startsWith(".") // _SUCCESS, .crc markers
-        }.toSeq
-      finally stream.close()
+    try stream.iterator().asScala.filter(Files.isRegularFile(_))
+      .filterNot { f =>
+        val n = f.getFileName.toString
+        n.startsWith("_") || n.startsWith(".") // _SUCCESS, .crc markers
+      }.toSeq
+    finally stream.close()
+  }
+
+  /** Second half: retire, manifest (with the commit's final file list),
+    * move the staged files in, drop the stage. */
+  private def commitStaged(action: String, schemaDdl: String,
+      partitionCols: Seq[String], retireFirst: Boolean,
+      staged: Seq[java.nio.file.Path]): Long = {
+    val tmp = commitTmp
     val survivors = if (retireFirst) Nil else liveFiles
     if (retireFirst) retireLiveFiles()
     val stagedRels = staged.map(f => tmp.relativize(f).toString)
@@ -202,6 +217,19 @@ final class DeltaConnection(ctx: ConnContext) extends Connection(ctx) {
     }
     deleteTree(tmp)
     v
+  }
+
+  /** Total row count of staged parquet files, from their FOOTERS — a
+    * driver-side metadata read bounded by the files THIS commit just
+    * wrote (not a table scan), the same way DuckDB answers COUNT(*). */
+  private def stagedRowCount(staged: Seq[java.nio.file.Path]): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    staged.filter(_.toString.endsWith(".parquet")).map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new org.apache.hadoop.fs.Path(f.toUri), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
   }
 
   /** Heal a commit crashed at any point. A leftover tmp dir is the
@@ -316,7 +344,6 @@ final class DeltaConnection(ctx: ConnContext) extends Connection(ctx) {
 
   override def sink(from: DataFrame): Unit = {
     recoverStash(); recoverCommit()
-    val hasRows = !from.isEmpty
     val declared = conn.fields
     val dataMode = conn.str("data_mode").getOrElse("append")
     val mode = dataMode match {
@@ -325,27 +352,40 @@ final class DeltaConnection(ctx: ConnContext) extends Connection(ctx) {
       case "error" => SaveMode.ErrorIfExists
       case other => sys.error(s"unknown data_mode: $other")
     }
-    if (hasRows) {
-      val partitions = conn.strList("partition")
-      if (mode == SaveMode.ErrorIfExists && exists)
+    val partitions = conn.strList("partition")
+    // ONE plan execution (r15): the reference probes emptiness on an
+    // already-materialized frame (delta.py:368-382); here `from` is a
+    // LAZY plan whose transform chain can be arbitrarily expensive, so
+    // an isEmpty probe before the write would run that plan twice.
+    // Instead the write stages unconditionally (nothing visible changes
+    // on a failed or abandoned stage) and the WRITE/CREATE/SKIP strategy
+    // reads the staged parquet footers.
+    val staged = stageWrite { tmp =>
+      val writer = from.write.mode(SaveMode.Overwrite)
+      val w2 = if (partitions.nonEmpty) writer.partitionBy(partitions: _*) else writer
+      w2.parquet(tmp)
+    }
+    if (stagedRowCount(staged) > 0) {
+      if (mode == SaveMode.ErrorIfExists && exists) {
+        deleteTree(commitTmp)
         sys.error(s"Deltatable at $path already exists (data_mode: error)")
+      }
       // overwrite logically REMOVES the current files: retire them (so
-      // older versions stay travelable) only AFTER the staged write
+      // older versions stay travelable) only now that the staged write
       // succeeded — a failed write must leave the table intact
-      stagedCommit(dataMode, from.schema.toDDL, partitions,
-          retireFirst = mode == SaveMode.Overwrite) { tmp =>
-        val writer = from.write.mode(SaveMode.Overwrite)
-        val w2 = if (partitions.nonEmpty) writer.partitionBy(partitions: _*) else writer
-        w2.parquet(tmp)
-      }
-    } else if (declared.nonEmpty && !exists) {
-      // CREATE: empty table materialized from the declared schema
-      val schema = SchemaUtil.toStruct(declared)
-      stagedCommit("create", schema.toDDL, Nil, retireFirst = false) { tmp =>
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          schema).write.mode(SaveMode.Overwrite).parquet(tmp)
-      }
-    } // else SKIP (delta.py:368-382)
+      commitStaged(dataMode, from.schema.toDDL, partitions,
+        retireFirst = mode == SaveMode.Overwrite, staged)
+    } else {
+      deleteTree(commitTmp) // abandon the empty stage
+      if (declared.nonEmpty && !exists) {
+        // CREATE: empty table materialized from the declared schema
+        val schema = SchemaUtil.toStruct(declared)
+        stagedCommit("create", schema.toDDL, Nil, retireFirst = false) { tmp =>
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            schema).write.mode(SaveMode.Overwrite).parquet(tmp)
+        }
+      } // else SKIP (delta.py:368-382)
+    }
   }
 
   override def showSchema(): org.apache.spark.sql.types.StructType = {
