@@ -1363,6 +1363,101 @@ object Pipelines {
              |FROM d
              |WHERE doc_id % 50 <> 0
              |  AND doc_id NOT IN (SELECT doc_id FROM dirty)
-             |ORDER BY content_hash""".stripMargin))
+             |ORDER BY content_hash""".stripMargin)),
+
+    // ----------------------------------------------------------------- p23
+    // INCREMENTAL DEDUP INDEX THROUGH THE ORACLE GATE — the last
+    // streaming path that was only test-pinned (r14 verdict residual
+    // #2's tail): the foreachBatch index (`incrementalDedup`), its
+    // checkpoint run-marker, the commit-frontier-validated
+    // `compactIndex`, AND checkpoint resume, all in one run. Phase A
+    // streams the OLD docs (t36's substr(source,4) < 10 side) as two
+    // parity micro-batches — every arriving digest joins the index
+    // regardless of kept/dropped, so the index after phase A equals
+    // t36's old side exactly. With the stream STOPPED, compactIndex
+    // folds the two committed batch partitions into one (the frontier
+    // check consults the run marker's checkpoint). Phase B RESUMES the
+    // SAME checkpoint on a newly landed file: the NEW docs probe the
+    // COMPACTED index as batch 2, so any digest or band lost (or
+    // duplicated) in compaction — or a broken resume — changes the kept
+    // set and fails the hash against t36's keep rule.
+    "p23_pipeline_streaming_incremental_index" -> QueryDef(
+      (spark, dir) => {
+        import org.apache.spark.sql.functions._
+        val docs = Tables.t(spark, dir, "documents")
+          .withColumn("is_new",
+            expr("CAST(substr(source, 4, 10) AS INT) >= 10"))
+        val tmp = Files.createTempDirectory("graft_p23")
+        val inDir = tmp.resolve("in"); Files.createDirectories(inDir)
+        val scratch = tmp.resolve("scratch")
+        docs.withColumn("__c",
+            when(!col("is_new"), (pmod(col("doc_id"), lit(2)) + 1).cast("int"))
+              .otherwise(lit(3)))
+          .select(col("__c"), col("doc_id"), col("text"))
+          .repartition(3, col("__c"))
+          .write.partitionBy("__c").mode("overwrite")
+          .parquet(scratch.toString)
+        def land(c: Int): Unit = {
+          val part = Files.list(scratch.resolve(s"__c=$c")).iterator()
+            .asScala.find(_.getFileName.toString.endsWith(".parquet")).get
+          val dst = inDir.resolve(f"chunk-$c%02d.parquet")
+          Files.move(part, dst)
+          dst.toFile.setLastModified(1700000000000L + c * 60000L)
+        }
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id BIGINT, text STRING")
+        val statePath = tmp.resolve("state").toString
+        val outPath = tmp.resolve("out").toString
+        val ckpt = tmp.resolve("ckpt").toString
+        def runAvailable(): Unit = {
+          val q = graft.streaming.Streams.incrementalDedup(
+            spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(inDir.toString),
+            statePath, outPath, ckpt,
+            org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          try q.awaitTermination() finally q.stop()
+        }
+        val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try {
+          land(1); land(2)
+          runAvailable() // phase A: old docs as batches 0 and 1
+          // stream stopped at the commit frontier (last committed 1):
+          // fold both index partitions into batch=1
+          graft.streaming.Streams.compactIndex(spark, statePath, 2L)
+          land(3)
+          runAvailable() // phase B: resume; new docs probe as batch 2
+        } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        spark.read.parquet(s"$outPath/batch=2")
+          .select(col("doc_id")).orderBy("doc_id")
+      },
+      // t36's oracle restricted to its keep verdict: the docs phase B
+      // must emit are exactly the new docs with no exact- or band-hit
+      // against the old corpus
+      Some(s"""WITH ${TrainingData.minhashBandsDuck},
+              |flag AS (
+              |  SELECT doc_id, CAST(substr(source, 4) AS INT) >= 10 AS is_new
+              |  FROM documents),
+              |h AS (SELECT doc_id, md5(text) AS h FROM documents),
+              |oldh AS (
+              |  SELECT DISTINCT h.h FROM h JOIN flag USING (doc_id)
+              |  WHERE NOT is_new),
+              |exact AS (
+              |  SELECT DISTINCT h.doc_id FROM h
+              |  JOIN flag USING (doc_id) JOIN oldh ON oldh.h = h.h
+              |  WHERE flag.is_new),
+              |oldb AS (
+              |  SELECT DISTINCT band, bucket FROM bands
+              |  JOIN flag USING (doc_id) WHERE NOT is_new),
+              |near AS (
+              |  SELECT DISTINCT b.doc_id FROM bands b
+              |  JOIN flag USING (doc_id)
+              |  JOIN oldb USING (band, bucket)
+              |  WHERE flag.is_new)
+              |SELECT f.doc_id FROM flag f
+              |LEFT JOIN exact e ON e.doc_id = f.doc_id
+              |LEFT JOIN near n ON n.doc_id = f.doc_id
+              |WHERE f.is_new AND e.doc_id IS NULL AND n.doc_id IS NULL
+              |ORDER BY f.doc_id""".stripMargin))
   )
 }

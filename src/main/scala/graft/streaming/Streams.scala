@@ -501,10 +501,14 @@ object Streams {
     * probe-side file listings don't grow one dir per micro-batch
     * forever. */
   def incrementalDedup(docs: DataFrame, statePath: String, outPath: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)
+      .trigger(trigger)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         ensureRunMarker(batch.sparkSession, statePath, checkpoint)
         val b = batch.persist() // probed once, indexed once
