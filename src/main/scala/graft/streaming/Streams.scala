@@ -436,7 +436,7 @@ object Streams {
     * left-anti hash joins on digest keys.
     */
   def dedupBatchAgainstIndex(batch: DataFrame, statePath: String,
-      batchId: Long): DataFrame = {
+      batchId: Long, bands: Option[DataFrame] = None): DataFrame = {
     val spark = batch.sparkSession
     graft.functions.GraftFunctions.register(spark)
     def upTo(ix: Option[DataFrame]): Option[DataFrame] =
@@ -454,8 +454,13 @@ object Streams {
         }
         oldB match {
           case Some(b) =>
-            val hitIds = graft.queries.TrainingData
-              .minhashBands(exactKept)
+            // a caller that also extends the index may pass the FULL
+            // batch's bands, computed (and persisted) once: hit ids not
+            // in exactKept anti-join away as no-ops, so probing with the
+            // superset is semantically identical to banding exactKept —
+            // and saves a second shingle+minhash pass per micro-batch
+            val hitIds = bands
+              .getOrElse(graft.queries.TrainingData.minhashBands(exactKept))
               .join(b.select("band", "bucket").distinct(),
                 Seq("band", "bucket"), "left_semi")
               .select("doc_id").distinct()
@@ -472,14 +477,15 @@ object Streams {
     * delivery still yields an exactly-once index (same guard as a Delta
     * txn would give; partition-dir overwrite is its zero-dependency
     * parquet spelling). */
-  def extendIndex(batch: DataFrame, statePath: String, batchId: Long): Unit = {
+  def extendIndex(batch: DataFrame, statePath: String, batchId: Long,
+      bands: Option[DataFrame] = None): Unit = {
     // minhashBands parses graft-function SQL (minhash8); register here
     // too — this is a public API and must not depend on the probe
     // having run first on this session
     graft.functions.GraftFunctions.register(batch.sparkSession)
     batch.select(md5(col("text").cast("binary")).as("h")).distinct()
       .write.mode("overwrite").parquet(s"$statePath/hashes/batch=$batchId")
-    graft.queries.TrainingData.minhashBands(batch)
+    bands.getOrElse(graft.queries.TrainingData.minhashBands(batch))
       .select("band", "bucket").distinct()
       .write.mode("overwrite").parquet(s"$statePath/bands/batch=$batchId")
   }
@@ -512,11 +518,15 @@ object Streams {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         ensureRunMarker(batch.sparkSession, statePath, checkpoint)
         val b = batch.persist() // probed once, indexed once
+        // bands computed ONCE per micro-batch and shared by the probe
+        // and the index extension (each is its own action, so without
+        // the persist the shingle+minhash pass would run per action)
+        val bands = graft.queries.TrainingData.minhashBands(b).persist()
         try {
-          dedupBatchAgainstIndex(b, statePath, batchId)
+          dedupBatchAgainstIndex(b, statePath, batchId, Some(bands))
             .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
-          extendIndex(b, statePath, batchId)
-        } finally { b.unpersist(); () }
+          extendIndex(b, statePath, batchId, Some(bands))
+        } finally { bands.unpersist(); b.unpersist(); () }
       }
       .start()
 
