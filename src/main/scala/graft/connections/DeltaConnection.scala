@@ -353,6 +353,16 @@ final class DeltaConnection(ctx: ConnContext) extends Connection(ctx) {
       case other => sys.error(s"unknown data_mode: $other")
     }
     val partitions = conn.strList("partition")
+    // data_mode=error against an existing table can only SKIP (empty
+    // frame — strategy is decided by row count before mode applies,
+    // delta.py:368-382) or raise; neither outcome uses the staged files,
+    // so probe emptiness with a LIMIT-1 plan instead of staging the full
+    // write only to discard it (r16).
+    if (mode == SaveMode.ErrorIfExists && exists) {
+      if (!from.isEmpty)
+        sys.error(s"Deltatable at $path already exists (data_mode: error)")
+      return // rows == 0 and the table exists: pure SKIP
+    }
     // ONE plan execution (r15): the reference probes emptiness on an
     // already-materialized frame (delta.py:368-382); here `from` is a
     // LAZY plan whose transform chain can be arbitrarily expensive, so
@@ -366,10 +376,6 @@ final class DeltaConnection(ctx: ConnContext) extends Connection(ctx) {
       w2.parquet(tmp)
     }
     if (stagedRowCount(staged) > 0) {
-      if (mode == SaveMode.ErrorIfExists && exists) {
-        deleteTree(commitTmp)
-        sys.error(s"Deltatable at $path already exists (data_mode: error)")
-      }
       // overwrite logically REMOVES the current files: retire them (so
       // older versions stay travelable) only now that the staged write
       // succeeded — a failed write must leave the table intact
