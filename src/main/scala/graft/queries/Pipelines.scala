@@ -18,6 +18,17 @@ object Pipelines {
   private def run(spark: SparkSession, yaml: String): DataFrame =
     Flow.runYaml(spark, yaml).df()
 
+  /** First `.parquet` part file in `dir`, closing the directory stream
+    * (Files.list holds an OS handle until closed — same discipline as
+    * DeltaConnection's walk/list sites). Shared by the p20/p22/p23
+    * fixture preps that relabel shuffle output into replayable chunks. */
+  private def firstParquetPart(dir: java.nio.file.Path): java.nio.file.Path = {
+    val s = Files.list(dir)
+    try s.iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    finally s.close()
+  }
+
 
   /** p17 fixture writers — the same wire formats any producer emits
     * (and TabularFilesSpec hand-builds): a minimal SpreadsheetML zip
@@ -1049,8 +1060,7 @@ object Pipelines {
           .write.partitionBy("__c").mode("overwrite")
           .parquet(scratch.toString)
         (1 to 5).foreach { i =>
-          val part = Files.list(scratch.resolve(s"__c=$i")).iterator()
-            .asScala.find(_.getFileName.toString.endsWith(".parquet")).get
+          val part = firstParquetPart(scratch.resolve(s"__c=$i"))
           val dst = inDir.resolve(f"chunk-$i%02d.parquet")
           Files.move(part, dst)
           // modification time is the file source's replay order
@@ -1306,8 +1316,7 @@ object Pipelines {
           .write.partitionBy("__c").mode("overwrite")
           .parquet(scratch.toString)
         (1 to 3).foreach { i =>
-          val part = Files.list(scratch.resolve(s"__c=$i")).iterator()
-            .asScala.find(_.getFileName.toString.endsWith(".parquet")).get
+          val part = firstParquetPart(scratch.resolve(s"__c=$i"))
           val dst = inDir.resolve(f"chunk-$i%02d.parquet")
           Files.move(part, dst)
           dst.toFile.setLastModified(1700000000000L + i * 60000L)
@@ -1398,8 +1407,7 @@ object Pipelines {
           .write.partitionBy("__c").mode("overwrite")
           .parquet(scratch.toString)
         def land(c: Int): Unit = {
-          val part = Files.list(scratch.resolve(s"__c=$c")).iterator()
-            .asScala.find(_.getFileName.toString.endsWith(".parquet")).get
+          val part = firstParquetPart(scratch.resolve(s"__c=$c"))
           val dst = inDir.resolve(f"chunk-$c%02d.parquet")
           Files.move(part, dst)
           dst.toFile.setLastModified(1700000000000L + c * 60000L)
