@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
-  import Tables.t
+  import Tables.{t, parquetRowCount}
   import TrainingData.{withWords, shingleExpr, shingleSqlDuck, sigSqlDuck,
     minhashPairs, minhashPairsDuck, dotCol, dotSql, dotDuck}
   import DataSelection.{tokenShardBuckets, tokenEstExpr, tokenEstDuck}
@@ -159,18 +159,52 @@ object Curation {
   private[graft] val semdedupCellSize = 64
 
   /** t26's centroid-count CAP: k = ⌈N/cellSize⌉ grows with the corpus
-    * until this ceiling, past which cells grow instead. The cap is what
-    * keeps the two driver-sized artifacts BOUNDED at extreme N — the
-    * k×64 fixed-point centroid collect and the broadcast centroid table
-    * are each ≤ 4096×64 values (≈2 MB) no matter how large N gets
-    * (uncapped, k = N/64 made both O(N): a 10⁹-vector corpus collected
-    * 10⁷ centroids to the driver). Published SemDeDup runs the same
-    * trade — a FIXED cluster count (50k for LAION) with cell size
-    * growing as the corpus does; within-cell pair cost transitions from
-    * linear (below the cap) to Σ|cell|² with k pinned, which is the
-    * algorithm's own behavior, not an implementation artifact. The
-    * oracle interpolates the same constant. */
-  private[graft] val semdedupMaxCells = 4096
+    * until this ceiling, past which cells grow instead. 2¹⁸ = 262 144
+    * (r16, was 4096 — the old cap made cells grow as N/4096 past only
+    * ~262k vectors, concentrating whole multi-MB cells in single fold
+    * rows long before the flops bit). The ceiling is sized by THREE
+    * bounds, with the math shown:
+    *
+    *  - Driver/broadcast artifacts: the one-Lloyd-round collect is
+    *    k×(1 count + 64 longs) ≈ k×520 B ≈ 136 MB, and the broadcast
+    *    centroid table k×(id + 64 doubles + norm) ≈ 134 MB — heavy but
+    *    BOUNDED constants once the cap binds, independent of N (an
+    *    uncapped k = N/64 made both O(N): a 10⁹-vector corpus would
+    *    collect 10⁷ centroids ≈ 8 GB to the driver).
+    *  - Assignment flops: nearest-centroid assignment is brute-force
+    *    N·k dots (the published SemDeDup/faiss regime — no shuffle,
+    *    embarrassingly parallel map work). Capped, it is LINEAR in N:
+    *    N×2.6×10⁵ 64-wide dots.
+    *  - Pair flops: within-cell pairwise is Σ|cell|² ≈ N²/k once cells
+    *    outgrow [[semdedupCellSize]] (below that, 64·N linear).
+    *
+    * N·k and N²/k cross at k = √N, so the right fixed cap is √N at the
+    * design corpus: at the 100 TB / 10¹⁰-vector point √N ≈ 10⁵, and
+    * 2¹⁸ sits at that magnitude — assignment ≈ 2.6×10¹⁵ dots and pair
+    * work ≈ 3.8×10¹⁴ dots, within ~7× of each other and both linear-
+    * per-executor map/agg work. Published SemDeDup runs the same
+    * fixed-cluster trade (50k clusters for LAION); the quadratic-in-N
+    * pair regime past the cap is the algorithm's own behavior, not an
+    * implementation artifact. The oracle interpolates the same
+    * constant. Cell MEMORY (not just flops) is guarded separately:
+    * past [[semdedupFoldMaxCell]] expected members the pair stage
+    * falls back from the collect_list fold to the streamed join shape
+    * ([[semdedupVerdictsJoin]]), so no single aggregation row grows
+    * with N. */
+  private[graft] val semdedupMaxCells = 262144
+
+  /** Expected within-cell membership (N/k) above which t26's pair
+    * stage abandons the cell-local collect_list fold for the streamed
+    * self-join: a collected member is ~280 B (id + 64 floats + norm),
+    * so 4096 members ≈ 1.2 MB per aggregation row — comfortably inside
+    * executor memory — while past it a fold row would grow with N
+    * (at N = 10¹⁰ under the cap, ~38k members ≈ 11 MB each; at the old
+    * 4096-cell cap it reached GBs — the r15 memory cliff). The join
+    * shape streams the same pairs through a SortMergeJoin's external
+    * sort instead, trading one extra exchange for bounded rows;
+    * PlanSpec pins the two shapes equal. With the current cap the
+    * switch engages past 4096×262144 ≈ 1.07×10⁹ vectors. */
+  private[graft] val semdedupFoldMaxCell = 4096
 
   private[graft] def semdedupK(n: Long,
       targetCellSize: Int = semdedupCellSize,
@@ -305,6 +339,64 @@ object Curation {
         .select(col(key), col("dc.cid").as("cell"))
       df.join(best, key)
     }
+
+  /** t26's pair stage, fold shape (r15): within-cell pairs unfold
+    * INSIDE the cell's collected member list — groupBy(cell) +
+    * sort_array(collect_list) + HOF replaces the self-join's second
+    * corpus exchange + SortMergeJoin + pair re-shuffle with ONE
+    * exchange (measured 0.85→0.41 s for the pair job at sf0.1,
+    * T26Probe; same rows, same hash). sort_array orders members by
+    * vec_id (unique first struct field), so slice(ms, 1, i) enumerates
+    * exactly the p < m candidates and `least` folds the min keep id.
+    * The cosine kernel stays the compiled float_dot either way — the
+    * lambda dispatch around it is interpreted, a constant per pair that
+    * the saved exchange dwarfs. MEMORY bound: one aggregation row holds
+    * a whole cell (~280 B/member), so this shape is only chosen while
+    * expected membership ≤ [[semdedupFoldMaxCell]]; past that
+    * [[semdedupVerdictsJoin]] streams the same pairs instead.
+    * `assigned` = (vec_id, cell, embedding, nrm). */
+  private[graft] def semdedupVerdictsFold(assigned: DataFrame): DataFrame = {
+    val cells = assigned.groupBy("cell")
+      .agg(sort_array(collect_list(struct(
+        col("vec_id"), col("embedding"), col("nrm")))).as("ms"))
+    cells.select(col("cell"), explode(expr(
+      """filter(
+        |  transform(ms, (m, i) ->
+        |    (aggregate(
+        |       filter(slice(ms, 1, i),
+        |         p -> CAST(float_dot(p.embedding, m.embedding) AS DOUBLE)
+        |              / (sqrt(CAST(p.nrm AS DOUBLE))
+        |                 * sqrt(CAST(m.nrm AS DOUBLE))) >= 0.3D),
+        |       struct(CAST(NULL AS BIGINT) AS dup_of, 0L AS n_near),
+        |       (acc, p) -> struct(
+        |         least(coalesce(acc.dup_of, p.vec_id), p.vec_id) AS dup_of,
+        |         acc.n_near + 1L AS n_near),
+        |       acc -> struct(m.vec_id AS vec_id, acc.dup_of, acc.n_near)))),
+        |  v -> v.n_near > 0L)""".stripMargin)).as("v"))
+      .select(col("v.vec_id").as("vec_id"), col("cell"),
+        col("v.dup_of").as("dup_of"), col("v.n_near").as("n_near"))
+  }
+
+  /** t26's pair stage, join shape: the pre-r15 within-cell self-join
+    * (SortMergeJoin on cell, vec_id < pair guard, per-drop-id
+    * min/count aggregate). One more exchange than the fold, but every
+    * row is ONE pair — no aggregation value grows with cell size, so
+    * this is the shape for the post-[[semdedupMaxCells]] regime where
+    * cells grow as N/k and a collected cell would concentrate tens of
+    * MB in a single fold row. Same float_dot kernel, same double
+    * arithmetic (float_dot's ascending-index fold is symmetric in its
+    * arguments, so keep-side-first equals the fold's earlier-member-
+    * first), same (vec_id, cell, dup_of, n_near) output; PlanSpec pins
+    * the two shapes equal row-for-row. */
+  private[graft] def semdedupVerdictsJoin(assigned: DataFrame): DataFrame =
+    assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .filter(
+        expr(dotSql("a.embedding", "b.embedding")).cast("double") /
+          (sqrt(col("a.nrm").cast("double")) *
+            sqrt(col("b.nrm").cast("double"))) >= lit(0.3))
+      .groupBy(col("b.vec_id").as("vec_id"), col("a.cell").as("cell"))
+      .agg(min(col("a.vec_id")).as("dup_of"), count(lit(1)).as("n_near"))
 
   /** t38/t39's partition-local top-Q per source: (source, doc_id, qfp)
     * rows reduced to ≤ Q per (source, input partition) with a bounded
@@ -524,19 +616,24 @@ object Curation {
     // 10 000× pair work). Centroids are LEARNED: one Lloyd round from k
     // LCG seeds using t16's fixed-point recipe, so the centroid doubles
     // — and every distance computed from them — are bit-identical across
-    // engines. The count() and the k×64 fixed-point collect are the only
-    // driver actions, and both are BOUNDED at extreme N: k caps at
-    // [[semdedupMaxCells]] (4096 → ≤2 MB collected/broadcast, the
-    // published-SemDeDup fixed-cluster-count regime; PlanSpec pins
+    // engines. The corpus count comes from parquet footers when the
+    // file listing is small and a distributed count() job otherwise;
+    // the k×64 fixed-point Lloyd collect is the ONE unavoidable driver
+    // action, bounded at extreme N by the [[semdedupMaxCells]] cap
+    // (2¹⁸ → ≤136 MB collected/broadcast; see the cap's sizing math —
+    // the published-SemDeDup fixed-cluster-count regime; PlanSpec pins
     // growth below the cap and the ceiling above it). The corpus
     // shuffles ONCE on cell; pairs unfold and fold to per-dropped-id
-    // verdicts inside each collected cell (r15 — see the inline note),
-    // so the output is a dedup decision, not a candidate list.
+    // verdicts inside each collected cell ([[semdedupVerdictsFold]]),
+    // switching to the streamed self-join ([[semdedupVerdictsJoin]])
+    // once expected membership would make a fold row unbounded — so the
+    // output is a dedup decision, not a candidate list, at any N.
     "t26_semdedup" -> QueryDef(
       (spark, dir) => {
-        import org.apache.spark.sql.Row
         val emb = t(spark, dir, "embeddings")
-        val kCells = semdedupK(emb.count())
+        val n = parquetRowCount(spark, s"$dir/embeddings.parquet")
+          .getOrElse(emb.count())
+        val kCells = semdedupK(n)
         // min-distance assignment; first-min tie-break == lowest cell,
         // matching the oracle's ROW_NUMBER ... ORDER BY dist, cell.
         // assignCells picks literal-expression vs broadcast-table form
@@ -557,9 +654,9 @@ object Curation {
               .as(s"s$i")): _*)
           .collect()
           .map { r =>
-            val n = r.getLong(1)
+            val cn = r.getLong(1)
             r.getInt(0) ->
-              (0 until 64).map(i => r.getLong(i + 2) / 1e6 / n).toIndexedSeq
+              (0 until 64).map(i => r.getLong(i + 2) / 1e6 / cn).toIndexedSeq
           }.sortBy(_._1).toSeq
         // self-norms hoisted to the assignment pass: one float_dot per
         // VECTOR here instead of two per PAIR (the pair side is
@@ -567,40 +664,13 @@ object Curation {
         val assigned = assign(learned)
           .withColumn("nrm", expr(dotSql("embedding", "embedding")))
           .select("vec_id", "cell", "embedding", "nrm")
-        // within-cell pairs unfold INSIDE the cell's collected member
-        // list (t31's fusion discipline, r15): pairs only exist within a
-        // cell, so the per-drop-id verdict (min keep_id + match count)
-        // is a cell-local fold — groupBy(cell) + HOF replaces the
-        // self-join's second corpus exchange + SortMergeJoin + pair
-        // re-shuffle with ONE exchange (measured 0.85→0.41 s for the
-        // pair job at sf0.1, T26Probe; same rows, same hash).
-        // sort_array orders members by vec_id (unique first struct
-        // field), so slice(ms, 1, i) enumerates exactly the p < m
-        // candidates and `least` folds the min keep id. The cosine
-        // kernel stays the compiled float_dot either way — the lambda
-        // dispatch around it is interpreted, a constant per pair that
-        // the saved exchange dwarfs until cells outgrow the
-        // [[semdedupMaxCells]] regime, where Σ|cell|² flops dominate
-        // both shapes equally.
-        val cells = assigned.groupBy("cell")
-          .agg(sort_array(collect_list(struct(
-            col("vec_id"), col("embedding"), col("nrm")))).as("ms"))
-        cells.select(col("cell"), explode(expr(
-          """filter(
-            |  transform(ms, (m, i) ->
-            |    (aggregate(
-            |       filter(slice(ms, 1, i),
-            |         p -> CAST(float_dot(p.embedding, m.embedding) AS DOUBLE)
-            |              / (sqrt(CAST(p.nrm AS DOUBLE))
-            |                 * sqrt(CAST(m.nrm AS DOUBLE))) >= 0.3D),
-            |       struct(CAST(NULL AS BIGINT) AS dup_of, 0L AS n_near),
-            |       (acc, p) -> struct(
-            |         least(coalesce(acc.dup_of, p.vec_id), p.vec_id) AS dup_of,
-            |         acc.n_near + 1L AS n_near),
-            |       acc -> struct(m.vec_id AS vec_id, acc.dup_of, acc.n_near)))),
-            |  v -> v.n_near > 0L)""".stripMargin)).as("v"))
-          .select(col("v.vec_id").as("vec_id"), col("cell"),
-            col("v.dup_of").as("dup_of"), col("v.n_near").as("n_near"))
+        // pair-stage shape by expected cell membership: the fold while
+        // a collected cell row stays small, the streamed join once
+        // cells outgrow [[semdedupFoldMaxCell]] (the post-cap regime
+        // where a fold row would grow with N — memory, not flops)
+        if (n.toDouble / kCells <= semdedupFoldMaxCell)
+          semdedupVerdictsFold(assigned)
+        else semdedupVerdictsJoin(assigned)
       },
       Some({
         s"""WITH nk AS (

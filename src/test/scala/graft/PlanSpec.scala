@@ -251,18 +251,51 @@ class PlanSpec extends AnyFunSuite {
     // the SemDeDup quadratic guard must live in code, not prose: k
     // tracks ⌈N / targetCellSize⌉ so cells hold ~constant membership
     // and a 100× corpus gets 100× cells, not 100× cell size
-    import graft.queries.Curation.{semdedupK, semdedupMaxCells}
+    import graft.queries.Curation.{semdedupK, semdedupMaxCells,
+      semdedupFoldMaxCell, semdedupCellSize}
     assert(semdedupK(1) == 1)
     assert(semdedupK(500) == 8)
     assert(semdedupK(2000) == 32)
     assert(semdedupK(40 * 6400) == 40 * semdedupK(6400))
-    // ... until the cap: past it the driver-collected / broadcast
-    // centroid count is CONSTANT no matter how large the corpus gets
-    // (k×64 values ≈ 2 MB — the round-6 extreme-N watch item), which is
-    // published SemDeDup's own fixed-cluster-count regime
-    assert(semdedupK(4096L * 64) == semdedupMaxCells)
-    assert(semdedupK(1000L * 1000 * 1000) == semdedupMaxCells)
+    // growth continues far past the old 4096-cell cap (r16: cells no
+    // longer grow as N/4096 from ~262k vectors — the r15 memory cliff)
+    assert(semdedupK(1000L * 1000) == 15625)
+    assert(semdedupK(16L * 1000 * 1000) == 250000)
+    // ... until the 2¹⁸ cap: past it the driver-collected / broadcast
+    // centroid artifacts are CONSTANT no matter how large the corpus
+    // gets (k×65 values ≈ 136 MB — the sizing math lives on the
+    // constant), which is published SemDeDup's own fixed-cluster-count
+    // regime
+    assert(semdedupK(262144L * 64) == semdedupMaxCells)
+    assert(semdedupK(1000L * 1000 * 1000 * 100) == semdedupMaxCells)
     assert(semdedupK(Long.MaxValue / 4) == semdedupMaxCells)
+    // and the fold→join memory switch engages only once a cell's
+    // expected membership (N/k) outgrows the bounded-fold-row regime:
+    // below the cap membership is ~semdedupCellSize, far under it
+    assert(semdedupCellSize <= semdedupFoldMaxCell)
+    val nSwitch = semdedupFoldMaxCell.toLong * semdedupMaxCells
+    assert(nSwitch / semdedupK(nSwitch) >= semdedupFoldMaxCell)
+  }
+
+  test("t26: join-shape pair stage equals the cell-local fold") {
+    // past semdedupFoldMaxCell expected members the pair stage streams
+    // pairs through a self-join instead of collecting a whole cell into
+    // one aggregation row; the switch must be a pure memory decision —
+    // same pairs, same min-keep-id fold, same n_near counts
+    import graft.queries.Curation.{assignCells, lcgCentroid,
+      semdedupVerdictsFold, semdedupVerdictsJoin}
+    import org.apache.spark.sql.functions.{col, expr}
+    graft.functions.GraftFunctions.register(spark)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cs = (1 to 8).map(c => c -> lcgCentroid(c + 100))
+    val assigned = assignCells(emb, "vec_id", cs)
+      .withColumn("nrm", expr("float_dot(embedding, embedding)"))
+      .select("vec_id", "cell", "embedding", "nrm")
+    val fold = semdedupVerdictsFold(assigned)
+    val join = semdedupVerdictsJoin(assigned)
+      .select(fold.columns.map(col): _*)
+    assert(fold.count() > 0, "fixture must exercise the pair stage")
+    assert(fold.exceptAll(join).isEmpty && join.exceptAll(fold).isEmpty)
   }
 
   test("t27: global rank is two-pass map work, never a partition-less window") {
