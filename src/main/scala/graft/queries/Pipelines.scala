@@ -1466,6 +1466,99 @@ object Pipelines {
               |LEFT JOIN exact e ON e.doc_id = f.doc_id
               |LEFT JOIN near n ON n.doc_id = f.doc_id
               |WHERE f.is_new AND e.doc_id IS NULL AND n.doc_id IS NULL
-              |ORDER BY f.doc_id""".stripMargin))
+              |ORDER BY f.doc_id""".stripMargin)),
+
+    // ----------------------------------------------------------------- p24
+    // STREAMING RATE-ANOMALY GATE — puts Streams.rateAnomaly (the
+    // monitoring op a streaming ingest user hits first) through the
+    // DuckDB hash gate, the p20/p22/p23 pattern: a REAL multi-micro-
+    // batch file-source replay with windowed state crossing batch
+    // commits, hashed against batch t68's oracle verbatim. The
+    // (mean, std) reference is published by a batch pass over the same
+    // history — the deployment split the op documents (heavy moments
+    // offline, cheap z-probe online) — with t68's exact
+    // long-sum/double-division arithmetic, so the streamed z doubles
+    // are bit-identical to the batch twin's.
+    //
+    // Fixture prep (NOT the measured operator, p22's discipline): the
+    // events fixture splits into 3 contiguous TIME-RANGE chunks via one
+    // min/max agg + a map-side projection (no global ntile window), so
+    // the watermark only ever advances between micro-batches — nothing
+    // is late, matching the batch twin that counts everything. A 4th
+    // sentinel file (one far-future 'flush' event) pushes the
+    // event-time frontier past every fixture window + watermark so
+    // append mode emits them all; the sentinel itself can never
+    // surface — its own window is still open at stream end, and
+    // 'flush' has no thresholds row to join.
+    "p24_pipeline_streaming_rate_anomaly" -> QueryDef(
+      (spark, dir) => {
+        import org.apache.spark.sql.functions._
+        val ev = Tables.t(spark, dir, "events")
+          .select("event_id", "ts", "user_id", "event_type", "value")
+        // thresholds exactly as the batch job publishes them: per-type
+        // (mean, std) over hourly counts — t68's moment arithmetic
+        // (exact long sums, then double division)
+        val thresholds = ev
+          .groupBy(col("event_type"),
+            date_trunc("hour", col("ts")).as("hour"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy("event_type").agg(
+            count(lit(1)).as("n"), sum("c").as("s1"),
+            sum(col("c") * col("c")).as("s2"))
+          .withColumn("mean",
+            col("s1").cast("double") / col("n").cast("double"))
+          .withColumn("std", sqrt(
+            col("s2").cast("double") / col("n").cast("double")
+              - col("mean") * col("mean")))
+          .select("event_type", "mean", "std")
+        val tmp = Files.createTempDirectory("graft_p24")
+        val inDir = tmp.resolve("in"); Files.createDirectories(inDir)
+        val bounds = ev.agg(min("ts"), max("ts")).head
+        val (minTs, maxTs) = (bounds.getTimestamp(0), bounds.getTimestamp(1))
+        val spanMs = math.max(1L, maxTs.getTime - minTs.getTime)
+        val chunked = ev.withColumn("__c", least(lit(3),
+          (floor((unix_millis(col("ts")) - lit(minTs.getTime))
+            * 3.0 / spanMs) + 1).cast("int")))
+        val sentinel = spark.range(1)
+          .select(lit(-1L).as("event_id"),
+            lit(new java.sql.Timestamp(maxTs.getTime + 86400000L)).as("ts"),
+            lit(0L).as("user_id"), lit("flush").as("event_type"),
+            lit(0.0).as("value"), lit(4).as("__c"))
+        val scratch = tmp.resolve("scratch")
+        chunked.unionByName(sentinel)
+          .repartition(4, col("__c"))
+          .write.partitionBy("__c").mode("overwrite")
+          .parquet(scratch.toString)
+        (1 to 4).foreach { i =>
+          val part = firstParquetPart(scratch.resolve(s"__c=$i"))
+          val dst = inDir.resolve(f"chunk-$i%02d.parquet")
+          Files.move(part, dst)
+          // modification time is the file source's replay order
+          dst.toFile.setLastModified(maxTs.getTime + i * 60000L)
+        }
+        val outDir = tmp.resolve("out").toString
+        // same state-partition sizing rationale as p20 (conf restored)
+        val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try {
+          val q = graft.streaming.Streams.rateAnomaly(
+              spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(inDir.toString), thresholds)
+            .writeStream.format("parquet")
+            .option("path", outDir)
+            .option("checkpointLocation", tmp.resolve("ckpt").toString)
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        spark.read.parquet(outDir)
+          .select(col("event_type"), col("window.start").as("hour"),
+            col("n").as("c"), col("mean"), col("std"), col("z"))
+          .orderBy("event_type", "hour")
+      },
+      // batch t68's oracle VERBATIM — the whole point of the gate
+      Curation.defs("t68_event_rate_anomaly").oracle)
   )
 }

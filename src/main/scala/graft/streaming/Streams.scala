@@ -274,7 +274,8 @@ object Streams {
       .join(broadcast(thresholds), "event_type")
       .withColumn("z", (col("n").cast("double") - col("mean")) / col("std"))
       .filter(col("z") > 2.0 || col("z") < -2.0)
-      .select(col("event_type"), col("window"), col("n"), col("z"))
+      .select(col("event_type"), col("window"), col("n"),
+        col("mean"), col("std"), col("z"))
 
   /** Ingest-time exact dedup on a content digest: duplicates arriving
     * within the watermark of the first copy are dropped; digest state is
