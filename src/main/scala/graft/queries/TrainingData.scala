@@ -105,8 +105,54 @@ object TrainingData {
     s"list_reduce(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE)*CAST($b[i] AS DOUBLE)), (acc, x) -> acc + x)"
 
   /** t03 shingle document-frequency cap: shingles in more than this many
-    * documents are dropped before the pair join (f² candidate bound). */
-  private val DfCap = 16
+    * documents are dropped before the pair join (f² candidate bound).
+    * RECALL GUARD (r16, T03RecallSpec): the cap's premise — true
+    * near-dups ride rare shingles — is pinned by measuring t03's recall
+    * against the UNCAPPED run of the same pipeline
+    * ([[ngramJaccardPairs]] with cap = MaxValue) at two scale factors,
+    * plus an explicit blind-spot pin (a synthetic pair whose only
+    * shared shingles sit at block df ≈ 22 is dropped by the cap and
+    * found uncapped — the semantics the constant buys, made visible). */
+  private[graft] val DfCap = 16
+
+  /** t03's full pipeline over an arbitrary documents frame (doc_id,
+    * text, lang, n_chars), cap-parameterized so T03RecallSpec can run
+    * the identical code uncapped as ground truth. Blocking: (lang,
+    * n_chars/100); shingles above block-local df `cap` are dropped on
+    * BOTH the intersection and size sides (the jaccard is over KEPT
+    * shingles — the oracle applies the same rule). */
+  private[graft] def ngramJaccardPairs(docs0: DataFrame,
+      cap: Int = DfCap): DataFrame = {
+    val docs = withWords(docs0)
+      .select(col("doc_id"), col("lang"),
+        (col("n_chars") / 100).cast("int").as("bucket"),
+        expr(shingleExpr).as("sh"))
+    val ex = docs
+      .select(col("doc_id"), col("lang"), col("bucket"),
+        explode(col("sh")).as("shingle"))
+    // shingles are distinct per doc → list size == block-local df
+    val groups = ex.groupBy("lang", "bucket", "shingle")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) <= cap)
+    val inter = groups.filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), y -> struct(x as a, y as b))))")).as("p"))
+      .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val sizes = groups.select(explode(col("ids")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    // sizes is one narrow row per doc: AQE broadcasts it here; at
+    // corpus scale it shuffle-joins on the pair keys
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") /
+          (col("na") + col("nb") - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= 0.2)
+      .select("doc_a", "doc_b", "n_inter", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
 
   /** MinHash LSH band table (doc_id, band, bucket) for a documents frame:
     * shingle → 8 minhash sigs (one compiled pass, native
@@ -338,37 +384,7 @@ object TrainingData {
     // corpus per side: 2.0 s vs 1.2 s at sf0.1 (T03Probe), and no
     // broadcast/driver-side hot set anywhere.
     "t03_ngram_jaccard" -> QueryDef(
-      (spark, dir) => {
-        val docs = withWords(t(spark, dir, "documents"))
-          .select(col("doc_id"), col("lang"),
-            (col("n_chars") / 100).cast("int").as("bucket"),
-            expr(shingleExpr).as("sh"))
-        val ex = docs
-          .select(col("doc_id"), col("lang"), col("bucket"),
-            explode(col("sh")).as("shingle"))
-        // shingles are distinct per doc → list size == block-local df
-        val groups = ex.groupBy("lang", "bucket", "shingle")
-          .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-          .filter(size(col("ids")) <= DfCap)
-        val inter = groups.filter(size(col("ids")) > 1)
-          .select(explode(expr(
-            "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), y -> struct(x as a, y as b))))")).as("p"))
-          .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
-          .agg(count(lit(1)).as("n_inter"))
-        val sizes = groups.select(explode(col("ids")).as("doc_id"))
-          .groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-        // sizes is one narrow row per doc: AQE broadcasts it here; at
-        // corpus scale it shuffle-joins on the pair keys
-        inter
-          .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
-          .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
-          .withColumn("jaccard",
-            col("n_inter").cast("double") /
-              (col("na") + col("nb") - col("n_inter")).cast("double"))
-          .filter(col("jaccard") >= 0.2)
-          .select("doc_a", "doc_b", "n_inter", "jaccard")
-          .orderBy("doc_a", "doc_b")
-      },
+      (spark, dir) => ngramJaccardPairs(t(spark, dir, "documents")),
       Some(s"""WITH ds AS (
               |  SELECT doc_id, lang, CAST(n_chars//100 AS INTEGER) AS bucket,
               |         $shingleSqlDuck AS sh
