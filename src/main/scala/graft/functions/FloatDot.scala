@@ -131,6 +131,9 @@ object GraftFunctions {
       "minhash8", arity("minhash8", 1)(exprs => MinHash8(exprs.head)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash16", arity("simhash16", 1)(exprs => SimHash16(exprs.head)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hyperplane_buckets64", arity("hyperplane_buckets64", 1)(exprs =>
+        HyperplaneBuckets64(exprs.head)), "built-in")
     // Spark ships these two (the runtime-filter machinery's Bloom build
     // and probe, spark-catalyst aggregate/BloomFilterAggregate.scala)
     // but gives them no SQL name in 4.1 — surface them for t43's

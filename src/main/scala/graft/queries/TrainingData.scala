@@ -625,28 +625,41 @@ object TrainingData {
     // matches, i.e. the join key space is 4 × 2^16 = 262,144 buckets —
     // NOT a fixed 256 as in round 1, where each bucket held N/256 vectors
     // and within-bucket pair formation was O(N²/256). With 16-bit bands a
-    // random (non-similar) pair collides with prob 4·(1/2)^16 ≈ 6e-5, so
-    // the candidate set stays ~linear in N; only genuinely aligned vectors
-    // (high per-plane agreement prob) concentrate into shared buckets.
+    // random (non-similar) pair collides with prob 4·(1/2)^16 ≈ 6e-5.
     // Candidates are deduped as bare id pairs (shuffles 2 longs, never
-    // embeddings), then exact cosine re-ranks via two id joins.
+    // embeddings), then exact cosine re-ranks via two id joins with
+    // per-VECTOR hoisted self-norms (one dot per pair, not three).
+    //
+    // DENSITY DECOMPOSITION (r16, T12Probe — the 30× ScaleProbe curve's
+    // attribution): measured candidates are 56× the uniform-random
+    // birthday expectation 4·C(N,2)/2^16 at BOTH 1× (6 890 vs 122) and
+    // 30× (6 139 198 vs 109 861) — a constant angular-clustering lift of
+    // the corpus, times the integral. Candidate count is therefore
+    // c·N²/2^14 BY CONSTRUCTION for fixed 16-bit bands; no plan change
+    // can flatten it without changing the answer. The semantic knob at
+    // extreme N is band WIDTH (bits must grow as ~2·log₂N to hold the
+    // random-collision rate), exactly the published LSH sizing rule —
+    // a config choice, not a plan defect. The r16 plan work removed the
+    // non-density wall instead: the signature is one native expression
+    // (see below) and the re-rank carries one dot per pair.
     "t12_cosine_neardup" -> QueryDef(
       (spark, dir) => {
         val emb = t(spark, dir, "embeddings")
-        def signCol(j: Int): Column =
-          when(dotCol(col("embedding"), planeCol(j)) > 0, 1).otherwise(0)
-        def bucketOf(k: Int): Column = (0 until 16)
-          .map(i => signCol((k - 1) * 16 + i + 1) * lit(1 << i))
-          .reduce(_ + _)
-        val bands = emb.select(
-            col("vec_id") +: (1 to 4).map(k =>
-              bucketOf(k).cast("int").as(s"b$k")): _*)
-          .select(col("vec_id"), explode(array((1 to 4).map(k =>
-            struct(lit(k).as("band"), col(s"b$k").as("bucket"))): _*)).as("bb"))
-          .select(col("vec_id"), col("bb.band"), col("bb.bucket"))
+        // the full 4×16-bit signature is ONE native expression
+        // ([[graft.functions.HyperplaneBuckets64]]) — the composed 64×
+        // float_dot sign projection couldn't split inside whole-stage
+        // codegen and crossed the JVM huge-method JIT limit, running as
+        // interpreted bytecode (T12BandsLab: 13.6 s for 60k rows; the
+        // native pass is a tight compiled loop). Same planes, same
+        // ascending-index dot fold, same sign/bit packing — bit-identical
+        // buckets, pinned in HyperplaneBuckets64Spec.
+        val bands = emb.select(col("vec_id"),
+            posexplode(expr("hyperplane_buckets64(embedding)")))
+          .select(col("vec_id"), (col("pos") + 1).cast("int").as("band"),
+            col("col").cast("int").as("bucket"))
           // cache (tiny: 4 (id,band,bucket) rows/vector) — recomputing the
-          // 64 float_dots per row on both self-join sides measured 1.5×
-          // slower than materializing once (R3Lab)
+          // signature on both self-join sides measured 1.5× slower than
+          // materializing once (R3Lab)
           .cache()
 
         val cands = bands.as("a").join(bands.as("b"),
@@ -655,12 +668,16 @@ object TrainingData {
               col("a.vec_id") < col("b.vec_id"))
           .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
           .distinct()
-        val ea = emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
-        val eb = emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+        // self-norms hoisted to the embedding scan (t26's discipline):
+        // one float_dot per VECTOR per side instead of two per PAIR —
+        // the candidate set is the quadratic regime, the corpus is the
+        // linear one. Same doubles, relocated by the join.
+        val ea = emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+          expr(dotSql("embedding", "embedding")).as("na"))
+        val eb = emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+          expr(dotSql("embedding", "embedding")).as("nb"))
         cands.join(ea, "vec_a").join(eb, "vec_b")
           .withColumn("dot", expr(dotSql("ea", "eb")))
-          .withColumn("na", expr(dotSql("ea", "ea")))
-          .withColumn("nb", expr(dotSql("eb", "eb")))
           .select(col("vec_a"), col("vec_b"),
             (col("dot").cast("double") /
               (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))

@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Pins [[graft.functions.HyperplaneBuckets64]] bit-equal to the
+  * composed 64× float_dot sign form it replaced in t12 (the form the
+  * DuckDB oracle still spells out) — the native expression must be a
+  * pure codegen fix, never a semantics change. */
+class HyperplaneBuckets64Spec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.spark
+
+  private def planeCol(j: Int): Column = typedlit((1 to 64).map { d =>
+    val m = (j.toLong * 1103515245L + d.toLong * 12345L) % 32768L
+    m.toDouble / 32768.0 - 0.5
+  })
+
+  test("native buckets equal the composed 64-dot sign form on the fixture") {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    def signCol(j: Int): Column =
+      when(call_function("float_dot", col("embedding"), planeCol(j)) > 0, 1)
+        .otherwise(0)
+    def bucketOf(k: Int): Column = (0 until 16)
+      .map(i => signCol((k - 1) * 16 + i + 1) * lit(1 << i))
+      .reduce(_ + _)
+    val both = emb.select(
+      col("vec_id"),
+      expr("hyperplane_buckets64(embedding)").as("nat"),
+      array((1 to 4).map(k => bucketOf(k).cast("int")): _*).as("composed"))
+    val bad = both.filter(col("nat") =!= col("composed")).count()
+    assert(bad == 0, s"$bad vectors disagree between native and composed buckets")
+    // and the buckets genuinely spread (not degenerate constants)
+    val distinct = both.select(explode(col("nat"))).distinct().count()
+    assert(distinct > 100, s"only $distinct distinct bucket values")
+  }
+
+  test("short, long, and null embeddings") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(Seq.fill(64)(0.5f))),
+      (2L, Some(Seq.fill(3)(1.0f))),   // short: dot folds min(n, 64) dims
+      (3L, Some(Seq.fill(70)(-1.0f))), // long: planes cap at 64 dims
+      (4L, None)
+    ).toDF("vec_id", "embedding")
+    val out = df.select(col("vec_id"),
+      expr("hyperplane_buckets64(embedding)").as("b")).collect()
+    assert(out.length == 4)
+    assert(out.find(_.getLong(0) == 4L).get.isNullAt(1), "null in → null out")
+    val short = out.find(_.getLong(0) == 2L).get.getSeq[Int](1)
+    assert(short.length == 4 && short.forall(b => b >= 0 && b <= 0xFFFF))
+  }
+}
