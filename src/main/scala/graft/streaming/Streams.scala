@@ -484,11 +484,31 @@ object Streams {
     // too — this is a public API and must not depend on the probe
     // having run first on this session
     graft.functions.GraftFunctions.register(batch.sparkSession)
-    batch.select(md5(col("text").cast("binary")).as("h")).distinct()
-      .write.mode("overwrite").parquet(s"$statePath/hashes/batch=$batchId")
-    bands.getOrElse(graft.queries.TrainingData.minhashBands(batch))
-      .select("band", "bucket").distinct()
-      .write.mode("overwrite").parquet(s"$statePath/bands/batch=$batchId")
+    // the two partitions are independent dirs and both idempotent
+    // batch=N overwrites, so the writes OVERLAP (r16): the scheduler
+    // interleaves the two small jobs instead of paying two full job
+    // floors per micro-batch — ~0.4 s/batch at the p23 gate's scale
+    inParallel(
+      () => batch.select(md5(col("text").cast("binary")).as("h")).distinct()
+        .write.mode("overwrite").parquet(s"$statePath/hashes/batch=$batchId"),
+      () => bands.getOrElse(graft.queries.TrainingData.minhashBands(batch))
+        .select("band", "bucket").distinct()
+        .write.mode("overwrite").parquet(s"$statePath/bands/batch=$batchId"))
+  }
+
+  /** Run two independent Spark actions concurrently and await BOTH
+    * (sessions are thread-safe; the jobs share the scheduler pools).
+    * Both are always awaited — no orphan job can race a retry's
+    * idempotent overwrite — and the first failure wins. */
+  private def inParallel(a: () => Unit, b: () => Unit): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val fa = Future(a()); val fb = Future(b())
+    val ra = scala.util.Try(Await.result(fa, Duration.Inf))
+    val rb = scala.util.Try(Await.result(fb, Duration.Inf))
+    ra.get; rb.get
   }
 
   /** Ingest-time incremental near-dup gate — the STREAMING twin of the
@@ -602,9 +622,12 @@ object Streams {
   def compactIndex(spark: SparkSession, statePath: String,
       uptoBatch: Long): Unit = {
     validateCompactionFrontier(spark, statePath, uptoBatch)
-    Seq("hashes", "bands").foreach { sub =>
-      compactIndexSub(spark, statePath, sub, uptoBatch)
-    }
+    // the two sub-indexes are independent dir trees with the same
+    // crash-safety argument each; overlap them (r16) as extendIndex
+    // overlaps its writes
+    inParallel(
+      () => compactIndexSub(spark, statePath, "hashes", uptoBatch),
+      () => compactIndexSub(spark, statePath, "bands", uptoBatch))
   }
 
   /** Bound `uptoBatch` by the run-marker checkpoint's commit log (see
