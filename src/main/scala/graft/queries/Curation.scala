@@ -307,14 +307,21 @@ object Curation {
     *
     * While k ≤ `literalCap` the centroids ride as literals, so the whole
     * pass is ONE codegen'd shuffle-free projection (k float_dots per
-    * row). Past the cap — where a k-wide literal expression tree would
-    * blow up plan compilation — they become a broadcast table probed
-    * row-by-row, with the per-vector argmin as a map-side-combinable
+    * row). Past the cap they become a broadcast table probed row-by-row,
+    * with the per-vector argmin as a map-side-combinable
     * min(struct(dist, cid)) agg keyed on `key`: same doubles, same
     * tie-break, join-shaped plan. PlanSpec pins the equality of the two
-    * forms, so the switch is a cost decision, not a semantics one. */
+    * forms, so the switch is a cost decision, not a semantics one.
+    *
+    * literalCap = 32 (r16, was 256): a k-wide literal projection cannot
+    * split inside whole-stage codegen, and past ~32 dot loops the
+    * generated method crosses the JVM's huge-method JIT limit — the
+    * stage runs as INTERPRETED bytecode. Measured on 60k vectors
+    * (AssignCellsLab, warm): literal 0.37 s at k=32 but 13.2 s at k=64
+    * and 50.4 s at k=256, while the broadcast form holds ~0.7 s
+    * throughout — the cliff is the JIT limit, not the flops. */
   private[graft] def assignCells(df: DataFrame, key: String,
-      cs: Seq[(Int, IndexedSeq[Double])], literalCap: Int = 256): DataFrame =
+      cs: Seq[(Int, IndexedSeq[Double])], literalCap: Int = 32): DataFrame =
     if (cs.size <= literalCap) {
       val dists = array(cs.map { case (_, c) =>
         lit(centroidNorm(c)) - lit(2.0) * dotCol(col("embedding"), typedlit(c))
