@@ -1481,13 +1481,15 @@ object Pipelines {
     // are bit-identical to the batch twin's.
     //
     // Fixture prep (NOT the measured operator, p22's discipline): the
-    // events fixture splits into 3 contiguous TIME-RANGE chunks via one
+    // events fixture splits into 2 contiguous TIME-RANGE chunks via one
     // min/max agg + a map-side projection (no global ntile window), so
     // the watermark only ever advances between micro-batches — nothing
-    // is late, matching the batch twin that counts everything. A 4th
-    // sentinel file (one far-future 'flush' event) pushes the
+    // is late, matching the batch twin that counts everything. Two data
+    // batches are the minimum that proves window state CROSSING a
+    // micro-batch commit (boundary windows receive rows from both); a
+    // 3rd sentinel file (one far-future 'flush' event) pushes the
     // event-time frontier past every fixture window + watermark so
-    // append mode emits them all; the sentinel itself can never
+    // append mode emits them all. The sentinel itself can never
     // surface — its own window is still open at stream end, and
     // 'flush' has no thresholds row to join.
     "p24_pipeline_streaming_rate_anomaly" -> QueryDef(
@@ -1511,25 +1513,29 @@ object Pipelines {
             col("s2").cast("double") / col("n").cast("double")
               - col("mean") * col("mean")))
           .select("event_type", "mean", "std")
+          // a static frame in a stream-static join is re-evaluated on
+          // EVERY micro-batch plan; persist the |types|-row result for
+          // the stream's lifetime (production publishes it as a table)
+          .persist()
         val tmp = Files.createTempDirectory("graft_p24")
         val inDir = tmp.resolve("in"); Files.createDirectories(inDir)
         val bounds = ev.agg(min("ts"), max("ts")).head
         val (minTs, maxTs) = (bounds.getTimestamp(0), bounds.getTimestamp(1))
         val spanMs = math.max(1L, maxTs.getTime - minTs.getTime)
-        val chunked = ev.withColumn("__c", least(lit(3),
+        val chunked = ev.withColumn("__c", least(lit(2),
           (floor((unix_millis(col("ts")) - lit(minTs.getTime))
-            * 3.0 / spanMs) + 1).cast("int")))
+            * 2.0 / spanMs) + 1).cast("int")))
         val sentinel = spark.range(1)
           .select(lit(-1L).as("event_id"),
             lit(new java.sql.Timestamp(maxTs.getTime + 86400000L)).as("ts"),
             lit(0L).as("user_id"), lit("flush").as("event_type"),
-            lit(0.0).as("value"), lit(4).as("__c"))
+            lit(0.0).as("value"), lit(3).as("__c"))
         val scratch = tmp.resolve("scratch")
         chunked.unionByName(sentinel)
-          .repartition(4, col("__c"))
+          .repartition(3, col("__c"))
           .write.partitionBy("__c").mode("overwrite")
           .parquet(scratch.toString)
-        (1 to 4).foreach { i =>
+        (1 to 3).foreach { i =>
           val part = firstParquetPart(scratch.resolve(s"__c=$i"))
           val dst = inDir.resolve(f"chunk-$i%02d.parquet")
           Files.move(part, dst)
@@ -1552,7 +1558,10 @@ object Pipelines {
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .start()
           q.awaitTermination()
-        } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        } finally {
+          spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+          thresholds.unpersist()
+        }
         spark.read.parquet(outDir)
           .select(col("event_type"), col("window.start").as("hour"),
             col("n").as("c"), col("mean"), col("std"), col("z"))
