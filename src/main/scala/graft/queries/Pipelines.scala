@@ -1038,9 +1038,19 @@ object Pipelines {
           .select("event_id", "ts", "user_id", "event_type", "value")
         val tmp = Files.createTempDirectory("graft_p20")
         val inDir = tmp.resolve("in"); Files.createDirectories(inDir)
-        val chunked = ev.withColumn("__c",
-          ntile(4).over(Window.orderBy(col("ts"), col("event_id"))))
-        val maxTs = ev.agg(max("ts")).head.getTimestamp(0)
+        // 4 contiguous TIME-RANGE chunks from one min/max agg + a
+        // map-side projection (r16 — was a global ntile window, the
+        // single-task full-corpus sort p22's prep already dropped).
+        // The per-key in-order cross-batch contract holds: chunk
+        // membership is a function of ts alone, so equal-ts events land
+        // in the same chunk and cross-batch order is strict by ts;
+        // in-batch order stays free (sessionizeSeq sorts each batch).
+        val bounds = ev.agg(min("ts"), max("ts")).head
+        val (minTs, maxTs) = (bounds.getTimestamp(0), bounds.getTimestamp(1))
+        val spanMs = math.max(1L, maxTs.getTime - minTs.getTime)
+        val chunked = ev.withColumn("__c", least(lit(4),
+          (floor((unix_millis(col("ts")) - lit(minTs.getTime))
+            * 4.0 / spanMs) + 1).cast("int")))
         val sentinels = ev.select(col("user_id")).distinct()
           .withColumn("event_id",
             -row_number().over(Window.orderBy("user_id")).cast("long"))
