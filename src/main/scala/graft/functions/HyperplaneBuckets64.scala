@@ -76,7 +76,11 @@ object HyperplaneBuckets64 {
       var acc = 0.0
       var i = 0
       while (i < n) { acc += v(i) * p(i); i += 1 }
-      if (acc > 0) out(j / 16) |= 1 << (j % 16)
+      // Spark SQL (and DuckDB) order NaN above every value, so the
+      // composed form's `float_dot(...) > 0` is TRUE for a NaN dot;
+      // plain Java `>` would say false — match the SQL semantics
+      // (caught by the adversarial-input pin in the spec)
+      if (acc > 0 || java.lang.Double.isNaN(acc)) out(j / 16) |= 1 << (j % 16)
       j += 1
     }
     new GenericArrayData(out)

@@ -36,6 +36,34 @@ class HyperplaneBuckets64Spec extends AnyFunSuite {
     assert(distinct > 100, s"only $distinct distinct bucket values")
   }
 
+  test("native equals composed on adversarial inputs") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val rng = new scala.util.Random(20260815)
+    val rows: Seq[(Long, Seq[Float])] =
+      (1L to 60L).map { i =>
+        val n = Seq(0, 1, 3, 63, 64, 64, 64, 70)(rng.nextInt(8))
+        i -> Seq.fill(n)((rng.nextGaussian() *
+          math.pow(10, rng.nextInt(13) - 6)).toFloat)
+      } ++ Seq(
+        100L -> Seq.fill(64)(0.0f),                       // all-zero: every dot == 0, sign false
+        101L -> Seq.fill(64)(Float.NaN),                  // NaN poisons every dot; NaN > 0 is false
+        102L -> Seq.fill(64)(Float.MaxValue),             // overflow-adjacent magnitudes
+        103L -> (Seq.fill(32)(1e30f) ++ Seq.fill(32)(-1e30f)))
+    val df = rows.toDF("vec_id", "embedding")
+    def signCol(j: Int): Column =
+      when(call_function("float_dot", col("embedding"), planeCol(j)) > 0, 1)
+        .otherwise(0)
+    def bucketOf(k: Int): Column = (0 until 16)
+      .map(i => signCol((k - 1) * 16 + i + 1) * lit(1 << i))
+      .reduce(_ + _)
+    val both = df.select(col("vec_id"),
+      expr("hyperplane_buckets64(embedding)").as("nat"),
+      array((1 to 4).map(k => bucketOf(k).cast("int")): _*).as("composed"))
+    val bad = both.filter(col("nat") =!= col("composed")).collect()
+    assert(bad.isEmpty, s"disagreements: ${bad.take(3).mkString(", ")}")
+  }
+
   test("short, long, and null embeddings") {
     graft.functions.GraftFunctions.register(spark)
     import spark.implicits._
