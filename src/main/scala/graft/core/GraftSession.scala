@@ -30,6 +30,17 @@ import org.apache.spark.sql.SparkSession
   *    (strftime parity, sessionization µs math) is timezone-stable
   *    under UTC; a cluster inheriting a host zone silently shifts
   *    date_trunc buckets.
+  *  - `codegen.hugeMethodLimit` at HotSpot's 8000-bytecode JIT compile
+  *    threshold (Spark's default 65535 only guards Janino's hard
+  *    64 KB limit): a whole-stage-codegen method past 8000 bytecodes
+  *    never JIT-compiles and the whole stage runs INTERPRETED —
+  *    measured at 20–70× on wide multi-kernel projections
+  *    (AssignCellsLab: 0.37 s at 32 fused dot loops vs 13.2 s at 64,
+  *    identical rows). With the limit at 8000, Spark falls back to
+  *    per-operator codegen whose expression splitting keeps every
+  *    method JIT-able. The engine's own hot paths avoid the cliff
+  *    structurally (native kernels, broadcast-table forms), so this is
+  *    protection for user-authored pipeline SQL.
   */
 object GraftSession {
 
@@ -43,7 +54,8 @@ object GraftSession {
     "spark.sql.adaptive.coalescePartitions.initialPartitionNum" -> "1024",
     "spark.sql.adaptive.skewJoin.enabled" -> "true",
     "spark.sql.files.maxPartitionBytes" -> (256L * 1024 * 1024).toString,
-    "spark.sql.session.timeZone" -> "UTC")
+    "spark.sql.session.timeZone" -> "UTC",
+    "spark.sql.codegen.hugeMethodLimit" -> "8000")
 
   def builder(appName: String = "graft"): SparkSession.Builder =
     confs.foldLeft(SparkSession.builder().appName(appName)) {
