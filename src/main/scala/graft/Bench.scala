@@ -24,21 +24,41 @@ import org.apache.spark.sql.SparkSession
   *    future one that silently starts to) can never time a warm
   *    InMemoryRelation or squat on executor storage memory while later
   *    queries are measured;
-  *  - AQE on, shuffle partitions = worker threads (local mode).
+  *  - the session is the SHIPPED production profile ([[graft.core
+  *    .GraftSession]] — AQE, skew-join, 256 MiB scans, UTC,
+  *    codegen.hugeMethodLimit=8000), so the graded number measures the
+  *    confs the engine actually runs under (r16 verdict residual #1:
+  *    the hugeMethodLimit JIT-cliff pin was never exercised by the
+  *    bench itself). The ONLY deltas from the profile are local-mode
+  *    sizing — shuffle/initial partitions = worker threads instead of
+  *    the cluster's 1024 (GraftSession's own scaladoc: right for a
+  *    32-thread JVM, wrong for a cluster) — and the disabled UI; an
+  *    assertion below pins that no other profile conf drifts.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "true")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", aqe)
-      .config("spark.sql.adaptive.coalescePartitions.enabled", aqe)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val localSizing = Map(
+      "spark.sql.shuffle.partitions" -> cpus,
+      "spark.sql.adaptive.coalescePartitions.initialPartitionNum" -> cpus,
+      "spark.sql.adaptive.enabled" -> aqe,
+      "spark.sql.adaptive.coalescePartitions.enabled" -> aqe)
+    val spark = localSizing.foldLeft(
+        graft.core.GraftSession.builder("graft-bench")
+          .master(s"local[$cpus]")
+          .config("spark.ui.enabled", "false")) {
+        case (b, (k, v)) => b.config(k, v)
+      }.getOrCreate()
+    // every profile conf except the documented local-sizing overrides
+    // must be live in the measured session
+    graft.core.GraftSession.confs.foreach { case (k, v) =>
+      val want = localSizing.getOrElse(k, v)
+      require(spark.conf.get(k) == want,
+        s"bench session drifted from the production profile: $k = " +
+          s"${spark.conf.get(k)}, profile wants $want")
+    }
     spark.sparkContext.setLogLevel("ERROR")
 
     def exec(name: String, dir: String): Unit =

@@ -17,7 +17,10 @@ import org.apache.spark.sql.types._
   * `((j·1103515245 + d·12345) mod 32768)/32768 − 0.5` doubles (computed
   * once into a static table by the SAME Scala arithmetic that built the
   * old literals), and bit i of band k is `dot_{(k−1)·16+i+1} > 0`.
-  * The DuckDB oracle's spelling is unchanged.
+  * The DuckDB oracle's spelling is unchanged. Like FloatDot, every
+  * numeric element type is widened to double with a per-type accessor
+  * (r16 ADVICE: the float-else-getDouble shortcut misread 4-byte int
+  * slots and ClassCastException'd on decimals).
   *
   * Scale note (T12BandsLab, r16): the composed form's 64-dot projection
   * cannot split inside whole-stage codegen, and past ~2 bands the
@@ -39,14 +42,54 @@ case class HyperplaneBuckets64(child: Expression) extends UnaryExpression {
     else TypeCheckResult.TypeCheckFailure(
       s"hyperplane_buckets64 requires a numeric array, got ${child.dataType.sql}")
 
-  private lazy val isFloat = elemOf(child.dataType).contains(FloatType)
+  private lazy val elemType: DataType = elemOf(child.dataType).get
 
-  override def nullSafeEval(a: Any): Any =
-    HyperplaneBuckets64.buckets(a.asInstanceOf[ArrayData], isFloat)
+  private def get(t: DataType, arr: ArrayData, i: Int): Double = t match {
+    case FloatType => arr.getFloat(i).toDouble
+    case DoubleType => arr.getDouble(i)
+    case IntegerType => arr.getInt(i).toDouble
+    case LongType => arr.getLong(i).toDouble
+    case ShortType => arr.getShort(i).toDouble
+    case ByteType => arr.getByte(i).toDouble
+    case d: DecimalType => arr.getDecimal(i, d.precision, d.scale).toDouble
+    case other => sys.error(s"unsupported element type $other")
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val n = math.min(arr.numElements(), 64)
+    val v = new Array[Double](n)
+    var i = 0
+    while (i < n) { v(i) = get(elemType, arr, i); i += 1 }
+    HyperplaneBuckets64.bucketsFromDoubles(v)
+  }
+
+  private def accessor(t: DataType, arr: String, i: String): String = t match {
+    case FloatType => s"(double)$arr.getFloat($i)"
+    case DoubleType => s"$arr.getDouble($i)"
+    case IntegerType => s"(double)$arr.getInt($i)"
+    case LongType => s"(double)$arr.getLong($i)"
+    case ShortType => s"(double)$arr.getShort($i)"
+    case ByteType => s"(double)$arr.getByte($i)"
+    case d: DecimalType =>
+      s"$arr.getDecimal($i, ${d.precision}, ${d.scale}).toDouble()"
+    case other => sys.error(s"unsupported element type $other")
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.HyperplaneBuckets64.buckets($c, $isFloat);")
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val v = ctx.freshName("v")
+      s"""
+         |int $n = java.lang.Math.min($c.numElements(), 64);
+         |double[] $v = new double[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $v[$i] = ${accessor(elemType, c, i)};
+         |}
+         |${ev.value} = graft.functions.HyperplaneBuckets64.bucketsFromDoubles($v);
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -60,15 +103,9 @@ object HyperplaneBuckets64 {
     m.toDouble / 32768.0 - 0.5
   }
 
-  def buckets(emb: ArrayData, isFloat: Boolean): ArrayData = {
-    val n = math.min(emb.numElements(), 64)
-    // one unboxed copy, then 64 tight dot loops over it
-    val v = new Array[Double](n)
-    var d = 0
-    while (d < n) {
-      v(d) = if (isFloat) emb.getFloat(d).toDouble else emb.getDouble(d)
-      d += 1
-    }
+  /** 64 tight dot loops over the pre-widened vector (≤64 elements). */
+  def bucketsFromDoubles(v: Array[Double]): ArrayData = {
+    val n = v.length
     val out = new Array[Int](4)
     var j = 0
     while (j < 64) {

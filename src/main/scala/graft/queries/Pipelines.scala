@@ -23,9 +23,18 @@ object Pipelines {
     * DeltaConnection's walk/list sites). Shared by the p20/p22/p23
     * fixture preps that relabel shuffle output into replayable chunks. */
   private def firstParquetPart(dir: java.nio.file.Path): java.nio.file.Path = {
+    // A chunk partition dir that was never written (skewed timestamps
+    // collapsing a time-range chunk to zero rows, or all-equal ts under
+    // the spanMs=1 clamp) must fail with a diagnostic naming the chunk,
+    // not a raw NoSuchFileException from the listing (r16 ADVICE).
+    require(Files.isDirectory(dir),
+      s"fixture chunk $dir is empty (never written) — the time-range " +
+        "chunking produced a zero-row chunk; the fixture's timestamps " +
+        "are too skewed to split into this many replay batches")
     val s = Files.list(dir)
     try s.iterator().asScala
-      .find(_.getFileName.toString.endsWith(".parquet")).get
+      .find(_.getFileName.toString.endsWith(".parquet"))
+      .getOrElse(sys.error(s"no parquet part in fixture chunk $dir"))
     finally s.close()
   }
 
@@ -1014,16 +1023,19 @@ object Pipelines {
     // DuckDB oracle verbatim.
     //
     // Fixture prep (NOT the measured operator): the events fixture is
-    // split into 4 time-ordered chunk files with increasing modification
-    // times, so the file source replays them as 4 ordered micro-batches
+    // split into 2 time-ordered chunk files with increasing modification
+    // times, so the file source replays them as 2 ordered micro-batches
     // (maxFilesPerTrigger=1) — the per-key in-order cross-batch delivery
     // sessionizeSeq's equivalence contract requires (in-batch order is
-    // free: it sorts each batch). Four batches exercise every state
-    // transition the contract has (carry, merge, close, multi-batch
-    // accumulate) while each extra batch only re-pays the micro-batch
-    // floor. A 5th sentinel file (one far-future 'flush' event per
-    // user) closes every trailing session; sentinel sessions themselves
-    // never close, so append mode never emits them.
+    // free: it sorts each batch). Two data batches are the MINIMUM that
+    // proves per-key state crossing a checkpoint commit (carry, merge,
+    // close, accumulate all fire at the boundary — sessions spanning it
+    // are preserved at any chunk count ≥2 because chunk membership is a
+    // function of ts alone); r16 ran 4 and each extra batch only re-paid
+    // the micro-batch floor (p24 established the 2-chunk minimum). A 3rd
+    // sentinel file (one far-future 'flush' event per user) closes every
+    // trailing session; sentinel sessions themselves never close, so
+    // append mode never emits them.
     // The stream has no global session ordinal — session_seq is assigned
     // post-hoc per user by start order, valid because the gap rule makes
     // session starts strictly increasing per user (same rule as
@@ -1038,7 +1050,7 @@ object Pipelines {
           .select("event_id", "ts", "user_id", "event_type", "value")
         val tmp = Files.createTempDirectory("graft_p20")
         val inDir = tmp.resolve("in"); Files.createDirectories(inDir)
-        // 4 contiguous TIME-RANGE chunks from one min/max agg + a
+        // 2 contiguous TIME-RANGE chunks from one min/max agg + a
         // map-side projection (r16 — was a global ntile window, the
         // single-task full-corpus sort p22's prep already dropped).
         // The per-key in-order cross-batch contract holds: chunk
@@ -1048,9 +1060,9 @@ object Pipelines {
         val bounds = ev.agg(min("ts"), max("ts")).head
         val (minTs, maxTs) = (bounds.getTimestamp(0), bounds.getTimestamp(1))
         val spanMs = math.max(1L, maxTs.getTime - minTs.getTime)
-        val chunked = ev.withColumn("__c", least(lit(4),
+        val chunked = ev.withColumn("__c", least(lit(2),
           (floor((unix_millis(col("ts")) - lit(minTs.getTime))
-            * 4.0 / spanMs) + 1).cast("int")))
+            * 2.0 / spanMs) + 1).cast("int")))
         val sentinels = ev.select(col("user_id")).distinct()
           .withColumn("event_id",
             -row_number().over(Window.orderBy("user_id")).cast("long"))
@@ -1059,17 +1071,17 @@ object Pipelines {
           .withColumn("event_type", lit("flush"))
           .withColumn("value", lit(0.0))
           .select("event_id", "ts", "user_id", "event_type", "value")
-        // ONE partitioned write emits all five chunk files (the old
-        // per-chunk coalesce(1) loop paid nine separate job floors for
+        // ONE partitioned write emits all three chunk files (the old
+        // per-chunk coalesce(1) loop paid separate job floors for
         // fixture prep that is not the measured operator); partitionBy
         // drops __c from the data files, so every chunk carries the
         // plain event schema.
         val scratch = tmp.resolve("scratch")
-        chunked.unionByName(sentinels.withColumn("__c", lit(5)))
-          .repartition(5, col("__c"))
+        chunked.unionByName(sentinels.withColumn("__c", lit(3)))
+          .repartition(3, col("__c"))
           .write.partitionBy("__c").mode("overwrite")
           .parquet(scratch.toString)
-        (1 to 5).foreach { i =>
+        (1 to 3).foreach { i =>
           val part = firstParquetPart(scratch.resolve(s"__c=$i"))
           val dst = inDir.resolve(f"chunk-$i%02d.parquet")
           Files.move(part, dst)

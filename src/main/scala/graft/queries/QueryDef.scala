@@ -56,11 +56,29 @@ object Tables {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) return None
+    // Mirror Spark's InMemoryFileIndex hidden-path filter: skip any file
+    // under a '_'- or '.'-prefixed segment (e.g. a leftover _temporary
+    // dir from an interrupted write). Spark's reader never sees those
+    // rows, so counting them here would diverge N from emb.count() —
+    // and silently shift t26's kCells vs the DuckDB oracle (r16 ADVICE).
+    // (segments BELOW the table root only — a dotted dir in the base
+    // path itself, e.g. /home/u/.cache/tbl, must not hide the table)
+    def hidden(f: org.apache.hadoop.fs.Path): Boolean = {
+      val root = p.toUri.getPath.stripSuffix("/")
+      var cur = f
+      var h = false
+      while (cur != null && cur.toUri.getPath.stripSuffix("/") != root && !h) {
+        val n = cur.getName
+        if (n.startsWith("_") || n.startsWith(".")) h = true
+        cur = cur.getParent
+      }
+      h
+    }
     val files = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.Path]
     val it = fs.listFiles(p, true)
     while (it.hasNext) {
       val f = it.next()
-      if (f.getPath.getName.endsWith(".parquet")) {
+      if (f.getPath.getName.endsWith(".parquet") && !hidden(f.getPath)) {
         files += f.getPath
         if (files.size > maxFiles) return None
       }

@@ -79,4 +79,32 @@ class FixtureContractSpec extends AnyFunSuite {
       drifted.mkString("", "\n", "\n— adapt the reader (like Tables.events) " +
         "or update the engine's assumptions AND this contract together"))
   }
+
+  test("parquetRowCount skips hidden paths, matching Spark's reader view") {
+    // r16 ADVICE: a leftover _temporary dir from an interrupted write is
+    // invisible to Spark's InMemoryFileIndex but used to be summed by the
+    // footer count — silently shifting t26's kCells vs the DuckDB oracle.
+    val dir = java.nio.file.Files.createTempDirectory("rowcount").toString
+    try {
+      import spark.implicits._
+      (1L to 500L).toDF("id").repartition(2).write.parquet(s"$dir/tbl")
+      val parts = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/tbl"))
+        .filter(_.toString.endsWith(".parquet")).toArray.map(_.toString)
+      assert(parts.nonEmpty)
+      // plant copies under _temporary and .stage — Spark ignores both
+      for (h <- Seq("_temporary/0", ".stage")) {
+        val hd = java.nio.file.Paths.get(s"$dir/tbl/$h")
+        java.nio.file.Files.createDirectories(hd)
+        java.nio.file.Files.copy(java.nio.file.Paths.get(parts.head),
+          hd.resolve("leftover.parquet"))
+      }
+      val footerN = graft.queries.Tables.parquetRowCount(spark, s"$dir/tbl")
+      val sparkN = spark.read.parquet(s"$dir/tbl").count()
+      assert(sparkN == 500L)
+      assert(footerN.contains(sparkN),
+        s"footer count $footerN must equal Spark's reader view $sparkN")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
 }

@@ -47,7 +47,10 @@ class HyperplaneBuckets64Spec extends AnyFunSuite {
           math.pow(10, rng.nextInt(13) - 6)).toFloat)
       } ++ Seq(
         100L -> Seq.fill(64)(0.0f),                       // all-zero: every dot == 0, sign false
-        101L -> Seq.fill(64)(Float.NaN),                  // NaN poisons every dot; NaN > 0 is false
+        // NaN poisons every dot, and Spark/DuckDB order NaN ABOVE every
+        // value — NaN > 0 is TRUE, so every sign bit is SET (the
+        // isNaN branch in the native kernel matches this)
+        101L -> Seq.fill(64)(Float.NaN),
         102L -> Seq.fill(64)(Float.MaxValue),             // overflow-adjacent magnitudes
         103L -> (Seq.fill(32)(1e30f) ++ Seq.fill(32)(-1e30f)))
     val df = rows.toDF("vec_id", "embedding")
@@ -62,6 +65,39 @@ class HyperplaneBuckets64Spec extends AnyFunSuite {
       array((1 to 4).map(k => bucketOf(k).cast("int")): _*).as("composed"))
     val bad = both.filter(col("nat") =!= col("composed")).collect()
     assert(bad.isEmpty, s"disagreements: ${bad.take(3).mkString(", ")}")
+  }
+
+  test("non-float numeric element types match the composed form") {
+    // r16 ADVICE (medium): the registered SQL function admits any
+    // numeric array, so array<int>/bigint/double/decimal must take the
+    // same per-type-accessor path as float_dot — not misread 4-byte
+    // slots via getDouble or ClassCastException on decimals.
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val base = (1L to 40L).map { i =>
+      val rng = new scala.util.Random(i * 7919)
+      i -> Seq.fill(64)(rng.nextInt(2001) - 1000)
+    }.toDF("vec_id", "iv")
+    val typed = base.selectExpr(
+      "vec_id",
+      "iv",
+      "cast(iv as array<bigint>) as lv",
+      "cast(iv as array<smallint>) as sv",
+      "cast(iv as array<double>) as dv",
+      "cast(transform(iv, x -> cast(x as decimal(12,3))) as array<decimal(12,3)>) as cv")
+    def signCol(c: Column, j: Int): Column =
+      when(call_function("float_dot", c, planeCol(j)) > 0, 1).otherwise(0)
+    def composed(c: Column): Column = array((1 to 4).map { k =>
+      (0 until 16).map(i => signCol(c, (k - 1) * 16 + i + 1) * lit(1 << i))
+        .reduce(_ + _).cast("int")
+    }: _*)
+    for (cn <- Seq("iv", "lv", "sv", "dv", "cv")) {
+      val bad = typed.select(
+        expr(s"hyperplane_buckets64($cn)").as("nat"),
+        composed(col(cn)).as("comp")
+      ).filter(col("nat") =!= col("comp")).count()
+      assert(bad == 0, s"array column $cn: $bad rows disagree with composed form")
+    }
   }
 
   test("short, long, and null embeddings") {
