@@ -195,16 +195,21 @@ object Curation {
 
   /** Expected within-cell membership (N/k) above which t26's pair
     * stage abandons the cell-local collect_list fold for the streamed
-    * self-join: a collected member is ~280 B (id + 64 floats + norm),
-    * so 4096 members ≈ 1.2 MB per aggregation row — comfortably inside
-    * executor memory — while past it a fold row would grow with N
-    * (at N = 10¹⁰ under the cap, ~38k members ≈ 11 MB each; at the old
-    * 4096-cell cap it reached GBs — the r15 memory cliff). The join
-    * shape streams the same pairs through a SortMergeJoin's external
-    * sort instead, trading one extra exchange for bounded rows;
-    * PlanSpec pins the two shapes equal. With the current cap the
-    * switch engages past 4096×262144 ≈ 1.07×10⁹ vectors. */
-  private[graft] val semdedupFoldMaxCell = 4096
+    * self-join. r16 set this at 4096 on memory-RESIDENCY grounds
+    * (~280 B/member → 1.2 MB per aggregation row); r17's T26FoldLab
+    * MEASURED the crossover with cells forced to each size and found
+    * wall time, not memory, binds far earlier: the fold's interpreted
+    * per-pair lambda dispatch costs ~2× the join's codegen'd pair loop
+    * once pair work dominates the join's extra-exchange floor (run-2
+    * walls, fold vs join: m=64 0.17/0.24 s, m=128 0.14/0.18, m=256
+    * 0.19/0.21, m=512 0.45/0.32, m=1024 1.7/1.0, m=4096 23.8/14.3; GC
+    * ≤0.9 s of a 28 s fold even at m=4096, so allocation churn from
+    * the O(m²) transient slices is NOT the binder either). Crossover
+    * ≈300 members → constant set at 256, the safe side. The join shape
+    * streams the same pairs through a SortMergeJoin's external sort;
+    * PlanSpec pins the two shapes equal row-for-row, and gate-scale
+    * fixtures (m ≈ √N ≤ 45 at sf0.1) stay on the fold. */
+  private[graft] val semdedupFoldMaxCell = 256
 
   private[graft] def semdedupK(n: Long,
       targetCellSize: Int = semdedupCellSize,
@@ -672,9 +677,11 @@ object Curation {
           .withColumn("nrm", expr(dotSql("embedding", "embedding")))
           .select("vec_id", "cell", "embedding", "nrm")
         // pair-stage shape by expected cell membership: the fold while
-        // a collected cell row stays small, the streamed join once
-        // cells outgrow [[semdedupFoldMaxCell]] (the post-cap regime
-        // where a fold row would grow with N — memory, not flops)
+        // the join's extra exchange would dominate tiny per-cell work,
+        // the streamed join once cells outgrow [[semdedupFoldMaxCell]]
+        // (the T26FoldLab-measured wall crossover — the fold's
+        // interpreted per-pair dispatch costs ~2× the join's codegen'd
+        // loop once pair work dominates)
         if (n.toDouble / kCells <= semdedupFoldMaxCell)
           semdedupVerdictsFold(assigned)
         else semdedupVerdictsJoin(assigned)
@@ -1882,6 +1889,10 @@ object Curation {
     // is candidate-sized, and the Jaccard verify runs ONCE per pair.
     // The oracle keeps the independent per-config band-join spelling,
     // so the gate PROVES the nesting identity rather than assuming it.
+    // 30× probe (T02Probe, r17): wall 5.08× on the independent-corpus
+    // (mangled) fixture — the t02 candidate pass plus candidate-
+    // proportional verify work, tracking the flat 0.14-candidates/doc
+    // density; no corpus-sized stage beyond t02's own.
     "t45_band_sweep" -> QueryDef(
       (spark, dir) => {
         val docs = withWords(t(spark, dir, "documents"))

@@ -1590,6 +1590,96 @@ object Pipelines {
           .orderBy("event_type", "hour")
       },
       // batch t68's oracle VERBATIM — the whole point of the gate
-      Curation.defs("t68_event_rate_anomaly").oracle)
+      Curation.defs("t68_event_rate_anomaly").oracle),
+
+    // ----------------------------------------------------------------- p25
+    // BLOOM-PREFILTER DECONTAMINATION INGEST THROUGH THE ORACLE GATE —
+    // the last cheaply-gateable streaming op that was only pinned by
+    // StreamingSpec equivalence (r16 verdict residual #2):
+    // `streamingDecontaminateBloom`, the corpus-scale face of p22's
+    // decontaminator (Bloom sketch prunes map-side; only positives
+    // reach the exact verify join against the distributed eval gram
+    // table — t43's dataflow at ingest time). The stream replays p22's
+    // fixture shape (training docs split into 2 micro-batches by id
+    // parity; eval docs never enter the stream) through a REAL
+    // foreachBatch run — two batches prove the gram index frame and the
+    // Bloom binary literal survive foreachBatch's cloned session across
+    // a checkpoint commit, and that per-batch outputs land as batch=N
+    // partitions. Kept set = train docs with NO 13-gram in the eval
+    // set: the ANY-hit rule p22's oracle spells out (Bloom false
+    // positives die in the verify join, false negatives are impossible,
+    // so the sketch is invisible to the oracle — the same equivalence
+    // t43 proves for the batch twin). No dedup leg and no sentinel:
+    // decontamination is stateless per batch and emits immediately.
+    "p25_pipeline_streaming_decon_bloom" -> QueryDef(
+      (spark, dir) => {
+        import org.apache.spark.sql.functions._
+        val docs = Tables.t(spark, dir, "documents")
+          .filter(col("doc_id") % 50 =!= 0) // eval docs never ingest
+          .select(col("doc_id"), col("text"))
+        val evalDocs = Tables.t(spark, dir, "documents")
+          .filter(col("doc_id") % 50 === 0).select("text")
+        val chunked = docs
+          .withColumn("__c", (pmod(col("doc_id"), lit(2)) + 1).cast("int"))
+        val tmp = Files.createTempDirectory("graft_p25")
+        val inDir = tmp.resolve("in"); Files.createDirectories(inDir)
+        val scratch = tmp.resolve("scratch")
+        chunked.repartition(2, col("__c"))
+          .write.partitionBy("__c").mode("overwrite")
+          .parquet(scratch.toString)
+        (1 to 2).foreach { i =>
+          val part = firstParquetPart(scratch.resolve(s"__c=$i"))
+          val dst = inDir.resolve(f"chunk-$i%02d.parquet")
+          Files.move(part, dst)
+          dst.toFile.setLastModified(1700000000000L + i * 60000L)
+        }
+        val outDir = tmp.resolve("out").toString
+        // same state-partition sizing rationale as p20 (conf restored):
+        // the per-batch verify/anti joins shuffle a fixture-sized batch
+        val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try {
+          val stream = spark.readStream
+            .schema(chunked.drop("__c").schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(inDir.toString)
+          // capacity for the eval side's distinct 13-grams at ~8 bits
+          // per item (t43's sizing: ~2% FP — FPs cost verify rows only)
+          // the op starts a CONTINUOUS stream (its deployment shape —
+          // an ingest gate waits for more files); the gate drains the
+          // two staged batches and stops, the same way StreamingSpec
+          // drives the other continuous ops
+          val q = graft.streaming.Streams.streamingDecontaminateBloom(
+            stream, "doc_id", "text", evalDocs, "text",
+            outDir, tmp.resolve("ckpt").toString,
+            expectedItems = 100000L)
+          try q.processAllAvailable() finally q.stop()
+        } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        spark.read.parquet(outDir)
+          .select(col("doc_id"),
+            md5(col("text").cast("binary")).as("content_hash"))
+          .orderBy("doc_id")
+      },
+      // p22's ANY-hit 13-gram rule, minus the dedup leg (no clones in
+      // this fixture): kept = clean training docs, keyed by doc_id
+      Some("""WITH d AS (
+             |  SELECT doc_id, text, string_split(text, ' ') AS words,
+             |         len(string_split(text, ' ')) AS n_words
+             |  FROM documents),
+             |pos AS (
+             |  SELECT doc_id, words, unnest(range(1, n_words - 11)) AS p
+             |  FROM d WHERE n_words >= 13),
+             |ng AS (
+             |  SELECT doc_id, array_to_string(words[p:p+12], ' ') AS g
+             |  FROM pos),
+             |ev AS (SELECT DISTINCT g FROM ng WHERE doc_id % 50 = 0),
+             |dirty AS (
+             |  SELECT DISTINCT n.doc_id FROM ng n JOIN ev USING (g)
+             |  WHERE n.doc_id % 50 <> 0)
+             |SELECT doc_id, md5(text) AS content_hash
+             |FROM d
+             |WHERE doc_id % 50 <> 0
+             |  AND doc_id NOT IN (SELECT doc_id FROM dirty)
+             |ORDER BY doc_id""".stripMargin))
   )
 }

@@ -356,6 +356,19 @@ object TrainingData {
     // ----------------------------------------------------------------- t02
     // MinHash + LSH near-dup candidates: shingle → 8 minhash sigs →
     // 4 bands (r=2) → bucket join. Pairs only form within buckets.
+    //
+    // 30× probe (T02Probe, r17): on an independent-corpus fixture
+    // (token-mangled copies — see ScaleProbe's mode note) candidate
+    // density is FLAT at 0.138 → 0.142 candidates/doc for 5k → 150k
+    // docs (band buckets are md5 digests, an unbounded key space, so
+    // buckets never saturate); wall ratio 2.34× for 30× data. On the
+    // rotation fixture — which r17 forensics proved manufactures
+    // near-complete 30-cliques for shingle ops (2.16M of 2.76M
+    // candidates were same-original pairs) — the wall is still only
+    // 3.0×, so the clustered-corpus WORST case holds up too. Chance
+    // collisions are a corpus-independent per-pair rate (≈5.3e-5
+    // here), the standard fixed-(b,r) LSH property; corpora where that
+    // floor binds raise r with scale, an answer-changing config.
     "t02_minhash_lsh" -> QueryDef(
       (spark, dir) => minhashPairs(spark, dir).orderBy("doc_a", "doc_b"),
       Some(s"""WITH $minhashPairsDuck
@@ -1002,6 +1015,20 @@ object TrainingData {
     // here — 1.14 vs 0.85 s at sf0.1, T18Lab — because these buckets
     // are larger and skewed, so the interpreted unfold lambda dominates;
     // the codegen'd self-join amortizes better. Kept the self-join.)
+    //
+    // 30× probe (T18Probe, r17 — NOT ScaleProbe's rotation fixture:
+    // simhash hashes the token MULTISET, which rotation preserves, so
+    // rotated copies carry IDENTICAL fingerprints; the probe mangles
+    // tokens per copy instead): candidates 792k → 136M and answers
+    // 121k → 17.9M for 5k → 150k docs, converging onto the uniform
+    // birthday floors (raw 1.55× E[2·C(n,2)/256], answers 6.15×
+    // E[C(n,2)·17/2¹⁶]) — BOTH Θ(n²) because a FIXED 16-bit
+    // fingerprint makes the hamming≤1 ANSWER itself quadratic in the
+    // corpus; banding adds only a bounded ~8× candidate factor over
+    // that floor (136M/17.9M). Wall grew 5.76× for 172× more candidate
+    // rows (throughput-bound, no hidden cliff); flattening the curve
+    // means widening the fingerprint with the corpus, which changes
+    // the answer — a config, not a plan fix.
     "t18_simhash_neardup" -> QueryDef(
       (spark, dir) => {
         val sims = simhash16(spark, dir)

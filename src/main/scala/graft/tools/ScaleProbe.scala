@@ -11,15 +11,32 @@ import org.apache.spark.sql.functions._
   * t89 t42): their 10× ratios grow with dup-graph density, so 10× alone
   * cannot separate sub-quadratic from quadratic — a 30× point can.
   *
-  * The 10× corpus is 10 word-ROTATED copies of sf0.1's documents (copy
-  * k rotates each text by 7k+3 words, k=0 keeps the original): rotation
-  * preserves the word/token distribution (t87's BPE and unigram stats
-  * stay realistic) while destroying shingle continuity, so copies do
-  * NOT minhash-near-dup against each other — a naive 10× duplication
-  * would manufacture 10-cliques in the dup graph and quadratically
-  * inflate t15/t92/t94's pair lists, probing the wrong curve.
+  * Two copy modes, because no single transform is honest for every op:
   *
-  * Usage: runMain graft.tools.ScaleProbe [outDir [query,query,...] [factor]]
+  *  - `rotate` (default; the r12–r16 fixtures): copy k rotates each
+  *    text by 7k+3 words. Preserves the word/token distribution (t87's
+  *    BPE and unigram stats stay realistic) — but r17's T02Probe
+  *    forensics proved the original premise WRONG for shingle ops:
+  *    overlapping 3-shingles are nearly invariant under cyclic
+  *    rotation (only the ~4 boundary shingles change), so rotated
+  *    copies minhash-collide as near-complete factor-cliques
+  *    (measured: 2.16M of 2.76M 30× candidates were same-original
+  *    pairs = 5000·C(30,2)). Rotation fixtures therefore probe the
+  *    CLUSTERED-corpus worst case for t02/t15/t45/t92/t94 — a valid
+  *    stress, not the advertised independent-corpus curve. (simhash
+  *    ops are worse still: the token MULTISET is rotation-invariant,
+  *    so fingerprints are IDENTICAL across copies — see T18Probe.)
+  *
+  *  - `mangle`: copy k prefixes every token with `k<k>`. Intra-copy
+  *    structure (true dup pairs, token counts, doc lengths) is
+  *    preserved; cross-copy shingle/token spaces are DISJOINT, so
+  *    cross-copy candidates can only be chance hash agreements — the
+  *    independent-corpus model rotation was believed to give. Token
+  *    STRINGS change (vocabulary grows ×factor), so keep using
+  *    `rotate` for the token-statistics ops (t87 BPE).
+  *
+  * Usage: runMain graft.tools.ScaleProbe [outDir [query,... [factor [mode]]]]
+  *   mode ∈ rotate|mangle
   */
 object ScaleProbe {
   private val Default = Seq("t15_dedup_components", "t87_bpe_trainer",
@@ -30,6 +47,8 @@ object ScaleProbe {
     val queries =
       if (args.length > 1) args(1).split(",").toSeq else Default
     val factor = if (args.length > 2) args(2).toInt else 10
+    val mode = if (args.length > 3) args(3) else "rotate"
+    require(mode == "rotate" || mode == "mangle", s"bad mode $mode")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
@@ -40,8 +59,11 @@ object ScaleProbe {
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val n = docs.agg(max("doc_id")).head.getLong(0) + 1
     val copies = (0 until factor).map { k =>
-      val rotated =
+      val transformed =
         if (k == 0) docs
+        else if (mode == "mangle") docs.withColumn("text", expr(
+          s"concat_ws(' ', transform(split(text, ' '), w -> concat('k$k', w)))"))
+          .withColumn("n_chars", length(col("text")).cast("long"))
         else docs.withColumn("text", expr(
           s"""concat_ws(' ',
              |  slice(split(text, ' '), pmod(${7 * k + 3}, greatest(size(split(text, ' ')), 1)) + 1,
@@ -49,7 +71,7 @@ object ScaleProbe {
              |  slice(split(text, ' '), 1, pmod(${7 * k + 3}, greatest(size(split(text, ' ')), 1))))
              |""".stripMargin))
           .withColumn("n_chars", length(col("text")).cast("long"))
-      rotated.withColumn("doc_id", col("doc_id") + lit(k * n))
+      transformed.withColumn("doc_id", col("doc_id") + lit(k * n))
     }
     copies.reduce(_ unionAll _)
       .repartition(32)

@@ -269,9 +269,9 @@ class PlanSpec extends AnyFunSuite {
     assert(semdedupK(262144L * 64) == semdedupMaxCells)
     assert(semdedupK(1000L * 1000 * 1000 * 100) == semdedupMaxCells)
     assert(semdedupK(Long.MaxValue / 4) == semdedupMaxCells)
-    // and the fold→join memory switch engages only once a cell's
-    // expected membership (N/k) outgrows the bounded-fold-row regime:
-    // below the cap membership is ~semdedupCellSize, far under it
+    // and the fold→join switch engages only once a cell's expected
+    // membership (N/k) outgrows the measured fold-wins regime: below
+    // the cap membership is ~semdedupCellSize, under the crossover
     assert(semdedupCellSize <= semdedupFoldMaxCell)
     val nSwitch = semdedupFoldMaxCell.toLong * semdedupMaxCells
     assert(nSwitch / semdedupK(nSwitch) >= semdedupFoldMaxCell)
@@ -280,8 +280,9 @@ class PlanSpec extends AnyFunSuite {
   test("t26: join-shape pair stage equals the cell-local fold") {
     // past semdedupFoldMaxCell expected members the pair stage streams
     // pairs through a self-join instead of collecting a whole cell into
-    // one aggregation row; the switch must be a pure memory decision —
-    // same pairs, same min-keep-id fold, same n_near counts
+    // one aggregation row; the switch must be a pure cost decision
+    // (T26FoldLab-measured crossover, r17) — same pairs, same
+    // min-keep-id fold, same n_near counts
     import graft.queries.Curation.{assignCells, lcgCentroid,
       semdedupVerdictsFold, semdedupVerdictsJoin}
     import org.apache.spark.sql.functions.{col, expr}
