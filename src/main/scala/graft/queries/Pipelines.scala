@@ -1040,6 +1040,13 @@ object Pipelines {
     // post-hoc per user by start order, valid because the gap rule makes
     // session starts strictly increasing per user (same rule as
     // StreamingSpec's pin).
+    //
+    // Wall decomposition at sf0.1 (P20Probe, r17, warm): bounds agg
+    // 0.13 s + chunk write 0.7 s + STREAM 2.2 s + read-back 0.5 s. The
+    // stream term is 3 micro-batch plans + state-store commits + the
+    // stream start — the measured object itself; prep and read-back
+    // are at their job floors. Bench min 4.37 → 3.10 s with the
+    // 2-chunk trim.
     "p20_pipeline_streaming_sessionize" -> QueryDef(
       (spark, dir) => {
         import org.apache.spark.sql.functions._
