@@ -437,8 +437,18 @@ object Curation {
     .withColumn("n_tokens", size(split(col("text"), " ")))
     .withColumn("stop_hits", expr(
       "size(filter(split(lower(text), ' '), x -> x IN ('the','a','and','of','to','in','is')))"))
+    // punct count via the POSITIVE class: length(strip([a-zA-Z0-9 ]))
+    // keeps exactly the chars the negated class would have counted as
+    // len(text) − len(strip([^…])) — the same integer for any Unicode
+    // content — but Java's regex engine runs the negated single-char
+    // class ~21× slower (T08Lab at 30×: 7.05 s vs 0.33 s; a negated
+    // class falls off Pattern's ASCII bit-table fast path). This was
+    // the WHOLE quality family's hot spot (t08/t35/t38/t39/t63/t72/
+    // t80 share this scan). The DuckDB oracle keeps the negated
+    // spelling — value parity is the identity above, and the gate
+    // re-proves it every round.
     .withColumn("punct_chars",
-      length(col("text")) - length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", "")))
+      length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", "")))
 
   /** t08's quality combination over [[qualityInputs]]' columns — the
     * ONE definition of the weights (its DuckDB twin is [[qualityDuck]]).

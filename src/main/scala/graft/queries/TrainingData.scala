@@ -567,8 +567,10 @@ object TrainingData {
           .withColumn("n_tokens", size(split(col("text"), " ")))
           .withColumn("stop_hits", expr(
             "size(filter(split(lower(text), ' '), x -> x IN ('the','a','and','of','to','in','is')))"))
+          // positive-class spelling of the negated-class count — same
+          // integer, ~21× faster (see Curation.qualityInputs' note)
           .withColumn("punct_chars",
-            length(col("text")) - length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", "")))
+            length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", "")))
           .withColumn("stop_ratio",
             col("stop_hits").cast("double") / col("n_tokens").cast("double"))
           .withColumn("punct_ratio",
@@ -1190,18 +1192,26 @@ object TrainingData {
         val heads = t(spark, dir, "documents")
           .select(col("doc_id"), substring(col("text"), 1, 160).as("head"))
           .withColumn("ok", expr("length(head) = octet_length(head)"))
+        // the DP verify sits ABOVE the global sort: a total orderBy's
+        // range-partitioner sampling pass EXECUTES its child subtree a
+        // second time, and with levenshtein below the sort that doubled
+        // the whole O(|head|²)-per-pair verify (T75Lab at 30×: 12.3 s
+        // with the verify under the sort vs ~7 s over it; candidates +
+        // head joins alone are 2.2 s). Sorting first moves only the
+        // (ids, heads, flags) rows; the per-pair DP then runs exactly
+        // once in the post-sort projection.
         minhashPairs(spark, dir)
           .join(heads.select(col("doc_id").as("doc_a"),
             col("head").as("head_a"), col("ok").as("ok_a")), "doc_a")
           .join(heads.select(col("doc_id").as("doc_b"),
             col("head").as("head_b"), col("ok").as("ok_b")), "doc_b")
+          .orderBy("doc_a", "doc_b")
           .withColumn("verified", col("ok_a") && col("ok_b"))
           .withColumn("edit_dist",
             when(col("verified"), levenshtein(col("head_a"), col("head_b"))))
           .withColumn("is_dup",
             when(col("verified"), (col("edit_dist") <= 40).cast("int")))
           .select("doc_a", "doc_b", "verified", "edit_dist", "is_dup")
-          .orderBy("doc_a", "doc_b")
       },
       Some(s"""WITH $minhashPairsDuck,
               |heads AS (

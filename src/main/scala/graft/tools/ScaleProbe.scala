@@ -44,8 +44,18 @@ object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     val out = if (args.nonEmpty) args(0) else "/tmp/graft_sf1"
+    // ALL_T = every t-op — the r17 endurance sweep: t12 proved a
+    // sub-linear 10× ratio can hide a wall, and the 6 hand-picked probes
+    // only cover the density-sensitive pair ops; sweeping the whole
+    // t-inventory at 30× catches cliffs in the ops nobody suspected.
+    // Non-scaled tables (events + TPC-H) are staged verbatim so every
+    // query RUNS; ratios for queries reading only those stay ~1× and
+    // prove nothing — the sweep's signal is the documents/embeddings ops.
     val queries =
-      if (args.length > 1) args(1).split(",").toSeq else Default
+      if (args.length > 1 && args(1) == "ALL_T")
+        graft.SparkEntry.queries.keys.filter(_.startsWith("t")).toSeq.sorted
+      else if (args.length > 1) args(1).split(",").toSeq
+      else Default
     val factor = if (args.length > 2) args(2).toInt else 10
     val mode = if (args.length > 3) args(3) else "rotate"
     require(mode == "rotate" || mode == "mangle", s"bad mode $mode")
@@ -91,6 +101,15 @@ object ScaleProbe {
     }.reduce(_ unionAll _)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    // stage the remaining tables VERBATIM (1×) so events- and
+    // TPC-H-reading queries can run against the probe dir at all
+    for (tbl <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events")) {
+      val dst = java.nio.file.Paths.get(s"$out/$tbl.parquet")
+      if (!java.nio.file.Files.exists(dst))
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$src/$tbl.parquet"), dst)
+    }
     println(s"probe fixture: ${spark.read.parquet(s"$out/documents.parquet").count()} docs, " +
       s"${spark.read.parquet(s"$out/embeddings.parquet").count()} vecs at $out")
 
