@@ -35,8 +35,8 @@ import org.apache.spark.sql.functions._
   *    STRINGS change (vocabulary grows ×factor), so keep using
   *    `rotate` for the token-statistics ops (t87 BPE).
   *
-  * Usage: runMain graft.tools.ScaleProbe [outDir [query,... [factor [mode]]]]
-  *   mode ∈ rotate|mangle
+  * Usage: runMain graft.tools.ScaleProbe [outDir [query,... [factor [mode [events]]]]]
+  *   mode ∈ rotate|mangle; literal 5th arg "events" scales events too
   */
 object ScaleProbe {
   private val Default = Seq("t15_dedup_components", "t87_bpe_trainer",
@@ -101,10 +101,30 @@ object ScaleProbe {
     }.reduce(_ unionAll _)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    // optional 5th arg "events": ALSO scale the events table — copy k
+    // shifts user_id/event_id past the originals' ranges (more users at
+    // the same per-user event density, the way a corpus actually grows;
+    // ts distribution unchanged, so hourly windows get factor× denser).
+    // Added in r17 to close the "events ops never probed" gap: the
+    // ALL_T sweep staged events at 1×, so t60/t67/t68/t93/t96 ratios
+    // there prove nothing.
+    val scaleEvents = args.length > 4 && args(4) == "events"
+    if (scaleEvents) {
+      graft.queries.Tables.ensureEventsReadable(spark)
+      val evSrc = graft.queries.Tables.events(spark, src)
+      val mx = evSrc.agg(max("event_id"), max("user_id")).head
+      val (me, mu) = (mx.getLong(0) + 1, mx.getLong(1) + 1)
+      (0 until factor).map { k =>
+        evSrc.withColumn("event_id", col("event_id") + lit(k * me))
+          .withColumn("user_id", col("user_id") + lit(k * mu))
+      }.reduce(_ unionAll _)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$out/events.parquet")
+    }
     // stage the remaining tables VERBATIM (1×) so events- and
     // TPC-H-reading queries can run against the probe dir at all
     for (tbl <- Seq("region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events")) {
+        "orders", "lineitem") ++ (if (scaleEvents) Nil else Seq("events"))) {
       val dst = java.nio.file.Paths.get(s"$out/$tbl.parquet")
       if (!java.nio.file.Files.exists(dst))
         java.nio.file.Files.copy(
