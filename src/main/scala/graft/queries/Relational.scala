@@ -130,8 +130,14 @@ object Relational {
           .groupBy("l_orderkey")
           .agg((sum(fx(col("l_extendedprice") * (lit(1) - col("l_discount"))))
             .cast("double") / 1e4).as("revenue"))
+        // no broadcast() hint on customer: it is SF-PROPORTIONAL (unlike
+        // nation/region), and a forced broadcast ignores size — at
+        // warehouse scale that is a driver OOM, not an optimization.
+        // Below the threshold Spark broadcasts it on its own; past it
+        // AQE picks the join side at runtime (r17, found by the 30×
+        // tpch probe where the hint forced a 9.5 MB broadcast).
         rev.join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(t(spark, dir, "customer")),
+          .join(t(spark, dir, "customer"),
             col("o_custkey") === col("c_custkey"))
           .select(col("o_orderkey"), col("c_name"), col("revenue"), col("o_orderdate"))
           .orderBy(col("revenue").desc, col("o_orderkey"))
@@ -345,14 +351,24 @@ object Relational {
         val c = t(spark, dir, "customer")
         val n = t(spark, dir, "nation")
         val r = t(spark, dir, "region")
-        l.join(o, col("l_orderkey") === col("o_orderkey"))
+        // partial aggregate BELOW the joins (the star-aggregate rewrite
+        // Catalyst won't derive): lineitem collapses to one row per
+        // orderkey on the same l_orderkey shuffle the join needed
+        // anyway, so the orders/customer joins move orders-sized rows,
+        // not lineitem-sized (~4:1 here; far more on a real warehouse).
+        // fx sums are exact longs, so sum-of-partial-sums and
+        // count=sum(cnt) are bit-identical to the flat aggregation —
+        // the oracle keeps the flat spelling and the gate re-proves it.
+        val lagg = l.groupBy("l_orderkey")
+          .agg(sum(fx(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .as("rev_fx"), count(lit(1)).as("cnt"))
+        lagg.join(o, col("l_orderkey") === col("o_orderkey"))
           .join(c, col("o_custkey") === col("c_custkey"))
           .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
           .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
           .groupBy("r_name", "n_name")
-          .agg((sum(fx(col("l_extendedprice") * (lit(1) - col("l_discount"))))
-            .cast("double") / 1e4).as("revenue"),
-            count(lit(1)).as("n_items"))
+          .agg((sum(col("rev_fx")).cast("double") / 1e4).as("revenue"),
+            sum(col("cnt")).as("n_items"))
           .orderBy("r_name", "n_name")
       },
       Some(s"""SELECT r_name, n_name,

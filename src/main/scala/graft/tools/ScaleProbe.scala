@@ -108,7 +108,35 @@ object ScaleProbe {
     // Added in r17 to close the "events ops never probed" gap: the
     // ALL_T sweep staged events at 1×, so t60/t67/t68/t93/t96 ratios
     // there prove nothing.
-    val scaleEvents = args.length > 4 && args(4) == "events"
+    val extra = if (args.length > 4) args(4).split(",").toSet else Set.empty[String]
+    val scaleEvents = extra.contains("events")
+    // "tpch": scale the relational fact tables with FK integrity —
+    // copy k shifts orderkey in BOTH orders and lineitem (join keys
+    // stay consistent) and custkey in BOTH customer and orders;
+    // supplier/part/nation/region stay 1× (dimensions don't grow 30×
+    // in a real warehouse either), so lineitem's partkey/suppkey still
+    // resolve. Added in r17 so the q-suite has a real 30× point.
+    if (extra.contains("tpch")) {
+      // ONE offset per LOGICAL key, taken from the key's home table —
+      // orders' max(o_custkey) can be smaller than customer's
+      // max(c_custkey), and per-table offsets would break the FK
+      def keyOff(tbl: String, key: String): Long =
+        spark.read.parquet(s"$src/$tbl.parquet")
+          .agg(max(col(key))).head.getLong(0) + 1
+      val custOff = keyOff("customer", "c_custkey")
+      val orderOff = keyOff("orders", "o_orderkey")
+      def shifted(tbl: String, offs: Seq[(String, Long)]): Unit =
+        (0 until factor).map { k =>
+          offs.foldLeft(spark.read.parquet(s"$src/$tbl.parquet")) {
+            case (d, (key, off)) => d.withColumn(key, col(key) + lit(k * off))
+          }
+        }.reduce(_ unionAll _)
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$out/$tbl.parquet")
+      shifted("customer", Seq("c_custkey" -> custOff))
+      shifted("orders", Seq("o_orderkey" -> orderOff, "o_custkey" -> custOff))
+      shifted("lineitem", Seq("l_orderkey" -> orderOff))
+    }
     if (scaleEvents) {
       graft.queries.Tables.ensureEventsReadable(spark)
       val evSrc = graft.queries.Tables.events(spark, src)
@@ -123,8 +151,11 @@ object ScaleProbe {
     }
     // stage the remaining tables VERBATIM (1×) so events- and
     // TPC-H-reading queries can run against the probe dir at all
+    val already =
+      (if (scaleEvents) Seq("events") else Nil) ++
+        (if (extra.contains("tpch")) Seq("customer", "orders", "lineitem") else Nil)
     for (tbl <- Seq("region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem") ++ (if (scaleEvents) Nil else Seq("events"))) {
+        "orders", "lineitem", "events").filterNot(already.contains)) {
       val dst = java.nio.file.Paths.get(s"$out/$tbl.parquet")
       if (!java.nio.file.Files.exists(dst))
         java.nio.file.Files.copy(
