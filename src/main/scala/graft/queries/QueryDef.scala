@@ -62,12 +62,18 @@ object Tables {
     // rows, so counting them here would diverge N from emb.count() —
     // and silently shift t26's kCells vs the DuckDB oracle (r16 ADVICE).
     // (segments BELOW the table root only — a dotted dir in the base
-    // path itself, e.g. /home/u/.cache/tbl, must not hide the table)
+    // path itself, e.g. /home/u/.cache/tbl, must not hide the table).
+    // The root is compared as a QUALIFIED Path (r17 ADVICE): listFiles
+    // returns fully-qualified paths, so a relative or scheme-less
+    // caller path would never string-match, the upward walk would
+    // escape the table root, and a dotted ANCESTOR (e.g. a hidden cwd)
+    // would silently hide every part file → Some(0) instead of the
+    // real count.
+    val qualifiedRoot = fs.makeQualified(p)
     def hidden(f: org.apache.hadoop.fs.Path): Boolean = {
-      val root = p.toUri.getPath.stripSuffix("/")
       var cur = f
       var h = false
-      while (cur != null && cur.toUri.getPath.stripSuffix("/") != root && !h) {
+      while (cur != null && cur != qualifiedRoot && !h) {
         val n = cur.getName
         if (n.startsWith("_") || n.startsWith(".")) h = true
         cur = cur.getParent

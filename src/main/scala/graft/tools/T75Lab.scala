@@ -18,11 +18,14 @@ object T75Lab {
     spark.sparkContext.setLogLevel("ERROR")
     graft.functions.GraftFunctions.register(spark)
     def t[A](label: String)(f: => A): A = {
+      // return the LAST timed run's result (r17 ADVICE: a trailing
+      // bare `f` re-evaluated the thunk a third, untimed time)
+      var r: Option[A] = None
       val walls = (1 to 2).map { _ =>
-        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        val t0 = System.nanoTime(); r = Some(f); (System.nanoTime() - t0) / 1e9
       }
       println(f"  $label%-22s min ${walls.min}%7.3f s")
-      f
+      r.get
     }
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val heads = docs

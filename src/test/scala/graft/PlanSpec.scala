@@ -1034,6 +1034,45 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("t75: the levenshtein verify sits ABOVE the global sort") {
+    // r17 engine wall (T75Lab): a total orderBy's range-partitioner
+    // sampling pass EXECUTES its child subtree a second time, so a
+    // 160×160 edit-distance DP placed below the sort runs TWICE per
+    // pair (12.3 s vs 4.8 s at the 30× probe). The fix hoists the
+    // verify into the post-sort projection; this pin fails if an
+    // innocuous refactor pushes it back under the Sort. The plan tree
+    // prints parents before children, so "above" = earlier offset.
+    val p = plan("t75_edit_verify")
+    val lev = p.indexOf("levenshtein")
+    val sort = "Sort \\[doc_a".r.findFirstMatchIn(p).map(_.start)
+    assert(lev >= 0, "t75 must verify candidates with levenshtein")
+    assert(sort.isDefined, "t75's gate shape ends in a global sort")
+    assert(lev < sort.get,
+      "levenshtein must be computed in a projection ABOVE the Sort — " +
+        "below it, the range-partitioner sampling pass doubles the DP")
+  }
+
+  test("quality family: punctuation count keeps the positive-class regex") {
+    // r17 engine wall (T08Lab): the negated single-char class
+    // `[^a-zA-Z0-9 ]` falls off Java regex's ASCII bit-table fast path
+    // and runs ~21× slower than its complement on identical text; the
+    // whole quality family (t08/t35/t38/t39/t63/t72/t80) shares this
+    // one scan. The count is spelled as the kept-complement
+    // length(regexp_replace(text, '[a-zA-Z0-9 ]', '')) — the same
+    // integer for any Unicode content. This pin fails if the spelling
+    // reverts to the negated class.
+    // (not t39: its funnel consumes only counts — least(n, Q) — so
+    // Catalyst prunes the quality projection, regex and all)
+    for (q <- Seq("t08_quality_score", "t35_source_mix")) {
+      val opt = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.optimizedPlan.toString
+      assert(opt.contains("[a-zA-Z0-9 ]"),
+        s"$q must count punctuation via the positive-class spelling")
+      assert(!opt.contains("[^a-zA-Z0-9"),
+        s"$q regressed to the negated class — ~21× slower in Java regex")
+    }
+  }
+
   test("whole-stage codegen covers the relational hot paths") {
     // AQE finalizes the plan lazily; execute first, then inspect.
     val df = SparkEntry.queries("q01_agg_pricing")(spark, sf)
