@@ -132,6 +132,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash16", arity("simhash16", 1)(exprs => SimHash16(exprs.head)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64", arity("simhash64", 1)(exprs => SimHash64(exprs.head)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "hyperplane_buckets64", arity("hyperplane_buckets64", 1)(exprs =>
         HyperplaneBuckets64(exprs.head)), "built-in")
     // Spark ships these two (the runtime-filter machinery's Bloom build

@@ -274,6 +274,41 @@ object TrainingData {
        |sims AS (SELECT doc_id, CAST($value AS INTEGER) AS simhash16 FROM sums)""".stripMargin
   }
 
+  /** 64-bit SimHash per document — the width-parameterized sibling of
+    * [[simhash16]] (native [[graft.functions.SimHash64]]; same
+    * digit-probe numbering over md5's 16 leading hex digits, so
+    * `simhash64 & 0xFFFF == simhash16` per doc — Simhash64Spec's
+    * containment pin ties t101's answers back to t18's). */
+  private[graft] def simhash64(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        expr("simhash64(split(lower(text), ' '))").as("simhash64"))
+      .filter(col("simhash64").isNotNull)
+
+  /** DuckDB CTE text producing [[simhash64]] as relation `sims64` —
+    * [[simhash16Duck]]'s digit-probe spelling extended to 16 hex
+    * digits. Bit 63's weight is spelled `(-max-1)`: the bare literal
+    * -2⁶³ would parse as a HUGEINT negation and the partial sums are
+    * ordered ascending so bits 0..62 (≤ 2⁶³-1) accumulate before the
+    * one negative term — no BIGINT overflow at any step. */
+  private def simhash64Duck: String = {
+    val bitSums = (0 until 64).map { i =>
+      val digit = s"(instr('0123456789abcdef', substr(h, ${i / 4 + 1}, 1)) - 1)"
+      val bit = s"(($digit // ${1 << (i % 4)}) % 2)"
+      s"SUM(CASE WHEN $bit = 1 THEN 1 ELSE -1 END) AS s$i"
+    }.mkString(", ")
+    val value = (0 until 64).map { i =>
+      val w = if (i == 63) "(-9223372036854775807 - 1)"
+              else s"CAST(${1L << i} AS BIGINT)"
+      s"CASE WHEN s$i > 0 THEN $w ELSE CAST(0 AS BIGINT) END"
+    }.mkString(" + ")
+    s"""toks64 AS (
+       |  SELECT doc_id, md5(unnest(string_split(lower(text), ' '))) AS h
+       |  FROM documents),
+       |sums64 AS (SELECT doc_id, $bitSums FROM toks64 GROUP BY doc_id),
+       |sims64 AS (SELECT doc_id, CAST($value AS BIGINT) AS simhash64 FROM sums64)""".stripMargin
+  }
+
   /** t91's guarded lift expression. Spark's non-ANSI int64 arithmetic
     * WRAPS silently on overflow while the DuckDB oracle promotes to
     * HUGEINT, so past the headroom the engines would diverge without an
@@ -1060,6 +1095,58 @@ object TrainingData {
               |FROM bands a JOIN bands b
               |  ON a.band = b.band AND a.value = b.value AND a.doc_id < b.doc_id
               |WHERE bit_count(CAST(xor(a.simhash16, b.simhash16) AS BIGINT)) <= 1
+              |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // ---------------------------------------------------------------- t101
+    // SimHash near-dup pairs at CORPUS-SCALABLE width — the r17
+    // verdict's one `weak` closed: t18's pinned 16-bit fingerprint
+    // makes the hamming≤1 ANSWER itself Θ(n²) once the corpus
+    // outgrows 2¹⁶ (measured: answers converge on the C(n,2)·17/2¹⁶
+    // birthday floor, 17.9M rows at 30×). Widening the fingerprint is
+    // the fix, and it changes the ANSWER, not just the plan: at 64
+    // bits, E[chance pairs within hamming 3] = C(n,2)·Σ_{k≤3}C(64,k)/2⁶⁴
+    // ≈ 2.4e-15·C(n,2) — zero at any realistic corpus, so surviving
+    // pairs are true near-dups (LINEAR in the corpus, not quadratic).
+    // Same exact pigeonhole banding as t18, one band wider per
+    // tolerated bit: 4 bands × 16 bits retrieve hamming ≤ 3 with NO
+    // loss (≤3 differing bits land in ≤3 bands → ≥1 band matches).
+    // Candidate buckets: 4 × 2¹⁶ keys, chance collisions per band
+    // C(n,2)/2¹⁶ — the 30× probe measures candidates tracking that
+    // floor (~4.2/doc at 150k docs) instead of t18's 136M.
+    // simhash64 & 0xFFFF == simhash16 (same digit-probe numbering),
+    // so Simhash64Spec pins this op's hamming-0 pairs as a subset of
+    // t18's answer and the banded result equal to brute-force — the
+    // two widths are one family, 16-bit staying the oracle-pinned
+    // fixture twin, 64-bit the corpus-scale face (t98→t100 pattern).
+    "t101_simhash64_neardup" -> QueryDef(
+      (spark, dir) => {
+        val sims = simhash64(spark, dir)
+        val bands = sims.select(col("doc_id"), col("simhash64"),
+          explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+            expr(s"cast(shiftright(simhash64, ${16 * b}) & 65535 as int)")
+              .as("value"))): _*)).as("bv"))
+          .select(col("doc_id"), col("simhash64"),
+            col("bv.band"), col("bv.value"))
+        bands.as("a").join(bands.as("b"),
+            col("a.band") === col("b.band") &&
+              col("a.value") === col("b.value") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            expr("bit_count(a.simhash64 ^ b.simhash64)").as("hamming"))
+          .filter(col("hamming") <= 3)
+          .distinct()
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH $simhash64Duck,
+              |bands AS (
+              |  SELECT doc_id, simhash64, g.band AS band,
+              |    (simhash64 >> (16 * g.band)) & 65535 AS value
+              |  FROM sims64, generate_series(0, 3) AS g(band))
+              |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |  bit_count(xor(a.simhash64, b.simhash64)) AS hamming
+              |FROM bands a JOIN bands b
+              |  ON a.band = b.band AND a.value = b.value AND a.doc_id < b.doc_id
+              |WHERE bit_count(xor(a.simhash64, b.simhash64)) <= 3
               |ORDER BY doc_a, doc_b""".stripMargin)),
 
     // ----------------------------------------------------------------- t69

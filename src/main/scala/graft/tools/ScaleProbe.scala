@@ -35,8 +35,12 @@ import org.apache.spark.sql.functions._
   *    STRINGS change (vocabulary grows ×factor), so keep using
   *    `rotate` for the token-statistics ops (t87 BPE).
   *
-  * Usage: runMain graft.tools.ScaleProbe [outDir [query,... [factor [mode [events]]]]]
-  *   mode ∈ rotate|mangle; literal 5th arg "events" scales events too
+  * Usage: runMain graft.tools.ScaleProbe [outDir [query,... [factor [mode [extra]]]]]
+  *   query,... may be ALL_T (every t-op) or ALL (every t- and q-op);
+  *   mode ∈ rotate|mangle; extra is a comma set ⊆ {events, tpch} that
+  *   also scales those fixtures. Per-op min-of-3 walls stream into
+  *   <outDir>/SCALE.json as the sweep runs (promote to SCALE_r{N}.json;
+  *   diff rounds with tools/scale_compare.py).
   */
 object ScaleProbe {
   private val Default = Seq("t15_dedup_components", "t87_bpe_trainer",
@@ -51,9 +55,16 @@ object ScaleProbe {
     // Non-scaled tables (events + TPC-H) are staged verbatim so every
     // query RUNS; ratios for queries reading only those stay ~1× and
     // prove nothing — the sweep's signal is the documents/embeddings ops.
+    // ALL = t + q suites in one sweep (pair with extra "events,tpch" so
+    // the q-ops and events-ops read scaled fixtures — an unscaled table
+    // pins the ratio at ~1× and proves nothing); p-ops stay out: the
+    // streaming gates measure protocol replay, not data scaling.
     val queries =
       if (args.length > 1 && args(1) == "ALL_T")
         graft.SparkEntry.queries.keys.filter(_.startsWith("t")).toSeq.sorted
+      else if (args.length > 1 && args(1) == "ALL")
+        graft.SparkEntry.queries.keys
+          .filter(k => k.startsWith("t") || k.startsWith("q")).toSeq.sorted
       else if (args.length > 1) args(1).split(",").toSeq
       else Default
     val factor = if (args.length > 2) args(2).toInt else 10
@@ -174,9 +185,33 @@ object ScaleProbe {
       }
       runs.min
     }
+    // Persist the sweep as a machine-readable artifact (r17 verdict:
+    // the ALL_T sweep caught two 5–20× engine walls that 146 green
+    // hashes and a clean bench could NOT see, but its results lived in
+    // README prose — a round that regressed a 30× ratio would have
+    // passed every gate). Written INCREMENTALLY after each op so a
+    // crashed sweep keeps its partial table; diff rounds with
+    // tools/scale_compare.py. Copy to SCALE_r{N}.json at round end.
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
+    def writeJson(): Unit = {
+      val ops = results.map { case (q, (base, big)) =>
+        f"""    "$q": {"base_s": $base%.3f, "scaled_s": $big%.3f, "ratio": ${big / base}%.3f}"""
+      }.mkString(",\n")
+      val json =
+        s"""{
+           |  "fixture": {"src": "$src", "factor": $factor, "mode": "$mode",
+           |              "events": $scaleEvents, "tpch": ${extra.contains("tpch")}},
+           |  "ops": {
+           |$ops
+           |  }
+           |}""".stripMargin
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$out/SCALE.json"), json)
+    }
     queries.foreach { q =>
       val base = time(q, src)
       val big = time(q, out)
+      results(q) = (base, big)
+      writeJson()
       println(f"$q%-24s sf0.1 $base%6.2f s   ${factor}x $big%6.2f s   ratio ${big / base}%5.2f")
     }
     spark.stop()
