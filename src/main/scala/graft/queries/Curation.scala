@@ -552,6 +552,102 @@ object Curation {
     withWords(docs)
       .select(col("doc_id"), explode(expr("winnow_fps(words, 3, 4)")).as("fp"))
 
+  /** t31 stage 1 — the shared index pass: ONE corpus scan computing the
+    * 8-bit hyperplane LSH signature, the 8 centroid dots, and the IVF
+    * cell per vector (16 native float_dot kernels per row, no shuffle).
+    * Split out (r17 verdict ask #5) so T31Lab can time the sweep's
+    * stages separately and land its 30× ratio on a measured stage. */
+  private[graft] def t31Prepared(spark: SparkSession, dir: String): DataFrame = {
+    import TrainingData.planeCol
+    val planeDots = (1 to 8).map { j =>
+      when(dotCol(col("embedding"), planeCol(j)) > 0, 1 << (j - 1))
+        .otherwise(0)
+    }
+    val cdots = array((1 to 8)
+      .map(k => dotCol(col("embedding"), planeCol(k + 100))): _*)
+    t(spark, dir, "embeddings")
+      .withColumn("sig", planeDots.reduce(_ + _).cast("int"))
+      .withColumn("cdots", cdots)
+      .withColumn("cell",
+        expr("array_position(cdots, array_max(cdots))").cast("int"))
+  }
+
+  /** t31 stage 2 — the scored sweep: broadcast the 1-row query frame,
+    * evaluate all 7 (method, param) match predicates per corpus row,
+    * compute the exact cosine ONCE, and explode the matching configs to
+    * (grp, vec_id, cosine). The "exact" config matches every row (t05's
+    * brute-force ground truth riding the same scan), so this stage's
+    * output is between 1× and 7× the corpus in rows — the sweep's only
+    * data-proportional fan-out. */
+  private[graft] def t31Cands(spark: SparkSession, dir: String): DataFrame = {
+    val prepared = t31Prepared(spark, dir)
+    val q = prepared.filter(col("vec_id") === 0)
+      .select(Seq(col("embedding").as("q_emb"), col("sig").as("q_sig"),
+        expr(dotSql("embedding", "embedding")).as("nq")) ++
+        (1 to 4).map(i =>
+          expr(s"array_position(cdots, element_at(array_sort(cdots), ${9 - i}))")
+            .cast("int").as(s"p$i")): _*)
+    // t06's banded signature match: bands of 8/b bits, ANY band equal
+    def lshMatch(bands: Int): Column = {
+      val w = 8 / bands
+      (0 until bands).map(b =>
+        expr(s"(sig div ${1 << (b * w)}) % ${1 << w}") ===
+          expr(s"(q_sig div ${1 << (b * w)}) % ${1 << w}"))
+        .reduce(_ || _)
+    }
+    // t13's cells: candidate's cell among the query's top-p probes
+    def ivfMatch(probe: Int): Column =
+      (1 to probe).map(i => col("cell") === col(s"p$i")).reduce(_ || _)
+    val configs =
+      Seq(2, 4, 8).map(b => ("lsh_ann", b, lshMatch(b))) ++
+        Seq(1, 2, 4).map(pr => ("ivf_ann", pr, ivfMatch(pr))) :+
+        (("exact", 0, lit(true)))
+    // the "exact" config matches every row, so no pre-cosine filter:
+    // every candidate scores (exactly t05's brute-force cost) and the
+    // approx configs just tag which subset they would have admitted
+    prepared.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= 0)
+      .withColumn("cfgs", array(configs.map { case (m, pr, c) =>
+        struct(lit(m).as("method"), lit(pr).as("param"),
+          c.as("matched")) }: _*))
+      .withColumn("dot", expr(dotSql("embedding", "q_emb")))
+      .withColumn("na", expr(dotSql("embedding", "embedding")))
+      .withColumn("cosine", col("dot").cast("double") /
+        (sqrt(col("na").cast("double")) * sqrt(col("nq").cast("double"))))
+      .select(explode(expr("filter(cfgs, x -> x.matched)")).as("cfg"),
+        col("vec_id"), col("cosine"))
+      .select(concat(col("cfg.method"), lit("|"), col("cfg.param"))
+        .as("grp"), col("vec_id"), col("cosine"))
+  }
+
+  /** t31 stage 3 — the bounded finish: partition-local 10-heaps per
+    * config (≤ 7·10·partitions survivor rows regardless of corpus
+    * size), the exact global pick, and the 6-row recall grid. */
+  private def t31Build(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // entries are (negated cosine, vec_id): plain tuple order ==
+    // the final pick's (cosine DESC, vec_id ASC); IEEE negation is
+    // exact, so the round trip changes no value
+    val survivors = t31Cands(spark, dir).as[(String, Long, Double)]
+      .mapPartitions { it =>
+        boundedTopK(it.map { case (g, v, c) => (g, (-c, v)) }, 10)
+          .map { case (g, (nc, v)) => (g, v, -nc) }
+      }.collect()
+    val top10 = survivors.groupBy(_._1).map { case (g, rows) =>
+      g -> rows.map { case (_, v, c) => (-c, v) }.sorted.take(10)
+        .map(_._2).toSet
+    }
+    val exactIds = top10.getOrElse("exact|0", Set.empty[Long])
+    val grid = Seq(("ivf_ann", 1), ("ivf_ann", 2), ("ivf_ann", 4),
+      ("lsh_ann", 2), ("lsh_ann", 4), ("lsh_ann", 8))
+    grid.map { case (m, p) =>
+      val nHits = top10.getOrElse(s"$m|$p", Set.empty[Long])
+        .count(exactIds.contains).toLong
+      (m, p, nHits, nHits.toDouble / 10.0)
+    }.toDF("method", "param", "n_hits", "recall")
+      .orderBy("method", "param")
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // ----------------------------------------------------------------- t89
@@ -965,102 +1061,7 @@ object Curation {
     // 10 broadcast ids — the corpus cost is one signature/assignment map
     // pass per leg.
     "t31_ann_recall" -> QueryDef(
-      (spark, dir) => {
-        import spark.implicits._
-        import TrainingData.planeCol
-        val emb = t(spark, dir, "embeddings")
-        // FUSED SWEEP (r13 verdict stretch): the six legs used to run as
-        // six separate jobs — six corpus passes, six TakeOrdered floors
-        // (1.34 s total at sf0.1, the closest any data-scaling query
-        // came to parity loss on pure job-floor constants). The three
-        // LSH legs share one signature and the three IVF legs share one
-        // cell assignment, so ONE pass now computes sig + cdots + cell,
-        // broadcasts one 1-row query frame (q_sig, q_emb, nq, p1..p4),
-        // evaluates all seven match predicates per row as an array of
-        // (method, param, matched) structs — the t05 ground-truth leg
-        // rides along as an always-matching "exact" config, so its
-        // brute-force top-10 shares the same scan instead of re-reading
-        // the corpus — computes the exact cosine ONCE per row, and
-        // explodes the matching configs. Per-config top-10 follows
-        // t34/t99's law: partition-local bounded 10-heaps (no shuffle),
-        // then the exact global pick on the ≤ 7·10·partitions survivors
-        // — the same (cosine DESC, vec_id) total order the per-leg
-        // TakeOrdered used, so the result is row-identical to the
-        // unfused sweep. The heap output is bounded at 7·10·partitions
-        // rows NO MATTER the corpus size, so the global pick + recall
-        // join finish on the driver (the same bounded-collect finish
-        // TakeOrderedAndProject itself performs) — the whole sweep is
-        // one corpus job plus the 1-row query-frame broadcast job.
-        val planeDots = (1 to 8).map { j =>
-          when(dotCol(col("embedding"), planeCol(j)) > 0, 1 << (j - 1))
-            .otherwise(0)
-        }
-        val cdots = array((1 to 8)
-          .map(k => dotCol(col("embedding"), planeCol(k + 100))): _*)
-        val prepared = emb
-          .withColumn("sig", planeDots.reduce(_ + _).cast("int"))
-          .withColumn("cdots", cdots)
-          .withColumn("cell",
-            expr("array_position(cdots, array_max(cdots))").cast("int"))
-        val q = prepared.filter(col("vec_id") === 0)
-          .select(Seq(col("embedding").as("q_emb"), col("sig").as("q_sig"),
-            expr(dotSql("embedding", "embedding")).as("nq")) ++
-            (1 to 4).map(i =>
-              expr(s"array_position(cdots, element_at(array_sort(cdots), ${9 - i}))")
-                .cast("int").as(s"p$i")): _*)
-        // t06's banded signature match: bands of 8/b bits, ANY band equal
-        def lshMatch(bands: Int): Column = {
-          val w = 8 / bands
-          (0 until bands).map(b =>
-            expr(s"(sig div ${1 << (b * w)}) % ${1 << w}") ===
-              expr(s"(q_sig div ${1 << (b * w)}) % ${1 << w}"))
-            .reduce(_ || _)
-        }
-        // t13's cells: candidate's cell among the query's top-p probes
-        def ivfMatch(probe: Int): Column =
-          (1 to probe).map(i => col("cell") === col(s"p$i")).reduce(_ || _)
-        val configs =
-          Seq(2, 4, 8).map(b => ("lsh_ann", b, lshMatch(b))) ++
-            Seq(1, 2, 4).map(pr => ("ivf_ann", pr, ivfMatch(pr))) :+
-            (("exact", 0, lit(true)))
-        // the "exact" config matches every row, so no pre-cosine filter:
-        // every candidate scores (exactly t05's brute-force cost) and the
-        // approx configs just tag which subset they would have admitted
-        val cands = prepared.crossJoin(broadcast(q))
-          .filter(col("vec_id") =!= 0)
-          .withColumn("cfgs", array(configs.map { case (m, pr, c) =>
-            struct(lit(m).as("method"), lit(pr).as("param"),
-              c.as("matched")) }: _*))
-          .withColumn("dot", expr(dotSql("embedding", "q_emb")))
-          .withColumn("na", expr(dotSql("embedding", "embedding")))
-          .withColumn("cosine", col("dot").cast("double") /
-            (sqrt(col("na").cast("double")) * sqrt(col("nq").cast("double"))))
-          .select(explode(expr("filter(cfgs, x -> x.matched)")).as("cfg"),
-            col("vec_id"), col("cosine"))
-          .select(concat(col("cfg.method"), lit("|"), col("cfg.param"))
-            .as("grp"), col("vec_id"), col("cosine"))
-        // entries are (negated cosine, vec_id): plain tuple order ==
-        // the final pick's (cosine DESC, vec_id ASC); IEEE negation is
-        // exact, so the round trip changes no value
-        val survivors = cands.as[(String, Long, Double)]
-          .mapPartitions { it =>
-            boundedTopK(it.map { case (g, v, c) => (g, (-c, v)) }, 10)
-              .map { case (g, (nc, v)) => (g, v, -nc) }
-          }.collect()
-        val top10 = survivors.groupBy(_._1).map { case (g, rows) =>
-          g -> rows.map { case (_, v, c) => (-c, v) }.sorted.take(10)
-            .map(_._2).toSet
-        }
-        val exactIds = top10.getOrElse("exact|0", Set.empty[Long])
-        val grid = Seq(("ivf_ann", 1), ("ivf_ann", 2), ("ivf_ann", 4),
-          ("lsh_ann", 2), ("lsh_ann", 4), ("lsh_ann", 8))
-        grid.map { case (m, p) =>
-          val nHits = top10.getOrElse(s"$m|$p", Set.empty[Long])
-            .count(exactIds.contains).toLong
-          (m, p, nHits, nHits.toDouble / 10.0)
-        }.toDF("method", "param", "n_hits", "recall")
-          .orderBy("method", "param")
-      },
+      t31Build,
       Some {
         import TrainingData.planeSql
         val exactSql = TrainingData.defs("t05_cosine_topk").oracle.get

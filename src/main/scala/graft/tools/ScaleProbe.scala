@@ -99,15 +99,29 @@ object ScaleProbe {
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
     // embeddings: factor copies with ELEMENT-ROTATED vectors — rotation
     // preserves the norm but moves the direction, so copies don't
-    // collapse into artificial cosine-duplicate clusters
+    // collapse into artificial cosine-duplicate clusters. Rotation
+    // alone is NOT enough once factor can reach the vector dimension
+    // (64): rotating by 64 is the identity, so at 100× copies k and
+    // k+64 would carry IDENTICAL directions — the exact cosine-dup
+    // clusters the transform exists to avoid (the embedding analogue
+    // of r17's rotated-shingle finding). Fix: rotate by k mod dim and
+    // ALSO flip signs with a per-copy deterministic Rademacher pattern
+    // (murmur3 of (k, element index)). Sign flips are exact in IEEE
+    // (norm preserved bit-for-bit), within-copy geometry is preserved
+    // (one pattern per copy, so planted near-dup pairs stay near-dups),
+    // and two different patterns decorrelate directions even when the
+    // rotations coincide.
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     val ne = emb.agg(max("vec_id")).head.getLong(0) + 1
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
     (0 until factor).map { k =>
       val rotated =
         if (k == 0) emb
         else emb.withColumn("embedding", expr(
-          s"concat(slice(embedding, ${k + 1}, size(embedding)), " +
-            s"slice(embedding, 1, $k))"))
+          s"""transform(
+             |  concat(slice(embedding, ${k % dim + 1}, size(embedding)),
+             |         slice(embedding, 1, ${k % dim})),
+             |  (x, i) -> if(pmod(hash($k, i), 2) = 0, x, -x))""".stripMargin))
       rotated.withColumn("vec_id", col("vec_id") + lit(k * ne))
     }.reduce(_ unionAll _)
       .repartition(32)
