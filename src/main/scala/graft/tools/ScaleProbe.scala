@@ -192,6 +192,15 @@ object ScaleProbe {
     def time(name: String, dir: String): Double = {
       val runs = (1 to 3).map { _ =>
         spark.sharedState.cacheManager.clearCache()
+        // Force a full GC OUTSIDE the timed window: a 122-op sweep in
+        // one JVM accumulates broadcast blocks + codegen classes, and
+        // without this the collector's debt lands on whichever op runs
+        // next — measured r18: t02's in-sweep 30× wall read 9.5 s vs
+        // 1.25 s in a fresh JVM (7.6× pure context, BOTH numbers
+        // min-of-3). With the pre-run GC each wall is the op's own
+        // cost + its own garbage, which is what a scale RATIO must
+        // measure for round-over-round compares to mean anything.
+        System.gc()
         val t0 = System.nanoTime()
         graft.SparkEntry.queries(name)(spark, dir)
           .write.format("noop").mode("overwrite").save()
