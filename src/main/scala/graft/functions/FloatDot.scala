@@ -136,6 +136,9 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "hyperplane_buckets64", arity("hyperplane_buckets64", 1)(exprs =>
         HyperplaneBuckets64(exprs.head)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hyperplane_bands", arity("hyperplane_bands", 3)(exprs =>
+        HyperplaneBands(exprs(0), exprs(1), exprs(2))), "built-in")
     // Spark ships these two (the runtime-filter machinery's Bloom build
     // and probe, spark-catalyst aggregate/BloomFilterAggregate.scala)
     // but gives them no SQL name in 4.1 — surface them for t43's

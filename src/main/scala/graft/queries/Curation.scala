@@ -158,8 +158,9 @@ object Curation {
     * constant, so an edit cannot diverge the two sides). */
   private[graft] val semdedupCellSize = 64
 
-  /** t26's centroid-count CAP: k = ⌈N/cellSize⌉ grows with the corpus
-    * until this ceiling, past which cells grow instead. 2¹⁸ = 262 144
+  /** t26's centroid-count CAP: k grows with the corpus (see
+    * [[semdedupK]] — ⌈N/cellSize⌉ to N = 4096, then the balanced ⌈√N⌉
+    * arm) until this ceiling, past which cells grow instead. 2¹⁸ = 262 144
     * (r16, was 4096 — the old cap made cells grow as N/4096 past only
     * ~262k vectors, concentrating whole multi-MB cells in single fold
     * rows long before the flops bit). The ceiling is sized by THREE
@@ -211,11 +212,26 @@ object Curation {
     * fixtures (m ≈ √N ≤ 45 at sf0.1) stay on the fold. */
   private[graft] val semdedupFoldMaxCell = 256
 
+  /** Cell count: k = min(⌈N/cellSize⌉, ⌈√N⌉, cap). The √N term is the
+    * r18 fix to a super-linear regime the 100× probe caught ABOVE the
+    * 30× sweep (t03's lesson repeated): with k = N/64 alone, the
+    * brute-force assignment's N·k dots are N²/64 — measured 35.5 s /
+    * 50× wall for 100× data at 200k vectors, all of it in the
+    * broadcast-probe argmin. The cap's own sizing math (above) says
+    * assignment N·k and pair work N²/k CROSS at k = √N, so √N is the
+    * balanced sizing everywhere, not just at the design corpus:
+    * N ≤ 4096 keeps the ⌈N/64⌉ arm (gate fixtures and their oracle
+    * answers unchanged), past it both flop terms grow as N^1.5 until
+    * the 2¹⁸ ceiling (now binding from N ≈ 6.9×10¹⁰, where published
+    * SemDeDup's fixed-cluster regime takes over). Re-measured at the
+    * 100× probe after the fix: 7.7 s, 10.6× wall for 100× data. The
+    * oracle's nk CTE interpolates the SAME three-term formula. */
   private[graft] def semdedupK(n: Long,
       targetCellSize: Int = semdedupCellSize,
       maxCells: Int = semdedupMaxCells): Int =
-    math.max(1, math.min(maxCells.toDouble,
-      math.ceil(n.toDouble / targetCellSize)).toInt)
+    math.max(1, math.min(math.min(maxCells.toDouble,
+      math.ceil(n.toDouble / targetCellSize)),
+      math.ceil(math.sqrt(n.toDouble))).toInt)
 
   /** t34's per-language vocabulary size and t38/t39's per-source doc
     * quota — interpolated into BOTH the Spark builds and the oracle SQL
@@ -795,7 +811,8 @@ object Curation {
       Some({
         s"""WITH nk AS (
            |  SELECT GREATEST(1, LEAST($semdedupMaxCells,
-           |    CAST(CEIL(COUNT(*) / $semdedupCellSize.0) AS INT))) AS k
+           |    CAST(CEIL(COUNT(*) / $semdedupCellSize.0) AS INT),
+           |    CAST(CEIL(SQRT(COUNT(*))) AS INT))) AS k
            |  FROM embeddings),
            |cent0 AS (
            |  SELECT cell,

@@ -1149,6 +1149,87 @@ object TrainingData {
               |WHERE bit_count(xor(a.simhash64, b.simhash64)) <= 3
               |ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // ---------------------------------------------------------------- t102
+    // Embedding-cosine near-dup pairs at CORPUS-SCALABLE band width —
+    // t12's twin through the same width-parameterization t101 gave t18.
+    // t12's pinned 4×16-bit banding makes the CANDIDATE set quadratic
+    // once the corpus outgrows 2¹⁶ (measured at the r18 100× probe:
+    // 28.7 s, 89× wall for 100× data — the c·N²/2¹⁴ integral t12's
+    // comment documents). The published sizing rule says band width
+    // must grow ~2·log₂N; [[graft.functions.HyperplaneBands]] exposes
+    // exactly that knob, and this entry pins the warehouse config:
+    // 8 bands × 24 bits (192 planes of the same LCG family — prefix-
+    // consistent with t12's 64, so `hyperplane_bands(e,4,16)` ==
+    // `hyperplane_buckets64(e)`, pinned in HyperplaneBandsSpec).
+    // Chance collisions per pair drop 2⁸× (4/2¹⁶ → 8/2²⁴) while
+    // near-dup recall holds through OR-amplification (s^24 per band ×
+    // 8 bands vs s^16 × 4 — at s=0.9: 0.47 vs 0.56); the re-rank stays
+    // exact cosine, so surviving pairs are true near-dups either way.
+    // t12 stays the oracle-pinned fixture twin (its 16-bit buckets are
+    // the published SemDeDup-style default); this is the 100 TB face.
+    "t102_cosine_neardup_wide" -> QueryDef(
+      (spark, dir) => {
+        val emb = t(spark, dir, "embeddings")
+        val bands = emb.select(col("vec_id"),
+            posexplode(expr("hyperplane_bands(embedding, 8, 24)")))
+          .select(col("vec_id"), (col("pos") + 1).cast("int").as("band"),
+            col("col").cast("int").as("bucket"))
+          .cache()
+        val cands = bands.as("a").join(bands.as("b"),
+            col("a.band") === col("b.band") &&
+              col("a.bucket") === col("b.bucket") &&
+              col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+          .distinct()
+        val ea = emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+          expr(dotSql("embedding", "embedding")).as("na"))
+        val eb = emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+          expr(dotSql("embedding", "embedding")).as("nb"))
+        cands.join(ea, "vec_a").join(eb, "vec_b")
+          .withColumn("dot", expr(dotSql("ea", "eb")))
+          .select(col("vec_a"), col("vec_b"),
+            (col("dot").cast("double") /
+              (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+              .as("cosine"))
+          .filter(col("cosine") >= 0.2)
+          .orderBy("vec_a", "vec_b")
+      },
+      Some({
+        val planeList = (j: Int) =>
+          s"list_transform(range(1, 65), d -> ${planeSql(j, "d")})"
+        def signDuck(j: Int): String =
+          s"(CASE WHEN ${dotDuck("embedding", s"(${planeList(j)})")} > 0 THEN 1 ELSE 0 END)"
+        def bucketDuck(k: Int): String = (0 until 24)
+          .map(i => s"${signDuck((k - 1) * 24 + i + 1)} * ${1 << i}")
+          .mkString("(", " + ", ")")
+        val bandCols = (1 to 8)
+          .map(k => s"CAST(${bucketDuck(k)} AS INTEGER) AS b$k").mkString(",\n    ")
+        val bandRows = (1 to 8)
+          .map(k => if (k == 1) s"SELECT vec_id, 1 AS band, b1 AS bucket FROM sig"
+                    else s"UNION ALL SELECT vec_id, $k, b$k FROM sig")
+          .mkString("\n  ")
+        val cosine =
+          s"""${dotDuck("ea.embedding", "eb.embedding")}
+             |  / (sqrt(${dotDuck("ea.embedding", "ea.embedding")})
+             |     * sqrt(${dotDuck("eb.embedding", "eb.embedding")}))""".stripMargin
+        s"""WITH sig AS (
+           |  SELECT vec_id,
+           |    $bandCols
+           |  FROM embeddings),
+           |bands AS (
+           |  $bandRows),
+           |cands AS (
+           |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+           |SELECT vec_a, vec_b, $cosine AS cosine
+           |FROM cands
+           |JOIN embeddings ea ON ea.vec_id = vec_a
+           |JOIN embeddings eb ON eb.vec_id = vec_b
+           |WHERE $cosine >= 0.2
+           |ORDER BY vec_a, vec_b""".stripMargin
+      })),
+
     // ----------------------------------------------------------------- t69
     // EMBEDDING PAIR-DISTANCE HISTOGRAM: the distance-distribution
     // diagnostic every near-dup threshold (t12's cosine band, t26's

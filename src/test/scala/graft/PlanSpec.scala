@@ -247,33 +247,37 @@ class PlanSpec extends AnyFunSuite {
       viaJoin.exceptAll(viaLiterals).isEmpty)
   }
 
-  test("t26: cell count grows with N (Σ|cell|² stays linear)") {
-    // the SemDeDup quadratic guard must live in code, not prose: k
-    // tracks ⌈N / targetCellSize⌉ so cells hold ~constant membership
-    // and a 100× corpus gets 100× cells, not 100× cell size
+  test("t26: cell count follows the balanced k = min(⌈N/64⌉, ⌈√N⌉, cap) law") {
+    // the SemDeDup quadratic guard must live in code, not prose. Two
+    // quadratic regimes bracket the sizing: k too SMALL makes pair work
+    // Σ|cell|² ≈ N²/k blow up; k too LARGE makes the brute-force
+    // assignment's N·k dots blow up (the r18 100× probe measured the
+    // latter at 35.5 s / 50× wall for 100× data under the old
+    // k = ⌈N/64⌉ rule). The two cross at k = √N, so k takes the ⌈N/64⌉
+    // arm only while that is SMALLER (N ≤ 4096 — every gate fixture,
+    // answers unchanged), then √N, then the 2¹⁸ ceiling.
     import graft.queries.Curation.{semdedupK, semdedupMaxCells,
       semdedupFoldMaxCell, semdedupCellSize}
     assert(semdedupK(1) == 1)
     assert(semdedupK(500) == 8)
     assert(semdedupK(2000) == 32)
-    assert(semdedupK(40 * 6400) == 40 * semdedupK(6400))
-    // growth continues far past the old 4096-cell cap (r16: cells no
-    // longer grow as N/4096 from ~262k vectors — the r15 memory cliff)
-    assert(semdedupK(1000L * 1000) == 15625)
-    assert(semdedupK(16L * 1000 * 1000) == 250000)
+    assert(semdedupK(4096) == 64)      // the arms meet exactly here
+    // √N arm: both flop terms grow as N^1.5 (per-vector work √N)
+    assert(semdedupK(1000L * 1000) == 1000)
+    assert(semdedupK(16L * 1000 * 1000) == 4000)
+    assert(semdedupK(256000) == 506)   // NOT the old linear 4000
     // ... until the 2¹⁸ cap: past it the driver-collected / broadcast
     // centroid artifacts are CONSTANT no matter how large the corpus
     // gets (k×65 values ≈ 136 MB — the sizing math lives on the
     // constant), which is published SemDeDup's own fixed-cluster-count
-    // regime
-    assert(semdedupK(262144L * 64) == semdedupMaxCells)
-    assert(semdedupK(1000L * 1000 * 1000 * 100) == semdedupMaxCells)
+    // regime. With the √N arm the cap binds from N = 2³⁶ ≈ 6.9×10¹⁰.
+    assert(semdedupK(262144L * 262144L) == semdedupMaxCells)
     assert(semdedupK(Long.MaxValue / 4) == semdedupMaxCells)
     // and the fold→join switch engages only once a cell's expected
-    // membership (N/k) outgrows the measured fold-wins regime: below
-    // the cap membership is ~semdedupCellSize, under the crossover
+    // membership (N/k = √N past the meet point) outgrows the measured
+    // fold-wins regime
     assert(semdedupCellSize <= semdedupFoldMaxCell)
-    val nSwitch = semdedupFoldMaxCell.toLong * semdedupMaxCells
+    val nSwitch = semdedupFoldMaxCell.toLong * semdedupFoldMaxCell
     assert(nSwitch / semdedupK(nSwitch) >= semdedupFoldMaxCell)
   }
 
