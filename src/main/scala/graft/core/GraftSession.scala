@@ -53,6 +53,28 @@ object GraftSession {
     "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
     "spark.sql.adaptive.coalescePartitions.initialPartitionNum" -> "1024",
     "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    // Broadcast only what is PROVEN or MEASURED, never guessed (r18
+    // BroadcastAudit): the static planner sizes a broadcast from scan
+    // statistics, and any explode/HOF between the scan and the build
+    // side blinds the estimate by the fan-out factor — at the 30×
+    // fixture the audit measured ~20 ops silently broadcasting
+    // corpus-PROPORTIONAL frames (t45's band table at 600k rows, t22's
+    // full vocabulary, t63's per-doc manifest at 147k …) because the
+    // estimate never saw the explode. Locally that is a pointer hop;
+    // on a cluster it is a driver ship that grows with the corpus —
+    // the q03 forced-broadcast mistake (removed in r17), re-made by
+    // stats. So the static threshold is OFF: joins the author KNOWS
+    // are bounded carry an explicit broadcast() hint (1-row query
+    // frames, ≤#langs threshold tables, capped centroid/eval sides —
+    // hints ignore this threshold), and everything else is left to
+    // AQE, whose conversion reads the MEASURED shuffle size at
+    // runtime (set explicitly below — it falls back to the static
+    // threshold, i.e. to "off", when unset). Measured sizes adapt
+    // with the corpus by definition: small stays broadcast at any SF,
+    // grown sides stay shuffled.
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold" ->
+      (10L * 1024 * 1024).toString,
     "spark.sql.files.maxPartitionBytes" -> (256L * 1024 * 1024).toString,
     "spark.sql.session.timeZone" -> "UTC",
     "spark.sql.codegen.hugeMethodLimit" -> "8000")

@@ -1206,12 +1206,21 @@ object DataSelection {
     // counts + one exact IEEE division.
     "t47_shingle_novelty" -> QueryDef(
       (spark, dir) => {
-        val occ = withWords(t(spark, dir, "documents"))
+        // first_doc is a WINDOW min over the one sh64 exchange, not an
+        // aggregate joined back (r18): the join spelling re-entered the
+        // exploded corpus through a second leg whose output the planner
+        // size-estimates from the PRE-explode scan — at 30× it still
+        // chose BroadcastHashJoin for a ~30×-grown digest table (the
+        // q03 forced-broadcast mistake, made silently by stats this
+        // time; a ~GB driver ship at warehouse scale). The window
+        // computes the same min on the shuffle the join needed anyway:
+        // one corpus exchange, no broadcast decision left to mis-size.
+        import org.apache.spark.sql.expressions.Window
+        withWords(t(spark, dir, "documents"))
           .select(col("doc_id"), explode(expr(shingleExpr)).as("shingle"))
           .select(col("doc_id"), xxhash64(col("shingle")).as("sh64"))
-        val firsts = occ.groupBy("sh64")
-          .agg(min("doc_id").as("first_doc"))
-        occ.join(firsts, "sh64")
+          .withColumn("first_doc",
+            min("doc_id").over(Window.partitionBy("sh64")))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_shingles"),
             sum(when(col("first_doc") === col("doc_id"), 1L)
@@ -1590,12 +1599,20 @@ object DataSelection {
     // bigints.
     "t22_word_rarity" -> QueryDef(
       (spark, dir) => {
-        val dw = t(spark, dir, "documents")
+        // df is a WINDOW count over the one w64 exchange, not an
+        // aggregate joined back (r18 BroadcastAudit): the join spelling
+        // size-estimates the vocabulary-sized df table from the
+        // PRE-explode documents scan and still planned BroadcastHashJoin
+        // at 30× — silently violating this op's own "the vocabulary is
+        // far too large to broadcast" contract (t47's finding repeated).
+        // The window computes the same count on the shuffle the join
+        // needed anyway: one corpus exchange, no broadcast to mis-size.
+        import org.apache.spark.sql.expressions.Window
+        t(spark, dir, "documents")
           .select(col("doc_id"),
             explode(array_distinct(split(col("text"), " "))).as("w"))
           .select(col("doc_id"), xxhash64(col("w")).as("w64"))
-        val df = dw.groupBy("w64").agg(count(lit(1)).as("df"))
-        dw.join(df, "w64")
+          .withColumn("df", count(lit(1)).over(Window.partitionBy("w64")))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_distinct"),
             sum("df").as("sum_df"),

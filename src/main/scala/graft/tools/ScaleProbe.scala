@@ -70,9 +70,16 @@ object ScaleProbe {
     val factor = if (args.length > 2) args(2).toInt else 10
     val mode = if (args.length > 3) args(3) else "rotate"
     require(mode == "rotate" || mode == "mangle", s"bad mode $mode")
-    val spark = SparkSession.builder().master("local[32]")
+    // the shipped GraftSession profile with Bench's documented
+    // local-sizing overrides (r18): the sweep grades the confs the
+    // engine actually runs under — in particular the no-guessed-
+    // broadcast law (static autoBroadcastJoinThreshold off, AQE
+    // measured conversion on), whose cost/benefit is exactly what a
+    // scale ratio must include
+    val spark = graft.core.GraftSession.builder("graft-scaleprobe")
+      .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
-      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", 32)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

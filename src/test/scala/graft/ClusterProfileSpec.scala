@@ -42,4 +42,32 @@ class ClusterProfileSpec extends AnyFunSuite {
       assert(aqe == base, s"$n diverges under the production AQE profile")
     }
   }
+
+  test("production profile broadcasts only from hints or AQE measurement, never a size guess") {
+    // r18 BroadcastAudit: the static planner sizes broadcasts from scan
+    // stats, which any explode blinds by the fan-out factor — ~20 ops
+    // silently broadcast corpus-PROPORTIONAL frames at the 30× fixture
+    // (t45's 600k-row band table, t22's full vocabulary). The shipped
+    // profile therefore turns the static threshold OFF and pins AQE's
+    // measured-size conversion ON explicitly (it falls back to the
+    // static "off" when unset — the silent way to lose the law).
+    val prod = graft.core.GraftSession.applyTo(spark.newSession())
+    assert(prod.conf.get("spark.sql.autoBroadcastJoinThreshold") == "-1")
+    assert(prod.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      == (10L * 1024 * 1024).toString)
+    // t02's band self-join build side is corpus-derived (600k rows at
+    // 30×): the INITIAL plan must keep it shuffled — any broadcast of
+    // it may come only from AQE's runtime measurement
+    val p02 = SparkEntry.queries("t02_minhash_lsh")(prod, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p02.contains("BroadcastHashJoin"),
+      "a corpus-derived self-join side must not be statically broadcast")
+    // while an EXPLICIT hint (t13's 1-row query frame — proven bounded)
+    // still broadcasts statically, threshold or no threshold
+    val p13 = SparkEntry.queries("t13_ann_ivf")(prod, sf)
+      .queryExecution.executedPlan.toString
+    assert(p13.contains("BroadcastHashJoin") ||
+      p13.contains("BroadcastNestedLoopJoin"),
+      "hinted bounded frames must keep their static broadcast")
+  }
 }

@@ -406,17 +406,25 @@ class PlanSpec extends AnyFunSuite {
     // shuffles: corpus-text-scale bytes must never cross an exchange
     assert(!"Exchange [^\\n]*shingle#".r.findFirstIn(p).isDefined,
       "exchanges must key on the 64-bit shingle digest, not the string")
-    // every shingle-/doc-keyed exchange must sit directly above a
-    // map-side partial aggregate: the shuffle carries (key, partial
-    // state) rows, never one row per raw shingle occurrence
+    // r18 shape: first_doc is a WINDOW min on the one sh64 exchange —
+    // no vocabulary aggregate joined back (the join spelling's df table
+    // planned as a stats-blinded corpus-sized broadcast at 30×,
+    // BroadcastAudit). The window's exchange carries narrow (doc_id,
+    // sh64) 16-byte digest rows — the same rows the join's SMJ
+    // fallback would have shuffled anyway, minus the whole second
+    // aggregate leg and the broadcast decision. No join may reappear.
+    assert(p.contains("Window"), "first_doc must be a window min over sh64")
+    assert(!p.contains("Join"), "the aggregate-joined-back shape is the " +
+      "stats-blinded broadcast hazard BroadcastAudit measured — keep the window")
+    // and the per-doc rollup exchange is still fed map-side partials
     val lines = p.linesIterator.toVector
     val ex = lines.indices.filter(i =>
-      lines(i).contains("Exchange hashpartitioning"))
-    assert(ex.nonEmpty, "the vocabulary aggregation needs a hash exchange")
+      lines(i).contains("Exchange hashpartitioning(doc_id"))
+    assert(ex.nonEmpty, "the per-doc rollup needs a doc-keyed exchange")
     ex.foreach { i =>
       assert(i + 1 < lines.size && lines(i + 1).contains("HashAggregate") &&
         lines(i + 1).contains("partial_"),
-        s"exchange must be fed by a partial aggregate:\n${lines(i)}\n${lines(i + 1)}")
+        s"doc exchange must be fed by a partial aggregate:\n${lines(i)}\n${lines(i + 1)}")
     }
   }
 
