@@ -54,12 +54,23 @@ object BroadcastAudit {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    def leaves(p: SparkPlan): Seq[String] = p.collectLeaves().collect {
+    // AQE replaces executed subtrees with QueryStageExec references
+    // (leaf nodes wrapping the materialized plan), so a plain
+    // collectLeaves never reaches the file scan once a stage sits
+    // between the broadcast and its source — descend through stages
+    // and reused exchanges explicitly (the t19/t63 lesson: their
+    // hinted eval-side broadcasts vanished from the exec report until
+    // this walk saw through the stage wrapper)
+    def leaves(p: SparkPlan): Seq[String] = p.collect {
       case f: FileSourceScanExec =>
         val path = f.relation.location.rootPaths.headOption
           .map(_.toString).getOrElse("?")
-        growing.find(t => path.contains(s"$t.parquet")).getOrElse("")
-    }.filter(_.nonEmpty)
+        growing.find(t => path.contains(s"$t.parquet")).toSeq
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        leaves(s.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        leaves(r.child)
+    }.flatten
 
     val exec = args.length > 2 && args(2) == "exec"
     val names = graft.SparkEntry.queries.keys
