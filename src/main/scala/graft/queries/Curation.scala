@@ -1668,8 +1668,14 @@ object Curation {
     // the audit a pipeline runs before trusting one (cheaper) method as
     // a proxy for the other, t31's "measure, don't guess" applied to
     // dedup. Both legs are the existing operators' plans (id pairs
-    // only); the comparison is a full outer join of two candidate lists,
-    // each a vanishing fraction of the corpus.
+    // only); the comparison is a full outer join of two candidate lists.
+    // SCALE: this entry consumes t18's FIXED-16-bit answer, which is
+    // itself Θ(n²) past 2¹⁶ docs (the C(n,2)·17/2¹⁶ birthday floor —
+    // measured 17.9M rows at 30×, t40's 6.6 s sweep wall tracks it),
+    // so t40 is the oracle-pinned FIXTURE TWIN of this audit. Its
+    // corpus-scale face is [[t103_dedup_agreement_wide]] below: the
+    // identical report over t101's 64-bit leg, whose answer — and so
+    // this op's full-outer-join input — is LINEAR in true near-dups.
     "t40_dedup_agreement" -> QueryDef(
       (spark, dir) => {
         val mh = minhashPairs(spark, dir)
@@ -1688,6 +1694,60 @@ object Curation {
       },
       Some {
         val shSql = TrainingData.defs("t18_simhash_neardup").oracle.get
+        s"""WITH $minhashPairsDuck,
+           |s AS (SELECT doc_a, doc_b FROM ($shSql)),
+           |u AS (
+           |  SELECT
+           |    CASE WHEN m.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_m,
+           |    CASE WHEN s.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_s
+           |  FROM pairs m FULL OUTER JOIN s
+           |    ON m.doc_a = s.doc_a AND m.doc_b = s.doc_b)
+           |SELECT CAST(SUM(in_m) AS BIGINT) AS n_minhash,
+           |  CAST(SUM(in_s) AS BIGINT) AS n_simhash,
+           |  CAST(SUM(in_m * in_s) AS BIGINT) AS n_both,
+           |  CAST(SUM(in_m * in_s) AS DOUBLE)
+           |    / CAST(SUM(in_m) + SUM(in_s) - SUM(in_m * in_s) AS DOUBLE)
+           |    AS agreement
+           |FROM u""".stripMargin
+      }),
+
+    // ---------------------------------------------------------------- t103
+    // Dedup-method agreement at CORPUS-SCALABLE width — t40's face,
+    // closing the r18 verdict's one `weak`: the same audit (candidate
+    // counts + overlap + Jaccard agreement) with the SimHash leg swapped
+    // from t18's fixed 16-bit pipeline to t101's 64-bit one. That swap
+    // changes the ASYMPTOTICS of the op's input, not just its plan:
+    // t18's hamming≤1 answer converges on the C(n,2)·17/2¹⁶ birthday
+    // floor (Θ(n²) rows past 2¹⁶ docs — 17.9M at the 30× fixture, the
+    // wall t40 inherits), while t101's 64-bit hamming≤3 answer carries
+    // E[chance pairs] ≈ 2.4e-15·C(n,2) ≈ 0, i.e. only TRUE near-dups —
+    // LINEAR in the corpus, like the MinHash leg it is compared against.
+    // The full outer join of two linear pair lists stays linear at any
+    // corpus, so the agreement report itself survives 100 TB; t40 stays
+    // the oracle-pinned fixture twin (the published-default 16-bit
+    // config), exactly the t18→t101 / t12→t102 / t98→t100 pattern.
+    // Expect LOWER agreement than t40 on the gate fixture: the 64-bit
+    // leg drops chance collisions, so the intersection loses exactly
+    // the pairs that agreed by accident — the audit now measures method
+    // agreement on real near-dups instead of on birthday noise.
+    "t103_dedup_agreement_wide" -> QueryDef(
+      (spark, dir) => {
+        val mh = minhashPairs(spark, dir)
+          .select(col("doc_a"), col("doc_b"), lit(1L).as("in_m"))
+        val sh = TrainingData.defs("t101_simhash64_neardup").build(spark, dir)
+          .select(col("doc_a"), col("doc_b"), lit(1L).as("in_s"))
+        mh.join(sh, Seq("doc_a", "doc_b"), "full")
+          .select(coalesce(col("in_m"), lit(0L)).as("in_m"),
+            coalesce(col("in_s"), lit(0L)).as("in_s"))
+          .agg(sum("in_m").as("n_minhash"), sum("in_s").as("n_simhash"),
+            sum(expr("in_m * in_s")).as("n_both"))
+          .withColumn("agreement",
+            col("n_both").cast("double") /
+              (col("n_minhash") + col("n_simhash") - col("n_both")).cast("double"))
+          .select("n_minhash", "n_simhash", "n_both", "agreement")
+      },
+      Some {
+        val shSql = TrainingData.defs("t101_simhash64_neardup").oracle.get
         s"""WITH $minhashPairsDuck,
            |s AS (SELECT doc_a, doc_b FROM ($shSql)),
            |u AS (

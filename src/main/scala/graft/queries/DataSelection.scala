@@ -354,6 +354,53 @@ object DataSelection {
        |FROM tot t LEFT JOIN ov o ON o.doc_id = t.doc_id
        |ORDER BY t.doc_id""".stripMargin
 
+  /** Row bound for [[boundedEvalBroadcast]]: generously above any
+    * published benchmark suite's distinct-shingle/-n-gram set (a 10⁵-doc
+    * eval suite at ~40 distinct shingles per doc is 4M rows — tens of MB
+    * of 64-bit digests, low hundreds of MB of shingle strings, the upper
+    * edge of a sane executor broadcast) and orders of magnitude below
+    * any corpus-PROPORTIONAL side (1/50 of a 10⁹-doc corpus is 10⁸⁺
+    * rows). The gate fixtures sit 3–4 decades under it (t19's eval
+    * shingle set is ~5k rows at sf0.1, ~500k at the 100× probe). */
+  private[graft] val evalBroadcastMaxRows = 4 * 1000 * 1000
+
+  /** Enforce the benchmark-bounded-eval PREMISE behind the explicit
+    * broadcast hints at t19/t54/t63 — r18's broadcast law made every
+    * broadcast either author-PROVEN (a hint) or AQE-MEASURED, and these
+    * three hints are the proofs whose premise ("the eval side is
+    * benchmark-sized, not corpus-sized") previously lived only in
+    * comments (r18 verdict, What's wrong #2). A corpus-proportional
+    * eval side shipped by an unwitting caller would have assembled a
+    * multi-GB driver broadcast with an OOM as the only diagnostic.
+    *
+    * The check: persist the eval frame (so the premise check and the
+    * broadcast evaluate the eval leg ONCE — the storage cost is the
+    * premise itself, and MEMORY_AND_DISK spills rather than OOMs even
+    * when the premise is false), count it through a local limit of
+    * bound+1 (each partition stops scanning at the bound — the guard
+    * stays bounded even over a pathological side), and above the bound
+    * fail FAST with the escalation routes: t43's Bloom-filter probe
+    * (eval side collapses to a ~MB sketch regardless of row count) or
+    * t100's IVF join (neither side broadcasts). Below it, hand the
+    * frame to `broadcast(...)` as before — same values, same plan, so
+    * every oracle hash is unchanged. */
+  private[graft] def boundedEvalBroadcast(df: DataFrame, site: String,
+      maxRows: Int = evalBroadcastMaxRows): DataFrame = {
+    val pinned = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = pinned.limit(maxRows + 1).count()
+    if (n > maxRows) {
+      pinned.unpersist()
+      throw new IllegalStateException(
+        s"$site: eval-side frame exceeds the benchmark-bounded-eval " +
+          s"premise behind its broadcast hint (> $maxRows rows). A " +
+          "corpus-proportional eval set must not broadcast — route it " +
+          "through t43_bloom_decontaminate's Bloom-filter probe (eval " +
+          "side becomes a ~MB sketch) or t100_semantic_decontaminate_ivf's " +
+          "IVF join (no broadcast on either side) instead.")
+    }
+    broadcast(pinned)
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // ----------------------------------------------------------------- t19
@@ -377,7 +424,11 @@ object DataSelection {
         val evalSh = sh.filter(col("doc_id") % 50 === 0)
           .select("shingle").distinct().withColumn("hit", lit(1L))
         val train = sh.filter(col("doc_id") % 50 =!= 0)
-        train.join(broadcast(evalSh), Seq("shingle"), "left")
+        // the hint's premise is ENFORCED, not assumed: the guard counts
+        // the eval side before broadcasting and fails toward t43/t100
+        // if a corpus-proportional side ever reaches this op
+        train.join(boundedEvalBroadcast(evalSh, "t19_decontaminate"),
+            Seq("shingle"), "left")
           .groupBy("doc_id").agg(
             count(lit(1)).as("n_shingles"),
             coalesce(sum("hit"), lit(0L)).as("n_overlap"))
@@ -538,7 +589,8 @@ object DataSelection {
             xxhash64(col("col")).as("g"))
         val evalNg = ng.filter(col("doc_id") % 50 === 0).select("g").distinct()
         val hits = ng.filter(col("doc_id") % 50 =!= 0)
-          .join(broadcast(evalNg), Seq("g"))
+          .join(boundedEvalBroadcast(evalNg, "t54_decontaminate_13gram"),
+            Seq("g"))
           .select(col("doc_id"), col("p"))
         // classic interval merge: ranges [p, p+12] ordered by p; a range
         // opens a NEW island iff it starts past (running max end) + 1
@@ -1029,7 +1081,8 @@ object DataSelection {
         val evalSh = sh.filter(col("doc_id") % 50 === 0)
           .select("shingle").distinct().withColumn("hit", lit(1L))
         val contam = sh.filter(col("doc_id") % 50 =!= 0)
-          .join(broadcast(evalSh), Seq("shingle"), "left")
+          .join(boundedEvalBroadcast(evalSh, "t63_curation_manifest"),
+            Seq("shingle"), "left")
           .groupBy("doc_id")
           .agg((coalesce(sum("hit"), lit(0L)).cast("double") /
             count(lit(1)).cast("double")).as("contamination"))

@@ -105,4 +105,41 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(rows(1L)._1 == 1L && Set("train", "validation", "test")(rows(1L)._2))
     assert(Set("train", "validation", "test")(rows(6L)._2))
   }
+
+  // r18 verdict "What's wrong" #2: the benchmark-bounded-eval premise
+  // behind the t19/t54/t63 broadcast hints must be ENFORCED at the hint
+  // site, not stated in comments — an unwitting caller shipping a
+  // corpus-proportional eval side must get a diagnostic naming the
+  // t43/t100 escalation, never a silent driver-OOM-sized broadcast.
+  test("boundedEvalBroadcast: oversized eval side fails toward t43/t100") {
+    val spark = SparkSuite.spark
+    import spark.implicits._
+    val oversized = (0L until 11L).toDF("g")
+    val ex = intercept[IllegalStateException] {
+      graft.queries.DataSelection
+        .boundedEvalBroadcast(oversized, "spec_site", maxRows = 10)
+    }
+    assert(ex.getMessage.contains("spec_site"))
+    assert(ex.getMessage.contains("benchmark-bounded-eval"),
+      "the diagnostic must name the violated premise")
+    assert(ex.getMessage.contains("t43_bloom_decontaminate") &&
+      ex.getMessage.contains("t100_semantic_decontaminate_ivf"),
+      "the diagnostic must name both escalation routes")
+  }
+
+  test("boundedEvalBroadcast: in-bound eval side broadcasts with values intact") {
+    val spark = SparkSuite.spark
+    import spark.implicits._
+    val eval = (0L until 10L).map(i => i * 2).toDF("g")
+    val guarded = graft.queries.DataSelection
+      .boundedEvalBroadcast(eval, "spec_site", maxRows = 10)
+    val probe = (0L until 20L).toDF("g")
+    val joined = probe.join(guarded, Seq("g"))
+    assert(joined.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"),
+      "the guard must still hand the frame to the broadcast hint")
+    assert(joined.collect().map(_.getLong(0)).sorted.toSeq ==
+      (0L until 20L by 2).toSeq)
+    guarded.unpersist()
+  }
 }

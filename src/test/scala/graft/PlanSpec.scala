@@ -15,6 +15,26 @@ class PlanSpec extends AnyFunSuite {
     df.queryExecution.executedPlan.toString
   }
 
+  /** Plan text with every InMemoryRelation's cached-plan printout
+    * removed (all lines indented deeper than the InMemoryRelation node
+    * itself). Cache-BUILD shuffles run once at materialization — e.g.
+    * the eval-side distinct that boundedEvalBroadcast persists before
+    * counting — and must not trip main-plan shuffle pins, which guard
+    * the per-row corpus dataflow. */
+  private def withoutCachedPlans(p: String): String =
+    p.split("\n").foldLeft((new StringBuilder, -1)) {
+      case ((out, skipIndent), l) =>
+        val indent = l.indexWhere(!_.isWhitespace) match {
+          case -1 => l.length
+          case i  => i
+        }
+        if (skipIndent >= 0 && indent > skipIndent) (out, skipIndent)
+        else {
+          out.append(l).append('\n')
+          (out, if (l.contains("InMemoryRelation")) indent else -1)
+        }
+    }._1.toString
+
   test("q02: filters are pushed to the parquet scan and schema is pruned") {
     val p = plan("q02_filter_project")
     assert(p.contains("PushedFilters:"))
@@ -491,12 +511,15 @@ class PlanSpec extends AnyFunSuite {
     assert("windowspecdefinition\\(doc_id".r.findFirstIn(p).isDefined,
       "interval-merge windows must partition by doc_id, never global")
     // the eval-side DISTINCT legitimately exchanges its (benchmark-sized)
-    // n-gram strings once inside the broadcast build; a second g-keyed
-    // exchange would mean the CORPUS side's n-grams started shuffling
-    // (the self-join regression this pin exists to catch)
-    assert("Exchange hashpartitioning\\(g#".r.findAllIn(p).size <= 1,
-      "corpus-side n-gram strings must never key a shuffle — only the " +
-        "eval distinct may, and only (doc_id, p) ints move otherwise")
+    // n-gram digests once — inside the cache build boundedEvalBroadcast
+    // persists (stripped below). Any g-keyed exchange REMAINING in the
+    // main plan means the CORPUS side's n-grams started shuffling (the
+    // self-join regression this pin exists to catch).
+    assert("Exchange hashpartitioning\\(g#".r
+        .findAllIn(withoutCachedPlans(p)).isEmpty,
+      "corpus-side n-gram digests must never key a shuffle — only the " +
+        "eval distinct may (inside its cache build), and only " +
+        "(doc_id, p) ints move otherwise")
   }
 
   test("t55: bucket histogram broadcasts; document text never shuffles") {

@@ -28,6 +28,11 @@ def main():
     def suite(prefix):
         return {k: v for k, v in ops.items() if k.startswith(prefix)}
 
+    # base-wall column label comes from the artifact's recorded source
+    # dir, not a literal — a sweep over another base must not render a
+    # table claiming to be sf0.1 (r18 ADVICE)
+    base = fx.get("src", "base").rstrip("/").rsplit("/", 1)[-1]
+
     for name, sub in (("t-suite", suite("t")), ("q-suite", suite("q"))):
         if not sub:
             continue
@@ -37,7 +42,7 @@ def main():
         print(f"{name}: {len(sub)} ops, median wall ratio {med:.2f}x for "
               f"{factor}x data, max {sub[hi_op]['ratio']:.1f}x ({hi_op})")
     print()
-    print("| op | sf0.1 wall (s) | "
+    print(f"| op | {base} wall (s) | "
           f"{factor}x wall (s) | ratio |")
     print("|---|---|---|---|")
     rows = [(v["ratio"], k, v) for k, v in ops.items()
