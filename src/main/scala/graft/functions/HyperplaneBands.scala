@@ -11,20 +11,37 @@ import org.apache.spark.sql.types._
 /** Width-PARAMETERIZED banded hyperplane LSH signature —
   * `hyperplane_bands(embedding, bands, bits)` → `array<int>` of `bands`
   * bucket values of `bits` sign bits each, from `bands·bits`
-  * deterministic LCG planes in one compiled pass.
+  * deterministic md5-mixed planes in one compiled pass.
   *
-  * This is [[HyperplaneBuckets64]] with the published LSH sizing rule
-  * exposed as a config: holding the chance-collision rate of a banded
-  * self-join needs band width ~2·log₂N bits (E[chance pairs] =
-  * bands·C(N,2)/2^bits), so a FIXED width makes the candidate set
-  * quadratic once the corpus outgrows 2^bits — measured for t12's 4×16
-  * config at the 100× probe (28.7 s, 89× wall for 100× data, the
-  * candidate integral exactly as documented). The plane family is the
-  * SAME LCG sequence (plane j, any j ≥ 1:
-  * `((j·1103515245 + d·12345) mod 32768)/32768 − 0.5`), and bit i of
-  * band k polls plane (k−1)·bits + i + 1 — so `hyperplane_bands(e, 4,
-  * 16)` is bit-identical to `hyperplane_buckets64(e)` (pinned in
-  * HyperplaneBandsSpec): one family, widths for each corpus scale.
+  * This is the width knob behind the published LSH sizing rule: holding
+  * the chance-collision rate of a banded self-join needs band width
+  * ~2·log₂N bits (E[chance pairs] = bands·C(N,2)/2^bits), so a FIXED
+  * width makes the candidate set quadratic once the corpus outgrows
+  * 2^bits — measured for t12's 4×16 config at the 100× probe (28.7 s,
+  * 89× wall for 100× data, the candidate integral exactly as
+  * documented).
+  *
+  * PLANE FAMILY (r19): element d of plane j is
+  * `(md5int32("hp|j|d") mod 32768)/32768 − 0.5` where md5int32 is the
+  * first 8 hex digits of the md5 as an integer — the repo's portable
+  * hash, so the DuckDB oracle derives the identical family in SQL.
+  * Bit i of band k polls plane (k−1)·bits + i + 1, so configs are
+  * prefix-consistent in ONE family (pinned in HyperplaneBandsSpec).
+  * This REPLACES r18's LCG family
+  * (`((j·1103515245 + d·12345) mod 32768)/32768 − 0.5`, the
+  * [[HyperplaneBuckets64]] lineage): plane j+1 of that family is plane
+  * j plus a constant shift mod 1 per element (the r18 ADVICE's lattice
+  * caveat), and measuring it (tools/PlaneFamilyLab) showed the
+  * correlation is not a caveat but a CEILING — same-band collision
+  * pairs ran 75× / 4400× / 116000× the bands·C(N,2)/2^bits model at
+  * 16/24/30 bits (fixture embeddings AND random vectors), i.e.
+  * effective band entropy capped at ~12 bits no matter the configured
+  * width, which silently voided the ~2·log₂N schedule this kernel
+  * exists to expose. The md5 family tracks the model within the
+  * finite-dimension Jensen factor (≤ ~5× at 64 dims, measured; pinned
+  * empirically in HyperplaneBandsSpec). [[HyperplaneBuckets64]] itself
+  * keeps the LCG family untouched — it is t12's oracle-pinned
+  * published-default fixture twin, not a width-schedule kernel.
   * NaN dots set the bit, matching SQL's `float_dot(...) > 0` under
   * NaN-high ordering (the HyperplaneBuckets64 lesson). Per-type element
   * accessors in both eval paths (the r16 FloatDot ADVICE).
@@ -114,14 +131,25 @@ case class HyperplaneBands(first: Expression, second: Expression, third: Express
 
 object HyperplaneBands {
   /** Plane tables keyed by plane count (bands·bits ≤ 1024); each entry
-    * is planes(j0)(d0) for the first `count` planes of the one LCG
-    * family — prefix-consistent across widths by construction. */
+    * is planes(j0)(d0) for the first `count` planes of the one md5
+    * family — prefix-consistent across widths by construction. Built
+    * once driver-side (≤ 65k md5s) and cached; the hot path only reads
+    * the table. */
   private val tables = new ConcurrentHashMap[Int, Array[Array[Double]]]()
+
+  /** First 8 md5 hex digits of s as an unsigned 32-bit value — the same
+    * number DuckDB's hex-digit parse of substr(md5(s), 1, 8) yields, so
+    * the oracle can derive the family independently. */
+  private def md5int32(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ((md(0) & 0xFFL) << 24) | ((md(1) & 0xFFL) << 16) |
+      ((md(2) & 0xFFL) << 8) | (md(3) & 0xFFL)
+  }
 
   private def planes(count: Int): Array[Array[Double]] =
     tables.computeIfAbsent(count, c => Array.tabulate(c, 64) { (j0, d0) =>
-      val m = ((j0 + 1).toLong * 1103515245L + (d0 + 1).toLong * 12345L) % 32768L
-      m.toDouble / 32768.0 - 0.5
+      (md5int32(s"hp|${j0 + 1}|${d0 + 1}") % 32768L).toDouble / 32768.0 - 0.5
     })
 
   /** bands tight dot loops per band bit over the pre-widened vector. */

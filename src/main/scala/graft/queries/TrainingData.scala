@@ -1158,15 +1158,29 @@ object TrainingData {
     // comment documents). The published sizing rule says band width
     // must grow ~2·log₂N; [[graft.functions.HyperplaneBands]] exposes
     // exactly that knob, and this entry pins the warehouse config:
-    // 8 bands × 24 bits (192 planes of the same LCG family — prefix-
-    // consistent with t12's 64, so `hyperplane_bands(e,4,16)` ==
-    // `hyperplane_buckets64(e)`, pinned in HyperplaneBandsSpec).
-    // Chance collisions per pair drop 2⁸× (4/2¹⁶ → 8/2²⁴) while
-    // near-dup recall holds through OR-amplification (s^24 per band ×
-    // 8 bands vs s^16 × 4 — at s=0.9: 0.47 vs 0.56); the re-rank stays
-    // exact cosine, so surviving pairs are true near-dups either way.
-    // t12 stays the oracle-pinned fixture twin (its 16-bit buckets are
-    // the published SemDeDup-style default); this is the 100 TB face.
+    // 8 bands × 24 bits. The plane family is md5-MIXED as of r19
+    // (element d of plane j = (md5int32("hp|j|d") mod 32768)/32768−0.5,
+    // derived independently by the oracle below): r18's LCG family was
+    // lattice-correlated (plane j+1 = plane j + a constant shift mod 1
+    // per element), and measuring it (tools/PlaneFamilyLab) showed
+    // same-band chance collisions at 75×/4400×/116000× the
+    // bands·C(N,2)/2^bits model at 16/24/30 bits — effective band
+    // entropy CAPPED at ~12 bits no matter the configured width, i.e.
+    // the width knob silently bought nothing past ~2¹². The md5 family
+    // tracks the model within the finite-dimension Jensen factor
+    // (≤ ~5× at 64 dims; empirically pinned in HyperplaneBandsSpec),
+    // so widening actually buys the configured decades. WIDTH SCHEDULE
+    // (chance same-band pairs ≈ J·bands·C(N,2)/2^bits, J ≤ 5 measured;
+    // keep them ≤ N): N ≲ 10⁶ vectors → this 8×24 config; N ≲ 6·10⁷ →
+    // 8×30 (the kernel's per-band cap — bucket ints); beyond that,
+    // compose adjacent 30-bit bands into (bucket[2k], bucket[2k+1])
+    // 60-bit join keys — 4 super-bands good to ~10¹⁵. Near-dup recall
+    // holds through OR-amplification (at cosine s=0.9: 8 bands × s²⁴
+    // ≈ 0.47 retrieval per band set vs t12's 4 × s¹⁶ ≈ 0.56), and the
+    // re-rank stays exact cosine, so surviving pairs are true near-dups
+    // either way. t12 stays the oracle-pinned fixture twin (its 16-bit
+    // LCG buckets are the published SemDeDup-style default); this is
+    // the 100 TB face.
     "t102_cosine_neardup_wide" -> QueryDef(
       (spark, dir) => {
         val emb = t(spark, dir, "embeddings")
@@ -1195,29 +1209,29 @@ object TrainingData {
           .orderBy("vec_a", "vec_b")
       },
       Some({
-        val planeList = (j: Int) =>
-          s"list_transform(range(1, 65), d -> ${planeSql(j, "d")})"
-        def signDuck(j: Int): String =
-          s"(CASE WHEN ${dotDuck("embedding", s"(${planeList(j)})")} > 0 THEN 1 ELSE 0 END)"
-        def bucketDuck(k: Int): String = (0 until 24)
-          .map(i => s"${signDuck((k - 1) * 24 + i + 1)} * ${1 << i}")
-          .mkString("(", " + ", ")")
-        val bandCols = (1 to 8)
-          .map(k => s"CAST(${bucketDuck(k)} AS INTEGER) AS b$k").mkString(",\n    ")
-        val bandRows = (1 to 8)
-          .map(k => if (k == 1) s"SELECT vec_id, 1 AS band, b1 AS bucket FROM sig"
-                    else s"UNION ALL SELECT vec_id, $k, b$k FROM sig")
-          .mkString("\n  ")
+        // the md5 plane family derived IN SQL (same 8-hex-digit parse
+        // idiom as kmvHashDuck), so the oracle reproduces the kernel's
+        // planes independently rather than trusting interpolated values
+        val hex8 = (1 to 8).map { i =>
+          s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1) * ${1L << (4 * (8 - i))}"
+        }.mkString(" + ")
         val cosine =
           s"""${dotDuck("ea.embedding", "eb.embedding")}
              |  / (sqrt(${dotDuck("ea.embedding", "ea.embedding")})
              |     * sqrt(${dotDuck("eb.embedding", "eb.embedding")}))""".stripMargin
-        s"""WITH sig AS (
-           |  SELECT vec_id,
-           |    $bandCols
-           |  FROM embeddings),
+        s"""WITH ph AS (
+           |  SELECT j, d, substr(md5('hp|' || j || '|' || d), 1, 8) AS h
+           |  FROM range(1, 193) t(j), range(1, 65) u(d)),
+           |planes AS (
+           |  SELECT j, list((($hex8) % 32768) / 32768.0 - 0.5 ORDER BY d) AS pl
+           |  FROM ph GROUP BY j),
            |bands AS (
-           |  $bandRows),
+           |  SELECT e.vec_id, CAST((p.j - 1) // 24 + 1 AS INTEGER) AS band,
+           |    CAST(SUM(CASE WHEN ${dotDuck("e.embedding", "p.pl")} > 0
+           |                  THEN CAST(1 AS BIGINT) << CAST((p.j - 1) % 24 AS INTEGER)
+           |                  ELSE 0 END) AS INTEGER) AS bucket
+           |  FROM embeddings e, planes p
+           |  GROUP BY e.vec_id, (p.j - 1) // 24),
            |cands AS (
            |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
            |  FROM bands a JOIN bands b

@@ -5,16 +5,28 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Pins [[graft.functions.HyperplaneBands]] — the width-parameterized
-  * LSH signature behind t102 — to three laws:
+  * LSH signature behind t102 — to four laws:
   *
-  *  1. FAMILY containment: `hyperplane_bands(e, 4, 16)` is bit-identical
-  *     to `hyperplane_buckets64(e)` on the fixture — one plane family,
-  *     widths for each corpus scale (t101/t18's relationship, repeated
-  *     for the embedding side).
+  *  1. FAMILY prefix-consistency: configs are views over ONE md5 plane
+  *     sequence (band k at width w polls planes (k−1)·w+1..k·w) —
+  *     `(2,16)` equals the first two bands of `(4,16)`, and band 1 at
+  *     width 16 is the low 16 bits of band 1 at width 24 (band 1 polls
+  *     the sequence head at any width).
   *  2. COMPOSED parity at the t102 width: band k bit i of the (8, 24)
   *     config equals the `float_dot(embedding, plane((k−1)·24+i+1)) > 0`
-  *     sign — the exact spelling t102's DuckDB oracle evaluates.
-  *  3. Adversarial inputs: zero vectors (all bits clear), NaN elements
+  *     sign, with the plane derived through the HEX-STRING parse the
+  *     DuckDB oracle uses (independent of the kernel's byte arithmetic).
+  *  3. CHANCE-COLLISION law (the r18 ADVICE's lattice caveat, promoted
+  *     to a pin): on deterministic pseudo-random vectors, same-band
+  *     collision-pair counts must track the bands·C(n,2)/2^bits
+  *     independence model within the finite-dimension Jensen factor —
+  *     measured 1.9× at (4,16) and 4.7× at (8,24) for 64-dim uniforms
+  *     (tools/PlaneFamilyLab), so the pin allows [0.5×, 8×]. The LCG
+  *     family this one replaced read 74× and 4449× on the same vectors
+  *     (effective band entropy capped at ~12 bits regardless of width);
+  *     a regression to any correlated family fails this by an order of
+  *     magnitude.
+  *  4. Adversarial inputs: zero vectors (all bits clear), NaN elements
   *     (every dot NaN → every bit set, matching SQL's NaN-high `> 0`),
   *     short/long vectors, and integer element types.
   */
@@ -22,18 +34,28 @@ class HyperplaneBandsSpec extends AnyFunSuite {
   private lazy val spark = { val s = SparkSuite.spark
     graft.functions.GraftFunctions.register(s); s }
 
+  /** The md5 plane family via the ORACLE's derivation: first 8 md5 hex
+    * digits parsed as an integer (not the kernel's byte arithmetic). */
   private def planeCol(j: Int): Column = typedlit((1 to 64).map { d =>
-    val m = (j.toLong * 1103515245L + d.toLong * 12345L) % 32768L
-    m.toDouble / 32768.0 - 0.5
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"hp|$j|$d".getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hex, 16) % 32768L).toDouble / 32768.0 - 0.5
   })
 
-  test("(4,16) config is bit-identical to hyperplane_buckets64") {
+  test("configs are prefix-consistent views of one plane family") {
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val bad = emb.select(
-        expr("hyperplane_bands(embedding, 4, 16)").as("wide"),
-        expr("hyperplane_buckets64(embedding)").as("fixed"))
-      .filter(col("wide") =!= col("fixed")).count()
-    assert(bad == 0, s"$bad vectors disagree between (4,16) and buckets64")
+        expr("hyperplane_bands(embedding, 2, 16)").as("two"),
+        expr("slice(hyperplane_bands(embedding, 4, 16), 1, 2)").as("four2"),
+        expr("hyperplane_bands(embedding, 1, 16)[0]").as("b1w16"),
+        // band 1 polls planes 1..bits at ANY width, so width-16 band 1
+        // is the low 16 bits of width-24 band 1 — one family, not a
+        // per-config reshuffle
+        expr("hyperplane_bands(embedding, 1, 24)[0] % 65536").as("b1w24lo"))
+      .filter(col("two") =!= col("four2") || col("b1w16") =!= col("b1w24lo"))
+      .count()
+    assert(bad == 0, s"$bad vectors break plane-family prefix consistency")
   }
 
   test("(8,24) config equals the composed float_dot sign form") {
@@ -53,6 +75,33 @@ class HyperplaneBandsSpec extends AnyFunSuite {
     assert(distinct > 50, s"only $distinct distinct bucket values")
   }
 
+  test("chance collisions track the bands*C(n,2)/2^bits model") {
+    val n = 20000L
+    // deterministic 64-dim uniform vectors from murmur3 — random enough
+    // for a sign test, identical across runs
+    val vecs = spark.range(n).select(col("id"), expr(
+      "transform(sequence(1, 64), d -> pmod(hash(id, d), 100001) / 100000.0 - 0.5)")
+      .as("embedding"))
+    def sameBandPairs(bands: Int, bits: Int): (Double, Double) = {
+      val pairs = vecs
+        .select(posexplode(expr(s"hyperplane_bands(embedding, $bands, $bits)")))
+        .groupBy("pos", "col").count()
+        .agg(sum(expr("count * (count - 1) / 2")).cast("double"))
+        .head.getDouble(0)
+      val model = bands.toDouble * n * (n - 1) / 2.0 / math.pow(2.0, bits)
+      (pairs, model)
+    }
+    for ((bands, bits) <- Seq((4, 16), (8, 24))) {
+      val (pairs, model) = sameBandPairs(bands, bits)
+      val ratio = pairs / model
+      assert(ratio >= 0.5 && ratio <= 8.0,
+        s"($bands,$bits): $pairs same-band pairs vs model $model — ratio " +
+          f"$ratio%.1fx outside [0.5, 8]. A correlated plane family (the " +
+          "replaced LCG read 74x/4449x here) caps effective band entropy " +
+          "and silently voids the ~2*log2(N) width schedule t102 documents.")
+    }
+  }
+
   test("adversarial inputs: zero, NaN, short, empty, integer elements") {
     import spark.implicits._
     val zero = Seq(Seq.fill(64)(0.0f)).toDF("embedding")
@@ -70,10 +119,45 @@ class HyperplaneBandsSpec extends AnyFunSuite {
     // integer element arrays widen per element (the FloatDot accessor law)
     val ints = Seq(Seq(3, -7, 2)).toDF("embedding")
       .select(expr("hyperplane_bands(embedding, 4, 16)").as("a"),
-        expr("hyperplane_buckets64(transform(embedding, x -> cast(x as double)))")
+        expr("hyperplane_bands(transform(embedding, x -> cast(x as double)), 4, 16)")
           .as("b"))
       .head
     assert(ints.getSeq[Int](0) == ints.getSeq[Int](1))
+  }
+
+  // The driver fixture plants NO true embedding near-dups (max pairwise
+  // cosine 0.60 at sf0.1), so with a decorrelated family t102's gate
+  // answer is legitimately near-empty — its rows under the old LCG
+  // family were chance band collisions that happened to clear the
+  // cosine floor. This test supplies the planted-pair evidence the
+  // fixture can't: vectors with known high-cosine twins must come back
+  // from the FULL t102 query (banding, candidate join, exact re-rank),
+  // and nothing else may.
+  test("t102 retrieves planted near-dups and only near-dups") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def vec(): Array[Float] = Array.fill(64)((rnd.nextDouble() - 0.5).toFloat)
+    def perturb(v: Array[Float]): Array[Float] =
+      v.map(x => x + (rnd.nextDouble() * 0.02 - 0.01).toFloat) // cosine ~0.999
+    val bases = (0 until 10).map(_ => vec())
+    // ids 0..9 originals, 100+i the planted twin of i; 200..219 loners
+    val rows = bases.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) } ++
+      bases.zipWithIndex.map { case (v, i) => (100L + i, perturb(v).toSeq) } ++
+      (0 until 20).map(i => (200L + i, vec().toSeq))
+    val dir = java.nio.file.Files.createTempDirectory("t102planted").toString
+    rows.toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = SparkEntry.queries("t102_cosine_neardup_wide")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0 until 10).map(i => (i.toLong, 100L + i)).toSet
+    // retrieval per planted pair is deterministic (fixed vectors, fixed
+    // planes): at cosine ~0.999 each band matches w.p. ~0.92^... >> most
+    // of the 10 pairs must band-collide; none of the 435 loner pairs may
+    val found = got.intersect(planted)
+    assert(found.size >= 8, s"only ${found.size}/10 planted near-dup " +
+      "pairs retrieved through the banded join")
+    assert(got.subsetOf(planted), s"non-planted pairs retrieved: " +
+      s"${got.diff(planted)} — chance collisions should be ~0 at 24-bit bands")
   }
 
   test("literal-argument validation rejects bad widths") {
