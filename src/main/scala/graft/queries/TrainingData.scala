@@ -1170,11 +1170,17 @@ object TrainingData {
     // tracks the model within the finite-dimension Jensen factor
     // (≤ ~5× at 64 dims; empirically pinned in HyperplaneBandsSpec),
     // so widening actually buys the configured decades. WIDTH SCHEDULE
-    // (chance same-band pairs ≈ J·bands·C(N,2)/2^bits, J ≤ 5 measured;
-    // keep them ≤ N): N ≲ 10⁶ vectors → this 8×24 config; N ≲ 6·10⁷ →
-    // 8×30 (the kernel's per-band cap — bucket ints); beyond that,
-    // compose adjacent 30-bit bands into (bucket[2k], bucket[2k+1])
-    // 60-bit join keys — 4 super-bands good to ~10¹⁵. Near-dup recall
+    // (chance same-band pairs ≈ J·bands·C(N,2)/2^bits, J ≤ ~10 measured
+    // — it grows slowly with bits; keep them ≤ N): N ≲ 10⁶ vectors →
+    // this 8×24 config; N ≲ 6·10⁷ → 8×30 (the kernel's per-band cap —
+    // bucket ints); beyond that, compose adjacent 30-bit bands into
+    // (bucket[2k], bucket[2k+1]) 60-bit join keys — 4 super-bands good
+    // to ~10¹⁵. Probed at the r19 100× fixture (200k vectors,
+    // tools/T102WidthLab): 8×24 → 43.9k candidates (model 9.5k, J=4.6)
+    // at 6.5 s; 8×30 → 1.6k candidates (model 149, J=10.6) at 2.2 s —
+    // the +6 bits bought the predicted ~2⁶× candidate cut (27.8×
+    // including the Jensen drift), which the replaced LCG family could
+    // not deliver (measured 2.4× for the same widening). Near-dup recall
     // holds through OR-amplification (at cosine s=0.9: 8 bands × s²⁴
     // ≈ 0.47 retrieval per band set vs t12's 4 × s¹⁶ ≈ 0.56), and the
     // re-rank stays exact cosine, so surviving pairs are true near-dups

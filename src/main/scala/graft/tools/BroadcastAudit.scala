@@ -60,7 +60,12 @@ object BroadcastAudit {
     // between the broadcast and its source — descend through stages
     // and reused exchanges explicitly (the t19/t63 lesson: their
     // hinted eval-side broadcasts vanished from the exec report until
-    // this walk saw through the stage wrapper)
+    // this walk saw through the stage wrapper). r19 adds the cached-
+    // relation hop: boundedEvalBroadcast persists the eval frame, so
+    // its broadcast is fed by an InMemoryTableScan whose FILE lineage
+    // lives in the relation's cachedPlan — without descending there a
+    // guarded (or any future cached) broadcast would silently leave
+    // the report again
     def leaves(p: SparkPlan): Seq[String] = p.collect {
       case f: FileSourceScanExec =>
         val path = f.relation.location.rootPaths.headOption
@@ -70,6 +75,13 @@ object BroadcastAudit {
         leaves(s.plan)
       case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
         leaves(r.child)
+      case c: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        // the cached plan is itself AQE-wrapped (AdaptiveSparkPlanExec
+        // is a LEAF — collect never descends into it on its own)
+        leaves(c.relation.cachedPlan match {
+          case a: AdaptiveSparkPlanExec => a.executedPlan
+          case other => other
+        })
     }.flatten
 
     val exec = args.length > 2 && args(2) == "exec"
