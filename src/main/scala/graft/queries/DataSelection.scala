@@ -836,7 +836,10 @@ object DataSelection {
     // negatives — the examples a triplet/InfoNCE loss learns most from).
     // Brute-force exact scoring is the oracle-checkable baseline (the
     // approximate path at corpus scale is t06/t13's LSH/IVF bucketing,
-    // same as for ANN). At-scale shape: anchors broadcast with hoisted
+    // same as for ANN) — this op is the FIXTURE TWIN; its anchor
+    // broadcast and crossJoin are the documented brute-force shape, and
+    // t64 is the corpus-scale face whose probe join carries no forced
+    // broadcast. Fixture shape: anchors broadcast with hoisted
     // norms (one float_dot per vector, not per pair), candidates score
     // in one codegen'd map pass, and [[localLabelTopK]] pre-reduces each
     // partition to ≤3 rows per (anchor, kind) BEFORE anything shuffles —
@@ -1154,13 +1157,23 @@ object DataSelection {
     // (t13's literal LCG centroids — assignment stays in codegen, no
     // materialized centroid table), so the scored stream shrinks from
     // N²/100 to ~N²/400 while positives/negatives stay the nearest
-    // IN-CELL candidates. The probe condition rides the anchor
-    // broadcast as a cell-membership theta join — map-side, the corpus
-    // side still never shuffles its vectors; the tail is t57's
-    // localLabelTopK pre-reduce + anchor-keyed window verbatim.
-    // HardNegativeSpec measures the recall this buys against t57's
-    // exact answer — the t31 discipline: approximate paths ship with
-    // their measured recall, not a hope.
+    // IN-CELL candidates. The anchor set is vec_id % 100 == 0 — a
+    // CORPUS-PROPORTIONAL sample — so as of r19 it is NOT force-
+    // broadcast (that was the r18 audit's one mis-adjudicated hint:
+    // "600 rows" is the fixture's N/100, a multi-GB driver ship at
+    // 10⁹ vectors, and the OR-of-cells condition made the join a
+    // nested loop besides). Instead each anchor EXPLODES to its ≤2
+    // distinct probe cells and the join is a plain cell equi-join the
+    // planner strategizes: AQE broadcasts the probe side while its
+    // measured size is small and shuffles on cell once it isn't —
+    // at which point cell COUNT is the knob that must grow ~√N with
+    // the corpus (t26's ⌈√N⌉ lesson; 8 cells is this op's pinned
+    // fixture config, interpolated into the oracle, so scaling it is
+    // a config change like t102's width, not a plan change). The tail
+    // is t57's localLabelTopK pre-reduce + anchor-keyed window
+    // verbatim. HardNegativeSpec measures the recall this buys against
+    // t57's exact answer — the t31 discipline: approximate paths ship
+    // with their measured recall, not a hope.
     "t64_hard_negatives_ivf" -> QueryDef(
       (spark, dir) => {
         import org.apache.spark.sql.expressions.Window
@@ -1178,9 +1191,14 @@ object DataSelection {
             col("cell").as("p1"),
             expr("array_position(cdots, element_at(array_sort(cdots), 7))")
               .cast("int").as("p2"))
-        val keyed = assigned.join(broadcast(anchors),
-            (col("cell") === col("p1") || col("cell") === col("p2")) &&
-              col("vec_id") =!= col("aid"))
+        // array_distinct: on centroid-dot ties p2 resolves to p1's index
+        // and a plain two-row explode would duplicate the (anchor,
+        // candidate) pair — the OR-join this replaces emitted it once
+        val probes = anchors.select(col("aid"), col("aemb"), col("albl"),
+          col("anrm"),
+          explode(array_distinct(array(col("p1"), col("p2")))).as("cell"))
+        val keyed = assigned.join(probes, Seq("cell"))
+          .filter(col("vec_id") =!= col("aid"))
           .select(
             (expr("CAST(aid div 100 AS INT)") * 2
               + when(col("label") === col("albl"), 0).otherwise(1))

@@ -547,6 +547,22 @@ class PlanSpec extends AnyFunSuite {
       "embedding vectors must never enter a shuffle")
   }
 
+  test("t64: anchor probes equi-join on cell — no nested loop, no forced broadcast") {
+    val p = plan("t64_hard_negatives_ivf")
+    // the anchor sample is corpus-proportional (vec_id % 100), so the
+    // join must be a cell-keyed hash join the planner strategizes (AQE
+    // broadcasts the measured-small probe side at fixture SF, shuffles
+    // on cell past 10 MiB) — never the OR-condition nested loop the
+    // r18 shape planned, and never a FORCED broadcast of the anchors
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "the probe-cell join must be an equi-join, not a nested loop")
+    assert("join.*cell#|hashpartitioning\\(cell#|\\[cell#".r.findFirstIn(p).isDefined,
+      "cell must be the join key")
+    assert(p.contains("MapPartitions"),
+      "localLabelTopK must still pre-reduce before the window exchange")
+  }
+
   test("t56: packing prefix sum is the two-pass form, never a global window") {
     // cumulativeTokens must stay mapPartitions-based: a partition-less
     // running-sum window would serialize the whole corpus through one
