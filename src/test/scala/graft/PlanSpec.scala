@@ -563,6 +563,18 @@ class PlanSpec extends AnyFunSuite {
       "localLabelTopK must still pre-reduce before the window exchange")
   }
 
+  test("t104: mapPartitions assignment, cell equi-join, no nested loop") {
+    val p = plan("t104_hard_negatives_ivf_scaled")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "the probe-cell join must be an equi-join")
+    assert(p.contains("MapPartitions"),
+      "assignment must be the one-pass mapPartitions form — no N×k " +
+        "centroid frame may materialize")
+    assert("windowspecdefinition\\(aid".r.findFirstIn(p).isDefined,
+      "ranking windows must partition by anchor, never global")
+  }
+
   test("t56: packing prefix sum is the two-pass form, never a global window") {
     // cumulativeTokens must stay mapPartitions-based: a partition-less
     // running-sum window would serialize the whole corpus through one
@@ -822,12 +834,18 @@ class PlanSpec extends AnyFunSuite {
       "scan must prune to doc_id + text")
   }
 
-  test("t66: only digests and sources cross exchanges, never shingle text") {
+  test("t66: only digests and masks cross exchanges, never shingle text") {
     val p = plan("t66_source_overlap")
     assert(!"Exchange [^\\n]*shingle#".r.findFirstIn(p).isDefined &&
       !"Exchange [^\\n]*text#".r.findFirstIn(p).isDefined &&
       !"Exchange [^\\n]*words#".r.findFirstIn(p).isDefined,
       "shingle strings must collapse to 64-bit digests before any exchange")
+    // the r19 300× finding: per-shingle collect_set buffers (object
+    // arrays per key) turned the 100×→300× leg super-linear from spill;
+    // the source set must aggregate as a fixed-width bit_or mask
+    assert(!p.contains("collect_set"),
+      "source sets must aggregate as bit_or masks, never collect_set")
+    assert(p.contains("bit_or"), "the bitmask aggregation must be present")
   }
 
   test("t67: boundedTopK pre-reduces before the #langs-task rank window") {
