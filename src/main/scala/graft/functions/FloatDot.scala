@@ -134,6 +134,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64", arity("simhash64", 1)(exprs => SimHash64(exprs.head)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash128", arity("simhash128", 1)(exprs => SimHash128(exprs.head)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "hyperplane_buckets64", arity("hyperplane_buckets64", 1)(exprs =>
         HyperplaneBuckets64(exprs.head)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -2090,30 +2090,51 @@ object Curation {
       (spark, dir) => {
         val spark2 = spark
         import spark2.implicits._
+        // NULL sources never pair in the oracle (a.source < b.source is
+        // NULL → dropped) and never surface through its output joins —
+        // drop them up front, which also protects the driver-side sort
+        // (r19 ADVICE: a NULL source NPE'd before the old 62-source
+        // require could even fire).
         val docs = withWords(t(spark, dir, "documents"))
+          .filter(col("source").isNotNull)
         val srcs = docs.select("source").distinct()
           .collect().map(_.getString(0)).sorted
-        require(srcs.length <= 62,
-          s"t66 bitmask overlap supports <= 62 sources, got ${srcs.length}")
-        // sorted → bit order == lexicographic source order, so
-        // bit_a < bit_b reproduces the source_a < source_b orientation
+        // Bitmask generalized past the old `require(<= 62)` (r19
+        // ADVICE): global bit i = 62·word + bit, ONE bit_or'd long per
+        // word — W = ⌈|S|/62⌉ fixed 8-byte agg buffers per shingle
+        // group, keeping the 300×-probe lesson (primitive buffers,
+        // never collect_set's spilling object arrays) at ANY source
+        // cardinality instead of an exception past 62. W is known
+        // driver-side from the bounded source vocabulary; sorted order
+        // keeps bit_a < bit_b == source_a < source_b.
+        val W = math.max(1, (srcs.length + 61) / 62)
+        val wordOf = typedlit(srcs.zipWithIndex
+          .map { case (s, i) => s -> i / 62 }.toMap)
         val bitOf = typedlit(srcs.zipWithIndex
-          .map { case (s, i) => s -> (1L << i) }.toMap)
+          .map { case (s, i) => s -> (1L << (i % 62)) }.toMap)
         val nameDf = srcs.zipWithIndex.map { case (s, i) => (i, s) }
           .toSeq.toDF("bit", "src")
         val sh = docs
-          .select(bitOf(col("source")).as("m"),
+          .select(wordOf(col("source")).as("word"),
+            bitOf(col("source")).as("m"),
             explode(expr(shingleExpr)).as("shingle"))
-          .select(col("m"), xxhash64(col("shingle")).as("sh64"))
-        val maskCounts = sh.groupBy("sh64").agg(expr("bit_or(m)").as("mask"))
-          .groupBy("mask").agg(count(lit(1)).as("cnt"))
-        val bitsExpr = expr(
-          "filter(sequence(0, 61), i -> ((mask >> i) & 1) = 1)")
-        val sizes = maskCounts.select(explode(bitsExpr).as("bit"), col("cnt"))
+          .select(col("word"), col("m"), xxhash64(col("shingle")).as("sh64"))
+        val maskAggs = (0 until W).map(w =>
+          (if (W == 1) expr("bit_or(m)")
+           else expr(s"bit_or(IF(word = $w, m, 0L))")).as(s"mask$w"))
+        val maskCounts = sh.groupBy("sh64").agg(maskAggs.head, maskAggs.tail: _*)
+          .groupBy((0 until W).map(w => col(s"mask$w")): _*)
+          .agg(count(lit(1)).as("cnt"))
+        val bitsExpr = expr((0 until W).map(w =>
+          s"transform(filter(sequence(0, 61), i -> ((mask$w >> i) & 1) = 1)," +
+            s" i -> i + ${62 * w})")
+          .mkString("concat(", ", ", ")"))
+        val withBits = maskCounts.select(col("cnt"), bitsExpr.as("bits"))
+        val sizes = withBits.select(explode(col("bits")).as("bit"), col("cnt"))
           .groupBy("bit").agg(sum("cnt").as("n_sh"))
-        val pairs = maskCounts
-          .select(col("cnt"), col("mask"), explode(bitsExpr).as("bit_a"))
-          .select(col("cnt"), col("bit_a"), explode(bitsExpr).as("bit_b"))
+        val pairs = withBits
+          .select(col("cnt"), col("bits"), explode(col("bits")).as("bit_a"))
+          .select(col("cnt"), col("bit_a"), explode(col("bits")).as("bit_b"))
           .filter(col("bit_a") < col("bit_b"))
           .groupBy("bit_a", "bit_b").agg(sum("cnt").as("n_common"))
         pairs

@@ -384,21 +384,48 @@ object DataSelection {
     * t100's IVF join (neither side broadcasts). Below it, hand the
     * frame to `broadcast(...)` as before — same values, same plan, so
     * every oracle hash is unchanged. */
+  /** Memo of eval frames the guard has already verified-and-persisted,
+    * keyed per session by (canonicalized analyzed plan, bound): the
+    * premise check is a property of the PLAN, so re-counting the same
+    * persisted frame on every execution (+0.14–0.21 s × t19/t54/t63 at
+    * sf0.1, r19 verdict residual #3) bought nothing. The memoized
+    * frame stays persisted for the session lifetime BY DESIGN — it is
+    * the memo's evidence (the verdict is only as durable as the data
+    * it counted) and the broadcast input; one bounded (≤ 4M-row) pin
+    * per distinct guarded plan, not one per call (the r19 ADVICE
+    * pile-up). Failures are never memoized: a thrown mapper leaves no
+    * entry, so an oversized frame diagnoses on every attempt
+    * (DecontaminateSpec's contract). Stopped sessions are evicted on
+    * the next lookup, Tables.cache's discipline. */
+  private val evalGuardMemo = new java.util.HashMap[SparkSession,
+    java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int), DataFrame]]()
+
   private[graft] def boundedEvalBroadcast(df: DataFrame, site: String,
       maxRows: Int = evalBroadcastMaxRows): DataFrame = {
-    val pinned = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = pinned.limit(maxRows + 1).count()
-    if (n > maxRows) {
-      pinned.unpersist()
-      throw new IllegalStateException(
-        s"$site: eval-side frame exceeds the benchmark-bounded-eval " +
-          s"premise behind its broadcast hint (> $maxRows rows). A " +
-          "corpus-proportional eval set must not broadcast — route it " +
-          "through t43_bloom_decontaminate's Bloom-filter probe (eval " +
-          "side becomes a ~MB sketch) or t100_semantic_decontaminate_ivf's " +
-          "IVF join (no broadcast on either side) instead.")
+    val perSession = evalGuardMemo.synchronized {
+      evalGuardMemo.keySet.removeIf(s => s.sparkContext.isStopped)
+      evalGuardMemo.computeIfAbsent(df.sparkSession,
+        _ => new java.util.concurrent.ConcurrentHashMap[
+          (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int), DataFrame]())
     }
-    broadcast(pinned)
+    val verified = perSession.computeIfAbsent(
+      (df.queryExecution.analyzed.canonicalized, maxRows), { _ =>
+        val pinned = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val n = pinned.limit(maxRows + 1).count()
+        if (n > maxRows) {
+          pinned.unpersist()
+          throw new IllegalStateException(
+            s"$site: eval-side frame exceeds the benchmark-bounded-eval " +
+              s"premise behind its broadcast hint (> $maxRows rows). A " +
+              "corpus-proportional eval set must not broadcast — route it " +
+              "through t43_bloom_decontaminate's Bloom-filter probe (eval " +
+              "side becomes a ~MB sketch) or t100_semantic_decontaminate_ivf's " +
+              "IVF join (no broadcast on either side) instead.")
+        }
+        pinned
+      })
+    broadcast(verified)
   }
 
   /** t104's cell count: the balanced ⌈√N⌉ arm between per-vector
@@ -1348,6 +1375,15 @@ object DataSelection {
             val (cs, cn) = bc.value
             it.map { case (id, lbl, e) =>
               val v = e.toArray
+              // 64-dim CONTRACT (r19 ADVICE): the centroid family, this
+              // assignment dot, and the oracle's 1..64 list_reduce are
+              // all 64-dim; a shorter vector would silently diverge
+              // (the oracle's out-of-range index yields NULL dots), a
+              // longer one would truncate the dot but not the norm.
+              // Fail loudly instead of degrading differently per engine.
+              require(v.length == 64,
+                s"t104: embeddings must be 64-dim (centroid family + " +
+                  s"oracle dot contract); got ${v.length} for vec_id=$id")
               var nrm = 0.0
               var i = 0
               while (i < v.length) {
@@ -1363,8 +1399,7 @@ object DataSelection {
                 val cj = cs(j)
                 var acc = 0.0
                 var d = 0
-                val lim = math.min(v.length, 64)
-                while (d < lim) { acc += v(d).toDouble * cj(d); d += 1 }
+                while (d < 64) { acc += v(d).toDouble * cj(d); d += 1 }
                 val s = cn(j) - 2.0 * acc
                 if (s < b1) { b2 = b1; c2 = c1; b1 = s; c1 = j + 1 }
                 else if (s < b2) { b2 = s; c2 = j + 1 }

@@ -309,6 +309,69 @@ object TrainingData {
        |sims64 AS (SELECT doc_id, CAST($value AS BIGINT) AS simhash64 FROM sums64)""".stripMargin
   }
 
+  /** 128-bit SimHash per document as two BIGINT words — the full-md5
+    * width of the family (native [[graft.functions.SimHash128]]; same
+    * digit-probe numbering over all 32 md5 hex digits, so
+    * `simhash128[0] == simhash64` per doc — Simhash128Spec's containment
+    * pin ties t105's answers back through t101's to t18's). */
+  private[graft] def simhash128(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        expr("simhash128(split(lower(text), ' '))").as("s"))
+      .filter(col("s").isNotNull)
+      .select(col("doc_id"), col("s")(0).as("w0"), col("s")(1).as("w1"))
+
+  /** DuckDB CTE text producing [[simhash128]] as relation `sims128` —
+    * [[simhash64Duck]]'s digit-probe spelling extended to all 32 hex
+    * digits, emitting two BIGINT words (bit 63 of each word spelled
+    * `(-max-1)` with ascending partial sums, the simhash64Duck
+    * overflow discipline). */
+  private def simhash128Duck: String = {
+    val bitSums = (0 until 128).map { i =>
+      val digit = s"(instr('0123456789abcdef', substr(h, ${i / 4 + 1}, 1)) - 1)"
+      val bit = s"(($digit // ${1 << (i % 4)}) % 2)"
+      s"SUM(CASE WHEN $bit = 1 THEN 1 ELSE -1 END) AS s$i"
+    }.mkString(", ")
+    def word(off: Int) = (0 until 64).map { i =>
+      val w = if (i == 63) "(-9223372036854775807 - 1)"
+              else s"CAST(${1L << i} AS BIGINT)"
+      s"CASE WHEN s${off + i} > 0 THEN $w ELSE CAST(0 AS BIGINT) END"
+    }.mkString(" + ")
+    s"""toks128 AS (
+       |  SELECT doc_id, md5(unnest(string_split(lower(text), ' '))) AS h
+       |  FROM documents),
+       |sums128 AS (SELECT doc_id, $bitSums FROM toks128 GROUP BY doc_id),
+       |sims128 AS (SELECT doc_id, CAST(${word(0)} AS BIGINT) AS w0,
+       |  CAST(${word(64)} AS BIGINT) AS w1 FROM sums128)""".stripMargin
+  }
+
+  /** t105's band-width schedule: w = clamp(⌈log₂N⌉ + 4, 16, 32) bits
+    * per band, 4 bands anchored at the fingerprint's 32-bit quarters.
+    * Chance candidates ≈ 4·C(N,2)/2^w stay ≈ 2⁻⁵·N per band-pair decade
+    * (the +4 margin), and the 32-bit cap (one band per quarter) still
+    * reads under one chance candidate per document at 10⁹ docs —
+    * the integral t101's forced 4×16 split could not shed. ⌈log₂N⌉ is
+    * computed via binary-string length (`length(bin(N-1))` in BOTH
+    * engines) — integer-exact, no float log edge at powers of two. */
+  private[graft] def simhash128BandBits(n: Long): Int =
+    math.max(16, math.min(32,
+      (64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1))) + 4))
+
+  /** t102's hyperplane-band width schedule: bits = clamp(⌈log₂N⌉+4,
+    * 24, 30), 8 bands (r19 verdict ask 4 — the t104 treatment: COMPUTE
+    * the schedule from N in both engines instead of pinning a point
+    * and leaving the N → bands×bits map in a comment). Chance same-band
+    * candidates ≈ J·8·C(N,2)/2^bits stay ≲ J·2⁻⁵·4·N per decade (the
+    * +4 margin); the floor keeps the fixture point at the pinned 8×24
+    * (T102WidthLab's measured config — both fixture SFs sit under
+    * 2²⁰ vectors) and the ceiling is the kernel's 30-bit per-band cap
+    * (int buckets); past N ≈ 2²⁶ the documented super-band composition
+    * takes over. Same integer-exact `length(bin(N−1))` spelling as
+    * [[simhash128BandBits]]. */
+  private[graft] def hyperplaneBandBits(n: Long): Int =
+    math.max(24, math.min(30,
+      (64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1))) + 4))
+
   /** t91's guarded lift expression. Spark's non-ANSI int64 arithmetic
     * WRAPS silently on overflow while the DuckDB oracle promotes to
     * HUGEINT, so past the headroom the engines would diverge without an
@@ -1149,6 +1212,74 @@ object TrainingData {
               |WHERE bit_count(xor(a.simhash64, b.simhash64)) <= 3
               |ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // ---------------------------------------------------------------- t105
+    // SimHash near-dup pairs with the BAND width scheduled to the
+    // corpus — the r19 verdict's one watch item closed. t101 fixed the
+    // ANSWER integral (64-bit fingerprints make chance hamming-3 pairs
+    // ≈ 0) but its bands are FORCED to 4×16 by the 64-bit kernel, so
+    // chance CANDIDATES ride ~4·2⁻¹⁶·C(n,2) — 10.7M measured at 30×,
+    // ~3·10¹³ at 10⁹ docs — and the popcount-verify stream goes
+    // quadratic at warehouse N. The 128-bit kernel gives the 4 bands
+    // room: band b reads the LOW w bits of fingerprint quarter b
+    // (bits 32b..32b+w−1), w = clamp(⌈log₂N⌉+4, 16, 32) derived from
+    // the corpus by BOTH engines (`length(bin(N−1))` — integer-exact).
+    // Pigeonhole is lossless at ANY w: ≤3 differing bits touch ≤3
+    // quarters, so ≥1 quarter is untouched and its low-w band matches
+    // — the ANSWER (all pairs at hamming ≤ 3 over the full 128 bits)
+    // is schedule-INDEPENDENT; w buys only the candidate decades
+    // (4·C(n,2)/2^w: under one chance candidate per document at 10⁹
+    // docs with w=32, vs t101's 3·10¹³). Family: simhash128[0] ≡
+    // simhash64 (hence &0xFFFF ≡ simhash16) — Simhash128Spec pins
+    // containment, banding exactness at w∈{16,26,32}, and the chance
+    // band-collision law against the 4·C(n,2)/2^w model (the
+    // PlaneFamilyLab discipline: measure the entropy claim, don't
+    // state it). t101 stays the oracle-pinned 64-bit twin; t18 the
+    // 16-bit fixture twin. Hamming ≤ 3 of 128 bits is a STRICTER
+    // near-dup criterion than ≤ 3 of 64 (the published 64-bit k=3
+    // config, one width up) — at warehouse N the wider fingerprint is
+    // what keeps true-pair precision while the band schedule keeps
+    // candidates linear.
+    "t105_simhash128_neardup" -> QueryDef(
+      (spark, dir) => {
+        val sims = simhash128(spark, dir)
+        val n = Tables.parquetRowCount(spark, s"$dir/documents.parquet")
+          .getOrElse(t(spark, dir, "documents").count())
+        val w = simhash128BandBits(n)
+        val mask = (1L << w) - 1
+        val bands = sims.select(col("doc_id"), col("w0"), col("w1"),
+          explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+            expr(s"shiftright(${if (b < 2) "w0" else "w1"}, ${32 * (b % 2)})"
+              + s" & ${mask}L").as("value"))): _*)).as("bv"))
+          .select(col("doc_id"), col("w0"), col("w1"),
+            col("bv.band"), col("bv.value"))
+        bands.as("a").join(bands.as("b"),
+            col("a.band") === col("b.band") &&
+              col("a.value") === col("b.value") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            expr("bit_count(a.w0 ^ b.w0) + bit_count(a.w1 ^ b.w1)")
+              .cast("int").as("hamming"))
+          .filter(col("hamming") <= 3)
+          .distinct()
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH $simhash128Duck,
+              |wcfg AS (
+              |  SELECT GREATEST(16, LEAST(32, LENGTH(bin(COUNT(*) - 1)) + 4)) AS w
+              |  FROM documents),
+              |bands AS (
+              |  SELECT doc_id, w0, w1, g.band AS band,
+              |    (CASE WHEN g.band < 2 THEN w0 ELSE w1 END >> (32 * (g.band % 2)))
+              |      & ((CAST(1 AS BIGINT) << w) - 1) AS value
+              |  FROM sims128, wcfg, generate_series(0, 3) AS g(band))
+              |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |  CAST(bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1))
+              |    AS INTEGER) AS hamming
+              |FROM bands a JOIN bands b
+              |  ON a.band = b.band AND a.value = b.value AND a.doc_id < b.doc_id
+              |WHERE bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) <= 3
+              |ORDER BY doc_a, doc_b""".stripMargin)),
+
     // ---------------------------------------------------------------- t102
     // Embedding-cosine near-dup pairs at CORPUS-SCALABLE band width —
     // t12's twin through the same width-parameterization t101 gave t18.
@@ -1157,8 +1288,13 @@ object TrainingData {
     // 28.7 s, 89× wall for 100× data — the c·N²/2¹⁴ integral t12's
     // comment documents). The published sizing rule says band width
     // must grow ~2·log₂N; [[graft.functions.HyperplaneBands]] exposes
-    // exactly that knob, and this entry pins the warehouse config:
-    // 8 bands × 24 bits. The plane family is md5-MIXED as of r19
+    // exactly that knob, and as of r20 this entry DERIVES the config
+    // from N in BOTH engines ([[hyperplaneBandBits]]: 8 bands ×
+    // clamp(⌈log₂N⌉+4, 24, 30) bits; the oracle's wcfg CTE computes
+    // the same `length(bin(N−1))+4`) — the fixture SFs all derive the
+    // measured 8×24 point, so the pinned oracle is unchanged and the
+    // schedule no longer lives only in this comment (r19 ask 4).
+    // The plane family is md5-MIXED as of r19
     // (element d of plane j = (md5int32("hp|j|d") mod 32768)/32768−0.5,
     // derived independently by the oracle below): r18's LCG family was
     // lattice-correlated (plane j+1 = plane j + a constant shift mod 1
@@ -1190,8 +1326,19 @@ object TrainingData {
     "t102_cosine_neardup_wide" -> QueryDef(
       (spark, dir) => {
         val emb = t(spark, dir, "embeddings")
+        // r20: the WIDTH SCHEDULE above is COMPUTED here (and derived
+        // independently by the oracle's wcfg CTE) instead of pinning
+        // 8×24 and documenting the schedule — the t104 treatment
+        // ([[hyperplaneBandBits]]): both fixture SFs derive the pinned
+        // 8×24, so the oracle point is unchanged; a 10⁷-vector corpus
+        // derives 8×28 without anyone editing a constant. N is a
+        // parquet-footer metadata read (Tables.parquetRowCount), not a
+        // Spark job, on any sanely-filed table.
+        val nVec = Tables.parquetRowCount(spark, s"$dir/embeddings.parquet")
+          .getOrElse(emb.count())
+        val bits = hyperplaneBandBits(nVec)
         val bands = emb.select(col("vec_id"),
-            posexplode(expr("hyperplane_bands(embedding, 8, 24)")))
+            posexplode(expr(s"hyperplane_bands(embedding, 8, $bits)")))
           .select(col("vec_id"), (col("pos") + 1).cast("int").as("band"),
             col("col").cast("int").as("bucket"))
           .cache()
@@ -1225,19 +1372,23 @@ object TrainingData {
           s"""${dotDuck("ea.embedding", "eb.embedding")}
              |  / (sqrt(${dotDuck("ea.embedding", "ea.embedding")})
              |     * sqrt(${dotDuck("eb.embedding", "eb.embedding")}))""".stripMargin
-        s"""WITH ph AS (
+        s"""WITH wcfg AS (
+           |  SELECT GREATEST(24, LEAST(30, LENGTH(bin(COUNT(*) - 1)) + 4)) AS bits
+           |  FROM embeddings),
+           |ph AS (
            |  SELECT j, d, substr(md5('hp|' || j || '|' || d), 1, 8) AS h
-           |  FROM range(1, 193) t(j), range(1, 65) u(d)),
+           |  FROM range(1, 241) t(j), range(1, 65) u(d), wcfg w
+           |  WHERE j <= 8 * w.bits),
            |planes AS (
            |  SELECT j, list((($hex8) % 32768) / 32768.0 - 0.5 ORDER BY d) AS pl
            |  FROM ph GROUP BY j),
            |bands AS (
-           |  SELECT e.vec_id, CAST((p.j - 1) // 24 + 1 AS INTEGER) AS band,
+           |  SELECT e.vec_id, CAST((p.j - 1) // w.bits + 1 AS INTEGER) AS band,
            |    CAST(SUM(CASE WHEN ${dotDuck("e.embedding", "p.pl")} > 0
-           |                  THEN CAST(1 AS BIGINT) << CAST((p.j - 1) % 24 AS INTEGER)
+           |                  THEN CAST(1 AS BIGINT) << CAST((p.j - 1) % w.bits AS INTEGER)
            |                  ELSE 0 END) AS INTEGER) AS bucket
-           |  FROM embeddings e, planes p
-           |  GROUP BY e.vec_id, (p.j - 1) // 24),
+           |  FROM embeddings e, planes p, wcfg w
+           |  GROUP BY e.vec_id, (p.j - 1) // w.bits),
            |cands AS (
            |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
            |  FROM bands a JOIN bands b

@@ -23,8 +23,8 @@ class EntrySpec extends AnyFunSuite {
       assert(k.matches("[a-z][a-z0-9_]+"), s"bad query name: $k"))
   }
 
-  test("all 150 declared operators are present") {
-    assert(SparkEntry.queries.size == 150) // 21 q + 25 p + 104 t
+  test("all 151 declared operators are present") {
+    assert(SparkEntry.queries.size == 151) // 21 q + 25 p + 105 t
   }
 
   test("t15 components: labels are canonical minima consistent with t02 pairs") {

@@ -160,6 +160,23 @@ class HyperplaneBandsSpec extends AnyFunSuite {
       s"${got.diff(planted)} — chance collisions should be ~0 at 24-bit bands")
   }
 
+  test("t102's derived width schedule floors at the pinned 8x24") {
+    // r20: the N -> bands x bits schedule moved from a comment into the
+    // op (hyperplaneBandBits) and the oracle's wcfg CTE; both spell
+    // ceil(log2 N) as length(bin(N-1)) — integer-exact, no float edge
+    def ref(n: Long): Int = math.max(24, math.min(30,
+      (if (n <= 1) 1 else BigInt(n - 1).bitLength) + 4))
+    for (n <- Seq(1L, 2L, 500L, 2000L, 1L << 20, (1L << 20) + 1,
+        1L << 23, 1L << 26, 1L << 40))
+      assert(graft.queries.TrainingData.hyperplaneBandBits(n) == ref(n),
+        s"schedule diverges from length(bin(n-1))+4 at n=$n")
+    assert(graft.queries.TrainingData.hyperplaneBandBits(2000) == 24,
+      "fixture N must keep the measured 8x24 point")
+    assert(graft.queries.TrainingData.hyperplaneBandBits(1L << 23) == 27)
+    assert(graft.queries.TrainingData.hyperplaneBandBits(1L << 40) == 30,
+      "ceiling is the kernel's 30-bit int-bucket cap")
+  }
+
   test("literal-argument validation rejects bad widths") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     intercept[Exception] {
