@@ -46,6 +46,15 @@ object T105Probe {
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
     println(s"probe fixture: ${spark.read.parquet(s"$out/documents.parquet").count()} docs at $out")
 
+    // Candidate decomposition: REAL text makes fingerprint bits
+    // correlated (shared tokens dominate votes), so same-copy docs
+    // carry an irreducible similar-fingerprint pair mass that no band
+    // width removes — but that mass is LINEAR in the corpus (a
+    // per-copy constant; measured ~70k/copy at w=22, shrinking as the
+    // schedule widens w). The birthday term the schedule exists to
+    // control is the CROSS-copy pairs (disjoint token spaces →
+    // independent md5 votes → uniform-model territory): those must
+    // track 4·C(n,2)/2^w as n grows. The probe prints both.
     def stages(dir: String): Unit = {
       def t[A](label: String)(f: => A): A = {
         val t0 = System.nanoTime(); val r = f
@@ -68,6 +77,10 @@ object T105Probe {
           col("a.value") === col("b.value") &&
           col("a.doc_id") < col("b.doc_id"))
       val rawPairs = t("raw_pairs")(joined.count())
+      // copies are doc_id blocks of n0 (the mangle transform's id shift)
+      val crossPairs = t("cross_copy_pairs")(joined
+        .filter(expr(s"a.doc_id div ${n0}L") =!= expr(s"b.doc_id div ${n0}L"))
+        .count())
       val answers = t("verify_distinct") {
         joined
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -80,10 +93,19 @@ object T105Probe {
         .agg(max("count")).head.getLong(0)
       val c2 = n.toDouble * (n - 1) / 2.0
       val eRaw = 4.0 * c2 / math.pow(2, w)
-      println(f"  n=$n%d w=$w%d raw_pairs=$rawPairs%d answers=$answers%d " +
-        f"hottest_bucket=$hot%d")
-      println(f"  E[raw|uniform]=$eRaw%.0f (meas/E=${rawPairs / eRaw}%.2f)  " +
-        "(answers are TRUE near-dups, expect ~linear in factor)")
+      val copies = math.max(1L, n / n0)
+      // cross-copy C(n,2) mass = C(n,2) − copies·C(n0,2)
+      val c2cross = c2 - copies * (n0.toDouble * (n0 - 1) / 2.0)
+      val eCross = 4.0 * c2cross / math.pow(2, w)
+      println(f"  n=$n%d w=$w%d raw_pairs=$rawPairs%d " +
+        f"(same_copy=${rawPairs - crossPairs}%d = " +
+        f"${(rawPairs - crossPairs) / copies}%d/copy, LINEAR text mass) " +
+        f"answers=$answers%d hottest_bucket=$hot%d")
+      println(f"  chance term: cross_copy=$crossPairs%d vs " +
+        f"E[uniform]=$eCross%.0f (meas/E=${
+          if (eCross > 0) crossPairs / eCross else 0.0}%.2f — the " +
+        "birthday integral the width schedule controls)")
+      println("  (answers are TRUE near-dups, expect ~linear in factor)")
       sims.unpersist(); bands.unpersist(); ()
     }
 
