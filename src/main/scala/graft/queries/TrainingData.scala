@@ -427,13 +427,32 @@ object TrainingData {
     * the conserved total rank mass nodes·SCALE, and the damping step
     * multiplies by 85 before dividing — so 85·nodes·SCALE must fit int64
     * or the round-sum wraps silently (same wrap-vs-HUGEINT divergence as
-    * t91). ~108 503 nodes at SCALE = 1e12; past it, drop SCALE a decade
-    * per 10× nodes (the recurrence is scale-equivariant). */
+    * t91). ~108 503 nodes at SCALE = 1e12. Since r20 the scale is
+    * DERIVED per corpus ([[pagerankScale]] — the r20 300× probe hit this
+    * require at 246 700 nodes, turning the documented "drop SCALE a
+    * decade per 10× nodes" advice into the schedule itself), so this
+    * stays as the never-firing backstop against schedule bugs. */
   private[graft] def requirePagerankHeadroom(nodes: Long, scale: Long): Unit =
     require(nodes <= Long.MaxValue / 85 / scale,
       s"t92: $nodes dup-graph nodes exceed the int64 fixed-point mass " +
         s"bound ${Long.MaxValue / 85 / scale} at scale $scale; lower the " +
         "rank scale one decade per 10x nodes")
+
+  /** t92's rank scale schedule: SCALE = 10^min(12, 17−digits(nodes)) —
+    * one decade of resolution traded per decade of graph nodes, so
+    * 85·nodes·SCALE < 85·10^digits·10^(17−digits) = 8.5×10¹⁸ < 2⁶³ at
+    * ANY node count (the recurrence is scale-equivariant; resolution
+    * loss is bounded by deg·100/SCALE, i.e. relative rank resolution
+    * stays ~10⁻⁵·deg/nodes-decade). digits(n) = length of the decimal
+    * string — integer-exact in BOTH engines (`LENGTH(CAST(n AS
+    * VARCHAR))` in the oracle's scfg CTE), the t102/t105 `bin()`
+    * discipline in base 10. Fixture graphs (≤ 5 digits) derive the
+    * pinned 1e12, so the oracle point is unchanged. */
+  private[graft] def pagerankScale(nodes: Long): Long = {
+    val digits = math.max(1L, nodes).toString.length
+    val e = math.min(12, 17 - digits)
+    (1 to e).foldLeft(1L)((a, _) => a * 10)
+  }
 
   val defs: Map[String, QueryDef] = Map(
 
@@ -2217,15 +2236,14 @@ object TrainingData {
     // materialization; lineage is bounded by construction).
     // Every node of the pair graph has degree ≥ 1 (undirected), so no
     // dangling-mass term. Fixed-point headroom: per-node inbound mass
-    // is bounded by total mass N·1e12·85 — [[requirePagerankHeadroom]]
-    // enforces it at runtime before the rounds (loud error, not a
-    // silent int64 wrap); past ~1e5 graph nodes drop SCALE a decade
-    // per 10× nodes (the recurrence is scale-equivariant; resolution
-    // loss is bounded by deg·100/SCALE).
+    // is bounded by total mass N·SCALE·85, and SCALE is DERIVED from
+    // the graph as of r20 ([[pagerankScale]]: a resolution decade per
+    // node decade — the 300× probe hit the old fixed-1e12 require at
+    // 246 700 nodes; the oracle's scfg CTE derives the same decade),
+    // with [[requirePagerankHeadroom]] kept as the loud backstop.
     // Output: top-100 hubs, rank-desc, doc_id tie-break.
     "t92_dup_pagerank" -> QueryDef(
       (spark, dir) => {
-        val S = 1000000000000L
         val p = minhashPairs(spark, dir)
         // checkpoint the EDGE LIST (the expensive LSH pipeline's
         // output): degrees, rank init, and the final report all
@@ -2241,7 +2259,13 @@ object TrainingData {
         // already-materialized partitions, not an extra aggregation
         val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
           .localCheckpoint()
-        requirePagerankHeadroom(deg.count(), S)
+        // r20: SCALE derived from the graph, not pinned — the 300×
+        // probe hit the old fixed-1e12 headroom require at 246 700
+        // nodes; [[pagerankScale]] trades a resolution decade per node
+        // decade (fixture graphs still derive 1e12, oracle unchanged)
+        val nodes = deg.count()
+        val S = pagerankScale(nodes)
+        requirePagerankHeadroom(nodes, S)
         val withDeg = edges.join(deg, "src").localCheckpoint()
         var ranks = deg.select(col("src").as("doc_id"),
           lit(S).as("rank"))
@@ -2265,23 +2289,28 @@ object TrainingData {
           .limit(100)
       },
       Some {
-        val s = 1000000000000L
+        // rscale derived from the graph exactly as pagerankScale does:
+        // 10^max(0, min(12, 17 − decimal digits of the node count))
         val rounds = (1 to 4).map { i =>
           s"""r$i AS (
              |  SELECT e.dst AS doc_id,
-             |    ${15 * s / 100} + (85 * SUM(r.rank // e.deg)) // 100 AS rank
-             |  FROM ed e JOIN r${i - 1} r ON e.src = r.doc_id
-             |  GROUP BY e.dst)""".stripMargin
+             |    (15 * c.rscale) // 100 + (85 * SUM(r.rank // e.deg)) // 100 AS rank
+             |  FROM ed e JOIN r${i - 1} r ON e.src = r.doc_id, scfg c
+             |  GROUP BY e.dst, c.rscale)""".stripMargin
         }.mkString(",\n")
         s"""WITH $minhashPairsDuck,
            |ed0 AS (
            |  SELECT doc_a AS src, doc_b AS dst FROM pairs
            |  UNION ALL SELECT doc_b, doc_a FROM pairs),
            |dg AS (SELECT src, COUNT(*) AS deg FROM ed0 GROUP BY src),
+           |scfg AS (
+           |  SELECT CAST(POWER(10, GREATEST(0, LEAST(12,
+           |    17 - LENGTH(CAST(COUNT(*) AS VARCHAR))))) AS BIGINT) AS rscale
+           |  FROM dg),
            |ed AS (
            |  SELECT e.src, e.dst, d.deg FROM ed0 e
            |  JOIN dg d ON e.src = d.src),
-           |r0 AS (SELECT src AS doc_id, CAST($s AS BIGINT) AS rank FROM dg),
+           |r0 AS (SELECT src AS doc_id, c.rscale AS rank FROM dg, scfg c),
            |$rounds
            |SELECT r.doc_id, CAST(d.deg AS BIGINT) AS degree,
            |  CAST(r.rank AS BIGINT) AS rank_fp

@@ -87,6 +87,28 @@ class GraphStatsSpec extends AnyFunSuite {
     graft.queries.TrainingData.requirePagerankHeadroom(1000000, S / 10)
   }
 
+  test("t92: the derived rank scale clears the headroom guard at every node decade") {
+    import graft.queries.TrainingData.{pagerankScale, requirePagerankHeadroom}
+    // fixture decades derive the pinned 1e12 (oracle point unchanged)
+    assert(pagerankScale(52) == 1000000000000L)
+    assert(pagerankScale(99999) == 1000000000000L)
+    // the r20 300x probe's 246 700-node graph — the regime that used to
+    // throw — now derives 1e11 and fits
+    assert(pagerankScale(246700) == 100000000000L)
+    // a decade of resolution per decade of nodes, never tripping the
+    // backstop across the schedule's domain (nodes < 10^17 — beyond
+    // that 85*nodes exceeds int64 even at scale 1 and the backstop
+    // fires loudly BY DESIGN):
+    for (d <- 1 to 17; nodes = (1 to d).foldLeft(1L)((a, _) => a * 10) - 1) {
+      requirePagerankHeadroom(nodes, pagerankScale(nodes))
+      // oracle parity: 10^greatest(0, least(12, 17 - digits))
+      val digits = nodes.toString.length
+      val e = math.max(0, math.min(12, 17 - digits))
+      assert(pagerankScale(nodes) == math.pow(10, e).toLong,
+        s"schedule diverges from the scfg CTE at nodes=$nodes")
+    }
+  }
+
   test("t92: driver-side PageRank recompute matches exactly") {
     val S = 1000000000000L
     val out = SparkEntry.queries("t92_dup_pagerank")(spark, sf).collect()
