@@ -1730,6 +1730,12 @@ object Curation {
     // leg drops chance collisions, so the intersection loses exactly
     // the pairs that agreed by accident — the audit now measures method
     // agreement on real near-dups instead of on birthday noise.
+    // r20: t105's width-scheduled 128-bit pair list has the identical
+    // (doc_a, doc_b, hamming) shape, so a warehouse deployment swaps
+    // the `sh` leg to t105's build verbatim when t101's CANDIDATE
+    // stream (4·2⁻¹⁶·C(n,2) — linear answer, quadratic verify) becomes
+    // the bottleneck; this entry stays pinned on t101 as the
+    // oracle-gated 64-bit link.
     "t103_dedup_agreement_wide" -> QueryDef(
       (spark, dir) => {
         val mh = minhashPairs(spark, dir)

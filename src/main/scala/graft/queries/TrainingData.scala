@@ -1200,6 +1200,12 @@ object TrainingData {
     // t18's answer and the banded result equal to brute-force — the
     // two widths are one family, 16-bit staying the oracle-pinned
     // fixture twin, 64-bit the corpus-scale face (t98→t100 pattern).
+    // CANDIDATE integral (r19 verdict): the 64-bit kernel FORCES the
+    // 4×16 band split, so chance candidates still ride 4·2⁻¹⁶·C(n,2)
+    // (~3·10¹³ at 10⁹ docs) even though the answer is linear — t105
+    // is this op's width-scheduled face (128-bit kernel, band width
+    // ⌈log₂N⌉+4), the same surgery t102 gave t12; this entry stays
+    // the oracle-pinned 64-bit family link.
     "t101_simhash64_neardup" -> QueryDef(
       (spark, dir) => {
         val sims = simhash64(spark, dir)

@@ -750,6 +750,21 @@ class PlanSpec extends AnyFunSuite {
       "document text must never enter a shuffle")
   }
 
+  test("t105: only two-word fingerprints cross exchanges, never text") {
+    val p = plan("t105_simhash128_neardup")
+    // the corpus collapses to (doc_id, w0, w1) in the simhash128 map
+    // pass; the band explode and self-join move 16-byte fingerprints
+    // plus an int band key — document text and the words array must
+    // never enter a shuffle (t66's discipline at the 128-bit width)
+    assert(!"Exchange [^\\n]*text#".r.findFirstIn(p).isDefined &&
+      !"Exchange [^\\n]*words#".r.findFirstIn(p).isDefined,
+      "document text must collapse to fingerprint words before any exchange")
+    // hamming verification is a popcount over both words, no re-join
+    // to text, and the pair output dedups (a pair can collide in up
+    // to 4 bands)
+    assert(p.contains("bit_count"), "popcount verify must be in-plan")
+  }
+
   test("no query in the suite plans a CartesianProduct") {
     // the one blanket rule that must hold at any scale; queries that
     // RUN pipelines (p-series) execute side effects, so guard the pure
