@@ -1771,6 +1771,57 @@ object Curation {
            |FROM u""".stripMargin
       }),
 
+    // ---------------------------------------------------------------- t106
+    // Dedup-method agreement over the WIDTH-SCHEDULED SimHash face —
+    // t103's documented "swap the sh leg to t105" made executable and
+    // oracle-gated (r20): the identical candidate-count/overlap/Jaccard
+    // audit with the SimHash leg consuming t105's 128-bit
+    // band-scheduled pair list verbatim (same (doc_a, doc_b, hamming)
+    // shape). This is the config a warehouse runs once t101's
+    // candidate stream (4·2⁻¹⁶·C(n,2) — the verify-side integral)
+    // becomes the bottleneck: BOTH legs now carry corpus-scheduled
+    // candidate controls (MinHash's banded buckets; t105's
+    // w = ⌈log₂N⌉+4 quarters), so the audit's inputs AND its full
+    // outer join stay linear at any N. Expect agreement ≤ t103's on
+    // the gate fixture: hamming ≤ 3 of 128 bits is a stricter
+    // near-dup criterion than ≤ 3 of 64, so the SimHash leg keeps
+    // only the tightest near-dups (the intersection loses the pairs
+    // only the looser 64-bit radius admitted).
+    "t106_dedup_agreement_128" -> QueryDef(
+      (spark, dir) => {
+        val mh = minhashPairs(spark, dir)
+          .select(col("doc_a"), col("doc_b"), lit(1L).as("in_m"))
+        val sh = TrainingData.defs("t105_simhash128_neardup").build(spark, dir)
+          .select(col("doc_a"), col("doc_b"), lit(1L).as("in_s"))
+        mh.join(sh, Seq("doc_a", "doc_b"), "full")
+          .select(coalesce(col("in_m"), lit(0L)).as("in_m"),
+            coalesce(col("in_s"), lit(0L)).as("in_s"))
+          .agg(sum("in_m").as("n_minhash"), sum("in_s").as("n_simhash"),
+            sum(expr("in_m * in_s")).as("n_both"))
+          .withColumn("agreement",
+            col("n_both").cast("double") /
+              (col("n_minhash") + col("n_simhash") - col("n_both")).cast("double"))
+          .select("n_minhash", "n_simhash", "n_both", "agreement")
+      },
+      Some {
+        val shSql = TrainingData.defs("t105_simhash128_neardup").oracle.get
+        s"""WITH $minhashPairsDuck,
+           |s AS (SELECT doc_a, doc_b FROM ($shSql)),
+           |u AS (
+           |  SELECT
+           |    CASE WHEN m.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_m,
+           |    CASE WHEN s.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_s
+           |  FROM pairs m FULL OUTER JOIN s
+           |    ON m.doc_a = s.doc_a AND m.doc_b = s.doc_b)
+           |SELECT CAST(SUM(in_m) AS BIGINT) AS n_minhash,
+           |  CAST(SUM(in_s) AS BIGINT) AS n_simhash,
+           |  CAST(SUM(in_m * in_s) AS BIGINT) AS n_both,
+           |  CAST(SUM(in_m * in_s) AS DOUBLE)
+           |    / CAST(SUM(in_m) + SUM(in_s) - SUM(in_m * in_s) AS DOUBLE)
+           |    AS agreement
+           |FROM u""".stripMargin
+      }),
+
     // ----------------------------------------------------------------- t41
     // Multi-EPOCH UPSAMPLING: the complement of t28's temperature
     // DOWNsampling — low-resource languages repeat for

@@ -23,8 +23,8 @@ class EntrySpec extends AnyFunSuite {
       assert(k.matches("[a-z][a-z0-9_]+"), s"bad query name: $k"))
   }
 
-  test("all 151 declared operators are present") {
-    assert(SparkEntry.queries.size == 151) // 21 q + 25 p + 105 t
+  test("all 152 declared operators are present") {
+    assert(SparkEntry.queries.size == 152) // 21 q + 25 p + 106 t
   }
 
   test("t15 components: labels are canonical minima consistent with t02 pairs") {
