@@ -42,28 +42,55 @@ object Components {
 
   /** Min-label propagation; `None` when `maxRounds` is hit before the
     * fixpoint (labels move one hop per round, so that means component
-    * diameter > maxRounds). */
+    * diameter > maxRounds). Precondition (held by every caller — pairs
+    * are always derived from the same docs frame): pair endpoints ⊆
+    * docs.doc_id, so the union-min round never invents label rows for
+    * unknown nodes. */
   def propagate(docs: DataFrame, pairs: DataFrame,
+      maxRounds: Int): Option[DataFrame] =
+    propagateOn(docs, symmetric(pairs.localCheckpoint()), maxRounds)
+
+  /** Loop body over an already-cheap `edges(u, v)` relation (r21: callers
+    * that hold a materialized pair list — [[connected]] — skip
+    * [[propagate]]'s re-checkpoint). Each round is ONE join + ONE
+    * aggregation: candidate labels (each neighbor's current label) union
+    * the current labels, min per doc — the two-join/agg/join form this
+    * replaces paid a second labels shuffle per round for the same
+    * fixpoint step. Round 1 skips the join outright: labels are the
+    * identity, so each neighbor's label IS the neighbor id (the edge
+    * list itself). Convergence is read off the label SUM: labels are
+    * doc_ids, each round takes a min of the previous round's values, so
+    * the per-doc label is monotonically non-increasing and the exact
+    * decimal sum is strictly decreasing until — and only until — the
+    * fixpoint (replaces the per-round old-vs-new filter count; decimal
+    * keeps the test exact at any doc_id magnitude × count). */
+  private def propagateOn(docs: DataFrame, edges: DataFrame,
       maxRounds: Int): Option[DataFrame] = {
-    val edges = symmetric(pairs.localCheckpoint())
     var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
       .localCheckpoint()
-    var changed = 1L
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
     var rounds = 0
-    while (changed > 0 && rounds < maxRounds) {
-      val nbr = edges.join(labels, edges("v") === labels("doc_id"))
-        .groupBy("u").agg(min("label").as("nbr_label"))
-      val next = labels
-        .join(nbr, labels("doc_id") === nbr("u"), "left")
-        .select(labels("doc_id"), col("label").as("old_label"),
-          least(col("label"), coalesce(col("nbr_label"), col("label")))
-            .as("label"))
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val cand =
+        if (rounds == 0)
+          edges.select(col("u").as("doc_id"), col("v").as("label"))
+        else
+          edges.join(labels, edges("v") === labels("doc_id"))
+            .select(edges("u").as("doc_id"), col("label"))
+      val next = labels.unionByName(cand)
+        .groupBy("doc_id").agg(min("label").as("label"))
         .localCheckpoint()
-      changed = next.filter(col("label") =!= col("old_label")).count()
-      labels = next.select("doc_id", "label")
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      labels = next
       rounds += 1
     }
-    if (changed > 0) None else Some(labels)
+    if (converged) Some(labels) else None
   }
 
   /** One large-star round: every node attaches each strictly-greater
@@ -138,7 +165,7 @@ object Components {
     // them every round, and the fallback path must not re-execute a
     // potentially corpus-scale pair pipeline a second time
     val mat = pairs.localCheckpoint()
-    propagate(docs, mat, propagateRounds).getOrElse {
+    propagateOn(docs, symmetric(mat), propagateRounds).getOrElse {
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"component diameter exceeds $propagateRounds propagation rounds; " +
           "switching to star contraction")

@@ -122,7 +122,10 @@ object DataSelection {
     val docs = t(spark, dir, "documents")
       .select(col("doc_id"),
         expr(tokenEstExpr).as("tok")) // t09's BPE estimate
-    val n = docs.count()
+    // N from parquet footers (t26's recipe) — a driver-side metadata
+    // read instead of a corpus count() job (r21)
+    val n = Tables.parquetRowCount(spark, s"$dir/documents.parquet")
+      .getOrElse(docs.count())
     val buckets = tokenShardBuckets(docs.rdd.getNumPartitions)
     val bucketWidth = math.max(1L, (n + buckets - 1) / buckets)
     val bucketed = docs
@@ -2098,13 +2101,16 @@ object DataSelection {
     // argument: the worst term's partition is its document frequency,
     // ≤ N docs). The rank window partitions by doc_id
     // (corpus-cardinality — skew-free, WindowGroupLimit prunes to top-5
-    // per partition before the exchange); N rides a literal from one
-    // count() job, not a cross join.
+    // per partition before the exchange); N rides a literal from the
+    // parquet-footer metadata read (r21; was one count() job), not a
+    // cross join.
     "t65_tfidf_keywords" -> QueryDef(
       (spark, dir) => {
         import org.apache.spark.sql.expressions.Window
         val docs = t(spark, dir, "documents")
-        val nDocs = docs.count()
+        // N from parquet footers (t26's recipe), not a count() job (r21)
+        val nDocs = Tables.parquetRowCount(spark, s"$dir/documents.parquet")
+          .getOrElse(docs.count())
         val winT = Window.partitionBy("term")
         val winD = Window.partitionBy("doc_id")
           .orderBy(col("score").desc, col("term"))

@@ -163,10 +163,16 @@ object TrainingData {
   private[graft] def minhashBands(docs: DataFrame): DataFrame = {
     val sigs = withWords(docs)
       .select(col("doc_id"), expr(s"minhash8($shingleExpr)").as("sigs"))
+    // bucket = the md5 as 16-byte BINARY, not its 32-char hex string
+    // (r21): unhex is injective, so every bucket equality — the band
+    // self-joins, t36's probe, the streaming index — is unchanged,
+    // while the exchanges that carry (band, bucket) move a third of
+    // the bytes (guide §2.3: narrower join keys). The DuckDB oracle
+    // keeps the hex spelling; buckets never reach a gated output.
     sigs.select(col("doc_id"), explode(array(
       (0 until 4).map(b => struct(lit(b + 1).as("band"),
-        md5(concat(element_at(col("sigs"), 2 * b + 1),
-          element_at(col("sigs"), 2 * b + 2))).as("bucket"))): _*
+        unhex(md5(concat(element_at(col("sigs"), 2 * b + 1),
+          element_at(col("sigs"), 2 * b + 2)))).as("bucket"))): _*
     )).as("bb")).select(col("doc_id"), col("bb.band"), col("bb.bucket"))
   }
 
@@ -1793,11 +1799,16 @@ object TrainingData {
         val pre = sh.as[(String, Long)]
           .mapPartitions(it => Curation.boundedTopK(it, kmvK))
           .toDF("lang", "h")
-        val win = Window.partitionBy("lang").orderBy("h")
-        val kmv = pre.withColumn("rnk", row_number().over(win))
-          .filter(col("rnk") <= kmvK)
-          .groupBy("lang")
-          .agg(max("h").as("h_k"), count(lit(1)).as("n_in"))
+        // k smallest per lang as ONE bounded aggregation over the
+        // ≤ k·partitions pre-reduced rows (r21): slice of the sorted
+        // collected list ≡ the rank-window ≤ k filter it replaces, minus
+        // the window's per-lang sort pass and its extra exchange; the
+        // collected state is ≤ k·partitions values by [[boundedTopK]]'s
+        // bound, so the agg buffer is as bounded as the window frame was
+        val kmv = pre.groupBy("lang")
+          .agg(slice(array_sort(collect_list(col("h"))), 1, kmvK).as("hs"))
+          .select(col("lang"), expr("try_element_at(hs, -1)").as("h_k"),
+            size(col("hs")).cast("long").as("n_in"))
           .withColumn("n_est", kmvEstCol)
         exact.join(kmv, "lang")
           .withColumn("rel_err",
@@ -1860,24 +1871,33 @@ object TrainingData {
         val pre = sh.as[(String, Long)]
           .mapPartitions(it => Curation.boundedTopK(it, kmvK))
           .toDF("source", "h")
-        val win = Window.partitionBy("source").orderBy("h")
-        val minis = pre.withColumn("rnk", row_number().over(win))
-          .filter(col("rnk") <= kmvK)
-        val perSource = minis.groupBy(col("source").as("scope"))
-          .agg(max("h").as("h_k"), count(lit(1)).as("n_in"))
-        val wAll = Window.orderBy("h")
-        val merged = minis.select("h").distinct()
-          .withColumn("rnk", row_number().over(wAll))
-          .filter(col("rnk") <= kmvK)
-          .agg(max("h").as("h_k"), count(lit(1)).as("n_in"))
-          .select(lit("ALL_merged").as("scope"), col("h_k"), col("n_in"))
-        val direct = hAll.as[Long]
-          .mapPartitions(it => Curation.boundedTopK(it.map(("all", _)), kmvK))
-          .toDF("g", "h")
-          .withColumn("rnk", row_number().over(wAll))
-          .filter(col("rnk") <= kmvK)
-          .agg(max("h").as("h_k"), count(lit(1)).as("n_in"))
-          .select(lit("ALL_direct").as("scope"), col("h_k"), col("n_in"))
+        // k smallest per scope as ONE bounded aggregation (t82's r21
+        // recipe): slice of the sorted collected list ≡ the rank-window
+        // ≤ k filter, minus each window's sort pass — and the two
+        // GLOBAL (partition-less, single-task) windows on the merged /
+        // direct legs collapse into single-group aggregates over
+        // ≤ k·partitions pre-reduced rows
+        def kmin(df: DataFrame, by: Seq[Column]): DataFrame =
+          df.groupBy(by: _*)
+            .agg(slice(array_sort(collect_list(col("h"))), 1, kmvK)
+              .as("hs"))
+        val minis = kmin(pre, Seq(col("source")))
+        val perSource = minis
+          .select(col("source").as("scope"),
+            expr("try_element_at(hs, -1)").as("h_k"),
+            size(col("hs")).cast("long").as("n_in"))
+        val merged = kmin(
+            minis.select(explode(col("hs")).as("h")).distinct(), Nil)
+          .select(lit("ALL_merged").as("scope"),
+            expr("try_element_at(hs, -1)").as("h_k"),
+            size(col("hs")).cast("long").as("n_in"))
+        val direct = kmin(hAll.as[Long]
+            .mapPartitions(it =>
+              Curation.boundedTopK(it.map(("all", _)), kmvK))
+            .toDF("g", "h"), Nil)
+          .select(lit("ALL_direct").as("scope"),
+            expr("try_element_at(hs, -1)").as("h_k"),
+            size(col("hs")).cast("long").as("n_in"))
         val exAll = hAll.agg(count(lit(1)).as("n_exact"))
         val exact = sh.groupBy(col("source").as("scope"))
           .agg(count(lit(1)).as("n_exact"))
