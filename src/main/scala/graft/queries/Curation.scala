@@ -701,18 +701,17 @@ object Curation {
         val joined = labels
           .select(col("doc_id"), col("label").as("cluster_id"))
           .join(q, "doc_id")
-        // size and winner share ONE cluster_id window partitioning —
-        // a separate groupBy + join would re-run the label/quality join
-        // and add a second cluster_id exchange for a count the window's
-        // frame already holds
-        val w = Window.partitionBy("cluster_id")
-          .orderBy(col("qfp").desc, col("doc_id"))
-        val all = Window.partitionBy("cluster_id")
-        joined.withColumn("rnk", row_number().over(w))
-          .withColumn("n_members", count(lit(1)).over(all))
-          .filter(col("rnk") === 1)
-          .select(col("cluster_id"), col("doc_id").as("keep_doc_id"),
-            col("qfp").as("keep_qfp"), col("n_members"))
+        // winner + size in ONE map-side-combinable aggregation (r21):
+        // rank-1 under (qfp DESC, doc_id ASC) ≡ max of the
+        // (qfp, −doc_id) struct (t42's recipe), so the window — a full
+        // sort of the joined corpus by cluster_id with no partial
+        // aggregation — collapses to a hash agg whose exchange carries
+        // one row per (cluster, map partition)
+        joined.groupBy("cluster_id")
+          .agg(max(struct(col("qfp"), (-col("doc_id")).as("neg_id")))
+            .as("best"), count(lit(1)).as("n_members"))
+          .select(col("cluster_id"), (-col("best.neg_id")).as("keep_doc_id"),
+            col("best.qfp").as("keep_qfp"), col("n_members"))
           .orderBy("cluster_id")
       },
       Some(s"""WITH RECURSIVE ${TrainingData.minhashPairsDuck},

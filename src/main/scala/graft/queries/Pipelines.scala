@@ -1087,6 +1087,11 @@ object Pipelines {
         chunked.unionByName(sentinels.withColumn("__c", lit(3)))
           .repartition(3, col("__c"))
           .write.partitionBy("__c").mode("overwrite")
+          // scratch chunks are written once and replayed once: snappy
+          // encodes ~5x faster than the profile's zstd and the replay
+          // decodes faster too (guide §6: pick the codec per write purpose;
+          // the profile default stays zstd for real outputs)
+          .option("compression", "snappy")
           .parquet(scratch.toString)
         (1 to 3).foreach { i =>
           val part = firstParquetPart(scratch.resolve(s"__c=$i"))
@@ -1343,6 +1348,11 @@ object Pipelines {
         val scratch = tmp.resolve("scratch")
         chunked.repartition(3, col("__c"))
           .write.partitionBy("__c").mode("overwrite")
+          // scratch chunks are written once and replayed once: snappy
+          // encodes ~5x faster than the profile's zstd and the replay
+          // decodes faster too (guide §6: pick the codec per write purpose;
+          // the profile default stays zstd for real outputs)
+          .option("compression", "snappy")
           .parquet(scratch.toString)
         (1 to 3).foreach { i =>
           val part = firstParquetPart(scratch.resolve(s"__c=$i"))
@@ -1434,6 +1444,11 @@ object Pipelines {
           .select(col("__c"), col("doc_id"), col("text"))
           .repartition(3, col("__c"))
           .write.partitionBy("__c").mode("overwrite")
+          // scratch chunks are written once and replayed once: snappy
+          // encodes ~5x faster than the profile's zstd and the replay
+          // decodes faster too (guide §6: pick the codec per write purpose;
+          // the profile default stays zstd for real outputs)
+          .option("compression", "snappy")
           .parquet(scratch.toString)
         def land(c: Int): Unit = {
           val part = firstParquetPart(scratch.resolve(s"__c=$c"))
@@ -1563,6 +1578,11 @@ object Pipelines {
         chunked.unionByName(sentinel)
           .repartition(3, col("__c"))
           .write.partitionBy("__c").mode("overwrite")
+          // scratch chunks are written once and replayed once: snappy
+          // encodes ~5x faster than the profile's zstd and the replay
+          // decodes faster too (guide §6: pick the codec per write purpose;
+          // the profile default stays zstd for real outputs)
+          .option("compression", "snappy")
           .parquet(scratch.toString)
         (1 to 3).foreach { i =>
           val part = firstParquetPart(scratch.resolve(s"__c=$i"))
@@ -1633,6 +1653,11 @@ object Pipelines {
         val scratch = tmp.resolve("scratch")
         chunked.repartition(2, col("__c"))
           .write.partitionBy("__c").mode("overwrite")
+          // scratch chunks are written once and replayed once: snappy
+          // encodes ~5x faster than the profile's zstd and the replay
+          // decodes faster too (guide §6: pick the codec per write purpose;
+          // the profile default stays zstd for real outputs)
+          .option("compression", "snappy")
           .parquet(scratch.toString)
         (1 to 2).foreach { i =>
           val part = firstParquetPart(scratch.resolve(s"__c=$i"))

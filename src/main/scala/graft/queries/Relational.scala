@@ -157,13 +157,18 @@ object Relational {
     // ROW_NUMBER over (key) ORDER BY version DESC, keep rank 1.
     "q04_dedup_rank" -> QueryDef(
       (spark, dir) => {
-        val w = Window.partitionBy("user_id", "event_type")
-          .orderBy(col("event_id").desc)
+        // rank-1 by event_id DESC ≡ max(event_id) + max_by(value,
+        // event_id) — event_id is unique per group, so both pick the
+        // same row deterministically. Primitive agg buffers keep this a
+        // map-side-combinable HashAggregate (a struct-max would fall to
+        // SortAggregate) whose exchange carries one row per (key, map
+        // partition) instead of the window's full corpus sort (r21; the
+        // oracle keeps the ROW_NUMBER spelling — same rows by
+        // construction).
         t(spark, dir, "events")
-          .withColumn("__rank__", row_number().over(w))
-          .filter(col("__rank__") === 1)
-          .select(col("user_id"), col("event_type"),
-            col("event_id").as("latest_event_id"), col("value").as("latest_value"))
+          .groupBy("user_id", "event_type")
+          .agg(max(col("event_id")).as("latest_event_id"),
+            max_by(col("value"), col("event_id")).as("latest_value"))
           .orderBy("user_id", "event_type")
       },
       Some("""SELECT user_id, event_type, event_id AS latest_event_id, value AS latest_value

@@ -62,11 +62,18 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2)
   }
 
-  test("q04: dedup ranking is a single window, no extra shuffle") {
+  test("q04: dedup ranking is a map-side-combined max-struct agg, no window sort") {
+    // r21: rank-1 by event_id DESC became max(struct(event_id, value)) —
+    // partial + final HashAggregate pair (map-side combine before the
+    // one shuffle) and NO Window operator (the window form sorted the
+    // full corpus by key with no partial aggregation)
     val p = plan("q04_dedup_rank")
-    assert(p.contains("Window"))
+    assert(!p.contains("Window"), "q04 must not pay a window sort")
+    // struct-typed max buffers aggregate via ObjectHashAggregate
+    assert("(?:ObjectHash|Hash)Aggregate".r.findAllIn(p).size >= 2,
+      "partial + final agg ⇒ map-side combine")
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
-      "one shuffle for the window partition + one for the final sort at most")
+      "one shuffle for the agg + one for the final sort at most")
   }
 
   test("t01: dedup groups by the 16-byte digest, not the document body") {
