@@ -2853,10 +2853,27 @@ object DataSelection {
         val sessioned = Relational.sessionized(t(spark, dir, "events")
           .select(col("event_id"), col("user_id"), col("event_type"),
             col("ts"))).drop("ts")
-        val ws = Window.partitionBy("user_id", "session_seq")
-          .orderBy("us", "event_id")
+        // Within-session rank WITHOUT a second sort (r21): a window
+        // keyed (user_id, session_seq) forces a full re-sort of the
+        // corpus — Catalyst cannot prove that (user_id, us, event_id)
+        // order, which the sessionizer's window already established, IS
+        // (user_id, session_seq, us, event_id) order (session_seq is
+        // monotone in the event order by construction). So rank on the
+        // sessionizer's OWN window spec instead: wn = per-user event
+        // index minus the running index of the last session start + 1 —
+        // identical to ROW_NUMBER per (user, session) because events
+        // arrive session-contiguous in that order. The plan drops from
+        // exchange→sort→3 windows→SORT→window to one exchange + one
+        // sort; the grouped agg then rides the user_id partitioning.
+        val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        val run = w.rowsBetween(Window.unboundedPreceding, 0)
         sessioned
-          .withColumn("wn", row_number().over(ws))
+          .withColumn("idx", row_number().over(w))
+          .withColumn("sidx", max(when(
+            lag("session_seq", 1).over(w).isNull ||
+              col("session_seq") =!= lag("session_seq", 1).over(w),
+            col("idx"))).over(run))
+          .withColumn("wn", col("idx") - col("sidx") + 1)
           .groupBy("user_id", "session_seq")
           .agg(count(lit(1)).as("n_events"),
             (max("us") - min("us")).as("dur_us"),
