@@ -66,6 +66,22 @@ object Components {
     * keeps the test exact at any doc_id magnitude × count). */
   private def propagateOn(docs: DataFrame, edges: DataFrame,
       maxRounds: Int): Option[DataFrame] = {
+    // Debug-mode guard for the comment-only precondition above (r21
+    // advice): the union-min round INVENTS a label row for any edge
+    // endpoint missing from docs (the old left-join form silently
+    // dropped it), so a caller that broke the invariant would change
+    // output rows. Off by default — the anti-join count is a real job in
+    // a loop that was tuned to shave jobs; ComponentsSpec turns it on.
+    if (sys.props.get("graft.components.checkEndpoints").contains("true")) {
+      val unknown = edges.select(col("u").as("doc_id"))
+        .join(docs.select("doc_id"), Seq("doc_id"), "left_anti")
+        .limit(1).count()
+      require(unknown == 0L,
+        "Components precondition violated: pair endpoints must be a " +
+          "subset of docs.doc_id — the union-min propagation round would " +
+          "invent label rows for unknown nodes (and the label-sum " +
+          "convergence argument assumes identity labels in round 0)")
+    }
     var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
       .localCheckpoint()
     def labelSum(df: DataFrame): java.math.BigDecimal =

@@ -446,6 +446,24 @@ object Streams {
       upTo(readIndex(spark, s"$statePath/bands"))) match {
       case (None, None) => batch // empty index: everything is novel
       case (oldH, oldB) =>
+        // Index-format guard (r21 advice): r21 narrowed the band bucket
+        // from a 32-char hex string to its 16-byte binary (same md5 —
+        // injective, so every equality is unchanged) and the persisted
+        // index inherits the column type. Probing an index written by a
+        // pre-binary version would join string-typed stored buckets
+        // against binary probe buckets: never equal, every near-dup
+        // silently missed. The type is in the parquet footer, so this is
+        // a plan-time check with no job cost — fail fast instead.
+        oldB.foreach { b =>
+          val t = b.schema("bucket").dataType
+          require(t == org.apache.spark.sql.types.BinaryType,
+            s"dedup index at $statePath/bands stores `bucket` as $t, but " +
+              "this version probes 16-byte BINARY buckets (hex buckets " +
+              "were written by pre-r21 builds). Equality across the two " +
+              "spellings never holds, so probing would silently miss " +
+              "every near-dup. Rebuild the index under a fresh statePath " +
+              "(or probe it with the version that wrote it).")
+        }
         val withH = batch.withColumn("__h", md5(col("text").cast("binary")))
         val exactKept = oldH match {
           case Some(h) =>

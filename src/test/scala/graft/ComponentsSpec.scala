@@ -70,4 +70,22 @@ class ComponentsSpec extends AnyFunSuite {
     val star = labelMap(Components.starContract(d, p))
     assert(star == prop)
   }
+
+  test("debug guard catches an edge endpoint missing from docs") {
+    // the union-min propagation round invents a label row for an unknown
+    // endpoint (r21 advice); callers hold the precondition by
+    // construction, and this guard (debug-only: it costs an anti-join
+    // job per call) is how a future caller that breaks it fails loudly
+    System.setProperty("graft.components.checkEndpoints", "true")
+    try {
+      val d = docs(Seq(0L, 1L, 2L))
+      intercept[IllegalArgumentException] {
+        Components.propagate(d, pairs(Seq((1L, 7L))), maxRounds = 5)
+      }
+      // and a contract-respecting input still passes with the guard on
+      val ok = labelMap(Components.propagate(
+        d, pairs(Seq((1L, 2L))), maxRounds = 5).get)
+      assert(ok == Map(0L -> 0L, 1L -> 1L, 2L -> 1L))
+    } finally System.clearProperty("graft.components.checkEndpoints")
+  }
 }

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.TimestampType
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -36,6 +37,25 @@ class FixtureContractSpec extends AnyFunSuite {
     assert(!lo.isBefore(min) && !hi.isAfter(max),
       s"events.ts range [$lo, $hi] implausible — unit mix-up for " +
         s"physical type $physical?")
+  }
+
+  test("event_id is unique per (user_id, event_type) — q04's agg contract") {
+    // q04 computes latest-event-per-(user, type) as max(event_id) +
+    // max_by(value, event_id) (r21). The pairing is row-consistent only
+    // while event_id is unique within each group: with a duplicated max
+    // event_id, latest_event_id and latest_value could come from
+    // different rows and max_by's pick would be nondeterministic (r21
+    // advice). The fixture guarantees it; pin that guarantee so a future
+    // fixture regeneration can't silently desync the two aggregates.
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val dups = graft.queries.Tables.events(spark, d)
+        .groupBy("user_id", "event_type", "event_id").count()
+        .filter(col("count") > 1).limit(1).count()
+      assert(dups == 0L,
+        s"$d/events has a duplicate event_id within a (user_id, " +
+          "event_type) group — q04's max/max_by pairing is no longer " +
+          "row-consistent; restore the ROW_NUMBER form or fix the fixture")
+    }
   }
 
   test("every fixture table reads with rows at sf0.001") {

@@ -551,6 +551,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept == Set(4L))
   }
 
+  test("probing a pre-r21 hex-bucket index fails fast, not silently") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_hexix").toString
+    // an index partition as a pre-r21 build wrote it: bucket = 32-char
+    // hex STRING (r21 narrowed the column to its 16-byte binary; equality
+    // across the two spellings never holds, so without the guard every
+    // probe would miss every stored bucket and silently keep near-dups)
+    Seq((0, "0123456789abcdef0123456789abcdef"))
+      .toDF("band", "bucket")
+      .write.parquet(s"$tmp/state/bands/batch=0")
+    Seq("00" * 16).toDF("h")
+      .write.parquet(s"$tmp/state/hashes/batch=0")
+    val probe = Seq((1L, "alpha beta gamma delta eps")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Streams.dedupBatchAgainstIndex(probe, s"$tmp/state", batchId = 1L)
+    }
+    assert(e.getMessage.contains("BINARY"),
+      s"guard must name the format mismatch, got: ${e.getMessage}")
+  }
+
   test("streamingDedup state keys only the digest and evicts past the watermark") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
