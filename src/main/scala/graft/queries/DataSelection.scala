@@ -221,7 +221,16 @@ object DataSelection {
       b: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byWord = Window.partitionBy("word").orderBy("pos")
-    ex
+    // ONE explicit word exchange up front (r22): the input is a fresh
+    // localCheckpoint whose partitioning AQE's coalescing erased
+    // (UnknownPartitioning), so EnsureRequirements would otherwise
+    // insert an exchange per distinct window key — hash(word, cand),
+    // hash(word, grp), hash(word): three shuffles of the symbol stream
+    // per round. hash(word) clusters every one of those specs (each
+    // prefixes on word), so after this single exchange the whole round
+    // — three windows, the word groupBy, the re-explode and the lead
+    // window — runs shuffle-free (plans/r22/t87_round2_after.txt).
+    ex.repartition(col("word"))
       .withColumn("cand",
         (col("sym") === a && col("nxt") === b).cast("int"))
       .withColumn("grp", when(col("cand") === 1,
@@ -236,32 +245,55 @@ object DataSelection {
       .withColumn("prevs",
         coalesce(lag("strt", 1).over(byWord), lit(0)))
       .filter(col("prevs") === 0)
-      .groupBy("word", "wcnt")
-      .agg(expr("transform(array_sort(collect_list(struct(pos, sym2)))," +
-        " x -> x.sym2)").as("syms"))
+      // group on word ALONE (wcnt is functionally dependent — one count
+      // per vocabulary word — so max(wcnt) is the value itself): a
+      // (word, wcnt) grouping key leaves the round hash(word, wcnt)-
+      // partitioned, which does NOT satisfy the next round's
+      // word-clustered windows and forced one labels-sized exchange per
+      // round; hash(word) satisfies every window and grouping in the
+      // loop body, so rounds after the first are exchange-free (r22)
+      .groupBy("word")
+      .agg(max("wcnt").as("wcnt"),
+        expr("transform(array_sort(collect_list(struct(pos, sym2)))," +
+          " x -> x.sym2)").as("syms"))
   }
 
   /** t87's trainer loop: k merge rounds over the collapsed word
-    * vocabulary. Returns (final vocab, merges learned). The vocabulary
-    * is localCheckpointed per round (Components' recipe) so round r+1's
-    * plan starts from materialized blocks instead of an r-deep window
-    * lineage — and so NO round after the first ever rescans the corpus:
-    * per-round exchanges stay on the vocabulary by construction. The
-    * per-round winner is a 1-ROW collect (bounded by definition). */
+    * vocabulary. Returns (final vocab, merges learned).
+    *
+    * r22 round shape (same fixpoint, same merges — oracle-pinned): the
+    * localCheckpointed per-round frame is the EXPLODED symbol stream
+    * ([[bpeExplode]]'s (word, wcnt, pos, sym, nxt) rows), not the
+    * collapsed vocabulary. Both per-round actions read that frame, so
+    * the explode + lead window that the old shape re-executed in BOTH
+    * the winner count and the merge application now runs once per
+    * round, and — with [[bpeApplyMerge]] grouping on word alone — the
+    * checkpoint (via [[bpeApplyMerge]]'s single explicit word exchange —
+    * AQE coalescing erases checkpoint partitioning, see the comment
+    * there) plans ONE exchange where the old shape planned four; the
+    * winner count keeps its one (sym, nxt) aggregation exchange, the
+    * exact-global-argmax floor. Per round: 6 exchanges → 2. Measured
+    * (OptProfile, sf0.1): jobs 45 → 35, build 5.0 → 2.8 s.
+    * Cost: the cached frame is |vocab|·avg_len rows instead of |vocab|
+    * — still vocabulary-bounded, never corpus-bounded. The final
+    * round's merge is left LAZY (nothing reads the post-round-k
+    * vocabulary eagerly; callers that do pay its one plan then).
+    * Lineage still resets per round (Components' recipe), and NO round
+    * after the first rescans the corpus (plan-pinned in
+    * QualitySketchSpec). The per-round winner is a 1-ROW collect. */
   private[graft] def bpeRounds(spark: SparkSession, dir: String,
       k: Int): (DataFrame, Seq[(Int, String, String, Long)]) = {
-    var vocab = withWords(t(spark, dir, "documents"))
+    val vocab0 = withWords(t(spark, dir, "documents"))
       .select(explode(col("words")).as("word"))
       .filter(length(col("word")) >= 2)
       .groupBy("word").agg(count(lit(1)).as("wcnt"))
       .withColumn("syms", expr(
         "transform(sequence(1, length(word)), i -> substr(word, i, 1))"))
-      .localCheckpoint()
+    var ex = bpeExplode(vocab0).localCheckpoint()
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var r = 1
     var done = false
     while (r <= k && !done) {
-      val ex = bpeExplode(vocab)
       val top = ex.filter(col("nxt").isNotNull)
         .groupBy("sym", "nxt").agg(sum("wcnt").as("n_occ"))
         .orderBy(col("n_occ").desc, col("sym"), col("nxt"))
@@ -271,13 +303,18 @@ object DataSelection {
         val (a, b, n) = (top(0).getString(0), top(0).getString(1),
           top(0).getLong(2))
         merges += ((r, a, b, n))
-        val old = vocab
-        vocab = bpeApplyMerge(ex, a, b).localCheckpoint()
-        old.unpersist()
+        val old = ex
+        val merged = bpeExplode(bpeApplyMerge(ex, a, b))
+        if (r < k) {
+          ex = merged.localCheckpoint()
+          old.unpersist()
+        } else ex = merged // last round: no action reads it eagerly
         r += 1
       }
     }
-    (vocab, merges.result())
+    (ex.groupBy("word").agg(max("wcnt").as("wcnt"),
+      expr("transform(array_sort(collect_list(struct(pos, sym)))," +
+        " x -> x.sym)").as("syms")), merges.result())
   }
 
   /** DuckDB twin of [[bpeRounds]]: k chained CTE blocks, each the exact

@@ -1164,6 +1164,84 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("t-suite structural rule: no partition-less Window, no off-spine " +
+      "global Sort") {
+    // r21 removed the suite's last two single-task global windows
+    // (t94's merged/direct KMV legs) and its provably-redundant corpus
+    // re-sort (t93). The sf0.1 bench cannot guard the property — every
+    // query sits at the local job floor, so the driver's low-core probe
+    // carries no parallelism signal (r21 verdict, "What's wrong" #3).
+    // Pin it structurally instead: a Window with an empty partition spec
+    // is a SINGLE TASK over the whole input at any scale, and a global
+    // Sort anywhere but the final presentation orderBy is a corpus
+    // range-exchange+sort pass the query's semantics don't require.
+    // Checked on the optimized LOGICAL plan of the final frame (loops
+    // checkpoint per round, so inner rounds are pinned by their own
+    // operator specs; the frames here are what the bench materializes).
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def presentationSorts(p: LogicalPlan): Seq[Sort] = p match {
+      case s: Sort if s.global => Seq(s)
+      case pr: Project     => presentationSorts(pr.child)
+      case l: GlobalLimit  => presentationSorts(l.child)
+      case l: LocalLimit   => presentationSorts(l.child)
+      case _ => Nil
+    }
+    // a global Sort directly under a Limit plans as TakeOrderedAndProject
+    // (partition-local heaps + driver merge) — no global sort task, so
+    // it is allowed anywhere (t52's top-40 rerank feed, t77's exact
+    // top-20)
+    def limitSorts(p: LogicalPlan): Seq[Sort] = p.collect {
+      case l: LocalLimit => l.child match {
+        case s: Sort if s.global => Seq(s)
+        case Project(_, s: Sort) if s.global => Seq(s)
+        case _ => Nil
+      }
+    }.flatten
+    def violations(plan: LogicalPlan): Seq[String] = {
+      val allowed = presentationSorts(plan) ++ limitSorts(plan)
+      plan.collect {
+        case w: Window if w.partitionSpec.isEmpty =>
+          s"partition-less Window (single task at scale): $w"
+        case s: Sort if s.global && !allowed.exists(_ eq s) =>
+          s"global Sort off the presentation spine: $s"
+      }
+    }
+    // Documented exception class — the "bounded-window rule" (SURVEY
+    // §2.12): these queries run partition-less windows ON PURPOSE, over
+    // frames already aggregated to bounded cardinality (≤ |sources|,
+    // ≤ #histogram buckets, ≤ 64 log₂ classes), where one task is
+    // correct at any corpus scale. Pinned by exact count so a NEW
+    // partition-less window in these queries is still caught.
+    val boundedFrameWindows = Map(
+      "t41_epoch_upsample" -> 1,   // max over the ≤|langs|-row epoch table
+      "t69_pair_dist_hist" -> 1,   // total over ≤ ~40 histogram buckets
+      "t70_budget_waterfill" -> 4, // prefix/threshold over ≤|sources| rows
+      "t73_vocab_growth" -> 1,     // cumsum over ≤ #ingest buckets
+      "t85_zipf_coverage" -> 1)    // cumsum over ≤ 64 log₂ classes
+    // canary: the checker must catch the shape it exists to forbid
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions.row_number
+    val canary = spark.range(10).toDF("x")
+      .withColumn("rn", row_number().over(W.orderBy("x")))
+      .queryExecution.optimizedPlan
+    assert(violations(canary).nonEmpty,
+      "checker failed to flag a deliberately partition-less window")
+    val bad = SparkEntry.queries.keys.toSeq.sorted
+      .filter(_.startsWith("t"))
+      .flatMap { name =>
+        val vs = violations(SparkEntry.queries(name)(spark, sf)
+          .queryExecution.optimizedPlan)
+        val allowedWindows = boundedFrameWindows.getOrElse(name, 0)
+        val (win, rest) = vs.partition(_.startsWith("partition-less"))
+        (if (win.size > allowedWindows)
+          Seq(s"$name: ${win.size} partition-less windows, " +
+            s"$allowedWindows documented bounded-frame exceptions:\n  " +
+            win.mkString("\n  "))
+        else Nil) ++ rest.map(v => s"$name: $v")
+      }
+    assert(bad.isEmpty, bad.mkString("\n"))
+  }
+
   test("whole-stage codegen covers the relational hot paths") {
     // AQE finalizes the plan lazily; execute first, then inspect.
     val df = SparkEntry.queries("q01_agg_pricing")(spark, sf)
