@@ -246,12 +246,11 @@ object DataSelection {
         coalesce(lag("strt", 1).over(byWord), lit(0)))
       .filter(col("prevs") === 0)
       // group on word ALONE (wcnt is functionally dependent — one count
-      // per vocabulary word — so max(wcnt) is the value itself): a
-      // (word, wcnt) grouping key leaves the round hash(word, wcnt)-
-      // partitioned, which does NOT satisfy the next round's
-      // word-clustered windows and forced one labels-sized exchange per
-      // round; hash(word) satisfies every window and grouping in the
-      // loop body, so rounds after the first are exchange-free (r22)
+      // per vocabulary word — so max(wcnt) is the value itself): the
+      // grouping then requires exactly the hash(word) clustering the
+      // round's explicit exchange above established, keeping the whole
+      // round on one partitioning by construction rather than by the
+      // planner's subset-satisfaction rule (r22)
       .groupBy("word")
       .agg(max("wcnt").as("wcnt"),
         expr("transform(array_sort(collect_list(struct(pos, sym2)))," +
@@ -267,12 +266,12 @@ object DataSelection {
     * collapsed vocabulary. Both per-round actions read that frame, so
     * the explode + lead window that the old shape re-executed in BOTH
     * the winner count and the merge application now runs once per
-    * round, and — with [[bpeApplyMerge]] grouping on word alone — the
-    * checkpoint (via [[bpeApplyMerge]]'s single explicit word exchange —
-    * AQE coalescing erases checkpoint partitioning, see the comment
-    * there) plans ONE exchange where the old shape planned four; the
-    * winner count keeps its one (sym, nxt) aggregation exchange, the
-    * exact-global-argmax floor. Per round: 6 exchanges → 2. Measured
+    * round — so the old shape's per-action hash(word) exchange (one
+    * under each action) collapses to [[bpeApplyMerge]]'s single
+    * explicit word exchange (AQE coalescing erases checkpoint
+    * partitioning, see the comment there); the winner count keeps its
+    * one (sym, nxt) aggregation exchange, the exact-global-argmax
+    * floor. Per round: 3 exchanges → 2, one window pass saved. Measured
     * (OptProfile, sf0.1): jobs 45 → 35, build 5.0 → 2.8 s.
     * Cost: the cached frame is |vocab|·avg_len rows instead of |vocab|
     * — still vocabulary-bounded, never corpus-bounded. The final
